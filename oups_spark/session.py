@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the oups-spark engine.
+
+Defaults target the driver harness (``local[32]``, 128 GiB box) but the
+same knobs are what a 1000-executor cluster deployment would set:
+AQE on (runtime re-plan, skew-join handling, partition coalescing),
+Arrow for any pandas-UDF exchange, UTC session time zone so timestamp
+semantics match the DuckDB oracle, and a bounded
+``spark.sql.shuffle.partitions`` sized to the local core count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "oups-spark",
+    *,
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    Parameters
+    ----------
+    cpus : local parallelism; defaults to ``$SPARK_GRAFT_CPUS`` or 32.
+    shuffle_partitions : defaults to ``cpus`` — at cluster scale this is
+        instead sized to ~2-3x total executor cores (AQE coalesces down).
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
