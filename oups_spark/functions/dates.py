@@ -1,0 +1,88 @@
+"""Timestamp flooring/ceiling robust to fixed and non-fixed periods.
+
+Re-expresses the semantics of the reference's ``floor_ts`` /
+``ceil_ts`` (reference: ``oups/date_utils.py:13-62``) on Spark
+columns: fixed frequencies (``s``/``min``/``h`` and multiples) floor
+by epoch arithmetic; non-fixed ones (``D``, ``W``, ``MS``/month,
+``YS``/year) use ``date_trunc``.
+
+Period strings accept a pandas-ish subset: ``<n><unit>`` with unit in
+``s, min, h, D, W, MS, M, YS, Y`` (n only for fixed units and D).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+_FIXED_SECONDS = {"s": 1, "sec": 1, "min": 60, "m": 60, "h": 3600}
+_PERIOD_RE = re.compile(r"^(\d*)\s*([A-Za-z]+)$")
+
+
+def _parse(freq: str) -> tuple[int, str]:
+    m = _PERIOD_RE.match(freq.strip())
+    if not m:
+        raise ValueError(f"unparseable period: {freq!r}")
+    n = int(m.group(1)) if m.group(1) else 1
+    unit = m.group(2)
+    return n, unit
+
+
+def period_duration(freq: str) -> float:
+    """Approximate period length in seconds (exact for fixed freqs)."""
+    n, unit = _parse(freq)
+    if unit in _FIXED_SECONDS:
+        return n * _FIXED_SECONDS[unit]
+    approx = {"D": 86400, "W": 7 * 86400, "MS": 30 * 86400, "M": 30 * 86400,
+              "YS": 365 * 86400, "Y": 365 * 86400}
+    if unit in approx:
+        return n * approx[unit]
+    raise ValueError(f"unsupported period unit: {unit!r}")
+
+
+def floor_ts(col: Column, freq: str) -> Column:
+    """Floor a timestamp column to the period grid (epoch-anchored for
+    fixed frequencies, calendar-anchored for D/W/MS/YS)."""
+    n, unit = _parse(freq)
+    if unit in _FIXED_SECONDS:
+        secs = n * _FIXED_SECONDS[unit]
+        micros = secs * 1_000_000
+        return F.timestamp_micros((F.unix_micros(col) / micros).cast("long") * micros)
+    if unit == "D":
+        if n == 1:
+            return F.date_trunc("day", col)
+        micros = n * 86400 * 1_000_000
+        return F.timestamp_micros((F.unix_micros(col) / micros).cast("long") * micros)
+    if unit == "W":
+        return F.date_trunc("week", col)
+    if unit in ("MS", "M"):
+        return F.date_trunc("month", col)
+    if unit in ("YS", "Y"):
+        return F.date_trunc("year", col)
+    raise ValueError(f"unsupported period unit: {unit!r}")
+
+
+def ceil_ts(col: Column, freq: str) -> Column:
+    """Ceiling: the next grid point strictly above unless already on
+    the grid (on-grid values are returned unchanged, matching the
+    reference's ceil semantics, ``oups/date_utils.py:38-62``)."""
+    floored = floor_ts(col, freq)
+    return F.when(floored == col, col).otherwise(_next_edge(floored, freq))
+
+
+def _next_edge(floored: Column, freq: str) -> Column:
+    n, unit = _parse(freq)
+    if unit in _FIXED_SECONDS:
+        secs = n * _FIXED_SECONDS[unit]
+        return F.timestamp_micros(F.unix_micros(floored) + secs * 1_000_000)
+    if unit == "D":
+        return F.timestamp_micros(F.unix_micros(floored) + n * 86400 * 1_000_000)
+    if unit == "W":
+        return F.timestamp_micros(F.unix_micros(floored) + 7 * 86400 * 1_000_000)
+    if unit in ("MS", "M"):
+        return F.to_timestamp(F.add_months(floored.cast("date"), 1))
+    if unit in ("YS", "Y"):
+        return F.to_timestamp(F.add_months(floored.cast("date"), 12))
+    raise ValueError(f"unsupported period unit: {unit!r}")

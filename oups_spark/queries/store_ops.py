@@ -1,5 +1,128 @@
-"""Queries exercising the ordered-store semantics (filled in as the
-store layer lands): ordered merge writes, keep-last dedup, range
-reads, segment aggregation, snapshots, AggStream restart."""
+"""Driver-facing queries exercising the ordered-store semantics:
+merge writes with keep-last dedup, append + pruned range reads, DNF
+filters. Each query materializes a scratch dataset under
+``.scratch/`` (gitignored), runs the store operation for real, and
+returns the final state; the oracle states the same end state in
+plain SQL over the input table."""
 
 from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oups_spark.queries import register
+from oups_spark.store.dataset import OrderedDataset
+from oups_spark.tables import load
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+T1 = "2024-01-10 00:00:00"
+T2 = "2024-01-20 00:00:00"
+
+
+def _fresh(name: str) -> str:
+    d = os.path.join(_SCRATCH, f"query_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@register(
+    "store_merge_keep_last",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type,
+           CASE WHEN ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+                THEN value + 100 ELSE value END AS value,
+           props
+    FROM events
+    ORDER BY ts, event_id
+    """,
+)
+def store_merge_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered merge write with keep-last dedup (SURVEY S6/J1-J2/A0).
+
+    Writes the events table, then merges an overlapping corrected
+    batch (value+100 for a 10-day window) deduped on event_id — the
+    corrected rows must replace the originals (new-over-old rule,
+    reference ``iter_merge_split_data.py:112-119``). Only files
+    overlapping the window are rewritten.
+    """
+    path = os.path.join(_fresh("store_merge_keep_last"), "events_ds")
+    events = load(spark, sf_dir, "events")
+    ds = OrderedDataset(spark, path)
+    ds.write(df=events, ordered_on="ts", row_group_target_size=2500)
+    batch2 = (
+        events.filter(
+            (F.col("ts") >= F.lit(T1).cast("timestamp"))
+            & (F.col("ts") < F.lit(T2).cast("timestamp"))
+        )
+        .withColumn("value", F.col("value") + F.lit(100.0))
+    )
+    ds.write(df=batch2, duplicates_on=["event_id"])
+    return ds.read().orderBy("ts", "event_id").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
+    "store_append_range_read",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+    ORDER BY ts, event_id
+    """,
+)
+def store_append_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append + manifest-pruned range read (S4/S5/F4).
+
+    Writes events in two appends (split at T1), then reads back
+    ``[T1, T2)`` — the manifest prunes non-overlapping files before
+    Spark is even involved; the residual predicate is pushed into the
+    parquet scan.
+    """
+    path = os.path.join(_fresh("store_append_range_read"), "events_ds")
+    events = load(spark, sf_dir, "events")
+    ds = OrderedDataset(spark, path)
+    t1 = F.lit(T1).cast("timestamp")
+    ds.write(df=events.filter(F.col("ts") < t1), ordered_on="ts",
+             row_group_target_size=2000)
+    ds.write(df=events.filter(F.col("ts") >= t1), row_group_target_size=2000)
+    import datetime
+
+    start = datetime.datetime.fromisoformat(T1)
+    end = datetime.datetime.fromisoformat(T2)
+    return ds.read(start=start, end_excl=end).orderBy("ts", "event_id").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
+    "dnf_filter_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE (event_type IN ('click', 'view') AND value > 50.0)
+       OR (event_type = 'purchase' AND user_id < 100)
+    ORDER BY event_id
+    """,
+)
+def dnf_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DNF filter language (F1): OR of AND-groups, pushdown-shaped
+    (reference ``oups/aggstream/utils.py:16-71``)."""
+    from oups_spark.functions.filters import dnf_filter
+
+    events = load(spark, sf_dir, "events")
+    filtered = dnf_filter(
+        events,
+        [
+            [("event_type", "in", ["click", "view"]), ("value", ">", 50.0)],
+            [("event_type", "==", "purchase"), ("user_id", "<", 100)],
+        ],
+    )
+    return filtered.select("event_id", "ts", "user_id", "event_type", "value").orderBy(
+        "event_id"
+    )

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        # Some source tables carry timestamp[ns] parquet columns
+        # (e.g. events.ts); Spark reads them as long nanos under this
+        # flag and oups_spark.tables converts to microsecond
+        # timestamps (same truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,417 @@
+"""OrderedDataset: a manifest-backed ordered parquet dataset with
+rewrite-minimal merge writes.
+
+Re-expresses the reference's core sink — ordered merge/update write
+with keep-last dedup and row-group size control (reference:
+``oups/store/ordered_parquet_dataset/write/write.py:78-271`` and the
+OAR merge strategies) — as a single Spark DataFrame plan per write:
+
+    overlap file selection (manifest min/max, the OAR analysis
+    collapsed to file granularity)
+    → read ONLY overlapping files, union with the new batch under an
+      explicit source-rank (old=0, new=1) + in-batch position
+    → keep-last window dedup on ``duplicates_on ∪ {ordered_on}``
+      (tiebreak: src_rank desc, position desc — the reference's
+      "stable sort, new after old" rule made explicit, reference
+      ``iter_merge_split_data.py:112-119``)
+    → ``repartitionByRange(ordered_on)`` + ``sortWithinPartitions``
+      + ``maxRecordsPerFile`` for row-count targets, or a
+      period-column ``partitionBy`` for time-period targets
+    → atomic manifest swap; untouched files are never rewritten.
+
+Scale posture: the only data ever moved is (overlapping files + new
+batch); the shuffle is a range-repartition of exactly that data; the
+manifest prunes before any Spark job is launched, so an append to a
+100 TB dataset touches one file.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import urllib.parse
+import uuid
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import StructType
+
+from oups_spark.functions.dates import floor_ts
+from oups_spark.store.manifest import FileEntry, Manifest
+
+# Reference default: 6_345_000 rows ≈ 290 MB for 6 numeric columns
+# (reference: write.py:32,107-111). Same order of magnitude as a
+# healthy parquet file at cluster scale.
+DEFAULT_ROW_GROUP_TARGET_SIZE = 6_345_000
+# A file is "off target" below 80% of target (reference:
+# n_rows_strategy.py:33,136).
+ON_TARGET_SCALE_FACTOR = 0.8
+
+_SRC = "__oups_src"
+_POS = "__oups_pos"
+_PERIOD = "__oups_period"
+
+
+class OrderedDataset:
+    """Handle on one ordered dataset directory (may not exist yet)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._manifest = Manifest.load(self.path)
+
+    # ------------------------------------------------------------- state
+    @property
+    def exists(self) -> bool:
+        return self._manifest is not None
+
+    @property
+    def manifest(self) -> Manifest | None:
+        return self._manifest
+
+    @property
+    def ordered_on(self) -> str | None:
+        return self._manifest.ordered_on if self._manifest else None
+
+    @property
+    def key_value_metadata(self) -> dict:
+        return dict(self._manifest.kv) if self._manifest else {}
+
+    @property
+    def n_files(self) -> int:
+        return len(self._manifest.files) if self._manifest else 0
+
+    @property
+    def n_rows(self) -> int:
+        return self._manifest.n_rows if self._manifest else 0
+
+    def file_paths(self) -> list[str]:
+        if not self._manifest:
+            return []
+        return [os.path.join(self.path, f.name) for f in self._manifest.files]
+
+    def schema(self) -> StructType | None:
+        if self._manifest and self._manifest.schema_json:
+            return StructType.fromJson(__import__("json").loads(self._manifest.schema_json))
+        return None
+
+    # ------------------------------------------------------------- read
+    def read(
+        self,
+        start=None,
+        end_excl=None,
+        columns: list[str] | None = None,
+        filters=None,
+        ordered: bool = False,
+    ) -> DataFrame:
+        """Scan, with manifest file pruning for ``[start, end_excl)``.
+
+        File pruning happens driver-side from manifest stats (the
+        reference's row-group slicing, ``base.py:297-330``); the range
+        predicate is also applied so parquet footer pruning and
+        row-level filtering finish the job.
+        """
+        if not self.exists:
+            raise FileNotFoundError(f"no ordered dataset at {self.path}")
+        entries = self._manifest.files
+        if start is not None:
+            entries = [e for e in entries if e.max >= start]
+        if end_excl is not None:
+            entries = [e for e in entries if e.min < end_excl]
+        if not entries:
+            schema = self.schema()
+            if schema is None:
+                raise ValueError("empty dataset with no recorded schema")
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, e.name) for e in entries]
+            )
+        o = F.col(self._manifest.ordered_on)
+        if start is not None:
+            df = df.filter(o >= F.lit(start))
+        if end_excl is not None:
+            df = df.filter(o < F.lit(end_excl))
+        if filters:
+            from oups_spark.functions.filters import dnf_filter
+
+            df = dnf_filter(df, filters)
+        if columns:
+            df = df.select(*columns)
+        if ordered:
+            df = df.orderBy(self._manifest.ordered_on)
+        return df
+
+    # ------------------------------------------------------------- write
+    def write(
+        self,
+        df: DataFrame | None = None,
+        *,
+        ordered_on: str | None = None,
+        duplicates_on: list[str] | str | None = None,
+        row_group_target_size: int | str = DEFAULT_ROW_GROUP_TARGET_SIZE,
+        max_n_off_target_rgs: int | None = None,
+        key_value_metadata: dict | None = None,
+        validate_monotonic: bool = True,
+    ) -> None:
+        """Ordered merge write (see module docstring for the plan).
+
+        ``key_value_metadata``: dict merged into the manifest kv;
+        a ``None`` value removes the key (reference semantics,
+        ``base.py:600-649``).
+        """
+        if self._manifest is None:
+            if df is not None and ordered_on is None:
+                raise ValueError("ordered_on required on first write")
+        else:
+            if ordered_on is not None and ordered_on != self._manifest.ordered_on:
+                raise ValueError(
+                    f"ordered_on is immutable: dataset uses "
+                    f"{self._manifest.ordered_on!r}, got {ordered_on!r}"
+                )
+            ordered_on = self._manifest.ordered_on
+
+        if df is None:
+            self._update_kv_only(ordered_on, key_value_metadata)
+            return
+
+        if ordered_on not in df.columns:
+            raise ValueError(f"ordered_on column {ordered_on!r} not in DataFrame")
+
+        new = df.withColumn(_POS, F.monotonically_increasing_id()).withColumn(
+            _SRC, F.lit(1)
+        )
+        if validate_monotonic:
+            self._check_monotonic(new, ordered_on)
+
+        stats = new.agg(
+            F.min(ordered_on).alias("mn"),
+            F.max(ordered_on).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if stats["n"] == 0:
+            self._update_kv_only(ordered_on, key_value_metadata)
+            return
+        df_min, df_max, n_new = stats["mn"], stats["mx"], stats["n"]
+        if df_min is None or (self.exists and any(
+            e.min is None or e.max is None for e in self._manifest.files
+        )):
+            raise ValueError("null values in ordered_on are not allowed")
+
+        old_entries = self._manifest.files if self._manifest else []
+        replaced = self._select_overlap(
+            old_entries, df_min, df_max, row_group_target_size, max_n_off_target_rgs
+        )
+        replaced_names = {e.name for e in replaced}
+        kept = [e for e in old_entries if e.name not in replaced_names]
+
+        merged = new
+        n_old = sum(e.n_rows for e in replaced)
+        if replaced:
+            old = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, e.name) for e in replaced]
+                )
+                .withColumn(_POS, F.monotonically_increasing_id())
+                .withColumn(_SRC, F.lit(0))
+            )
+            merged = old.unionByName(new)
+
+        if duplicates_on is not None:
+            merged = self._dedup_keep_last(merged, ordered_on, duplicates_on)
+
+        new_entries = self._write_files(
+            merged, ordered_on, row_group_target_size, n_old + n_new
+        )
+
+        man = self._manifest or Manifest(ordered_on=ordered_on)
+        man.ordered_on = ordered_on
+        man.files = kept + new_entries
+        man.schema_json = df.schema.json()
+        _merge_kv(man.kv, key_value_metadata)
+        man.save(self.path)
+        self._manifest = man
+        for name in replaced_names:
+            p = os.path.join(self.path, name)
+            if os.path.exists(p):
+                os.remove(p)
+
+    # ----------------------------------------------------------- helpers
+    def _update_kv_only(self, ordered_on, key_value_metadata) -> None:
+        man = self._manifest or Manifest(ordered_on=ordered_on or "")
+        _merge_kv(man.kv, key_value_metadata)
+        os.makedirs(self.path, exist_ok=True)
+        man.save(self.path)
+        self._manifest = man
+
+    def _check_monotonic(self, new: DataFrame, ordered_on: str) -> None:
+        """Reject unsorted input (reference: ``write.py:182-185``).
+
+        Narrow projection (ordered_on + position); the global window
+        is a validation-only cost and can be disabled at scale with
+        ``validate_monotonic=False`` when the producer guarantees
+        order (e.g. reading an already-ordered dataset).
+        """
+        w = Window.orderBy(_POS)
+        bad = (
+            new.select(ordered_on, _POS)
+            .withColumn("__prev", F.lag(ordered_on).over(w))
+            .filter(F.col("__prev") > F.col(ordered_on))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(f"column {ordered_on!r} is not ordered")
+
+    def _select_overlap(
+        self,
+        entries: list[FileEntry],
+        df_min,
+        df_max,
+        target,
+        max_n_off_target_rgs: int | None,
+    ) -> list[FileEntry]:
+        """Pick files to rewrite: those overlapping [df_min, df_max]
+        (inclusive — equal boundary values must merge so keep-last
+        dedup sees them, reference ``merge_split_strategies/base.py:279-288``),
+        plus adjacent off-target runs when they exceed
+        ``max_n_off_target_rgs`` (coalescing, reference
+        ``base.py:505-633``)."""
+        overlap_idx = [
+            i for i, e in enumerate(entries) if e.max >= df_min and e.min <= df_max
+        ]
+        selected = set(overlap_idx)
+        if max_n_off_target_rgs is not None and entries:
+            if isinstance(target, int):
+                def off(e):
+                    return e.n_rows < ON_TARGET_SCALE_FACTOR * target
+            else:
+                # Period-sized files: treat multi-file periods as
+                # off-target only when tiny relative to siblings —
+                # approximation: never, unless adjacent to overlap.
+                def off(e):
+                    return False
+            lo = min(overlap_idx) if overlap_idx else len(entries)
+            hi = max(overlap_idx) if overlap_idx else len(entries) - 1
+            left_run = []
+            for i in range(lo - 1, -1, -1):
+                if off(entries[i]):
+                    left_run.append(i)
+                else:
+                    break
+            right_run = []
+            for i in range(hi + 1, len(entries)):
+                if off(entries[i]):
+                    right_run.append(i)
+                else:
+                    break
+            if len(left_run) >= max_n_off_target_rgs:
+                selected.update(left_run)
+            if len(right_run) >= max_n_off_target_rgs:
+                selected.update(right_run)
+        return [entries[i] for i in sorted(selected)]
+
+    def _dedup_keep_last(
+        self, merged: DataFrame, ordered_on: str, duplicates_on
+    ) -> DataFrame:
+        """Keep-last dedup on ``duplicates_on ∪ {ordered_on}``.
+
+        "Last" = later physical position, new data after old
+        (reference: ``write.py:35-75,199-203``;
+        ``iter_merge_split_data.py:112-119``). Spark has no physical
+        row order, so the tiebreaker is explicit:
+        (src_rank desc, in-batch position desc).
+        """
+        if isinstance(duplicates_on, str):
+            duplicates_on = [duplicates_on]
+        subset = list(duplicates_on)
+        if ordered_on not in subset:
+            subset.append(ordered_on)
+        w = Window.partitionBy(*subset).orderBy(F.desc(_SRC), F.desc(_POS))
+        return (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _write_files(
+        self, merged: DataFrame, ordered_on: str, target, approx_rows: int
+    ) -> list[FileEntry]:
+        """Write merged data into size-controlled files, return stats.
+
+        Row-count target: ``repartitionByRange`` into
+        ``ceil(rows/target)`` splits + ``maxRecordsPerFile`` cap.
+        Period target (e.g. ``'1D'``): one file per period via a
+        derived period column (reference's TimePeriod strategy,
+        ``time_period_strategy.py``).
+        """
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:12]}")
+        os.makedirs(staging, exist_ok=True)
+        try:
+            if isinstance(target, int):
+                n_out = max(1, -(-approx_rows // target))
+                out = (
+                    merged.repartitionByRange(n_out, F.col(ordered_on))
+                    .sortWithinPartitions(ordered_on, _SRC, _POS)
+                    .drop(_SRC, _POS)
+                )
+                (
+                    out.write.option("maxRecordsPerFile", target)
+                    .mode("overwrite")
+                    .parquet(staging)
+                )
+            else:
+                out = (
+                    merged.withColumn(_PERIOD, floor_ts(F.col(ordered_on), target))
+                    .repartition(F.col(_PERIOD))
+                    .sortWithinPartitions(_PERIOD, ordered_on, _SRC, _POS)
+                    .drop(_SRC, _POS)
+                )
+                out.write.partitionBy(_PERIOD).mode("overwrite").parquet(staging)
+
+            # Distributed footer-stat collection: one pruned scan of
+            # just the ordering column, grouped by file.
+            stats = (
+                self.spark.read.parquet(staging)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(ordered_on).alias("mn"),
+                    F.max(ordered_on).alias("mx"),
+                )
+                .collect()
+            )
+            entries = []
+            for row in sorted(stats, key=lambda r: (r["mn"], r["mx"])):
+                # input_file_name() yields a URI: strip scheme and
+                # percent-decoding (Spark also escapes ':' etc. in
+                # partition dir names on disk — one decode recovers
+                # the on-disk path).
+                src = urllib.parse.unquote(urllib.parse.urlparse(row["f"]).path)
+                name = f"file_{uuid.uuid4().hex}.parquet"
+                os.replace(src, os.path.join(self.path, name))
+                entries.append(
+                    FileEntry(name=name, n_rows=row["n"], min=row["mn"], max=row["mx"])
+                )
+            return entries
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    # ----------------------------------------------------------- delete
+    def delete(self) -> None:
+        """Drop the dataset directory (reference: ``base.py:405-438``)."""
+        shutil.rmtree(self.path, ignore_errors=True)
+        self._manifest = None
+
+
+def _merge_kv(kv: dict, update: dict | None) -> None:
+    """Add/update keys; a None value removes the key (reference
+    ``base.py:600-649`` semantics)."""
+    if not update:
+        return
+    for k, v in update.items():
+        if v is None:
+            kv.pop(k, None)
+        else:
+            kv[k] = v

@@ -1,0 +1,125 @@
+"""Dataset manifest: the sidecar that makes a parquet directory an
+*ordered* dataset.
+
+Replaces the reference's ``_opdmd`` metadata file (reference:
+``oups/store/ordered_parquet_dataset/ordered_parquet_dataset/base.py:58-62,600-649``):
+records ``ordered_on``, one entry per data file with
+``(n_rows, min, max)`` of the ordering column, the dataset schema,
+and user/system key-value metadata (e.g. AggStream restart state).
+
+Stored as JSON with an atomic tmp-file + ``os.replace`` swap so a
+reader never observes a half-written manifest. At 100 TB (~100k
+files of ~1 GB) the file list is a few MB of JSON — still fine to
+load driver-side; beyond that the natural upgrade is a parquet
+manifest or a Delta transaction log, which this module isolates the
+rest of the engine from.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import pickle
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Any
+
+MANIFEST_NAME = "_oups_manifest.json"
+
+
+def _enc(v: Any) -> Any:
+    if isinstance(v, datetime):
+        return {"__ts__": v.isoformat()}
+    if isinstance(v, (int, float, str)) or v is None:
+        return v
+    return {"__pickle__": base64.b64encode(pickle.dumps(v)).decode()}
+
+
+def _dec(v: Any) -> Any:
+    if isinstance(v, dict):
+        if "__ts__" in v:
+            return datetime.fromisoformat(v["__ts__"])
+        if "__pickle__" in v:
+            return pickle.loads(base64.b64decode(v["__pickle__"]))
+    return v
+
+
+def _enc_tree(v: Any) -> Any:
+    if isinstance(v, dict) and "__ts__" not in v and "__pickle__" not in v:
+        return {k: _enc_tree(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_enc_tree(x) for x in v]
+    return _enc(v)
+
+
+def _dec_tree(v: Any) -> Any:
+    if isinstance(v, dict):
+        if "__ts__" in v or "__pickle__" in v:
+            return _dec(v)
+        return {k: _dec_tree(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_dec_tree(x) for x in v]
+    return v
+
+
+@dataclass
+class FileEntry:
+    """Stats of one data file (≈ one row group in reference terms)."""
+
+    name: str  # path relative to the dataset directory
+    n_rows: int
+    min: Any  # ordered_on min
+    max: Any  # ordered_on max
+
+    def to_json(self) -> dict:
+        return {"name": self.name, "n_rows": self.n_rows,
+                "min": _enc(self.min), "max": _enc(self.max)}
+
+    @classmethod
+    def from_json(cls, d: dict) -> FileEntry:
+        return cls(name=d["name"], n_rows=d["n_rows"],
+                   min=_dec(d["min"]), max=_dec(d["max"]))
+
+
+@dataclass
+class Manifest:
+    ordered_on: str
+    files: list[FileEntry] = field(default_factory=list)
+    kv: dict[str, Any] = field(default_factory=dict)
+    schema_json: str | None = None  # Spark StructType json of the dataset
+
+    @property
+    def n_rows(self) -> int:
+        return sum(f.n_rows for f in self.files)
+
+    def sort_files(self) -> None:
+        self.files.sort(key=lambda f: (f.min, f.max))
+
+    def save(self, dirpath: str) -> None:
+        self.sort_files()
+        payload = {
+            "version": 1,
+            "ordered_on": self.ordered_on,
+            "files": [f.to_json() for f in self.files],
+            "kv": _enc_tree(self.kv),
+            "schema_json": self.schema_json,
+        }
+        tmp = os.path.join(dirpath, MANIFEST_NAME + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, os.path.join(dirpath, MANIFEST_NAME))
+
+    @classmethod
+    def load(cls, dirpath: str) -> Manifest | None:
+        path = os.path.join(dirpath, MANIFEST_NAME)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            payload = json.load(fh)
+        return cls(
+            ordered_on=payload["ordered_on"],
+            files=[FileEntry.from_json(d) for d in payload["files"]],
+            kv=_dec_tree(payload.get("kv", {})),
+            schema_json=payload.get("schema_json"),
+        )

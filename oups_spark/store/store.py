@@ -1,0 +1,90 @@
+"""Store: a dict-like catalog of ordered datasets under a basepath.
+
+Same collection contract as the reference's ``Store``
+(reference: ``oups/store/store/store.py:67-301``): keys are indexer
+dataclass instances, discovered by scanning the basepath for dataset
+manifests at the indexer's depth; ``store[key]`` hands out an
+:class:`OrderedDataset`. On a cluster this directory layout maps
+directly onto an object-store prefix per key.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import SparkSession
+
+from oups_spark.store.dataset import OrderedDataset
+from oups_spark.store.indexer import is_toplevel
+from oups_spark.store.manifest import MANIFEST_NAME
+
+
+class Store:
+    def __init__(self, spark: SparkSession, basepath: str, indexer: type):
+        if not is_toplevel(indexer):
+            raise TypeError(f"{indexer!r} is not an @toplevel indexer class")
+        self.spark = spark
+        self.basepath = os.path.abspath(basepath)
+        self.indexer = indexer
+        os.makedirs(self.basepath, exist_ok=True)
+
+    # --------------------------------------------------------- discovery
+    def keys(self) -> list:
+        """Scan for dataset manifests at the indexer's depth
+        (reference: ``store.py:22-64``)."""
+        depth = self.indexer.depth()
+        found = []
+        for dirpath, _dirnames, filenames in os.walk(self.basepath):
+            if MANIFEST_NAME not in filenames:
+                continue
+            rel = os.path.relpath(dirpath, self.basepath)
+            if rel == ".":
+                continue
+            if len(rel.split(os.sep)) != depth:
+                continue
+            try:
+                found.append(self.indexer.from_path(rel.replace(os.sep, "/")))
+            except (ValueError, TypeError):
+                continue
+        return sorted(found)
+
+    # --------------------------------------------------------- dict API
+    def _path_of(self, key) -> str:
+        if not isinstance(key, self.indexer):
+            raise TypeError(f"key {key!r} is not a {self.indexer.__name__}")
+        return os.path.join(self.basepath, key.to_path)
+
+    def __getitem__(self, key) -> OrderedDataset:
+        return OrderedDataset(self.spark, self._path_of(key))
+
+    def get(self, key) -> OrderedDataset:
+        return self[key]
+
+    def __contains__(self, key) -> bool:
+        return os.path.exists(os.path.join(self._path_of(key), MANIFEST_NAME))
+
+    def __iter__(self) -> Iterator:
+        return iter(self.keys())
+
+    def __len__(self) -> int:
+        return len(self.keys())
+
+    def __delitem__(self, key) -> None:
+        """Drop dataset files and prune now-empty parent dirs
+        (reference: ``store.py:230-257``)."""
+        path = self._path_of(key)
+        OrderedDataset(self.spark, path).delete()
+        parent = os.path.dirname(path)
+        while parent != self.basepath and os.path.isdir(parent) and not os.listdir(parent):
+            os.rmdir(parent)
+            parent = os.path.dirname(parent)
+
+    def __repr__(self) -> str:
+        return "\n".join(str(k) for k in self.keys()) or "<empty store>"
+
+    # ---------------------------------------------------- intersections
+    def iter_intersections(self, keys, start=None, end_excl=None):
+        from oups_spark.store.intersections import iter_intersections
+
+        return iter_intersections(self, keys, start=start, end_excl=end_excl)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -25,8 +26,25 @@ TABLES = (
 )
 
 
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (Spark reads them as
+    long nanos under ``spark.sql.legacy.parquet.nanosAsLong``)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+    except Exception:  # noqa: BLE001 - non-local path or no footer access
+        return []
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _ns_timestamp_cols(path):
+        # floor-divide to micros: identical truncation to DuckDB's
+        # ns -> us read of the same file.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -34,6 +52,6 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            dfs[name] = spark.read.parquet(path)
+            dfs[name] = load(spark, sf_dir, name)
             dfs[name].createOrReplaceTempView(name)
     return dfs
