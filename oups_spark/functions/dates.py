@@ -47,14 +47,16 @@ def floor_ts(col: Column, freq: str) -> Column:
     fixed frequencies, calendar-anchored for D/W/MS/YS)."""
     n, unit = _parse(freq)
     if unit in _FIXED_SECONDS:
-        secs = n * _FIXED_SECONDS[unit]
-        micros = secs * 1_000_000
-        return F.timestamp_micros((F.unix_micros(col) / micros).cast("long") * micros)
+        micros = n * _FIXED_SECONDS[unit] * 1_000_000
+        # integer modulo (not double division) — exact at any epoch
+        t = F.unix_micros(col)
+        return F.timestamp_micros(t - t % micros)
     if unit == "D":
         if n == 1:
             return F.date_trunc("day", col)
         micros = n * 86400 * 1_000_000
-        return F.timestamp_micros((F.unix_micros(col) / micros).cast("long") * micros)
+        t = F.unix_micros(col)
+        return F.timestamp_micros(t - t % micros)
     if unit == "W":
         return F.date_trunc("week", col)
     if unit in ("MS", "M"):

@@ -1,0 +1,348 @@
+"""Segment aggregation: time-grid bins, row-count bins, empty-bin
+materialization, and point-in-time snapshots.
+
+Re-expresses the reference's segmentation + cumulative segmented
+aggregation (reference: ``oups/aggstream/segmentby.py`` and
+``oups/aggstream/cumsegagg.py``) as declarative Spark plans:
+
+- time bins        -> ``groupBy(floor_ts(ordered_on, freq))`` — a
+  map-side partial + final hash agg; Catalyst/Tungsten replace the
+  reference's numba kernel (``jcumsegagg.py:231-417``).
+- the 5 agg funcs  -> ``first``/``last`` become order-explicit
+  ``min_by``/``max_by`` on ``(ordered_on, *tiebreak)`` (Spark has no
+  physical row order to lean on); ``min``/``max``/``sum`` map 1:1.
+- empty bins       -> the reference's kernel tracks and null-fills
+  empty bins (``cumsegagg.py:532-541``); ``groupBy`` never emits
+  empty groups, so a generated calendar (``F.sequence`` + explode)
+  left-joins the agg result — nulls appear naturally.
+- row-count bins   -> deterministic global row numbering via
+  quantile-bucketed two-phase counting (no single-partition window),
+  then ``floor(rn/n)`` (reference ``by_x_rows``,
+  ``segmentby.py:371-520``).
+- snapshots        -> cumulative intra-bin aggregates at a snapshot
+  grid: rows are bucketed by the first snapshot instant that can
+  observe them (closed-left excludes the instant, closed-right
+  includes it, reference ``cumsegagg.py:243-252``), partial
+  aggregates per (bin, bucket), then running accumulation over the
+  in-bin grid; a snapshot at a bin's end observes the bin *before*
+  it closes (reference ``segmentby.py:965-1012``).
+
+Scale posture: everything is hash-aggregation over bounded group
+counts plus windows partitioned by bin — no global single-partition
+operation anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from oups_spark.functions.dates import floor_ts, period_duration
+
+AGG_FUNCS = ("first", "last", "min", "max", "sum")
+
+
+def _agg_exprs(agg: dict, order_key: Column) -> list[Column]:
+    """Compile ``{out: (in_col, func)}`` into Spark agg expressions
+    (the reference's agg-plan compilation, ``cumsegagg.py:47-155``,
+    is Catalyst's job here)."""
+    exprs = []
+    for out, (col, func) in agg.items():
+        if func == "first":
+            exprs.append(F.min_by(F.col(col), order_key).alias(out))
+        elif func == "last":
+            exprs.append(F.max_by(F.col(col), order_key).alias(out))
+        elif func == "min":
+            exprs.append(F.min(F.col(col)).alias(out))
+        elif func == "max":
+            exprs.append(F.max(F.col(col)).alias(out))
+        elif func == "sum":
+            exprs.append(F.sum(F.col(col)).alias(out))
+        else:
+            raise ValueError(f"unknown agg func {func!r}; valid: {AGG_FUNCS}")
+    return exprs
+
+
+def assign_time_bin(
+    col: Column, freq: str, *, closed: str = "left", label: str = "left"
+) -> Column:
+    """Bin label for a timestamp under closed/label conventions.
+
+    ``closed='left'``: bin is [start, end) — on-edge rows open a new
+    bin. ``closed='right'``: bin is (start, end] — on-edge rows close
+    the previous bin (implemented by flooring ``t - 1µs``).
+    ``label``: report the left or right edge as the bin's label.
+    """
+    if closed == "left":
+        start = floor_ts(col, freq)
+    elif closed == "right":
+        start = floor_ts(F.timestamp_micros(F.unix_micros(col) - 1), freq)
+    else:
+        raise ValueError(f"closed must be left|right, got {closed!r}")
+    if label == "left":
+        return start
+    if label == "right":
+        return F.timestamp_micros(
+            F.unix_micros(start) + int(period_duration(freq) * 1_000_000)
+        )
+    raise ValueError(f"label must be left|right, got {label!r}")
+
+
+def segment_agg(
+    df: DataFrame,
+    ordered_on: str,
+    agg: dict,
+    *,
+    bin_by: str,
+    closed: str = "left",
+    label: str = "left",
+    empty_bins: bool = False,
+    tiebreak: list[str] | None = None,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Aggregate into time bins of period ``bin_by``.
+
+    ``agg``: ``{out_col: (in_col, func)}`` with func one of
+    first/last/min/max/sum (the reference's closed set,
+    ``aggstream.py:47``).
+
+    ``tiebreak``: extra columns appended to ``ordered_on`` to make
+    first/last deterministic when timestamps repeat.
+
+    ``empty_bins=True`` materializes bins with no rows as null rows
+    across the data's observed span (reference ``NULL_DICT``
+    semantics: null, not zero).
+    """
+    order_key = F.struct(ordered_on, *(tiebreak or []))
+    binned = df.withColumn(
+        bin_col, assign_time_bin(F.col(ordered_on), bin_by, closed=closed, label=label)
+    )
+    agged = binned.groupBy(bin_col).agg(*_agg_exprs(agg, order_key))
+    if not empty_bins:
+        return agged.orderBy(bin_col)
+
+    spark = df.sparkSession
+    bounds = agged.agg(
+        F.min(bin_col).alias("mn"), F.max(bin_col).alias("mx")
+    ).collect()[0]
+    if bounds["mn"] is None:
+        return agged.orderBy(bin_col)
+    step_us = int(period_duration(bin_by) * 1_000_000)
+    calendar = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(bounds["mn"]).cast("timestamp"),
+                F.lit(bounds["mx"]).cast("timestamp"),
+                F.expr(f"INTERVAL {step_us} MICROSECOND"),
+            )
+        ).alias(bin_col)
+    )
+    return calendar.join(agged, on=bin_col, how="left").orderBy(bin_col)
+
+
+def add_row_count_bins(
+    df: DataFrame,
+    ordered_on: str,
+    n: int,
+    *,
+    tiebreak: list[str] | None = None,
+    bin_col: str = "bin_id",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Assign fixed-size row-count bins (reference ``by_x_rows``,
+    ``segmentby.py:371-520``): bin_id = floor(global_rank / n) under
+    the total order ``(ordered_on, *tiebreak)``.
+
+    Scalable global numbering without a single-partition window:
+    (1) approx-quantile boundaries on ``ordered_on`` (collected once,
+    becoming plan literals — deterministic thereafter);
+    (2) per-bucket counts -> driver-side offsets (tiny);
+    (3) ``row_number`` windowed *per bucket* + offset.
+    """
+    tiebreak = tiebreak or []
+    sort_cols = [ordered_on, *tiebreak]
+    is_ts = dict(df.dtypes)[ordered_on].startswith("timestamp")
+    key = F.unix_micros(F.col(ordered_on)) if is_ts else F.col(ordered_on)
+
+    num = df.withColumn("__key", key)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(num.stat.approxQuantile("__key", qs, 0.001)))
+    bucket = reduce(
+        lambda acc, c: acc + (F.col("__key") >= F.lit(c)).cast("int"),
+        cuts,
+        F.lit(0),
+    )
+    num = num.withColumn("__bucket", bucket)
+    counts = {
+        r["__bucket"]: r["c"]
+        for r in num.groupBy("__bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = reduce(
+        lambda acc_c, b: acc_c.when(F.col("__bucket") == b, F.lit(offsets[b])),
+        sorted(offsets),
+        F.when(F.lit(False), F.lit(0)),
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("__bucket").orderBy(*[F.col(c) for c in sort_cols])
+    rn = offset_col + F.row_number().over(w) - 1
+    return (
+        num.withColumn(bin_col, ((rn - rn % n) / n).cast("long"))
+        .drop("__key", "__bucket")
+    )
+
+
+def row_count_bin_agg(
+    df: DataFrame,
+    ordered_on: str,
+    agg: dict,
+    *,
+    n: int,
+    tiebreak: list[str] | None = None,
+    bin_col: str = "bin_id",
+    label_col: str = "bin_label",
+) -> DataFrame:
+    """Row-count bins + aggregation; label = first ``ordered_on`` in
+    the bin (reference label convention, ``segmentby.py:471-474``)."""
+    order_key = F.struct(ordered_on, *(tiebreak or []))
+    binned = add_row_count_bins(df, ordered_on, n, tiebreak=tiebreak, bin_col=bin_col)
+    return (
+        binned.groupBy(bin_col)
+        .agg(
+            F.min(ordered_on).alias(label_col),
+            *_agg_exprs(agg, order_key),
+        )
+        .orderBy(bin_col)
+    )
+
+
+def snapshot_agg(
+    df: DataFrame,
+    ordered_on: str,
+    agg: dict,
+    *,
+    bin_by: str,
+    snap_by: str,
+    snap_closed: str = "left",
+    tiebreak: list[str] | None = None,
+    bin_col: str = "bin",
+    snap_col: str = "snap",
+) -> DataFrame:
+    """Point-in-time snapshots: at every ``snap_by`` instant, the
+    cumulative aggregate of the in-progress ``bin_by`` bin.
+
+    Semantics (reference ``cumsegagg.py:186-196,243-252``):
+    - bins reset the accumulator, snapshots observe it;
+    - ``snap_closed='left'`` -> a snapshot at instant s observes rows
+      with ts < s; ``'right'`` -> ts <= s;
+    - the snapshot grid within a bin is (bin_start, bin_end] — a
+      snapshot falling exactly on a bin end observes that bin just
+      before it closes (snap-before-bin rule,
+      ``segmentby.py:965-1012``);
+    - snapshot instants with no new rows repeat the accumulator
+      (forward-fill); instants before any data in their bin are null
+      (``cumsegagg.py:556-569``).
+
+    Requires fixed-duration ``bin_by``/``snap_by`` (s/min/h multiples).
+
+    Plan shape: partial agg per (bin, first-observing-snapshot) —
+    this collapses the data to ≤ rows/snap_count groups — then
+    windowed running accumulation partitioned by bin, then a
+    calendar left-join to materialize quiet instants. No
+    single-partition stage.
+    """
+    tiebreak = tiebreak or []
+    bin_us = int(period_duration(bin_by) * 1_000_000)
+    snap_us = int(period_duration(snap_by) * 1_000_000)
+    if bin_us % snap_us:
+        raise ValueError("snap_by must evenly divide bin_by")
+
+    o = F.col(ordered_on)
+    t_us = F.unix_micros(o)
+    bin_start_us = t_us - t_us % bin_us
+    snap_floor_us = t_us - t_us % snap_us
+    if snap_closed == "left":
+        # first snapshot instant strictly after t (on-grid rows are
+        # excluded from the snapshot at their own instant)
+        visible_us = snap_floor_us + snap_us
+    elif snap_closed == "right":
+        # first snapshot instant >= t (on-grid rows included)
+        visible_us = F.when(t_us % snap_us == 0, t_us).otherwise(
+            snap_floor_us + snap_us
+        )
+    else:
+        raise ValueError(f"snap_closed must be left|right, got {snap_closed!r}")
+    # clamp into the bin's grid (bin_start, bin_end]
+    visible_us = F.least(visible_us, bin_start_us + bin_us)
+
+    order_key = F.struct(ordered_on, *tiebreak)
+    partial_exprs = []
+    for out, (col, func) in agg.items():
+        if func == "first":
+            partial_exprs.append(F.min_by(F.col(col), order_key).alias(f"__p_{out}"))
+        elif func == "last":
+            partial_exprs.append(F.max_by(F.col(col), order_key).alias(f"__p_{out}"))
+        elif func in ("min", "max", "sum"):
+            partial_exprs.append(getattr(F, func)(F.col(col)).alias(f"__p_{out}"))
+        else:
+            raise ValueError(f"unknown agg func {func!r}")
+
+    partials = (
+        df.withColumn(bin_col, F.timestamp_micros(bin_start_us))
+        .withColumn(snap_col, F.timestamp_micros(visible_us))
+        .groupBy(bin_col, snap_col)
+        .agg(*partial_exprs)
+    )
+
+    spark = df.sparkSession
+    bounds = partials.agg(
+        F.min(bin_col).alias("mn"), F.max(bin_col).alias("mx")
+    ).collect()[0]
+    if bounds["mn"] is None:
+        return partials.select(bin_col, snap_col, *[F.lit(None).alias(o_) for o_ in agg])
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(bounds["mn"]).cast("timestamp"),
+                    F.lit(bounds["mx"]).cast("timestamp"),
+                    F.expr(f"INTERVAL {bin_us} MICROSECOND"),
+                )
+            ).alias(bin_col)
+        )
+        .select(
+            bin_col,
+            F.explode(
+                F.sequence(
+                    F.timestamp_micros(F.unix_micros(F.col(bin_col)) + snap_us),
+                    F.timestamp_micros(F.unix_micros(F.col(bin_col)) + bin_us),
+                    F.expr(f"INTERVAL {snap_us} MICROSECOND"),
+                )
+            ).alias(snap_col),
+        )
+    )
+    joined = grid.join(partials, on=[bin_col, snap_col], how="left")
+    w = (
+        Window.partitionBy(bin_col)
+        .orderBy(snap_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = [F.col(bin_col), F.col(snap_col)]
+    for out, (_col, func) in agg.items():
+        p = F.col(f"__p_{out}")
+        if func == "first":
+            out_cols.append(F.first(p, ignorenulls=True).over(w).alias(out))
+        elif func == "last":
+            out_cols.append(F.last(p, ignorenulls=True).over(w).alias(out))
+        elif func == "min":
+            out_cols.append(F.min(p).over(w).alias(out))
+        elif func == "max":
+            out_cols.append(F.max(p).over(w).alias(out))
+        elif func == "sum":
+            out_cols.append(F.sum(p).over(w).alias(out))
+    return joined.select(*out_cols).orderBy(bin_col, snap_col)

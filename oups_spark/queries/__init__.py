@@ -43,5 +43,6 @@ def load_all_query_modules() -> None:
     from oups_spark.queries import (  # noqa: F401
         core,
         llm_ops,
+        segment_ops,
         store_ops,
     )

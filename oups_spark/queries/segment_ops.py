@@ -1,0 +1,196 @@
+"""Driver-facing segment-aggregation queries (SURVEY §2.4/2.5): time
+bins with the 5 agg funcs + empty-bin materialization, closed-right
+bins, row-count bins, and point-in-time snapshots. Oracles restate
+the same semantics in DuckDB SQL (epoch-microsecond arithmetic for
+bin/snapshot assignment so both engines use identical edge rules)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oups_spark.operators.segment import segment_agg, snapshot_agg
+from oups_spark.queries import register
+from oups_spark.tables import load
+
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "segment_bins_1h",
+    oracle=f"""
+    WITH agged AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % {_HOUR_US}) AS bin,
+             arg_min(value, ts)     AS first_val,
+             arg_max(value, ts)     AS last_val,
+             round(min(value), 6)   AS min_val,
+             round(max(value), 6)   AS max_val,
+             round(sum(value), 6)   AS sum_val
+      FROM events GROUP BY 1
+    ), cal AS (
+      SELECT unnest(generate_series((SELECT min(bin) FROM agged),
+                                    (SELECT max(bin) FROM agged),
+                                    INTERVAL 1 HOUR)) AS bin
+    )
+    SELECT cal.bin, first_val, last_val, min_val, max_val, sum_val
+    FROM cal LEFT JOIN agged USING (bin)
+    ORDER BY cal.bin
+    """,
+)
+def segment_bins_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly bins over the events stream: the reference's core
+    aggregation (W1 + A1-A4) with empty bins emitted as nulls (A6)."""
+    events = load(spark, sf_dir, "events")
+    out = segment_agg(
+        events,
+        "ts",
+        {
+            "first_val": ("value", "first"),
+            "last_val": ("value", "last"),
+            "min_val": ("value", "min"),
+            "max_val": ("value", "max"),
+            "sum_val": ("value", "sum"),
+        },
+        bin_by="1h",
+        empty_bins=True,
+    )
+    return out.select(
+        "bin",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round("sum_val", 6).alias("sum_val"),
+    )
+
+
+@register(
+    "segment_bins_4h_right",
+    oracle="""
+    SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) - 1) % 14400000000
+                          - 1 + 14400000000) AS bin,
+           count(*)             AS n_rows,
+           round(sum(value), 6) AS sum_val
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def segment_bins_4h_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """closed='right', label='right' bins: (start, end] with the right
+    edge as label (TimeGrouper closed/label parity, W1)."""
+    from oups_spark.operators.segment import assign_time_bin
+
+    events = load(spark, sf_dir, "events")
+
+    binned = events.withColumn(
+        "bin", assign_time_bin(F.col("ts"), "4h", closed="right", label="right")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 6).alias("sum_val"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "row_count_bins_500",
+    oracle="""
+    WITH numbered AS (
+      SELECT value, ts,
+             (row_number() OVER (ORDER BY ts) - 1) // 500 AS bin_id
+      FROM events
+    )
+    SELECT bin_id,
+           min(ts)                AS bin_label,
+           arg_min(value, ts)     AS first_val,
+           arg_max(value, ts)     AS last_val,
+           round(sum(value), 6)   AS sum_val,
+           count(*)               AS n_rows
+    FROM numbered GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def row_count_bins_500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count bins (W3 ``by_x_rows``): deterministic global
+    numbering via quantile-bucketed two-phase counting — no
+    single-partition window at any scale."""
+    from oups_spark.operators.segment import add_row_count_bins
+
+    events = load(spark, sf_dir, "events")
+
+    binned = add_row_count_bins(events, "ts", 500, bin_col="bin_id")
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.min("ts").alias("bin_label"),
+            F.min_by("value", F.col("ts")).alias("first_val"),
+            F.max_by("value", F.col("ts")).alias("last_val"),
+            F.round(F.sum("value"), 6).alias("sum_val"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+@register(
+    "snapshot_1d_6h",
+    oracle=f"""
+    WITH partials AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % {_DAY_US}) AS bin,
+             make_timestamp(least(
+               epoch_us(ts) - epoch_us(ts) % 21600000000 + 21600000000,
+               epoch_us(ts) - epoch_us(ts) % {_DAY_US} + {_DAY_US})) AS snap,
+             arg_min(value, ts) AS p_first,
+             arg_max(value, ts) AS p_last,
+             min(value) AS p_min, max(value) AS p_max, sum(value) AS p_sum
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT bin, bin + k * (INTERVAL 6 HOUR) AS snap
+      FROM (SELECT unnest(generate_series((SELECT min(bin) FROM partials),
+                                          (SELECT max(bin) FROM partials),
+                                          INTERVAL 1 DAY)) AS bin),
+           (SELECT unnest(generate_series(1, 4)) AS k)
+    )
+    SELECT bin, snap,
+           first_value(p_first IGNORE NULLS) OVER w AS first_val,
+           last_value(p_last IGNORE NULLS)   OVER w AS last_val,
+           round(min(p_min) OVER w, 6)       AS min_val,
+           round(max(p_max) OVER w, 6)       AS max_val,
+           round(sum(p_sum) OVER w, 6)       AS sum_val
+    FROM grid LEFT JOIN partials USING (bin, snap)
+    WINDOW w AS (PARTITION BY bin ORDER BY snap
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bin, snap
+    """,
+)
+def snapshot_1d_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshots (W6): every 6h, the cumulative aggregate of the
+    in-progress daily bin — closed-left observation, forward-filled
+    quiet instants, bins resetting the accumulator."""
+    events = load(spark, sf_dir, "events")
+    out = snapshot_agg(
+        events,
+        "ts",
+        {
+            "first_val": ("value", "first"),
+            "last_val": ("value", "last"),
+            "min_val": ("value", "min"),
+            "max_val": ("value", "max"),
+            "sum_val": ("value", "sum"),
+        },
+        bin_by="1D",
+        snap_by="6h",
+        snap_closed="left",
+    )
+    return out.select(
+        "bin",
+        "snap",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round("sum_val", 6).alias("sum_val"),
+    )
