@@ -45,4 +45,5 @@ def load_all_query_modules() -> None:
         llm_ops,
         segment_ops,
         store_ops,
+        stream_ops,
     )

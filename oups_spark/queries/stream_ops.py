@@ -1,0 +1,143 @@
+"""Driver-facing AggStream queries (SURVEY §2.7): the incremental
+chunked aggregation with process restarts between chunks must equal a
+one-shot computation — the oracle is that one-shot, stated in plain
+DuckDB SQL. This is the reference's restart-equivalence acceptance
+gate (``test_segmentby_restart.py`` model) run cross-engine."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oups_spark.queries import register
+from oups_spark.store.dataset import OrderedDataset
+from oups_spark.streaming.aggstream import AggStream, KeyConfig
+from oups_spark.tables import load
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+_CUTS = ["2024-01-08", "2024-01-15", "2024-01-23"]
+
+_AGG = {
+    "first_val": ("value", "first"),
+    "last_val": ("value", "last"),
+    "min_val": ("value", "min"),
+    "max_val": ("value", "max"),
+    "sum_val": ("value", "sum"),
+}
+
+
+def _fresh(name: str) -> str:
+    d = os.path.join(_SCRATCH, f"query_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _run_chunked(spark, sf_dir, base, *, bin_by, snap_by=None):
+    """Feed events in 4 cumulative chunks, each through a FRESH
+    AggStream (state restored from dataset metadata every time);
+    intermediate chunks use discard_last, the final call does not —
+    so every row is processed exactly once."""
+    events = load(spark, sf_dir, "events")
+    chunks = [
+        events.filter(F.col("ts") < F.lit(c).cast("timestamp")) for c in _CUTS
+    ] + [events]
+    for i, chunk in enumerate(chunks):
+        cfg = KeyConfig(
+            path=os.path.join(base, "bins"),
+            snap_path=os.path.join(base, "snaps"),
+            agg=_AGG,
+            bin_by=bin_by,
+            snap_by=snap_by,
+        )
+        stream = AggStream(spark, ordered_on="ts", keys={"k": cfg})
+        stream.agg(chunk, discard_last=(i < len(chunks) - 1))
+    return base
+
+
+_BIN_ORACLE = """
+    SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+           arg_min(value, ts)   AS first_val,
+           arg_max(value, ts)   AS last_val,
+           round(min(value), 6) AS min_val,
+           round(max(value), 6) AS max_val,
+           round(sum(value), 6) AS sum_val
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("aggstream_hourly_restart", oracle=_BIN_ORACLE)
+def aggstream_hourly_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly bins built incrementally in 4 chunks with a process
+    restart (fresh AggStream, state from kv metadata) between each;
+    must equal the one-shot SQL aggregation."""
+    base = _run_chunked(
+        spark, sf_dir, _fresh("aggstream_hourly_restart"), bin_by="1h"
+    )
+    out = OrderedDataset(spark, os.path.join(base, "bins")).read()
+    return out.select(
+        "bin",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("bin")
+
+
+_SNAP_ORACLE = """
+    WITH partials AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bin,
+             make_timestamp(least(
+               epoch_us(ts) - epoch_us(ts) % 21600000000 + 21600000000,
+               epoch_us(ts) - epoch_us(ts) % 86400000000 + 86400000000)) AS snap,
+             arg_min(value, ts) AS p_first,
+             arg_max(value, ts) AS p_last,
+             min(value) AS p_min, max(value) AS p_max, sum(value) AS p_sum
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT bin, bin + k * (INTERVAL 6 HOUR) AS snap
+      FROM (SELECT unnest(generate_series((SELECT min(bin) FROM partials),
+                                          (SELECT max(bin) FROM partials),
+                                          INTERVAL 1 DAY)) AS bin),
+           (SELECT unnest(generate_series(1, 4)) AS k)
+    )
+    SELECT bin, snap,
+           first_value(p_first IGNORE NULLS) OVER w AS first_val,
+           last_value(p_last IGNORE NULLS)   OVER w AS last_val,
+           round(min(p_min) OVER w, 6)       AS min_val,
+           round(max(p_max) OVER w, 6)       AS max_val,
+           round(sum(p_sum) OVER w, 6)       AS sum_val
+    FROM grid LEFT JOIN partials USING (bin, snap)
+    WINDOW w AS (PARTITION BY bin ORDER BY snap
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bin, snap
+"""
+
+
+@register("aggstream_snapshots_restart", oracle=_SNAP_ORACLE)
+def aggstream_snapshots_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bins + 6h point-in-time snapshots built incrementally
+    with restarts; the open bin's snapshot rows are overwritten by
+    later flushes via keep-last dedup on (bin, snap)."""
+    base = _run_chunked(
+        spark, sf_dir, _fresh("aggstream_snapshots_restart"),
+        bin_by="1D", snap_by="6h",
+    )
+    out = OrderedDataset(spark, os.path.join(base, "snaps")).read()
+    return out.select(
+        "bin",
+        "snap",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("bin", "snap")

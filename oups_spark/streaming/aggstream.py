@@ -1,0 +1,379 @@
+"""AggStream: restartable, incremental segmented aggregation.
+
+Re-expresses the reference's streamed aggregation engine (reference:
+``oups/aggstream/aggstream.py``) as a batch-incremental driver over
+Spark plans:
+
+- the seed is an iterable of ordered DataFrame chunks (a Structured
+  Streaming ``foreachBatch`` adapter lives in
+  ``oups_spark.streaming.bridge``);
+- per chunk and per key: DNF filter fan-out
+  (``aggstream.py:571-591``), distributed ``segment_agg`` /
+  ``snapshot_agg`` over the chunk, then driver-side stitching of the
+  (small, aggregated) bin results across chunk boundaries — the
+  reference's accumulator carry (``jcumsegagg`` ``initial/use_init``
+  machinery, ``cumsegagg.py:437-442,516-517``) reduced to a
+  combine-by-bin of partial aggregates;
+- results are flushed to ordered datasets via the store's merge
+  write with keep-last dedup on the bin label, so re-emitting the
+  open (in-progress) bin *overwrites* its previous partial row —
+  the reference's last-row rewrite rule (``aggstream.py:875-887``);
+- restart state (restart index, open-bin accumulator, pre/post
+  buffers) rides the same manifest swap as the data
+  (``key_value_metadata``), making flush atomic: a crash either
+  kept the old data+state or the new data+state
+  (reference persists the same way, ``aggstream.py:799-806``).
+
+Scale posture: Spark does the heavy per-chunk aggregation (hash agg
+over the chunk); only *aggregated bins* (thousands, not billions of
+rows) cross the driver for stitching — the same asymmetry the
+reference exploits, with Spark replacing the numba kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oups_spark.functions.filters import dnf_filter
+from oups_spark.operators.segment import segment_agg, snapshot_agg
+from oups_spark.store.dataset import OrderedDataset
+
+_META_KEY = "aggstream"
+_PANDAS_AGG = {"first": "first", "last": "last", "min": "min", "max": "max"}
+
+
+@dataclass
+class KeyConfig:
+    """Per-key aggregation pipeline config (reference keys_config,
+    ``aggstream.py:115-271``)."""
+
+    path: str                       # bins dataset directory
+    agg: dict                       # {out: (in_col, func)}
+    bin_by: str                     # period string
+    snap_by: str | None = None      # optional snapshot period
+    snap_path: str | None = None    # snapshots dataset directory
+    filter: list | None = None      # DNF filter for this key
+    post: Callable | None = None    # post(buffer, bin_df[, snap_df]) -> df(s)
+    tiebreak: list[str] | None = None
+    bin_col: str = "bin"
+    snap_col: str = "snap"
+    row_group_target_size: int | str = 100_000
+
+
+@dataclass
+class _KeyState:
+    restart_index: Any = None       # max ordered_on fully processed
+    bin_acc: pd.DataFrame | None = None   # 1-row open-bin accumulator
+    post_buffer: dict = field(default_factory=dict)
+    bin_buffer: list = field(default_factory=list)   # unflushed bin frames
+    snap_buffer: list = field(default_factory=list)  # unflushed snap frames
+
+
+def _combine_bins(frames: list[pd.DataFrame], agg: dict, bin_col: str) -> pd.DataFrame:
+    """Fold chronologically-ordered per-chunk bin frames into one:
+    first = first non-null, last = last non-null, min/max elementwise,
+    sum with null-preservation (no 0-for-empty: NULL_DICT semantics,
+    reference ``cumsegagg.py:42``)."""
+    frames = [f for f in frames if f is not None and len(f)]
+    if not frames:
+        return pd.DataFrame()
+    both = pd.concat(frames, ignore_index=True)
+    spec: dict[str, Any] = {}
+    for out, (_c, func) in agg.items():
+        if func in _PANDAS_AGG:
+            spec[out] = (out, _PANDAS_AGG[func])
+        else:  # sum
+            spec[out] = (out, lambda s: s.sum(min_count=1))
+    combined = both.groupby(bin_col, sort=True).agg(**spec).reset_index()
+    # restore integer dtypes as nullable Int64 (reference nullable-int
+    # rule, cumsegagg.py:521-530)
+    for c in combined.columns:
+        src = both[c]
+        if pd.api.types.is_integer_dtype(src) and not pd.api.types.is_integer_dtype(
+            combined[c]
+        ):
+            combined[c] = combined[c].astype("Int64")
+    return combined
+
+
+def _fold_snapshots(
+    snap_frames: list[pd.DataFrame],
+    bin_frames: list[pd.DataFrame],
+    acc0: pd.DataFrame | None,
+    agg: dict,
+    bin_col: str,
+    snap_col: str,
+) -> pd.DataFrame:
+    """Stitch per-chunk snapshot frames: each chunk's cumulative
+    intra-bin values are combined with the open-bin accumulator as of
+    the previous chunks (pass-through accumulator semantics,
+    reference ``jcumsegagg.py:403-408``)."""
+    out_frames: list[pd.DataFrame] = []
+    acc = acc0
+    for snaps, bins in zip(snap_frames, bin_frames):
+        if snaps is None or not len(snaps):
+            continue
+        s = snaps.copy()
+        if acc is not None and len(acc):
+            acc_row = acc.iloc[-1]
+            mask = s[bin_col] == acc_row[bin_col]
+            if mask.any():
+                for out, (_c, func) in agg.items():
+                    a = acc_row[out]
+                    if pd.isna(a):
+                        continue
+                    cur = s.loc[mask, out]
+                    if func == "sum":
+                        s.loc[mask, out] = cur.fillna(0) + a
+                    elif func == "min":
+                        s.loc[mask, out] = np.fmin(cur.astype(float), a)
+                    elif func == "max":
+                        s.loc[mask, out] = np.fmax(cur.astype(float), a)
+                    elif func == "first":
+                        s.loc[mask, out] = a
+                    elif func == "last":
+                        s.loc[mask, out] = cur.where(cur.notna(), a)
+        out_frames.append(s)
+        acc = _combine_bins([acc, bins], agg, bin_col)
+    if not out_frames:
+        return pd.DataFrame()
+    folded = pd.concat(out_frames, ignore_index=True)
+    # later chunks re-emit quiet instants of the same (bin, snap):
+    # last write wins
+    return folded.drop_duplicates(subset=[bin_col, snap_col], keep="last").sort_values(
+        [bin_col, snap_col], ignore_index=True
+    )
+
+
+class AggStream:
+    """Incremental multi-key segmented aggregation with restart.
+
+    Usage::
+
+        stream = AggStream(spark, ordered_on="ts", keys={
+            "hourly": KeyConfig(path=..., agg={...}, bin_by="1h"),
+        })
+        stream.agg(seed_chunks)              # incremental
+        stream.agg(more_chunks)              # resumes seamlessly
+        # process restart: a fresh AggStream re-reads state from the
+        # datasets' kv metadata and continues identically.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        ordered_on: str,
+        keys: dict[str, KeyConfig],
+        pre: Callable | None = None,
+        max_buffered_bins: int = 100_000,
+    ):
+        self.spark = spark
+        self.ordered_on = ordered_on
+        self.keys = keys
+        self.pre = pre
+        self.pre_buffer: dict = {}
+        self.max_buffered_bins = max_buffered_bins
+        self.state: dict[str, _KeyState] = {}
+        self.seed_remainder: pd.DataFrame | None = None
+        for name, cfg in keys.items():
+            st = _KeyState()
+            ds = OrderedDataset(spark, cfg.path)
+            meta = ds.key_value_metadata.get(_META_KEY)
+            if meta:
+                st.restart_index = meta.get("restart_index")
+                st.bin_acc = meta.get("bin_acc")
+                st.post_buffer = meta.get("post_buffer", {})
+                self.pre_buffer = meta.get("pre_buffer", self.pre_buffer)
+            self.state[name] = st
+
+    # ------------------------------------------------------------------
+    def agg(
+        self,
+        seed: Iterable[DataFrame] | DataFrame,
+        *,
+        trim_start: bool = True,
+        discard_last: bool = True,
+        final_write: bool = True,
+    ) -> None:
+        """Consume seed chunks (reference ``agg``,
+        ``aggstream.py:1383-1526``).
+
+        ``trim_start``: drop rows already processed (ordered_on <=
+        restart index). ``discard_last``: hold back the trailing rows
+        sharing each chunk's max ordered_on — they re-enter with the
+        next chunk (completeness gate, ``aggstream.py:566-569``).
+        """
+        if isinstance(seed, DataFrame):
+            seed = [seed]
+        for chunk in seed:
+            self._process_chunk(chunk, trim_start=trim_start, discard_last=discard_last)
+            n_buf = max(
+                (sum(len(f) for f in st.bin_buffer) for st in self.state.values()),
+                default=0,
+            )
+            if n_buf >= self.max_buffered_bins:
+                self._flush()
+        if final_write:
+            self._flush()
+
+    # ------------------------------------------------------------------
+    def _process_chunk(self, chunk: DataFrame, *, trim_start: bool, discard_last: bool):
+        o = F.col(self.ordered_on)
+        if self.pre is not None:
+            chunk = self.pre(chunk, self.pre_buffer)
+
+        # prepend the previous chunk's held-back remainder
+        if self.seed_remainder is not None and len(self.seed_remainder):
+            rem = self.spark.createDataFrame(self.seed_remainder)
+            chunk = rem.unionByName(chunk)
+            self.seed_remainder = None
+
+        restart = min(
+            (
+                st.restart_index
+                for st in self.state.values()
+                if st.restart_index is not None
+            ),
+            default=None,
+        )
+        if trim_start and restart is not None:
+            chunk = chunk.filter(o > F.lit(restart))
+
+        bounds = chunk.agg(
+            F.min(self.ordered_on).alias("mn"), F.max(self.ordered_on).alias("mx")
+        ).collect()[0]
+        if bounds["mn"] is None:
+            return  # chunk fully trimmed (FIXTURES F2 tail-chunk case)
+        if restart is not None and bounds["mn"] < restart:
+            raise ValueError(
+                f"seed chunk starts at {bounds['mn']} before restart index "
+                f"{restart}: seed is not ordered across chunks"
+            )
+        chunk_max = bounds["mx"]
+
+        if discard_last:
+            # hold back trailing rows sharing the max ordered_on —
+            # a possibly-incomplete group (reference rationale,
+            # aggstream.py:1429-1448); they re-enter next chunk.
+            self.seed_remainder = chunk.filter(o == F.lit(chunk_max)).toPandas()
+            chunk = chunk.filter(o < F.lit(chunk_max))
+            if bounds["mn"] == chunk_max:
+                return  # whole chunk held back
+            processed_max = chunk.agg(F.max(self.ordered_on).alias("mx")).collect()[0][
+                "mx"
+            ]
+        else:
+            processed_max = chunk_max
+
+        # one chunk feeds every key's pipeline: cache it so the N
+        # filter+agg jobs don't recompute the seed lineage
+        # (reference fan-out, aggstream.py:1486-1499)
+        chunk = chunk.persist()
+        try:
+            self._agg_chunk_all_keys(chunk, processed_max)
+        finally:
+            chunk.unpersist()
+
+    def _agg_chunk_all_keys(self, chunk: DataFrame, processed_max) -> None:
+        for name, cfg in self.keys.items():
+            st = self.state[name]
+            filtered = dnf_filter(chunk, cfg.filter)
+            agged = segment_agg(
+                filtered,
+                self.ordered_on,
+                cfg.agg,
+                bin_by=cfg.bin_by,
+                tiebreak=cfg.tiebreak,
+                bin_col=cfg.bin_col,
+            ).toPandas()
+            st.bin_buffer.append(agged)
+            if cfg.snap_by is not None:
+                snaps = snapshot_agg(
+                    filtered,
+                    self.ordered_on,
+                    cfg.agg,
+                    bin_by=cfg.bin_by,
+                    snap_by=cfg.snap_by,
+                    tiebreak=cfg.tiebreak,
+                    bin_col=cfg.bin_col,
+                    snap_col=cfg.snap_col,
+                ).toPandas()
+                # A snapshot instant s <= previous restart index is
+                # FINAL: under closed-left/right alike, rows arriving
+                # later (ts > restart) are never visible at s. This
+                # chunk's regenerated quiet instants before its own
+                # data would otherwise overwrite those correct values
+                # with the bin-total accumulator.
+                if st.restart_index is not None:
+                    snaps = snaps[snaps[cfg.snap_col] > st.restart_index]
+                st.snap_buffer.append(snaps)
+            st.restart_index = processed_max
+
+    # ------------------------------------------------------------------
+    def _flush(self) -> None:
+        for name, cfg in self.keys.items():
+            st = self.state[name]
+            if not st.bin_buffer:
+                continue  # nothing new since last flush
+            combined = _combine_bins(
+                [st.bin_acc, *st.bin_buffer], cfg.agg, cfg.bin_col
+            )
+            if not len(combined):
+                continue
+            snaps_folded = None
+            if cfg.snap_by is not None and st.snap_buffer:
+                snaps_folded = _fold_snapshots(
+                    st.snap_buffer, st.bin_buffer, st.bin_acc, cfg.agg,
+                    cfg.bin_col, cfg.snap_col,
+                )
+
+            bin_out, snap_out = combined, snaps_folded
+            if cfg.post is not None:
+                res = (
+                    cfg.post(st.post_buffer, combined, snaps_folded)
+                    if cfg.snap_by is not None
+                    else cfg.post(st.post_buffer, combined)
+                )
+                if res is not None:
+                    if isinstance(res, tuple):
+                        bin_out, snap_out = res
+                    else:
+                        bin_out = res
+
+            meta = {
+                "restart_index": st.restart_index,
+                "bin_acc": combined.iloc[[-1]],
+                "post_buffer": st.post_buffer,
+                "pre_buffer": self.pre_buffer,
+            }
+            if bin_out is not None and len(bin_out):
+                ds = OrderedDataset(self.spark, cfg.path)
+                ds.write(
+                    df=self.spark.createDataFrame(bin_out),
+                    ordered_on=cfg.bin_col,
+                    duplicates_on=[],  # dedup on bin label (ordered_on)
+                    row_group_target_size=cfg.row_group_target_size,
+                    key_value_metadata={_META_KEY: meta},
+                    validate_monotonic=False,  # sorted by construction
+                )
+            if snap_out is not None and len(snap_out) and cfg.snap_path:
+                sds = OrderedDataset(self.spark, cfg.snap_path)
+                sds.write(
+                    df=self.spark.createDataFrame(snap_out),
+                    ordered_on=cfg.snap_col,
+                    duplicates_on=[cfg.bin_col],
+                    row_group_target_size=cfg.row_group_target_size,
+                    key_value_metadata={_META_KEY: {"restart_index": st.restart_index}},
+                    validate_monotonic=False,
+                )
+            st.bin_acc = combined.iloc[[-1]]
+            st.bin_buffer = []
+            st.snap_buffer = []

@@ -1,0 +1,224 @@
+"""AggStream acceptance gate (FIXTURES F2, reference test model
+``test_aggstream_simple.py``): *restart equivalence* — any chunking
+of the seed, including process restarts between chunks, must produce
+byte-identical results to a one-shot run."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from oups_spark.streaming.aggstream import AggStream, KeyConfig
+
+AGG = {
+    "first_val": ("val", "first"),
+    "last_val": ("val", "last"),
+    "min_val": ("val", "min"),
+    "max_val": ("val", "max"),
+    "sum_val": ("val", "sum"),
+    "sum_qty": ("qty", "sum"),
+}
+
+
+def make_ticks(n=97, start="2024-01-01", freq="21min", seed=7):
+    """F2 shape: ~30-min-spaced ticks across several days, duplicate
+    trailing timestamps, negative values, no zeros."""
+    rng = np.random.default_rng(seed)
+    ts = pd.date_range(start, periods=n, freq=freq)
+    # duplicate the final timestamp 3x (discard_last holdback case)
+    ts = ts.append(pd.DatetimeIndex([ts[-1], ts[-1]]))
+    vals = rng.normal(10, 5, len(ts)).round(3)
+    vals[vals == 0] = 1.0
+    return pd.DataFrame(
+        {
+            "ts": ts,
+            "id": range(len(ts)),
+            "val": vals,
+            "qty": rng.integers(1, 100, len(ts)),
+        }
+    )
+
+
+def run_stream(spark, path, chunks, *, snap_path=None, snap_by=None,
+               restart_each_chunk=False, discard_last=False, filters=None):
+    cfg = KeyConfig(
+        path=path, agg=AGG, bin_by="1h", snap_by=snap_by, snap_path=snap_path,
+        tiebreak=["id"], filter=filters,
+    )
+    if restart_each_chunk:
+        for c in chunks:
+            stream = AggStream(spark, ordered_on="ts", keys={"k": cfg})
+            stream.agg(spark.createDataFrame(c), discard_last=discard_last)
+    else:
+        stream = AggStream(spark, ordered_on="ts", keys={"k": cfg})
+        stream.agg(
+            [spark.createDataFrame(c) for c in chunks], discard_last=discard_last
+        )
+
+
+def read_bins(spark, path):
+    from oups_spark.store.dataset import OrderedDataset
+
+    return (
+        OrderedDataset(spark, path)
+        .read()
+        .toPandas()
+        .sort_values("bin", ignore_index=True)
+    )
+
+
+@pytest.mark.parametrize("split_points", [
+    [40],            # one split inside a bin
+    [33, 66],        # two splits
+    [1, 2, 3, 50],   # tiny leading chunks
+])
+def test_chunked_equals_one_shot(spark, scratch, split_points):
+    pdf = make_ticks()
+    chunks = np.split(pdf, split_points)
+    run_stream(spark, f"{scratch}/one", [pdf])
+    run_stream(spark, f"{scratch}/many", chunks)
+    pd.testing.assert_frame_equal(
+        read_bins(spark, f"{scratch}/one"), read_bins(spark, f"{scratch}/many")
+    )
+
+
+def test_restart_from_metadata_equals_one_shot(spark, scratch):
+    """Fresh AggStream objects per chunk: state must round-trip
+    through the dataset's kv metadata (reference
+    ``aggstream.py:274-369``)."""
+    pdf = make_ticks()
+    chunks = np.split(pdf, [30, 60, 80])
+    run_stream(spark, f"{scratch}/one", [pdf])
+    run_stream(spark, f"{scratch}/re", chunks, restart_each_chunk=True)
+    pd.testing.assert_frame_equal(
+        read_bins(spark, f"{scratch}/one"), read_bins(spark, f"{scratch}/re")
+    )
+
+
+def test_discard_last_holdback_reenters(spark, scratch):
+    """Held-back trailing rows must be aggregated exactly once, when
+    the next chunk arrives."""
+    pdf = make_ticks()
+    chunks = np.split(pdf, [50])
+    # chunked run with discard_last: chunk 1's trailing ts re-enters
+    # with chunk 2; chunk 2's trailing ts (the duplicated final ts)
+    # stays held back in both runs.
+    run_stream(spark, f"{scratch}/dl", chunks, discard_last=True)
+    run_stream(spark, f"{scratch}/os", [pdf], discard_last=True)
+    got, exp = read_bins(spark, f"{scratch}/dl"), read_bins(spark, f"{scratch}/os")
+    pd.testing.assert_frame_equal(got, exp)
+    # and the final duplicated timestamp must NOT be in the result
+    final_bin = pdf["ts"].iloc[-1].floor("1h")
+    last_rows = pdf[pdf["ts"] == pdf["ts"].iloc[-1]]
+    full = read_bins(spark, f"{scratch}/os")
+    got_sum = full.loc[full["bin"] == final_bin, "sum_val"]
+    if len(got_sum):
+        # bin sum excludes the held-back rows
+        in_bin = pdf[(pdf["ts"] >= final_bin) & (pdf["ts"] < pdf["ts"].iloc[-1])]
+        assert got_sum.iloc[0] == pytest.approx(in_bin["val"].sum())
+
+
+def test_trim_start_no_double_count(spark, scratch):
+    pdf = make_ticks()
+    c1, c2 = np.split(pdf, [60])
+    path = f"{scratch}/trim"
+    run_stream(spark, path, [c1])
+    # re-feed chunk 1 (already processed) + chunk 2: trim must drop c1
+    stream = AggStream(
+        spark, ordered_on="ts",
+        keys={"k": KeyConfig(path=path, agg=AGG, bin_by="1h", tiebreak=["id"])},
+    )
+    stream.agg([spark.createDataFrame(pdf)], discard_last=False)
+    run_stream(spark, f"{scratch}/one", [pdf])
+    pd.testing.assert_frame_equal(
+        read_bins(spark, path), read_bins(spark, f"{scratch}/one")
+    )
+
+
+def test_tail_chunk_below_restart_is_noop(spark, scratch):
+    pdf = make_ticks()
+    path = f"{scratch}/tail"
+    run_stream(spark, path, [pdf])
+    before = read_bins(spark, path)
+    stream = AggStream(
+        spark, ordered_on="ts",
+        keys={"k": KeyConfig(path=path, agg=AGG, bin_by="1h", tiebreak=["id"])},
+    )
+    stream.agg([spark.createDataFrame(pdf.iloc[:20])], discard_last=False)
+    pd.testing.assert_frame_equal(before, read_bins(spark, path))
+
+
+def test_multi_key_filter_fanout(spark, scratch):
+    """Two keys off one seed, each with its own DNF filter and bin
+    width (reference F2 fan-out, ``aggstream.py:571-591``)."""
+    pdf = make_ticks()
+    keys = {
+        "big": KeyConfig(
+            path=f"{scratch}/big", agg={"sum_val": ("val", "sum")}, bin_by="2h",
+            filter=[("val", ">", 10.0)], tiebreak=["id"],
+        ),
+        "small": KeyConfig(
+            path=f"{scratch}/small", agg={"sum_val": ("val", "sum")}, bin_by="1h",
+            filter=[("val", "<=", 10.0)], tiebreak=["id"],
+        ),
+    }
+    stream = AggStream(spark, ordered_on="ts", keys=keys)
+    chunks = np.split(pdf, [40, 70])
+    stream.agg([spark.createDataFrame(c) for c in chunks], discard_last=False)
+
+    big = read_bins(spark, f"{scratch}/big")
+    exp_big = (
+        pdf[pdf["val"] > 10.0].set_index("ts").resample("2h")["val"].sum(min_count=1)
+    ).dropna()
+    assert list(big["sum_val"]) == pytest.approx(list(exp_big))
+    small = read_bins(spark, f"{scratch}/small")
+    exp_small = (
+        pdf[pdf["val"] <= 10.0].set_index("ts").resample("1h")["val"].sum(min_count=1)
+    ).dropna()
+    assert list(small["sum_val"]) == pytest.approx(list(exp_small))
+
+
+def test_snapshots_chunked_equals_one_shot(spark, scratch):
+    pdf = make_ticks()
+    chunks = np.split(pdf, [25, 50, 75])
+    run_stream(spark, f"{scratch}/sone", [pdf],
+               snap_path=f"{scratch}/sone_snap", snap_by="15min")
+    run_stream(spark, f"{scratch}/smany", chunks,
+               snap_path=f"{scratch}/smany_snap", snap_by="15min",
+               restart_each_chunk=True)
+    from oups_spark.store.dataset import OrderedDataset
+
+    one = OrderedDataset(spark, f"{scratch}/sone_snap").read().toPandas().sort_values(
+        ["bin", "snap"], ignore_index=True
+    )
+    many = OrderedDataset(spark, f"{scratch}/smany_snap").read().toPandas().sort_values(
+        ["bin", "snap"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_pre_post_hooks_with_buffers(spark, scratch):
+    import pyspark.sql.functions as F
+
+    pdf = make_ticks()
+
+    def pre(chunk, buffer):
+        buffer["n_chunks"] = buffer.get("n_chunks", 0) + 1
+        return chunk.withColumn("val", F.col("val") * 2)
+
+    def post(buffer, bins):
+        buffer["n_posts"] = buffer.get("n_posts", 0) + 1
+        out = bins.copy()
+        out["doubled_sum"] = out["sum_val"]
+        return out
+
+    cfg = KeyConfig(path=f"{scratch}/hooks", agg=AGG, bin_by="1h",
+                    tiebreak=["id"], post=post)
+    stream = AggStream(spark, ordered_on="ts", keys={"k": cfg}, pre=pre)
+    stream.agg([spark.createDataFrame(pdf)], discard_last=False)
+    out = read_bins(spark, f"{scratch}/hooks")
+    assert "doubled_sum" in out.columns
+    exp = pdf.set_index("ts").resample("1h")["val"].sum(min_count=1).dropna() * 2
+    assert list(out["sum_val"]) == pytest.approx(list(exp))
+    assert stream.pre_buffer["n_chunks"] == 1
