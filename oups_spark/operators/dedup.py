@@ -1,0 +1,206 @@
+"""Deduplication family for corpus pipelines: exact, n-gram Jaccard,
+MinHash + LSH banding, SimHash — all as declarative DataFrame plans
+with cross-engine-deterministic hashing (md5-based), so every stage
+is verifiable against a DuckDB oracle.
+
+Scale posture:
+- exact dedup        -> hash groupBy on a fingerprint column: one
+  shuffle keyed by digest, no skew (digests are uniform);
+- n-gram Jaccard     -> self-join *blocked* (by language, length
+  band, or LSH bucket) — never an unblocked cross join;
+- MinHash            -> per-row array expressions (map-side only),
+  k hash functions over the shingle set; signatures are tiny
+  (k longs) compared to documents, so the LSH band join shuffles
+  ~k·8 bytes/doc instead of documents;
+- LSH banding        -> equality join on band keys: the classic
+  sub-quadratic candidate generation; candidates then verified with
+  the true Jaccard so precision is exact and only recall depends on
+  banding parameters.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from oups_spark.operators.text import bow_fingerprint, md5_int, shingles, tokens
+
+# MinHash parameters — shared with the DuckDB oracle (llm_ops builds
+# the oracle SQL from these same constants).
+MINHASH_K = 16
+MINHASH_P = 4_294_967_311  # prime > 2^32
+_RNG_A = 1_103_515_245
+_RNG_C = 12_345
+
+
+def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs from a tiny LCG (no RNG state,
+    reproducible anywhere, including in SQL-generating code)."""
+    params, x = [], 42
+    for _ in range(k):
+        x = (_RNG_A * x + _RNG_C) % (1 << 31)
+        a = (x | 1) % (1 << 20)  # odd, < 2^20 so a*base fits in int64
+        x = (_RNG_A * x + _RNG_C) % (1 << 31)
+        b = x % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """k minhash values over word n-gram shingles.
+
+    h_i(doc) = min over shingles s of (a_i * H(s) + b_i) mod p, with
+    H(s) = int(md5(s)[:8], 16) — identical in DuckDB.
+
+    Plan shape: hash every shingle ONCE, explode, and take the k mins
+    in a single hash aggregation. (Expressing the k columns as
+    separate array expressions looks natural but Catalyst's project
+    collapse inlines the shared tokenize/shingle/md5 pipeline into
+    every column — a k-fold recompute.) Docs with fewer than n tokens
+    have no shingles and drop out, matching the SQL twin.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(F.transform(shingles(tokens(F.col(text_col)), n), md5_int)).alias(
+            "hv"
+        ),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params())
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_pairs(
+    sigs: DataFrame, id_col: str, *, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate pairs: docs sharing at least one LSH band.
+
+    The band keys are EXPLODED into (band_idx, key) rows so candidate
+    generation is ONE equality self-join on (band, key) — a per-band
+    join loop would re-evaluate the signature subplan once per band
+    per side. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    band_entries = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                # generic field names so all band structs share one type
+                F.struct(
+                    *[F.col(c).alias(f"k{r}") for r, c in enumerate(cols)]
+                ).alias("key"),
+            )
+        )
+    keyed = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_entries)).alias("bk")
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = keyed.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = keyed.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact near-identity dedup: group by the order-invariant
+    bag-of-words fingerprint, keep the lowest id as canonical."""
+    fp = df.select(
+        F.col(id_col), bow_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_col: str,
+    threshold: float,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by true shingle Jaccard, blocked on
+    ``block_col`` (e.g. language or an LSH band): the join is an
+    equality join on the block key, never a cross product.
+
+    Plan shape matters here: a block key has LOW cardinality (5
+    languages), so evaluating the expensive Jaccard inside the block
+    join would run on ≤5 partitions. Instead: (1) build the bare
+    (id_a, id_b) pair list in the block join — cheap; (2)
+    ``repartition`` the pairs wide; (3) attach the two shingle
+    arrays by id-equality joins (AQE broadcasts the small array
+    table; at petabyte scale it degrades gracefully to a shuffle
+    join). The Jaccard then evaluates at full parallelism.
+    """
+    ids = df.select(F.col(block_col), F.col(id_col))
+    a_ids = ids.select(F.col(block_col), F.col(id_col).alias("id_a"))
+    b_ids = ids.select(F.col(block_col), F.col(id_col).alias("id_b"))
+    n_part = df.sparkSession.sparkContext.defaultParallelism * 2
+    pairs = (
+        a_ids.join(b_ids, on=block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .repartition(n_part, "id_a", "id_b")
+    )
+    sh = df.select(F.col(id_col), shingles(tokens(F.col(text_col)), n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """The full MinHash+LSH pipeline: signatures -> band join ->
+    true-Jaccard verification of candidates (exact precision;
+    recall governed by the banding curve)."""
+    # cache the signatures: k longs per doc, reused by both sides of
+    # the band self-join (otherwise the md5/shingle subplan re-runs)
+    sigs = minhash_signatures(df, id_col, text_col).persist()
+    cands = lsh_band_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
+    n_part = df.sparkSession.sparkContext.defaultParallelism * 2
+    cands = cands.repartition(n_part, "id_a", "id_b")
+    sh = df.select(F.col(id_col), shingles(tokens(F.col(text_col)), n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # candidate pairs repartitioned wide, shingle arrays attached by
+    # id joins (AQE broadcasts the array table when it is small) —
+    # Jaccard verification runs at full parallelism
+    return (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,160 @@
+"""Text analysis operators for large-scale corpus pipelines:
+tokenization, shingling, quality scoring, language-ID heuristic,
+document fingerprints, SimHash.
+
+Design rule: every operator is a composition of built-in JVM-side
+``pyspark.sql.functions`` (no Python UDFs in the hot path), and each
+primitive has an exactly-equivalent DuckDB SQL formulation (shared
+hashing base: ``int(md5(x)[:8], 16)``) so the driver's oracle can
+verify results value-for-value. At 100 TB these run as narrow
+map-side column expressions inside whole-stage codegen — no shuffle
+except for the final aggregation a caller adds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Fixed stopword list (shared with the oracle SQL).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# Marker vocabularies for the deterministic language-ID heuristic.
+# (The heuristic is the operator under test — a production system
+# would plug a real model into the same shape.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "fast", "query", "join"),
+    "de": ("der", "und", "nicht", "schnell", "gruppe"),
+    "es": ("el", "la", "los", "rapido", "consulta"),
+    "fr": ("le", "la", "les", "vite", "jointure"),
+    "zh": ("shi", "bu", "wo", "kuai", "biao"),
+}
+
+PUNCT_CLASS = "[.,;:!?]"
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties filtered.
+
+    DuckDB twin: ``list_filter(regexp_split_to_array(lower(trim(x)),
+    '\\s+'), t -> t != '')``.
+    """
+    return F.filter(
+        F.split(F.lower(F.trim(col)), _WS), lambda t: t != F.lit("")
+    )
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles joined by single spaces (distinct set).
+
+    DuckDB twin: ``list_distinct(list_transform(range(1,
+    greatest(len(w)-(n-2), 1)), i -> w[i] || ' ' || ... w[i+n-1]))``.
+    """
+    seq = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    grams = F.array_distinct(
+        F.transform(seq, lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]))
+    )
+    # guard: sequence(1, 0) would yield a DESCENDING [1, 0] in Spark,
+    # fabricating shingles for texts shorter than n tokens
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def md5_int(col: Column) -> Column:
+    """Deterministic 32-bit integer hash shared with DuckDB:
+    ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars per char (guard: 0 for empty text)."""
+    n = F.length(col)
+    pc = F.size(F.regexp_extract_all(col, F.lit(PUNCT_CLASS), F.lit(0)))
+    return F.when(n > 0, pc / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    tok = tokens(col)
+    n = F.size(tok)
+    sw = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
+    return F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col: Column) -> Column:
+    tok = tokens(col)
+    total = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(F.size(tok) > 0, total / F.size(tok)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, some
+    stopwords, few punctuation bursts, sane word lengths — the
+    standard pre-training cheap filter shape."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.least(sw / F.lit(0.2), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 10)
+    mtl = mean_token_len(col)
+    mtl_score = F.when((mtl >= 3) & (mtl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score + sw_score + punct_score + mtl_score) / 4
+
+
+def bow_fingerprint(col: Column) -> Column:
+    """Order-invariant bag-of-words fingerprint: md5 of the sorted
+    distinct token set (near-dup invariant to shuffling)."""
+    tok = F.array_sort(F.array_distinct(tokens(col)))
+    return F.md5(F.concat_ws(" ", tok))
+
+
+def lang_scores(col: Column) -> list[Column]:
+    """Per-language marker-hit counts over the distinct token set."""
+    tok = F.array_distinct(tokens(col))
+    return [
+        F.size(F.filter(tok, lambda t: t.isin(*markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over the distinct token set.
+
+    bit j of the result is 1 iff the majority of tokens have bit j
+    set in their md5-based hash (ties -> 0). Pure array expressions:
+    for each bit, count tokens with the bit set, compare to half.
+    """
+    tok = F.array_distinct(tokens(col))
+    hashes = F.transform(tok, md5_int)
+    n = F.size(tok)
+    bits = []
+    for j in range(32):
+        ones = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << j)) != 0)
+        )
+        bits.append(F.when(ones * 2 > n, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "punct_ratio": F.round(punct_ratio(c), 6),
+            "stopword_ratio": F.round(stopword_ratio(c), 6),
+            "mean_token_len": F.round(mean_token_len(c), 6),
+            "quality": F.round(quality_score(c), 6),
+            "fingerprint": bow_fingerprint(c),
+        }
+    )

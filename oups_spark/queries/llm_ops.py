@@ -1,5 +1,347 @@
-"""Queries exercising the LLM-data-pipeline operators (filled in as
-the operators land): dedup family, similarity search, text analysis,
-multimodal plumbing."""
+"""Driver-facing LLM-data-pipeline queries: text analysis, dedup
+family (exact / Jaccard / MinHash+LSH / SimHash), similarity search.
+
+Every oracle below is generated from the SAME Python constants as
+the Spark plan (stopword list, language markers, minhash (a,b)
+params, thresholds), and both engines share one hashing base —
+``int(md5(x)[:8], 16)`` — so results match value-for-value, not just
+statistically."""
 
 from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oups_spark.operators.dedup import (
+    MINHASH_P,
+    exact_dedup,
+    minhash_lsh_neardup_pairs,
+    minhash_params,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from oups_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_cosine_topk,
+)
+from oups_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_scores,
+    simhash32,
+    with_text_stats,
+)
+from oups_spark.queries import register
+from oups_spark.tables import load
+
+# ---------------------------------------------------------------- SQL twins
+_TOK = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+_SH = (
+    "list_distinct(list_transform(range(1, greatest(len(tok)-1, 1)), "
+    "i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))"
+)
+_MD5INT = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOK} AS tok FROM documents)
+    SELECT doc_id,
+           len(tok) AS n_tokens,
+           round(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[.,;:!?]')) / length(text)
+                 ELSE 0 END, 6) AS punct_ratio,
+           round(CASE WHEN len(tok) > 0
+                 THEN len(list_filter(tok, x -> list_contains({_SW_LIST}, x))) / len(tok)
+                 ELSE 0 END, 6) AS stopword_ratio,
+           round(CASE WHEN len(tok) > 0
+                 THEN list_sum(list_transform(tok, x -> length(x))) / len(tok)
+                 ELSE 0 END, 6) AS mean_token_len,
+           md5(array_to_string(list_sort(list_distinct(tok)), ' ')) AS fingerprint
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, punctuation/stopword ratios, mean token
+    length, order-invariant bag-of-words fingerprint — all JVM-side
+    column expressions (no UDF)."""
+    docs = load(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "fingerprint",
+    ).orderBy("doc_id")
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: (
+            "len(list_filter(list_distinct(tok), x -> list_contains(["
+            + ", ".join(f"'{m}'" for m in markers)
+            + "], x)))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(score.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = mx THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOK} AS tok FROM documents),
+    s AS (SELECT doc_id, lang, tok, {mx} AS mx FROM t)
+    SELECT doc_id, CASE {whens} END AS pred_lang,
+           (CASE {whens} END = lang) AS is_match
+    FROM s ORDER BY doc_id
+    """
+
+
+@register("lang_id", oracle=_lang_case_sql())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vocabulary language-ID heuristic: argmax of per-language
+    marker hits over the distinct token set, first-wins tiebreak in
+    LANG_MARKERS order."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", *lang_scores(F.col("text")))
+    mx = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F
+    expr = None
+    for lang in LANG_MARKERS:
+        cond = F.col(f"score_{lang}") == mx
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        expr.alias("pred_lang"),
+        (expr == F.col("lang")).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      md5(array_to_string(list_sort(list_distinct({_TOK})), ' ')) AS fingerprint
+               FROM documents)
+    SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS n_docs
+    FROM t GROUP BY fingerprint ORDER BY canonical_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by bag-of-words fingerprint: one shuffle keyed on
+    a uniform digest — no skew at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").orderBy("canonical_id")
+
+
+_JACCARD_SQL_BODY = f"""
+    WITH t AS (SELECT doc_id, lang, {_TOK} AS tok FROM documents),
+    s AS (SELECT doc_id, lang, {_SH} AS sh FROM t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 len(list_distinct(list_cat(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) /
+          len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_SQL_BODY)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard >= 0.5, blocked by
+    language — an equality join, never a cross product."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_sql() -> tuple[str, str]:
+    params = minhash_params()
+    mins = ",\n           ".join(
+        f"min(({a} * hv + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    sigs = f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    sh AS (SELECT doc_id, unnest({_SH}) AS s FROM t WHERE len(tok) >= 3),
+    h AS (SELECT doc_id, {_MD5INT.format(x='s')} AS hv FROM sh),
+    sigs AS (
+      SELECT doc_id,
+           {mins}
+      FROM h GROUP BY doc_id
+    )"""
+    return sigs, "SELECT * FROM sigs ORDER BY doc_id"
+
+
+_SIGS_CTE, _SIGS_SELECT = _minhash_sql()
+
+
+@register("minhash_signatures", oracle=_SIGS_CTE + "\n" + _SIGS_SELECT)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signatures over word-3-gram shingles — pure
+    map-side array expressions, ~128 bytes/doc output."""
+    # the source is a single small file -> 1 scan partition; spread
+    # the map-heavy signature computation (at production scale the
+    # file count provides this parallelism naturally)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
+    )
+    return minhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _band_condition() -> str:
+    groups = []
+    for band in range(4):
+        cols = [f"h{band * 4 + r}" for r in range(4)]
+        groups.append("(" + " AND ".join(f"a.{c} = b.{c}" for c in cols) + ")")
+    return " OR ".join(groups)
+
+
+@register(
+    "minhash_lsh_neardup_pairs",
+    oracle=_SIGS_CTE + f""",
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE {_band_condition()}
+    ),
+    shn AS (SELECT doc_id, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOK} AS tok FROM documents))
+    SELECT id_a, id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 len(list_distinct(list_cat(a.sh, b.sh))), 6) AS jaccard
+    FROM cand JOIN shn a ON a.doc_id = id_a JOIN shn b ON b.doc_id = id_b
+    WHERE len(list_intersect(a.sh, b.sh)) /
+          len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def minhash_lsh_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH pipeline: signatures -> 4x4 band equality
+    join (sub-quadratic candidates) -> true-Jaccard verification."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return minhash_lsh_neardup_pairs(
+        docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "simhash_signatures",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOK}) AS tok FROM documents),
+    h AS (SELECT doc_id, {_MD5INT.format(x='u.s')} AS hv
+          FROM (SELECT doc_id, unnest(tok) AS s FROM t) u),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+             count(*) AS n
+      FROM h, (SELECT unnest(range(0, 32)) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+             AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (majority vote per bit over the
+    distinct token set)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash32(F.col("text")).alias("simhash")).orderBy(
+        "doc_id"
+    )
+
+
+_COSINE = (
+    "list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, round({_COSINE}, 6) AS cosine_sim
+          FROM q, c WHERE neighbor_id != query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rank FROM s)
+    SELECT query_id, neighbor_id, rank, cosine_sim
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for a 10-query set: broadcast
+    queries x partitioned corpus scan, ranking on the rounded
+    similarity (6 dp) so cross-engine float noise cannot flip ranks."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, k=5)
+    # rank deterministically on the rounded sim in both engines
+    from pyspark.sql import Window
+
+    scored = out.drop("rank")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cosine_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4) blocked by cluster
+    label — equality join keyed on the block."""
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+@register("ann_lsh_topk")  # approximate: rows-only check by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed top-k (the 1/2^planes scale
+    path); approximate by construction, so no SQL oracle — pytest
+    asserts recall against the brute-force baseline instead."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+@register("multimodal_features")  # stubbed decode: rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: pack documents as opaque payloads with
+    typed metadata, extract features via Arrow-batched mapInPandas
+    (decode step stubbed — see operators/multimodal.py)."""
+    from oups_spark.operators.multimodal import extract_features, pack_documents_as_media
+
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(pack_documents_as_media(docs)).orderBy("doc_id")
