@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization through the no-op data
+source (so lazy plans can't cheat), timed individually.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority_counts",
+    "store_merge_keep_last",
+    "store_append_range_read",
+    "dnf_filter_events",
+    "segment_bins_1h",
+    "segment_bins_4h_right",
+    "row_count_bins_500",
+    "snapshot_1d_6h",
+    "aggstream_hourly_restart",
+    "text_stats",
+    "lang_id",
+    "dedup_exact",
+    "simhash_signatures",
+    "minhash_signatures",
+    "minhash_lsh_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "embedding_neardup_pairs",
+    "ann_lsh_topk",
+    "multimodal_features",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None
+
+    from oups_spark.queries import REGISTRY, load_all_query_modules
+    from oups_spark.session import get_spark
+
+    load_all_query_modules()
+    spark = get_spark("oups-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once with a trivial job
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        t0 = time.time()
+        try:
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0 if all(t >= 0 for t in timings.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

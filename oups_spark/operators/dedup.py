@@ -23,7 +23,21 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from oups_spark.operators.text import bow_fingerprint, md5_int, shingles, tokens
+from oups_spark.operators.text import (
+    bow_fingerprint,
+    md5_int,
+    md5_int60,
+    shingles,
+    tokens,
+)
+
+
+def hashed_shingles(text_col: Column, n: int = 3) -> Column:
+    """Shingle set as 60-bit hashes: set operations (intersect,
+    Jaccard) over longs are several times cheaper than over strings,
+    and at 60 bits the hashed set is faithful to the string set with
+    probability ~1 - n²/2^61."""
+    return F.transform(shingles(tokens(text_col), n), md5_int60)
 
 # MinHash parameters — shared with the DuckDB oracle (llm_ops builds
 # the oracle SQL from these same constants).
@@ -110,9 +124,12 @@ def lsh_band_pairs(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Jaccard similarity of two (distinct-element) arrays."""
+    """Jaccard similarity of two (distinct-element) arrays.
+
+    |A∪B| is derived as |A|+|B|-|A∩B| — one array traversal instead
+    of two (``array_union`` costs as much as the intersect)."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -137,38 +154,48 @@ def ngram_jaccard_pairs(
     threshold: float,
     n: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by true shingle Jaccard, blocked on
-    ``block_col`` (e.g. language or an LSH band): the join is an
-    equality join on the block key, never a cross product.
+    """Near-dup pairs by true shingle Jaccard, restricted to pairs
+    sharing ``block_col`` (e.g. language).
 
-    Plan shape matters here: a block key has LOW cardinality (5
-    languages), so evaluating the expensive Jaccard inside the block
-    join would run on ≤5 partitions. Instead: (1) build the bare
-    (id_a, id_b) pair list in the block join — cheap; (2)
-    ``repartition`` the pairs wide; (3) attach the two shingle
-    arrays by id-equality joins (AQE broadcasts the small array
-    table; at petabyte scale it degrades gracefully to a shuffle
-    join). The Jaccard then evaluates at full parallelism.
+    Inverted-index plan (the scalable shape for threshold-Jaccard):
+    explode hashed shingles, self-join on (shingle, block) so only
+    pairs sharing at least one shingle ever materialize, count common
+    shingles per pair with a hash aggregation, and derive
+    J = c / (|A| + |B| - c). Pairs with zero common shingles have
+    J = 0 < threshold, so skipping them is exact. No per-pair array
+    traversals, no low-parallelism block join — every stage is an
+    equality-shuffled hash op. (At corpus scale the classic refinement
+    is a document-frequency cap on ultra-common shingles; not applied
+    here to keep semantics exactly = the SQL oracle.)
     """
-    ids = df.select(F.col(block_col), F.col(id_col))
-    a_ids = ids.select(F.col(block_col), F.col(id_col).alias("id_a"))
-    b_ids = ids.select(F.col(block_col), F.col(id_col).alias("id_b"))
-    n_part = df.sparkSession.sparkContext.defaultParallelism * 2
-    pairs = (
-        a_ids.join(b_ids, on=block_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .repartition(n_part, "id_a", "id_b")
+    sh = df.select(
+        F.col(block_col),
+        F.col(id_col),
+        hashed_shingles(F.col(text_col), n).alias("sh"),
+    ).select(
+        F.col(block_col),
+        F.col(id_col),
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("hv"),
     )
-    sh = df.select(F.col(id_col), shingles(tokens(F.col(text_col)), n).alias("sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(
+        F.col(block_col), F.col("hv"),
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"),
+    )
+    b = sh.select(
+        F.col(block_col), F.col("hv"),
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"),
+    )
+    common = (
+        a.join(b, on=[block_col, "hv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        pairs.join(a, on="id_a")
-        .join(b, on="id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        common.filter(j >= threshold)
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
     )
 
 
@@ -191,7 +218,7 @@ def minhash_lsh_neardup_pairs(
     cands = lsh_band_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
     n_part = df.sparkSession.sparkContext.defaultParallelism * 2
     cands = cands.repartition(n_part, "id_a", "id_b")
-    sh = df.select(F.col(id_col), shingles(tokens(F.col(text_col)), n).alias("sh"))
+    sh = df.select(F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     # candidate pairs repartitioned wide, shingle arrays attached by

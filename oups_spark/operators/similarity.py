@@ -86,15 +86,26 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
 ) -> DataFrame:
     """Near-duplicate vector pairs above a cosine threshold, blocked
-    on ``block_col`` so the join stays an equality join."""
-    v = df.select(
-        F.col(block_col), F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    )
-    a = v.select(F.col(block_col), F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col(block_col), F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, on=block_col)
+    on ``block_col`` so the join stays an equality join.
+
+    The block key has low cardinality, so the expensive dot products
+    are NOT evaluated inside the block join (≤ #blocks partitions):
+    bare id-pairs are built first, repartitioned wide, and the
+    vectors attached by id joins."""
+    ids = df.select(F.col(block_col), F.col(id_col))
+    pairs = (
+        ids.select(F.col(block_col), F.col(id_col).alias("id_a"))
+        .join(ids.select(F.col(block_col), F.col(id_col).alias("id_b")), on=block_col)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, "id_a", "id_b")
+    )
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
         .withColumn("sim", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("cosine_sim"))

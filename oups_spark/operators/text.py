@@ -48,24 +48,37 @@ def tokens(col: Column) -> Column:
 def shingles(tok: Column, n: int = 3) -> Column:
     """Word n-gram shingles joined by single spaces (distinct set).
 
+    Built by zipping the token array with its own shifted slices:
+    ``zip_with`` evaluates each array argument ONCE PER ROW, whereas
+    the natural ``transform(sequence, i -> element_at(tok, i+j))``
+    formulation re-inlines the whole tokenize expression per element
+    (Catalyst project collapse), i.e. O(len²) per document. Trailing
+    partial grams surface as nulls (zip_with pads the shorter side)
+    and are filtered — texts shorter than n tokens yield [].
+
     DuckDB twin: ``list_distinct(list_transform(range(1,
     greatest(len(w)-(n-2), 1)), i -> w[i] || ' ' || ... w[i+n-1]))``.
     """
-    seq = F.sequence(F.lit(1), F.size(tok) - (n - 1))
-    grams = F.array_distinct(
-        F.transform(seq, lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]))
-    )
-    # guard: sequence(1, 0) would yield a DESCENDING [1, 0] in Spark,
-    # fabricating shingles for texts shorter than n tokens
-    return F.when(F.size(tok) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    grams = tok
+    for j in range(1, n):
+        shifted = F.slice(tok, j + 1, F.greatest(F.size(tok) - j, F.lit(0)))
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
 
 
 def md5_int(col: Column) -> Column:
     """Deterministic 32-bit integer hash shared with DuckDB:
     ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)``."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_int60(col: Column) -> Column:
+    """60-bit variant (15 hex chars): collision odds ~n²/2^61 — used
+    where a set of hashed values must behave exactly like the set of
+    originals (e.g. Jaccard on hashed shingles)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def token_count(col: Column) -> Column:
@@ -125,11 +138,12 @@ def lang_scores(col: Column) -> list[Column]:
 
 
 def simhash32(col: Column) -> Column:
-    """32-bit SimHash over the distinct token set.
+    """32-bit SimHash over the distinct token set (Column form for
+    small inputs; prefer :func:`simhash_signatures` on DataFrames —
+    the per-bit array filters here re-scan the hash array 32 times).
 
     bit j of the result is 1 iff the majority of tokens have bit j
-    set in their md5-based hash (ties -> 0). Pure array expressions:
-    for each bit, count tokens with the bit set, compare to half.
+    set in their md5-based hash (ties -> 0).
     """
     tok = F.array_distinct(tokens(col))
     hashes = F.transform(tok, md5_int)
@@ -144,6 +158,32 @@ def simhash32(col: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per row, explode + one hash aggregation.
+
+    Tokens are hashed ONCE; the 32 per-bit majority votes are 32 sum
+    aggregates over the exploded rows (the Column form re-scans the
+    hash array per bit; Catalyst's project collapse makes that a
+    32-fold recompute of the tokenize/md5 pipeline). Rows with no
+    tokens drop out, matching the SQL twin's unnest.
+    """
+    hv = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    ).select(F.col(id_col), md5_int(F.col("t")).alias("hv"))
+    votes = [
+        F.sum(
+            F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    bits = hv.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("long")
+    for j in range(32):
+        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bits.select(F.col(id_col), out.alias("simhash"))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

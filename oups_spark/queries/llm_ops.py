@@ -257,10 +257,12 @@ def minhash_lsh_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (majority vote per bit over the
     distinct token set)."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash32(F.col("text")).alias("simhash")).orderBy(
-        "doc_id"
+    from oups_spark.operators.text import simhash_signatures
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
 
 
 _COSINE = (

@@ -1,0 +1,154 @@
+"""Intersections (FIXTURES F4 shape) and the Structured Streaming
+bridge (stream run == batch run)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from oups_spark.store.indexer import toplevel
+from oups_spark.store.intersections import tagged_bucket_union
+from oups_spark.store.store import Store
+
+
+@toplevel
+class SeriesKey:
+    name: str
+
+
+def ts(h, m=0, d=1):
+    return pd.Timestamp(2024, 1, d, h, m)
+
+
+@pytest.fixture()
+def f4_store(spark, scratch):
+    """F4: 3 keys, 2-row files, overlapping/disjoint spans, repeated
+    boundary timestamps across file boundaries."""
+    store = Store(spark, os.path.join(scratch, "store"), SeriesKey)
+    data = {
+        "k1": [ts(0), ts(1), ts(2), ts(2), ts(4), ts(5)],  # dup ts over file edge
+        "k2": [ts(1), ts(2), ts(3), ts(6)],
+        "k3": [ts(4), ts(5), ts(6), ts(7)],
+    }
+    for name, stamps in data.items():
+        pdf = pd.DataFrame({"ts": stamps, "v": [float(i) for i in range(len(stamps))]})
+        store[SeriesKey(name)].write(
+            df=spark.createDataFrame(pdf), ordered_on="ts", row_group_target_size=2
+        )
+    return store, data
+
+
+def test_iter_intersections_covers_range_exactly(spark, f4_store):
+    store, data = f4_store
+    keys = [SeriesKey(n) for n in data]
+    chunks = list(store.iter_intersections(keys, start=ts(1), end_excl=ts(6)))
+    assert len(chunks) > 1
+    # every key's concatenated chunks == its rows in [start, end)
+    for name, stamps in data.items():
+        got = pd.concat([c[SeriesKey(name)] for c in chunks], ignore_index=True)
+        exp = pd.DataFrame(
+            {"ts": stamps, "v": [float(i) for i in range(len(stamps))]}
+        )
+        exp = exp[(exp.ts >= ts(1)) & (exp.ts < ts(6))].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+    # chunks are aligned: within one yielded dict, every key's rows
+    # fall in the same [b, e) interval
+    for c, e in zip(chunks, [x for x in chunks[1:]] + [None]):
+        spans = [
+            (df["ts"].min(), df["ts"].max())
+            for df in c.values()
+            if len(df)
+        ]
+        if len(spans) >= 2:
+            # all mins of the next interval exceed all maxes here
+            if e is not None:
+                next_mins = [df["ts"].min() for df in e.values() if len(df)]
+                if next_mins:
+                    assert max(s[1] for s in spans) < min(next_mins)
+
+
+def test_tagged_bucket_union_distributed(spark, f4_store):
+    store, data = f4_store
+    dfs = {n: store[SeriesKey(n)].read() for n in data}
+    out = tagged_bucket_union(dfs, "ts", bucket_by="2h")
+    got = (
+        out.groupBy("bucket", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .pivot(index="bucket", columns="key", values="n")
+    )
+    # bucket [00,02): k1 has 2 rows (00,01); k2 has 1 (01)
+    assert got.loc[ts(0), "k1"] == 2 and got.loc[ts(0), "k2"] == 1
+    # bucket [02,04): k1 has dup-ts rows (02,02), k2 has (02,03)
+    assert got.loc[ts(2), "k1"] == 2 and got.loc[ts(2), "k2"] == 2
+    # bucket [04,06): k1 (04,05), k3 (04,05)
+    assert got.loc[ts(4), "k1"] == 2 and got.loc[ts(4), "k3"] == 2
+
+
+def test_streaming_bridge_equals_batch(spark, scratch):
+    """foreachBatch-driven AggStream == batch-chunked AggStream."""
+    from oups_spark.streaming.aggstream import AggStream, KeyConfig
+    from oups_spark.streaming.bridge import run_parquet_file_stream
+    from oups_spark.store.dataset import OrderedDataset
+
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="17min"),
+            "id": range(n),
+            "val": [float(i + 1) for i in range(n)],
+        }
+    )
+    # two source files arriving in order
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    sdf = spark.createDataFrame(pdf)
+    half = pdf["ts"].iloc[n // 2]
+    # the file stream needs FLAT files (a .write.parquet target is a
+    # directory, which the source does not recurse into)
+    import glob
+    import shutil
+
+    for i, cond in enumerate(
+        [F.col("ts") < F.lit(half), F.col("ts") >= F.lit(half)]
+    ):
+        tmp = os.path.join(scratch, f"tmp{i}")
+        sdf.filter(cond).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"f{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    agg = {"sum_val": ("val", "sum"), "last_val": ("val", "last")}
+    stream = AggStream(
+        spark,
+        ordered_on="ts",
+        keys={"k": KeyConfig(path=os.path.join(scratch, "stream_bins"),
+                             agg=agg, bin_by="1h", tiebreak=["id"])},
+    )
+    run_parquet_file_stream(
+        spark, stream, src, sdf.schema,
+        checkpoint_dir=os.path.join(scratch, "ckpt"),
+    )
+
+    batch = AggStream(
+        spark,
+        ordered_on="ts",
+        keys={"k": KeyConfig(path=os.path.join(scratch, "batch_bins"),
+                             agg=agg, bin_by="1h", tiebreak=["id"])},
+    )
+    batch.agg(
+        [
+            spark.createDataFrame(pdf[pdf.ts < half]),
+            spark.createDataFrame(pdf[pdf.ts >= half]),
+        ],
+        discard_last=True,
+    )
+    got = OrderedDataset(spark, os.path.join(scratch, "stream_bins")).read().toPandas()
+    exp = OrderedDataset(spark, os.path.join(scratch, "batch_bins")).read().toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("bin", ignore_index=True),
+        exp.sort_values("bin", ignore_index=True),
+    )
