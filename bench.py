@@ -43,6 +43,11 @@ HEADLINE = [
     "embedding_neardup_pairs",
     "ann_lsh_topk",
     "multimodal_features",
+    "session_windows",
+    "volume_bars_10k",
+    "aggstream_filter_fanout",
+    "intersections_bucket_align",
+    "rollup_pricing",
 ]
 
 

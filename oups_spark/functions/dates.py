@@ -21,6 +21,13 @@ _FIXED_SECONDS = {"s": 1, "sec": 1, "min": 60, "m": 60, "h": 3600}
 _PERIOD_RE = re.compile(r"^(\d*)\s*([A-Za-z]+)$")
 
 
+def unix_us(col: Column) -> Column:
+    """Epoch microseconds, tolerant of TIMESTAMP_NTZ inputs (parquet
+    isAdjustedToUTC=false columns): NTZ is interpreted as UTC wall
+    clock via cast, matching DuckDB's treatment of the same files."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def _parse(freq: str) -> tuple[int, str]:
     m = _PERIOD_RE.match(freq.strip())
     if not m:
@@ -49,13 +56,13 @@ def floor_ts(col: Column, freq: str) -> Column:
     if unit in _FIXED_SECONDS:
         micros = n * _FIXED_SECONDS[unit] * 1_000_000
         # integer modulo (not double division) — exact at any epoch
-        t = F.unix_micros(col)
+        t = unix_us(col)
         return F.timestamp_micros(t - t % micros)
     if unit == "D":
         if n == 1:
             return F.date_trunc("day", col)
         micros = n * 86400 * 1_000_000
-        t = F.unix_micros(col)
+        t = unix_us(col)
         return F.timestamp_micros(t - t % micros)
     if unit == "W":
         return F.date_trunc("week", col)
@@ -78,11 +85,11 @@ def _next_edge(floored: Column, freq: str) -> Column:
     n, unit = _parse(freq)
     if unit in _FIXED_SECONDS:
         secs = n * _FIXED_SECONDS[unit]
-        return F.timestamp_micros(F.unix_micros(floored) + secs * 1_000_000)
+        return F.timestamp_micros(unix_us(floored) + secs * 1_000_000)
     if unit == "D":
-        return F.timestamp_micros(F.unix_micros(floored) + n * 86400 * 1_000_000)
+        return F.timestamp_micros(unix_us(floored) + n * 86400 * 1_000_000)
     if unit == "W":
-        return F.timestamp_micros(F.unix_micros(floored) + 7 * 86400 * 1_000_000)
+        return F.timestamp_micros(unix_us(floored) + 7 * 86400 * 1_000_000)
     if unit in ("MS", "M"):
         return F.to_timestamp(F.add_months(floored.cast("date"), 1))
     if unit in ("YS", "Y"):

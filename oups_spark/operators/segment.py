@@ -39,7 +39,7 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from oups_spark.functions.dates import floor_ts, period_duration
+from oups_spark.functions.dates import floor_ts, period_duration, unix_us
 
 AGG_FUNCS = ("first", "last", "min", "max", "sum")
 
@@ -78,14 +78,14 @@ def assign_time_bin(
     if closed == "left":
         start = floor_ts(col, freq)
     elif closed == "right":
-        start = floor_ts(F.timestamp_micros(F.unix_micros(col) - 1), freq)
+        start = floor_ts(F.timestamp_micros(unix_us(col) - 1), freq)
     else:
         raise ValueError(f"closed must be left|right, got {closed!r}")
     if label == "left":
         return start
     if label == "right":
         return F.timestamp_micros(
-            F.unix_micros(start) + int(period_duration(freq) * 1_000_000)
+            unix_us(start) + int(period_duration(freq) * 1_000_000)
         )
     raise ValueError(f"label must be left|right, got {label!r}")
 
@@ -164,7 +164,7 @@ def add_row_count_bins(
     tiebreak = tiebreak or []
     sort_cols = [ordered_on, *tiebreak]
     is_ts = dict(df.dtypes)[ordered_on].startswith("timestamp")
-    key = F.unix_micros(F.col(ordered_on)) if is_ts else F.col(ordered_on)
+    key = unix_us(F.col(ordered_on)) if is_ts else F.col(ordered_on)
 
     num = df.withColumn("__key", key)
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -262,7 +262,7 @@ def snapshot_agg(
         raise ValueError("snap_by must evenly divide bin_by")
 
     o = F.col(ordered_on)
-    t_us = F.unix_micros(o)
+    t_us = unix_us(o)
     bin_start_us = t_us - t_us % bin_us
     snap_floor_us = t_us - t_us % snap_us
     if snap_closed == "left":
@@ -319,8 +319,8 @@ def snapshot_agg(
             bin_col,
             F.explode(
                 F.sequence(
-                    F.timestamp_micros(F.unix_micros(F.col(bin_col)) + snap_us),
-                    F.timestamp_micros(F.unix_micros(F.col(bin_col)) + bin_us),
+                    F.timestamp_micros(unix_us(F.col(bin_col)) + snap_us),
+                    F.timestamp_micros(unix_us(F.col(bin_col)) + bin_us),
                     F.expr(f"INTERVAL {snap_us} MICROSECOND"),
                 )
             ).alias(snap_col),

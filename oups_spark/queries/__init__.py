@@ -46,4 +46,5 @@ def load_all_query_modules() -> None:
         segment_ops,
         store_ops,
         stream_ops,
+        window_ops,
     )
