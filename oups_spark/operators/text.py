@@ -186,6 +186,54 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return bits.select(F.col(id_col), out.alias("simhash"))
 
 
+def text_stats_df(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-document text statistics via explode + one hash
+    aggregation — tokenize ONCE per document (the per-column
+    expression form in :func:`with_text_stats` re-runs the split for
+    every stat via project collapse; fine for a handful of rows,
+    k-fold waste at corpus scale).
+
+    Output: id, n_tokens, punct_ratio, stopword_ratio,
+    mean_token_len, fingerprint.
+    """
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.length(c).alias("__n_chars"),
+        F.size(F.regexp_extract_all(c, F.lit(PUNCT_CLASS), F.lit(0))).alias("__pc"),
+    )
+    ex = df.select(
+        F.col(id_col), F.explode_outer(tokens(c)).alias("__t")
+    )
+    tokagg = ex.groupBy(id_col).agg(
+        F.count("__t").alias("n_tokens"),
+        F.sum(F.when(F.col("__t").isin(*STOPWORDS), 1).otherwise(0)).alias("__sw"),
+        F.sum(F.length("__t")).alias("__tl"),
+        F.sort_array(F.collect_set("__t")).alias("__toks"),
+    )
+    joined = base.join(tokagg, on=id_col)
+    n = F.col("n_tokens")
+    return joined.select(
+        F.col(id_col),
+        n,
+        F.round(
+            F.when(F.col("__n_chars") > 0, F.col("__pc") / F.col("__n_chars")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(n > 0, F.col("__sw") / n).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n > 0, F.col("__tl") / n).otherwise(F.lit(0.0)), 6
+        ).alias("mean_token_len"),
+        F.md5(F.concat_ws(" ", F.col("__toks"))).alias("fingerprint"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(

@@ -68,13 +68,14 @@ _SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, punctuation/stopword ratios, mean token
-    length, order-invariant bag-of-words fingerprint — all JVM-side
-    column expressions (no UDF)."""
-    docs = load(spark, sf_dir, "documents")
-    return with_text_stats(docs).select(
-        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
-        "mean_token_len", "fingerprint",
-    ).orderBy("doc_id")
+    length, order-invariant bag-of-words fingerprint — JVM-side,
+    tokenizing once per document (explode + hash aggregation)."""
+    from oups_spark.operators.text import text_stats_df
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return text_stats_df(docs, "doc_id").orderBy("doc_id")
 
 
 def _lang_case_sql() -> str:

@@ -398,6 +398,58 @@ class OrderedDataset:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
+    # ---------------------------------------------------------- compact
+    def compact(
+        self, *, row_group_target_size: int = DEFAULT_ROW_GROUP_TARGET_SIZE
+    ) -> int:
+        """Coalesce runs of off-target (undersized) files without new
+        data — the reference's off-target coalescing as a standalone
+        maintenance op (Delta's OPTIMIZE equivalent). Returns the
+        number of files rewritten. Only contiguous runs of 2+
+        off-target files are touched; on-target files are never
+        rewritten."""
+        if not self.exists or not self._manifest.files:
+            return 0
+        files = self._manifest.files
+        off = [e.n_rows < ON_TARGET_SCALE_FACTOR * row_group_target_size for e in files]
+        runs: list[list[FileEntry]] = []
+        cur: list[FileEntry] = []
+        for e, is_off in zip(files, off):
+            if is_off:
+                cur.append(e)
+            else:
+                if len(cur) > 1:
+                    runs.append(cur)
+                cur = []
+        if len(cur) > 1:
+            runs.append(cur)
+        if not runs:
+            return 0
+        ordered_on = self._manifest.ordered_on
+        rewritten = 0
+        for run in runs:
+            merged = self.spark.read.parquet(
+                *[os.path.join(self.path, e.name) for e in run]
+            ).withColumn(_POS, F.monotonically_increasing_id()).withColumn(
+                _SRC, F.lit(0)
+            )
+            new_entries = self._write_files(
+                merged, ordered_on, row_group_target_size,
+                sum(e.n_rows for e in run),
+            )
+            names = {e.name for e in run}
+            self._manifest.files = [
+                e for e in self._manifest.files if e.name not in names
+            ] + new_entries
+            rewritten += len(run)
+        self._manifest.save(self.path)
+        for run in runs:
+            for e in run:
+                p = os.path.join(self.path, e.name)
+                if os.path.exists(p):
+                    os.remove(p)
+        return rewritten
+
     # ----------------------------------------------------------- delete
     def delete(self) -> None:
         """Drop the dataset directory (reference: ``base.py:405-438``)."""

@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the reference's two oracle
+patterns (SURVEY §5): *merge equivalence* — any sequence of ordered
+writes equals one sorted+deduped write — and *restart equivalence* —
+any chunking of a seed equals the one-shot aggregation. Plus
+``compact()`` invariants."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oups_spark.store.dataset import OrderedDataset
+from oups_spark.streaming.aggstream import AggStream, KeyConfig
+
+
+def _mk_batch(draw_rows: list[tuple[int, int, float]]) -> pd.DataFrame:
+    rows = sorted(draw_rows, key=lambda r: r[0])
+    return pd.DataFrame(
+        {
+            "ts": [pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=m) for m, _, _ in rows],
+            "sym": [f"s{s}" for _, s, _ in rows],
+            "val": [v for _, _, v in rows],
+        }
+    )
+
+
+batch_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),  # minute
+        st.integers(min_value=0, max_value=2),    # symbol
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(batch_strategy, min_size=1, max_size=4), target=st.sampled_from([3, 5, 100]))
+def test_merge_equivalence_property(spark, tmp_path_factory, batches, target):
+    """N successive merge writes == pandas emulation (concat in write
+    order, stable sort, keep-last dedup on (sym, ts))."""
+    root = tmp_path_factory.mktemp("prop")
+    ds = OrderedDataset(spark, str(root / "ds"))
+    frames = [_mk_batch(b) for b in batches]
+    for f in frames:
+        ds.write(
+            df=spark.createDataFrame(f),
+            ordered_on="ts",
+            duplicates_on=["sym"],
+            row_group_target_size=target,
+        )
+    got = (
+        ds.read().toPandas().sort_values(["ts", "sym"], ignore_index=True)
+    )
+    exp = frames[0]
+    for f in frames[1:]:
+        exp = pd.concat([exp, f], ignore_index=True).sort_values(
+            "ts", kind="stable", ignore_index=True
+        )
+    exp = exp.drop_duplicates(subset=["sym", "ts"], keep="last", ignore_index=True)
+    exp = exp.sort_values(["ts", "sym"], ignore_index=True)
+    pd.testing.assert_frame_equal(got[["ts", "sym", "val"]], exp)
+    # manifest stats faithful
+    assert ds.n_rows == len(exp)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    splits=st.lists(st.integers(min_value=1, max_value=59), min_size=0, max_size=3, unique=True)
+)
+def test_restart_equivalence_property(spark, tmp_path_factory, splits):
+    """Any chunking (with per-chunk process restart) == one-shot."""
+    import numpy as np
+
+    root = tmp_path_factory.mktemp("prop_rs")
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="13min"),
+            "id": range(n),
+            "val": [float((i * 7) % 23 - 11 or 1) for i in range(n)],
+        }
+    )
+    agg = {"sum_val": ("val", "sum"), "first_val": ("val", "first")}
+
+    def run(path, chunks):
+        for c in chunks:
+            s = AggStream(
+                spark, ordered_on="ts",
+                keys={"k": KeyConfig(path=path, agg=agg, bin_by="1h", tiebreak=["id"])},
+            )
+            s.agg(spark.createDataFrame(c), discard_last=False)
+
+    run(str(root / "one"), [pdf])
+    run(str(root / "many"), np.split(pdf, sorted(splits)))
+    one = OrderedDataset(spark, str(root / "one")).read().toPandas().sort_values("bin", ignore_index=True)
+    many = OrderedDataset(spark, str(root / "many")).read().toPandas().sort_values("bin", ignore_index=True)
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_compact_coalesces_off_target_runs(spark, scratch):
+    ds = OrderedDataset(spark, f"{scratch}/c1")
+    for i in range(6):
+        b = pd.DataFrame(
+            {"ts": [pd.Timestamp(2024, 1, 1, i)], "val": [float(i)], "sym": ["a"]}
+        )
+        ds.write(df=spark.createDataFrame(b), ordered_on="ts", row_group_target_size=10)
+    assert ds.n_files == 6
+    before = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    rewritten = ds.compact(row_group_target_size=10)
+    assert rewritten == 6
+    assert ds.n_files == 1
+    after = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    pd.testing.assert_frame_equal(before, after)
+    # idempotent: nothing left to compact
+    assert ds.compact(row_group_target_size=10) == 0
+
+
+def test_compact_leaves_on_target_files(spark, scratch):
+    ds = OrderedDataset(spark, f"{scratch}/c2")
+    big = pd.DataFrame(
+        {
+            "ts": [pd.Timestamp(2024, 1, 1) + pd.Timedelta(hours=i) for i in range(10)],
+            "val": [float(i) for i in range(10)],
+            "sym": ["a"] * 10,
+        }
+    )
+    ds.write(df=spark.createDataFrame(big), ordered_on="ts", row_group_target_size=10)
+    names = {e.name for e in ds.manifest.files}
+    assert ds.compact(row_group_target_size=10) == 0
+    assert {e.name for e in ds.manifest.files} == names
