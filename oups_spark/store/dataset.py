@@ -248,20 +248,53 @@ class OrderedDataset:
     def _check_monotonic(self, new: DataFrame, ordered_on: str) -> None:
         """Reject unsorted input (reference: ``write.py:182-185``).
 
-        Narrow projection (ordered_on + position); the global window
-        is a validation-only cost and can be disabled at scale with
-        ``validate_monotonic=False`` when the producer guarantees
-        order (e.g. reading an already-ordered dataset).
+        Fully distributed: each Arrow batch of the narrow
+        (ordered_on, position) projection reports (first/last
+        position, first/last value, locally-sorted flag); the driver
+        stitches the tiny summaries in position order and checks the
+        boundaries — no global sort, no single-partition window.
+        Disable with ``validate_monotonic=False`` when the producer
+        guarantees order.
         """
-        w = Window.orderBy(_POS)
-        bad = (
-            new.select(ordered_on, _POS)
-            .withColumn("__prev", F.lag(ordered_on).over(w))
-            .filter(F.col("__prev") > F.col(ordered_on))
-            .limit(1)
-            .count()
+        from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+        proj = new.select(F.col(ordered_on).alias("v"), F.col(_POS).alias("p"))
+        val_type = proj.schema["v"].dataType
+        out_schema = StructType(
+            [
+                StructField("first_p", LongType()),
+                StructField("last_p", LongType()),
+                StructField("first_v", val_type),
+                StructField("last_v", val_type),
+                StructField("ok", BooleanType()),
+            ]
         )
-        if bad:
+
+        def summarize(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values("p", ignore_index=True)
+                yield pd.DataFrame(
+                    {
+                        "first_p": [pdf["p"].iloc[0]],
+                        "last_p": [pdf["p"].iloc[-1]],
+                        "first_v": [pdf["v"].iloc[0]],
+                        "last_v": [pdf["v"].iloc[-1]],
+                        "ok": [bool(pdf["v"].is_monotonic_increasing)],
+                    }
+                )
+
+        parts = sorted(
+            proj.mapInPandas(summarize, out_schema).collect(),
+            key=lambda r: r["first_p"],
+        )
+        for prev, cur in zip(parts, parts[1:]):
+            if prev["last_v"] > cur["first_v"]:
+                raise ValueError(f"column {ordered_on!r} is not ordered")
+        if any(not r["ok"] for r in parts):
             raise ValueError(f"column {ordered_on!r} is not ordered")
 
     def _select_overlap(
