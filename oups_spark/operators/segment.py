@@ -150,10 +150,14 @@ def add_row_count_bins(
     tiebreak: list[str] | None = None,
     bin_col: str = "bin_id",
     n_buckets: int = 128,
+    rank_offset: int = 0,
 ) -> DataFrame:
     """Assign fixed-size row-count bins (reference ``by_x_rows``,
-    ``segmentby.py:371-520``): bin_id = floor(global_rank / n) under
-    the total order ``(ordered_on, *tiebreak)``.
+    ``segmentby.py:371-520``): bin_id = floor((rank_offset +
+    global_rank) / n) under the total order ``(ordered_on,
+    *tiebreak)``. ``rank_offset`` lets an incremental caller continue
+    a partially-filled bin across chunks (the reference's
+    ``rows_in_prev_last_bin`` buffer).
 
     Scalable global numbering without a single-partition window:
     (1) approx-quantile boundaries on ``ordered_on`` (collected once,
@@ -189,7 +193,7 @@ def add_row_count_bins(
         F.when(F.lit(False), F.lit(0)),
     ).otherwise(F.lit(0))
     w = Window.partitionBy("__bucket").orderBy(*[F.col(c) for c in sort_cols])
-    rn = offset_col + F.row_number().over(w) - 1
+    rn = offset_col + F.row_number().over(w) - 1 + F.lit(rank_offset)
     return (
         num.withColumn(bin_col, ((rn - rn % n) / n).cast("long"))
         .drop("__key", "__bucket")

@@ -56,7 +56,7 @@ class KeyConfig:
 
     path: str                       # bins dataset directory
     agg: dict                       # {out: (in_col, func)}
-    bin_by: str                     # period string
+    bin_by: str | int               # period string, or int = row-count bins
     snap_by: str | None = None      # optional snapshot period
     snap_path: str | None = None    # snapshots dataset directory
     filter: list | None = None      # DNF filter for this key
@@ -74,6 +74,7 @@ class _KeyState:
     post_buffer: dict = field(default_factory=dict)
     bin_buffer: list = field(default_factory=list)   # unflushed bin frames
     snap_buffer: list = field(default_factory=list)  # unflushed snap frames
+    rows_so_far: int = 0            # row-count bins: global rank offset
 
 
 def _combine_bins(frames: list[pd.DataFrame], agg: dict, bin_col: str) -> pd.DataFrame:
@@ -91,6 +92,12 @@ def _combine_bins(frames: list[pd.DataFrame], agg: dict, bin_col: str) -> pd.Dat
             spec[out] = (out, _PANDAS_AGG[func])
         else:  # sum
             spec[out] = (out, lambda s: s.sum(min_count=1))
+    # extra columns (e.g. the row-count bin's first-ts label) carry
+    # the first non-null value — a continued bin keeps its original
+    # label from the earlier chunk
+    for c in both.columns:
+        if c != bin_col and c not in spec:
+            spec[c] = (c, "first")
     combined = both.groupby(bin_col, sort=True).agg(**spec).reset_index()
     # restore integer dtypes as nullable Int64 (reference nullable-int
     # rule, cumsegagg.py:521-530)
@@ -191,6 +198,7 @@ class AggStream:
                 st.restart_index = meta.get("restart_index")
                 st.bin_acc = meta.get("bin_acc")
                 st.post_buffer = meta.get("post_buffer", {})
+                st.rows_so_far = meta.get("rows_so_far", 0)
                 self.pre_buffer = meta.get("pre_buffer", self.pre_buffer)
             self.state[name] = st
 
@@ -286,6 +294,35 @@ class AggStream:
         for name, cfg in self.keys.items():
             st = self.state[name]
             filtered = dnf_filter(chunk, cfg.filter)
+            if isinstance(cfg.bin_by, int):
+                # row-count bins (reference by_x_rows): global bin id
+                # continues across chunks via the persisted row count
+                from oups_spark.operators.segment import add_row_count_bins
+
+                if cfg.snap_by is not None:
+                    raise ValueError("snapshots require a time-grid bin_by")
+                binned = add_row_count_bins(
+                    filtered, self.ordered_on, cfg.bin_by,
+                    tiebreak=cfg.tiebreak, bin_col=cfg.bin_col,
+                    rank_offset=st.rows_so_far,
+                )
+                order_key = F.struct(self.ordered_on, *(cfg.tiebreak or []))
+                from oups_spark.operators.segment import _agg_exprs
+
+                agged = (
+                    binned.groupBy(cfg.bin_col)
+                    .agg(
+                        F.min(self.ordered_on).alias("bin_label"),
+                        F.count(F.lit(1)).alias("__n"),
+                        *_agg_exprs(cfg.agg, order_key),
+                    )
+                    .orderBy(cfg.bin_col)
+                ).toPandas()
+                st.rows_so_far += int(agged["__n"].sum())
+                agged = agged.drop(columns="__n")
+                st.bin_buffer.append(agged)
+                st.restart_index = processed_max
+                continue
             agged = segment_agg(
                 filtered,
                 self.ordered_on,
@@ -353,6 +390,7 @@ class AggStream:
                 "bin_acc": combined.iloc[[-1]],
                 "post_buffer": st.post_buffer,
                 "pre_buffer": self.pre_buffer,
+                "rows_so_far": st.rows_so_far,
             }
             if bin_out is not None and len(bin_out):
                 ds = OrderedDataset(self.spark, cfg.path)

@@ -222,3 +222,35 @@ def test_pre_post_hooks_with_buffers(spark, scratch):
     exp = pdf.set_index("ts").resample("1h")["val"].sum(min_count=1).dropna() * 2
     assert list(out["sum_val"]) == pytest.approx(list(exp))
     assert stream.pre_buffer["n_chunks"] == 1
+
+
+def test_row_count_bins_chunked_equals_one_shot(spark, scratch):
+    """AggStream with bin_by=int (by_x_rows): bin ids and labels must
+    continue across chunks and process restarts."""
+    pdf = make_ticks()
+
+    def run(path, chunks):
+        for c in chunks:
+            s = AggStream(
+                spark, ordered_on="ts",
+                keys={"k": KeyConfig(path=path, agg={"sum_val": ("val", "sum")},
+                                      bin_by=7, tiebreak=["id"], bin_col="bin_id")},
+            )
+            s.agg(spark.createDataFrame(c), discard_last=False)
+
+    run(f"{scratch}/one", [pdf])
+    run(f"{scratch}/many", np.split(pdf, [20, 45, 46, 80]))
+    from oups_spark.store.dataset import OrderedDataset
+
+    one = OrderedDataset(spark, f"{scratch}/one").read().toPandas().sort_values(
+        "bin_id", ignore_index=True
+    )
+    many = OrderedDataset(spark, f"{scratch}/many").read().toPandas().sort_values(
+        "bin_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(one, many)
+    # oracle: pandas fixed-size grouping
+    exp_sum = [g["val"].sum() for _, g in pdf.groupby(pdf.reset_index().index // 7)]
+    assert list(one["sum_val"]) == pytest.approx(exp_sum)
+    exp_labels = [g["ts"].iloc[0] for _, g in pdf.groupby(pdf.reset_index().index // 7)]
+    assert list(one["bin_label"]) == exp_labels
