@@ -6,7 +6,7 @@ reference's canonical custom-binning example).
 - Sessions map directly onto ``F.session_window`` (built-in stateful
   window merge, streaming-capable).
 - Volume bars need a global running sum — done scalably with the
-  same quantile-bucketed two-phase pattern as row-count bins: bucket
+  same range-bucketed two-phase pattern as row-count bins: bucket
   boundaries become plan literals, per-bucket totals are collected
   (tiny), and the within-bucket window runs at full parallelism. No
   single-partition window.
@@ -14,12 +14,10 @@ reference's canonical custom-binning example).
 
 from __future__ import annotations
 
-from functools import reduce
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from oups_spark.functions.dates import unix_us
 
 
 def session_agg(
@@ -69,25 +67,17 @@ def add_prefix_sum(
 ) -> DataFrame:
     """Global running sum of ``value_col`` under the total order
     ``(ordered_on, *tiebreak)`` — two-phase, no global window:
-    (1) approx-quantile cut points on ``ordered_on`` become literal
-    bucket bounds; (2) per-bucket totals -> driver offsets (tiny);
+    (1) uniform range buckets over ``ordered_on`` (plan literals);
+    (2) per-bucket totals -> driver offsets (tiny);
     (3) within-bucket cumulative window + offset.
 
     ``exclusive=True`` gives the sum over strictly-preceding rows.
     """
+    from oups_spark.operators.segment import _offset_lookup, bucketize
+
     tiebreak = tiebreak or []
     sort_cols = [ordered_on, *tiebreak]
-    is_ts = dict(df.dtypes)[ordered_on].startswith("timestamp")
-    key = unix_us(F.col(ordered_on)) if is_ts else F.col(ordered_on)
-    num = df.withColumn("__key", key)
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(set(num.stat.approxQuantile("__key", qs, 0.001)))
-    bucket = reduce(
-        lambda acc, c: acc + (F.col("__key") >= F.lit(c)).cast("int"),
-        cuts,
-        F.lit(0),
-    )
-    num = num.withColumn("__bucket", bucket)
+    num = bucketize(df, ordered_on, n_buckets=n_buckets)
     totals = {
         r["__bucket"]: r["s"]
         for r in num.groupBy("__bucket")
@@ -98,11 +88,6 @@ def add_prefix_sum(
     for b in sorted(totals):
         offsets[b] = acc
         acc += totals[b] or 0
-    offset_col = reduce(
-        lambda acc_c, b: acc_c.when(F.col("__bucket") == b, F.lit(offsets[b])),
-        sorted(offsets),
-        F.when(F.lit(False), F.lit(0.0)),
-    ).otherwise(F.lit(0.0))
     upper = -1 if exclusive else Window.currentRow
     w = (
         Window.partitionBy("__bucket")
@@ -110,7 +95,7 @@ def add_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, upper)
     )
     local = F.coalesce(F.sum(value_col).over(w), F.lit(0.0))
-    return num.withColumn(out_col, offset_col + local).drop("__key", "__bucket")
+    return num.withColumn(out_col, _offset_lookup(offsets) + local).drop("__bucket")
 
 
 def volume_bars(
