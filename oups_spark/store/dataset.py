@@ -183,18 +183,21 @@ class OrderedDataset:
             _SRC, F.lit(1)
         )
         if validate_monotonic:
-            self._check_monotonic(new, ordered_on)
-
-        stats = new.agg(
-            F.min(ordered_on).alias("mn"),
-            F.max(ordered_on).alias("mx"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        if stats["n"] == 0:
+            # one distributed pass yields the order check AND the
+            # batch bounds — no second scan of the new data
+            df_min, df_max, n_new = self._check_monotonic(new, ordered_on)
+        else:
+            stats = new.agg(
+                F.min(ordered_on).alias("mn"),
+                F.max(ordered_on).alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            df_min, df_max, n_new = stats["mn"], stats["mx"], stats["n"]
+        if n_new == 0:
             self._update_kv_only(ordered_on, key_value_metadata)
             return
-        df_min, df_max, n_new = stats["mn"], stats["mx"], stats["n"]
-        if df_min is None or (self.exists and any(
+        # df_min may be None (Spark) or NaT/NaN (pandas summaries)
+        if df_min is None or df_min != df_min or (self.exists and any(
             e.min is None or e.max is None for e in self._manifest.files
         )):
             raise ValueError("null values in ordered_on are not allowed")
@@ -245,14 +248,17 @@ class OrderedDataset:
         man.save(self.path)
         self._manifest = man
 
-    def _check_monotonic(self, new: DataFrame, ordered_on: str) -> None:
-        """Reject unsorted input (reference: ``write.py:182-185``).
+    def _check_monotonic(self, new: DataFrame, ordered_on: str):
+        """Reject unsorted input (reference: ``write.py:182-185``) and
+        return the batch bounds ``(min, max, n_rows)``.
 
         Fully distributed: each Arrow batch of the narrow
         (ordered_on, position) projection reports (first/last
-        position, first/last value, locally-sorted flag); the driver
-        stitches the tiny summaries in position order and checks the
-        boundaries — no global sort, no single-partition window.
+        position, first/last value, row count, locally-sorted flag);
+        the driver stitches the tiny summaries in position order and
+        checks the boundaries — no global sort, no single-partition
+        window — and the same summaries yield min/max/count, so the
+        write path never scans the new data a second time for stats.
         Disable with ``validate_monotonic=False`` when the producer
         guarantees order.
         """
@@ -266,6 +272,7 @@ class OrderedDataset:
                 StructField("last_p", LongType()),
                 StructField("first_v", val_type),
                 StructField("last_v", val_type),
+                StructField("n", LongType()),
                 StructField("ok", BooleanType()),
             ]
         )
@@ -283,6 +290,7 @@ class OrderedDataset:
                         "last_p": [pdf["p"].iloc[-1]],
                         "first_v": [pdf["v"].iloc[0]],
                         "last_v": [pdf["v"].iloc[-1]],
+                        "n": [len(pdf)],
                         "ok": [bool(pdf["v"].is_monotonic_increasing)],
                     }
                 )
@@ -291,11 +299,14 @@ class OrderedDataset:
             proj.mapInPandas(summarize, out_schema).collect(),
             key=lambda r: r["first_p"],
         )
+        if not parts:
+            return None, None, 0
         for prev, cur in zip(parts, parts[1:]):
             if prev["last_v"] > cur["first_v"]:
                 raise ValueError(f"column {ordered_on!r} is not ordered")
         if any(not r["ok"] for r in parts):
             raise ValueError(f"column {ordered_on!r} is not ordered")
+        return parts[0]["first_v"], parts[-1]["last_v"], sum(r["n"] for r in parts)
 
     def _select_overlap(
         self,
