@@ -42,6 +42,7 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_neardup_pairs",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "multimodal_features",
     "session_windows",
     "volume_bars_10k",

@@ -133,6 +133,89 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    sample_size: int = 4096,
+    lloyd_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the classic ANN scale path alongside LSH.
+
+    Train: a bounded sample (``limit(sample_size)`` — deterministic)
+    is pulled to the driver and clustered with a few Lloyd iterations
+    on the unit sphere (spherical k-means; numpy, milliseconds). The
+    centroid matrix is a closure constant — no fitting job, no MLlib
+    dependency, fully deterministic for a given corpus prefix + seed.
+
+    Search: one Arrow-batched matmul assigns every corpus vector its
+    nearest cell (this is the partition layout — at scale the cell id
+    becomes the table's partition/bucket column so a probe touches
+    only ``nprobe/n_cells`` of the files); each query probes its
+    ``nprobe`` closest cells; candidates are exact-ranked with
+    ``cosine_pd``. The corpus is never shuffled: cell keys join
+    against the broadcast (query, cell) probe list.
+    """
+    import numpy as np
+
+    sample = np.vstack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in corpus.select(vec_col).limit(sample_size).collect()
+        ]
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for j in range(len(cents)):
+            m = sample[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    C = cents
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(M @ C.T), axis=1)[:, : min(nprobe, len(C))]
+        return pd.Series(list(order.astype("int32")))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cell", cell_of(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probes = q.select(
+        "query_id", "qv", F.explode(probe_cells(F.col("qv"))).alias("cell")
+    )
+    scored = c.join(F.broadcast(probes), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("sim", cosine_pd(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i).
 

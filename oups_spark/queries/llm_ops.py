@@ -339,6 +339,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+@register("ann_ivf_topk")  # approximate: rows-only check by design
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned top-k (the inverted-file ANN scale path:
+    spherical-kmeans cells from a driver-side sample, corpus bucketed
+    by cell, queries probe nprobe cells); approximate by
+    construction, so no SQL oracle — pytest asserts recall against
+    the brute-force baseline."""
+    from oups_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
 @register("multimodal_features")  # stubbed decode: rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: pack documents as opaque payloads with

@@ -94,3 +94,23 @@ def test_multimodal_plumbing_roundtrip(spark):
         assert f["n_bytes"] == len(payload)
         assert f["checksum"] == sum(payload) % (1 << 31)
         assert f["mean_byte"] == pytest.approx(sum(payload) / len(payload))
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from oups_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_cosine_topk(emb, queries, k=5, n_cells=16, nprobe=4).toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # probing 4/16 cells of weakly-clustered synthetic vectors: must
+    # clearly beat the 25% corpus fraction baseline
+    assert recall > 0.5, f"IVF recall {recall:.2f} suspiciously low"
+    for _, g in approx.groupby("query_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+    # seeded sample + literal centroids => bit-identical reruns
+    again = ivf_cosine_topk(emb, queries, k=5, n_cells=16, nprobe=4).toPandas()
+    assert approx.equals(again)
