@@ -254,3 +254,32 @@ def test_row_count_bins_chunked_equals_one_shot(spark, scratch):
     assert list(one["sum_val"]) == pytest.approx(exp_sum)
     exp_labels = [g["ts"].iloc[0] for _, g in pdf.groupby(pdf.reset_index().index // 7)]
     assert list(one["bin_label"]) == exp_labels
+
+
+def test_memory_budget_flush_equals_one_shot(spark, scratch):
+    """T7: a tiny max_buffered_bins forces a store flush after every
+    chunk; the final result must still equal the one-shot run."""
+    pdf = make_ticks()
+    chunks = np.split(pdf, [30, 60])
+    run_stream(spark, f"{scratch}/one", [pdf])
+    cfg = KeyConfig(path=f"{scratch}/budget", agg=AGG, bin_by="1h", tiebreak=["id"])
+    stream = AggStream(
+        spark, ordered_on="ts", keys={"k": cfg}, max_buffered_bins=1
+    )
+    stream.agg([spark.createDataFrame(c) for c in chunks], discard_last=False)
+    pd.testing.assert_frame_equal(
+        read_bins(spark, f"{scratch}/one"), read_bins(spark, f"{scratch}/budget")
+    )
+
+
+def test_disordered_seed_across_chunks_rejected(spark, scratch):
+    """T9: a chunk starting before the restart index (seed went
+    backwards) raises instead of silently corrupting bins."""
+    pdf = make_ticks()
+    first, second = np.split(pdf, [60])
+    cfg = KeyConfig(path=f"{scratch}/dis", agg=AGG, bin_by="1h", tiebreak=["id"])
+    stream = AggStream(spark, ordered_on="ts", keys={"k": cfg})
+    stream.agg(spark.createDataFrame(first), discard_last=False)
+    stream2 = AggStream(spark, ordered_on="ts", keys={"k": cfg})
+    with pytest.raises(ValueError, match="not ordered across chunks"):
+        stream2.agg(spark.createDataFrame(pdf), trim_start=False)
