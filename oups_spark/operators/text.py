@@ -85,6 +85,20 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs that
+# behave identically in Java regex (Spark) and RE2 (DuckDB): no
+# lookahead, explicit ASCII classes, leftmost-first alternation.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under a BPE-ish pre-tokenization (contractions,
+    space-prefixed words/numbers/punct runs, whitespace runs) — the
+    cheap proxy for "how many LLM tokens is this document" used to
+    budget training data. Pure JVM regex, one pass."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def punct_ratio(col: Column) -> Column:
     """Punctuation chars per char (guard: 0 for empty text)."""
     n = F.length(col)
@@ -203,6 +217,7 @@ def text_stats_df(
         F.col(id_col),
         F.length(c).alias("__n_chars"),
         F.size(F.regexp_extract_all(c, F.lit(PUNCT_CLASS), F.lit(0))).alias("__pc"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
     )
     ex = df.select(
         F.col(id_col), F.explode_outer(tokens(c)).alias("__t")
@@ -218,6 +233,7 @@ def text_stats_df(
     return joined.select(
         F.col(id_col),
         n,
+        F.col("n_bpe_tokens"),
         F.round(
             F.when(F.col("__n_chars") > 0, F.col("__pc") / F.col("__n_chars")).otherwise(
                 F.lit(0.0)

@@ -26,6 +26,7 @@ from oups_spark.operators.similarity import (
     lsh_cosine_topk,
 )
 from oups_spark.operators.text import (
+    BPE_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
     lang_scores,
@@ -45,6 +46,7 @@ _SH = (
 )
 _MD5INT = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
 _SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
 
 
 @register(
@@ -53,6 +55,7 @@ _SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
     WITH t AS (SELECT doc_id, text, {_TOK} AS tok FROM documents)
     SELECT doc_id,
            len(tok) AS n_tokens,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
            round(CASE WHEN length(text) > 0
                  THEN len(regexp_extract_all(text, '[.,;:!?]')) / length(text)
                  ELSE 0 END, 6) AS punct_ratio,
