@@ -95,14 +95,15 @@ def bpe_token_count(col: Column) -> Column:
     """Token count under a BPE-ish pre-tokenization (contractions,
     space-prefixed words/numbers/punct runs, whitespace runs) — the
     cheap proxy for "how many LLM tokens is this document" used to
-    budget training data. Pure JVM regex, one pass."""
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+    budget training data. Pure JVM regex, one pass; ``regexp_count``
+    counts matches without materializing the match array."""
+    return F.regexp_count(col, F.lit(BPE_PATTERN))
 
 
 def punct_ratio(col: Column) -> Column:
     """Punctuation chars per char (guard: 0 for empty text)."""
     n = F.length(col)
-    pc = F.size(F.regexp_extract_all(col, F.lit(PUNCT_CLASS), F.lit(0)))
+    pc = F.regexp_count(col, F.lit(PUNCT_CLASS))
     return F.when(n > 0, pc / n).otherwise(F.lit(0.0))
 
 
@@ -216,7 +217,7 @@ def text_stats_df(
     base = df.select(
         F.col(id_col),
         F.length(c).alias("__n_chars"),
-        F.size(F.regexp_extract_all(c, F.lit(PUNCT_CLASS), F.lit(0))).alias("__pc"),
+        F.regexp_count(c, F.lit(PUNCT_CLASS)).alias("__pc"),
         bpe_token_count(c).alias("n_bpe_tokens"),
     )
     ex = df.select(
