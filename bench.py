@@ -38,6 +38,7 @@ HEADLINE = [
     "simhash_signatures",
     "minhash_signatures",
     "minhash_lsh_neardup_pairs",
+    "neardup_clusters",
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "embedding_neardup_pairs",

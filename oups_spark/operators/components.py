@@ -1,0 +1,144 @@
+"""Connected components over near-duplicate pair graphs.
+
+Reference parity: none — the reference (yohplala/oups) has no graph
+operators. This belongs to the beyond-reference LLM-pipeline layer:
+LSH / Jaccard / cosine near-dup detection emits PAIRS, but a dedup
+policy needs CLUSTERS — one canonical document kept per connected
+component of the pair graph (transitive closure: if A~B and B~C, all
+three are one duplicate group even when A~C was never emitted).
+
+Algorithm: min-label propagation with pointer jumping (the
+"hash-to-min" family — Rastogi et al. 2013, *Finding Connected
+Components in Map-Reduce in Logarithmic Rounds*). Each round:
+
+1. every node takes the min label over itself and its neighbors
+   (one keyed shuffle: edge join + min aggregation), then
+2. jumps to its current label's label (one more keyed join) — so a
+   label travels ~2^r hops after r rounds instead of r.
+
+Each round ends in an eager ``localCheckpoint``: lineage stays O(1)
+rounds deep, so Catalyst never re-derives the whole iteration stack
+and executors never replay earlier rounds. Convergence is detected
+through the sum of labels — per-row labels only ever decrease (to
+the component minimum), so an unchanged sum is a fixpoint; that is
+one scalar aggregate per round, no row-level diff join.
+
+Scale posture (100 TB): rounds are O(log diameter); near-dup
+components are shallow (duplicate families, not social graphs), so
+2-4 rounds is typical. Every step is a plain keyed shuffle on node
+ids — uniformly distributed, AQE-skew-safe; nothing is collected to
+the driver except the one convergence scalar.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    Parameters
+    ----------
+    nodes : one row per node; ``id_col`` must be orderable (the
+        component representative is the minimum id).
+    edges : undirected pair list (``src_col``, ``dst_col``); need not
+        be symmetric or deduplicated — both are normalized here.
+    max_rounds : safety bound; with pointer jumping a component of
+        diameter d converges in O(log d) rounds, so the default
+        covers graphs far beyond any dedup workload.
+
+    Returns
+    -------
+    DataFrame ``(id, comp)`` — ``comp`` is the component's minimum
+    node id; isolated nodes map to themselves.
+    """
+    # materialize the (possibly expensive) upstream pair pipeline
+    # once — it is re-joined every round and twice via the symmetric
+    # union, so leaving it lazy re-runs the whole producer per round
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint()
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+    prev_total = None
+    for _ in range(max_rounds):
+        # 1. min label over neighbors (invariant: every comp value is
+        #    itself a node id, so the pointer jump below always lands)
+        nmin = (
+            e.join(
+                labels.select(
+                    F.col("id").alias("v"), F.col("comp").alias("vcomp")
+                ),
+                on="v",
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nmin"))
+        )
+        stepped = labels.join(
+            nmin, labels["id"] == nmin["u"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # 2. pointer jump: comp <- label(comp)
+        parent = stepped.select(
+            F.col("id").alias("pid"), F.col("comp").alias("pcomp")
+        )
+        labels = (
+            stepped.join(parent, stepped["comp"] == parent["pid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        total = labels.agg(F.sum("comp")).first()[0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return labels
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Cluster near-dup pairs into duplicate groups and pick the
+    canonical survivor (minimum id) per group.
+
+    Returns ``(doc_id, cluster_id, is_canonical)``; filtering on
+    ``is_canonical`` yields the deduplicated corpus.
+    """
+    labels = connected_components(
+        docs.select(id_col),
+        pairs,
+        id_col=id_col,
+        src_col=src_col,
+        dst_col=dst_col,
+    )
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )

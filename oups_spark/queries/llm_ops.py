@@ -240,6 +240,52 @@ def minhash_lsh_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_clusters",
+    oracle=_SIGS_CTE.replace("WITH t", "WITH RECURSIVE t", 1)
+    + f""",
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE {_band_condition()}
+    ),
+    shn AS (SELECT doc_id, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOK} AS tok FROM documents)),
+    prs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN shn a ON a.doc_id = id_a JOIN shn b ON b.doc_id = id_b
+      WHERE len(list_intersect(a.sh, b.sh)) /
+            len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    ),
+    eg AS (SELECT id_a AS u, id_b AS v FROM prs
+           UNION ALL SELECT id_b, id_a FROM prs),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT eg.u, r.comp FROM eg JOIN reach r ON r.id = eg.v
+    )
+    SELECT id AS doc_id, min(comp) AS cluster_id,
+           (min(comp) = id) AS is_canonical
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> duplicate groups: MinHash+LSH near-dup pairs closed
+    under transitivity via distributed connected components
+    (hash-to-min label propagation, O(log d) rounds), min-id
+    canonical per cluster. The oracle computes the same transitive
+    closure with a recursive CTE."""
+    from oups_spark.operators.components import neardup_clusters
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = minhash_lsh_neardup_pairs(
+        docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
+    )
+    return neardup_clusters(docs, pairs, id_col="doc_id").orderBy("doc_id")
+
+
+@register(
     "simhash_signatures",
     oracle=f"""
     WITH t AS (SELECT doc_id, list_distinct({_TOK}) AS tok FROM documents),

@@ -1,0 +1,70 @@
+"""Connected components: transitive closure correctness (chains,
+forests, isolated nodes), convergence on paths longer than one
+propagation round, and input normalization (asymmetric / duplicate
+edges)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oups_spark.operators.components import (
+    connected_components,
+    neardup_clusters,
+)
+
+
+def _run(spark, node_ids, edge_pairs, **kw):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs] or [(None, None)],
+        "id_a: long, id_b: long",
+    )
+    if not edge_pairs:
+        edges = edges.filter("id_a IS NOT NULL")
+    out = connected_components(nodes, edges, **kw)
+    return dict(out.collect())
+
+
+def test_chain_is_one_component(spark):
+    # a-b, b-c, c-d: transitivity must close the chain even though
+    # (a, d) was never an edge
+    comp = _run(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_forest_and_isolated_nodes(spark):
+    comp = _run(spark, [1, 2, 3, 4, 5, 6, 7], [(2, 1), (6, 7)])
+    assert comp == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5, 6: 6, 7: 6}
+
+
+def test_long_path_converges(spark):
+    # 40-node path: diameter 39 >> round count; pointer jumping must
+    # still converge (labels travel ~2^r hops per round)
+    n = 40
+    comp = _run(spark, range(n), [(i, i + 1) for i in range(n - 1)])
+    assert comp == {i: 0 for i in range(n)}
+
+
+def test_asymmetric_duplicate_edges_normalized(spark):
+    comp = _run(spark, [1, 2, 3], [(3, 1), (1, 3), (3, 1), (2, 3)])
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_no_edges_all_singletons(spark):
+    comp = _run(spark, [5, 9], [])
+    assert comp == {5: 5, 9: 9}
+
+
+def test_neardup_clusters_canonical_flag(spark):
+    docs = spark.createDataFrame([(i,) for i in [10, 20, 30, 40]], "doc_id: long")
+    pairs = spark.createDataFrame([(20, 40)], "id_a: long, id_b: long")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    assert out == {
+        10: (10, True),
+        20: (20, True),
+        30: (30, True),
+        40: (20, False),
+    }
