@@ -39,6 +39,7 @@ HEADLINE = [
     "minhash_signatures",
     "minhash_lsh_neardup_pairs",
     "neardup_clusters",
+    "corpus_curation",
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "embedding_neardup_pairs",

@@ -411,3 +411,137 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return extract_features(pack_documents_as_media(docs)).orderBy("doc_id")
+
+
+def _curation_sql() -> str:
+    """End-to-end curation oracle: stats + lang argmax + recursive-CTE
+    near-dup clusters, composed from the same fragments as the
+    individual query oracles."""
+    score = {
+        lang: (
+            "len(list_filter(list_distinct(tok), x -> list_contains(["
+            + ", ".join(f"'{m}'" for m in markers)
+            + "], x)))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(score.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = {mx} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return (
+        _SIGS_CTE.replace("WITH t", "WITH RECURSIVE t", 1)
+        + f""",
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE {_band_condition()}
+    ),
+    shn AS (SELECT doc_id, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOK} AS tok FROM documents)),
+    prs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN shn a ON a.doc_id = id_a JOIN shn b ON b.doc_id = id_b
+      WHERE len(list_intersect(a.sh, b.sh)) /
+            len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    ),
+    eg AS (SELECT id_a AS u, id_b AS v FROM prs
+           UNION ALL SELECT id_b, id_a FROM prs),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT eg.u, r.comp FROM eg JOIN reach r ON r.id = eg.v
+    ),
+    comp AS (SELECT id AS doc_id, min(comp) AS cluster_id
+             FROM reach GROUP BY id),
+    st AS (
+      SELECT d.doc_id, d.lang, d.source,
+             len(tok) AS n_tokens,
+             len(regexp_extract_all(d.text, '{_BPE_SQL}')) AS n_bpe,
+             round(CASE WHEN len(tok) > 0
+                   THEN len(list_filter(tok, x -> list_contains({_SW_LIST}, x))) / len(tok)
+                   ELSE 0 END, 6) AS swr,
+             round(CASE WHEN length(d.text) > 0
+                   THEN len(regexp_extract_all(d.text, '[.,;:!?]')) / length(d.text)
+                   ELSE 0 END, 6) AS pr,
+             round(CASE WHEN len(tok) > 0
+                   THEN list_sum(list_transform(tok, x -> length(x))) / len(tok)
+                   ELSE 0 END, 6) AS mtl,
+             CASE {whens} END AS pred_lang
+      FROM documents d JOIN t ON t.doc_id = d.doc_id
+    ),
+    kept AS (
+      SELECT st.*,
+             (c.cluster_id = st.doc_id AND pred_lang = lang
+              AND n_tokens >= 10 AND swr >= 0.05 AND pr <= 0.1
+              AND mtl BETWEEN 3 AND 12) AS keep
+      FROM st JOIN comp c ON c.doc_id = st.doc_id
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN keep THEN n_bpe END), 0) AS BIGINT) AS bpe_tokens_kept
+    FROM kept GROUP BY lang, source ORDER BY lang, source
+    """
+    )
+
+
+@register("corpus_curation", oracle=_curation_sql())
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data curation pipeline, end to end in
+    one plan: per-doc text stats (one tokenize pass), language-ID
+    argmax, MinHash+LSH near-dup clustering (transitive closure),
+    then a per-(lang, source) budget report — docs total, docs kept
+    (canonical + lang-consistent + quality thresholds), and the BPE
+    token budget the kept set contributes.
+
+    Scale shape: stats and lang-ID are map-side derivations of the
+    same scan; clustering is the only iterative piece (O(log d)
+    keyed-shuffle rounds); the final rollup is a low-cardinality
+    hash aggregation. Output rows = |langs| x |sources|, independent
+    of corpus size."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from oups_spark.operators.components import neardup_clusters
+    from oups_spark.operators.text import text_stats_df
+
+    stats = text_stats_df(docs, "doc_id")
+    scored = docs.select("doc_id", "lang", "source", *lang_scores(F.col("text")))
+    mx = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = None
+    for lang in LANG_MARKERS:
+        cond = F.col(f"score_{lang}") == mx
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    langp = scored.select("doc_id", "lang", "source", pred.alias("pred_lang"))
+
+    pairs = minhash_lsh_neardup_pairs(
+        docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
+    )
+    clusters = neardup_clusters(docs, pairs, id_col="doc_id")
+
+    j = langp.join(stats, "doc_id").join(
+        clusters.select("doc_id", "is_canonical"), "doc_id"
+    )
+    keep = (
+        F.col("is_canonical")
+        & (F.col("pred_lang") == F.col("lang"))
+        & (F.col("n_tokens") >= 10)
+        & (F.col("stopword_ratio") >= 0.05)
+        & (F.col("punct_ratio") <= 0.1)
+        & F.col("mean_token_len").between(3, 12)
+    )
+    return (
+        j.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(keep.cast("long")), F.lit(0).cast("long")).alias(
+                "n_kept"
+            ),
+            F.coalesce(
+                F.sum(F.when(keep, F.col("n_bpe_tokens"))).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("bpe_tokens_kept"),
+        )
+        .orderBy("lang", "source")
+    )
