@@ -85,6 +85,12 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+        # drop cached/checkpointed RDDs a query pinned (persist or
+        # localCheckpoint) so residue never skews later timings —
+        # each query is measured from a clean cache on a warm JVM
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
