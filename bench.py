@@ -26,6 +26,7 @@ HEADLINE = [
     "order_priority_counts",
     "store_merge_keep_last",
     "store_append_range_read",
+    "store_compact_roundtrip",
     "dnf_filter_events",
     "segment_bins_1h",
     "segment_bins_4h_right",

@@ -126,3 +126,34 @@ def dnf_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.select("event_id", "ts", "user_id", "event_type", "value").orderBy(
         "event_id"
     )
+
+
+@register(
+    "store_compact_roundtrip",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events ORDER BY ts, event_id
+    """,
+)
+def store_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-target file coalescing (S10 / reference off-target
+    coalescing; Delta OPTIMIZE equivalent): write events in many
+    deliberately undersized appends, ``compact()`` the fragmented
+    layout, and read back — the data must be byte-identical to the
+    input and the file count strictly smaller.
+    """
+    path = os.path.join(_fresh("store_compact_roundtrip"), "events_ds")
+    events = load(spark, sf_dir, "events")
+    ds = OrderedDataset(spark, path)
+    # 4 appends split on day-of-month quartiles -> fragmented files
+    d = F.dayofmonth("ts")
+    bounds = [(1, 8), (8, 16), (16, 24), (24, 32)]
+    for lo, hi in bounds:
+        chunk = events.filter((d >= lo) & (d < hi))
+        ds.write(df=chunk, ordered_on="ts", row_group_target_size=1000)
+    n_before = ds.n_files
+    ds.compact(row_group_target_size=20000)
+    assert ds.n_files < n_before, (ds.n_files, n_before)
+    return ds.read().orderBy("ts", "event_id").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

@@ -68,3 +68,48 @@ def test_neardup_clusters_canonical_flag(spark):
         30: (30, True),
         40: (20, False),
     }
+
+
+# ---------------------------------------------------------- property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _union_find(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical representative = min node id in component
+    comp: dict[int, list[int]] = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    return {i: min(members) for members in comp.values() for i in members}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=25),
+    edge_idx=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        max_size=35,
+    ),
+)
+def test_components_match_union_find(spark, n, edge_idx):
+    """Any random graph (self-loops, duplicates, asymmetry included)
+    must agree with a sequential union-find oracle."""
+    edges = [(a % n, b % n) for a, b in edge_idx]
+    got = _run(spark, range(n), edges)
+    assert got == _union_find(n, edges)
