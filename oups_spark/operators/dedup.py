@@ -153,6 +153,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     threshold: float,
     n: int = 3,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by true shingle Jaccard, restricted to pairs
     sharing ``block_col`` (e.g. language).
@@ -164,9 +165,18 @@ def ngram_jaccard_pairs(
     J = c / (|A| + |B| - c). Pairs with zero common shingles have
     J = 0 < threshold, so skipping them is exact. No per-pair array
     traversals, no low-parallelism block join — every stage is an
-    equality-shuffled hash op. (At corpus scale the classic refinement
-    is a document-frequency cap on ultra-common shingles; not applied
-    here to keep semantics exactly = the SQL oracle.)
+    equality-shuffled hash op.
+
+    ``df_cap`` is the corpus-scale refinement: shingles whose
+    document frequency (within a block) exceeds the cap are dropped
+    from CANDIDATE GENERATION only — the Σ df² posting-list blowup is
+    bounded at cap²·n_shingles — and surviving candidate pairs are
+    then verified on their FULL shingle sets, so reported Jaccard
+    values stay exact. Precision is unaffected; recall is lost only
+    for pairs whose every shared shingle is ultra-common (such pairs
+    sit near J≈0 for any realistic threshold). ``None`` (default)
+    keeps the single-pass exact plan, whose semantics equal the SQL
+    oracle.
     """
     sh = df.select(
         F.col(block_col),
@@ -178,6 +188,34 @@ def ngram_jaccard_pairs(
         F.size("sh").alias("n_sh"),
         F.explode("sh").alias("hv"),
     )
+    if df_cap is not None:
+        rare = (
+            sh.groupBy(block_col, "hv")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select(block_col, "hv")
+        )
+        idx = sh.join(rare, on=[block_col, "hv"])
+        a = idx.select(F.col(block_col), F.col("hv"), F.col(id_col).alias("id_a"))
+        b = idx.select(F.col(block_col), F.col("hv"), F.col(id_col).alias("id_b"))
+        cands = (
+            a.join(b, on=[block_col, "hv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        full = df.select(
+            F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh")
+        )
+        fa = full.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        fb = full.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        return (
+            cands.join(fa, on="id_a")
+            .join(fb, on="id_b")
+            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
     a = sh.select(
         F.col(block_col), F.col("hv"),
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"),

@@ -114,3 +114,37 @@ def test_ivf_topk_recall_and_determinism(spark):
     # seeded sample + literal centroids => bit-identical reruns
     again = ivf_cosine_topk(emb, queries, k=5, n_cells=16, nprobe=4).toPandas()
     assert approx.equals(again)
+
+
+def test_ngram_jaccard_df_cap_exact_and_bounded(spark):
+    """df_cap semantics: a generous cap changes nothing (planted
+    shingles are rare); an aggressive cap may only SHRINK the pair
+    set, never alter a surviving pair's jaccard, and must retain the
+    planted near-identical pairs (their shingles are rare by
+    construction)."""
+    from oups_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, SF_DIR, "documents")
+    kw = dict(block_col="lang", threshold=0.5)
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    assert base, "fixture should contain planted near-dup pairs"
+    wide = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", df_cap=10**6, **kw
+        ).collect()
+    }
+    assert wide == base
+    tight = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", df_cap=3, **kw
+        ).collect()
+    }
+    assert set(tight) <= set(base)
+    assert all(base[p] == j for p, j in tight.items())
+    high_sim = {p for p, j in base.items() if j >= 0.9}
+    assert high_sim <= set(tight)
