@@ -37,8 +37,38 @@ def _ns_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime SQL confs query correctness depends on.
+
+    ``load`` must work on ANY SparkSession (the driver harness builds its
+    own, without :func:`oups_spark.session.get_spark`), so every conf a
+    query's semantics rely on is applied here at runtime rather than only
+    at session build time:
+
+    - ``nanosAsLong``: ``events.ts`` is parquet timestamp[ns]; without
+      this flag a vanilla session dies with ``PARQUET_TYPE_ILLEGAL``
+      before the query runs.  With it, ns columns read as long and
+      ``load`` converts to microsecond timestamps (DuckDB truncation).
+    - UTC session time zone: timestamp binning/formatting must match the
+      DuckDB oracle, which runs in UTC.
+    - ANSI off: oracle comparisons rely on permissive null-on-overflow
+      arithmetic, matching the engine's documented semantics.
+    """
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # noqa: BLE001 - conf locked by a custom session
+            pass
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    ensure_session_confs(spark)
     df = spark.read.parquet(path)
     for c in _ns_timestamp_cols(path):
         # floor-divide to micros: identical truncation to DuckDB's
