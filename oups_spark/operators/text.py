@@ -144,12 +144,91 @@ def bow_fingerprint(col: Column) -> Column:
 
 
 def lang_scores(col: Column) -> list[Column]:
-    """Per-language marker-hit counts over the distinct token set."""
+    """Per-language marker-hit counts over the distinct token set.
+
+    Column form — deriving all 5 from one raw text column re-inlines
+    the tokenize pipeline per language via project collapse; prefer
+    :func:`lang_id_df` on DataFrames (tokenizes once per row)."""
     tok = F.array_distinct(tokens(col))
     return [
         F.size(F.filter(tok, lambda t: t.isin(*markers))).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
     ]
+
+
+def once_per_row(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
+    """Append columns whose expressions are guaranteed to evaluate
+    ONCE per row, shielded from Catalyst project collapse.
+
+    ``explode(array(e1, ..., ek))`` would multiply rows; instead each
+    expression is wrapped in a single-element array and a struct, and
+    one ``explode(array(struct(...)))`` Generate node materializes all
+    of them.  A Generate is a projection barrier: downstream projects
+    reference its output attributes and cannot re-inline the producing
+    expressions — the documented fix shape for the k-fold
+    project-collapse recompute hazard (lambda-bearing expressions are
+    also excluded from codegen subexpression elimination, so the
+    barrier is the only reliable guard for higher-order-function
+    pipelines like tokenize).
+
+    Narrow, zero-shuffle, whole-stage-codegen friendly; the arity of
+    the outer array is exactly 1, so row count is preserved (including
+    empty/null inputs).
+    """
+    payload = F.explode(
+        F.array(F.struct(*[e.alias(name) for name, e in exprs.items()]))
+    ).alias("__once")
+    out = df.select("*", payload)
+    for name in exprs:
+        out = out.withColumn(name, F.col(f"__once.{name}"))
+    return out.drop("__once")
+
+
+def with_pred_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``pred_lang``: argmax of per-language marker hits over
+    the distinct token set, first-wins tiebreak in LANG_MARKERS order.
+    Tokenizes ONCE per row (map-side, zero shuffle) behind a
+    :func:`once_per_row` barrier; the round-1 column form paid a
+    5-fold tokenize recompute via project collapse."""
+    base = once_per_row(
+        df, {"__tok": F.array_distinct(tokens(F.col(text_col)))}
+    )
+    tok = F.col("__tok")
+    scored = once_per_row(
+        base,
+        {
+            f"score_{lang}": F.size(
+                F.filter(tok, lambda t: t.isin(*markers))
+            )
+            for lang, markers in LANG_MARKERS.items()
+        },
+    )
+    mx = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    expr = None
+    for lang in LANG_MARKERS:
+        cond = F.col(f"score_{lang}") == mx
+        expr = (
+            F.when(cond, F.lit(lang))
+            if expr is None
+            else expr.when(cond, F.lit(lang))
+        )
+    scored = scored.withColumn("pred_lang", expr)
+    return scored.drop(
+        "__tok", *[f"score_{lang}" for lang in LANG_MARKERS]
+    )
+
+
+def lang_id_df(
+    df: DataFrame, id_col: str, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Language-ID result frame: id, pred_lang, is_match (pred vs the
+    labeled lang column).  See :func:`with_pred_lang`."""
+    pred = with_pred_lang(df.select(id_col, lang_col, text_col), text_col)
+    return pred.select(
+        F.col(id_col),
+        F.col("pred_lang"),
+        (F.col("pred_lang") == F.col(lang_col)).alias("is_match"),
+    )
 
 
 def simhash32(col: Column) -> Column:
@@ -204,50 +283,54 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def text_stats_df(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
-    """Per-document text statistics via explode + one hash
-    aggregation — tokenize ONCE per document (the per-column
-    expression form in :func:`with_text_stats` re-runs the split for
-    every stat via project collapse; fine for a handful of rows,
-    k-fold waste at corpus scale).
+    """Per-document text statistics, fully MAP-SIDE: one narrow
+    projection, zero shuffle.  The token array is materialized once
+    per row behind a :func:`once_per_row` Generate barrier (the
+    per-column expression form in :func:`with_text_stats` re-runs the
+    split for every stat via project collapse; the round-1 explode +
+    groupBy shape shuffled every token of the corpus just to rebuild
+    the per-document fingerprint).  At 100 TB this runs inside the
+    scan stage — nothing moves.
 
-    Output: id, n_tokens, punct_ratio, stopword_ratio,
+    Output: id, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio,
     mean_token_len, fingerprint.
     """
     c = F.col(text_col)
-    base = df.select(
+    base = once_per_row(
+        df.select(
+            F.col(id_col),
+            F.length(c).alias("__n_chars"),
+            F.regexp_count(c, F.lit(PUNCT_CLASS)).alias("__pc"),
+            bpe_token_count(c).alias("n_bpe_tokens"),
+            c.alias("__text"),
+        ),
+        {"__tok": tokens(F.col("__text"))},
+    )
+    tok = F.col("__tok")
+    n = F.size(tok)
+    sw = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
+    tl = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return base.select(
         F.col(id_col),
-        F.length(c).alias("__n_chars"),
-        F.regexp_count(c, F.lit(PUNCT_CLASS)).alias("__pc"),
-        bpe_token_count(c).alias("n_bpe_tokens"),
-    )
-    ex = df.select(
-        F.col(id_col), F.explode_outer(tokens(c)).alias("__t")
-    )
-    tokagg = ex.groupBy(id_col).agg(
-        F.count("__t").alias("n_tokens"),
-        F.sum(F.when(F.col("__t").isin(*STOPWORDS), 1).otherwise(0)).alias("__sw"),
-        F.sum(F.length("__t")).alias("__tl"),
-        F.sort_array(F.collect_set("__t")).alias("__toks"),
-    )
-    joined = base.join(tokagg, on=id_col)
-    n = F.col("n_tokens")
-    return joined.select(
-        F.col(id_col),
-        n,
+        n.cast("long").alias("n_tokens"),
         F.col("n_bpe_tokens"),
         F.round(
-            F.when(F.col("__n_chars") > 0, F.col("__pc") / F.col("__n_chars")).otherwise(
-                F.lit(0.0)
-            ),
+            F.when(
+                F.col("__n_chars") > 0, F.col("__pc") / F.col("__n_chars")
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("punct_ratio"),
         F.round(
-            F.when(n > 0, F.col("__sw") / n).otherwise(F.lit(0.0)), 6
+            F.when(n > 0, sw.cast("long") / n).otherwise(F.lit(0.0)), 6
         ).alias("stopword_ratio"),
         F.round(
-            F.when(n > 0, F.col("__tl") / n).otherwise(F.lit(0.0)), 6
+            F.when(n > 0, tl.cast("long") / n).otherwise(F.lit(0.0)), 6
         ).alias("mean_token_len"),
-        F.md5(F.concat_ws(" ", F.col("__toks"))).alias("fingerprint"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tok)))
+        ).alias("fingerprint"),
     )
 
 

@@ -29,8 +29,10 @@ from oups_spark.operators.text import (
     BPE_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
+    lang_id_df,
     lang_scores,
     simhash32,
+    with_pred_lang,
     with_text_stats,
 )
 from oups_spark.queries import register
@@ -107,20 +109,10 @@ def _lang_case_sql() -> str:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language-ID heuristic: argmax of per-language
     marker hits over the distinct token set, first-wins tiebreak in
-    LANG_MARKERS order."""
+    LANG_MARKERS order.  Tokenizes ONCE per document behind a Generate
+    barrier — map-side, zero shuffle."""
     docs = load(spark, sf_dir, "documents")
-    scored = docs.select("doc_id", "lang", *lang_scores(F.col("text")))
-    mx = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
-    pred = F
-    expr = None
-    for lang in LANG_MARKERS:
-        cond = F.col(f"score_{lang}") == mx
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return scored.select(
-        "doc_id",
-        expr.alias("pred_lang"),
-        (expr == F.col("lang")).alias("is_match"),
-    ).orderBy("doc_id")
+    return lang_id_df(docs, "doc_id", "text", "lang").orderBy("doc_id")
 
 
 @register(
@@ -507,13 +499,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.text import text_stats_df
 
     stats = text_stats_df(docs, "doc_id")
-    scored = docs.select("doc_id", "lang", "source", *lang_scores(F.col("text")))
-    mx = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
-    pred = None
-    for lang in LANG_MARKERS:
-        cond = F.col(f"score_{lang}") == mx
-        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    langp = scored.select("doc_id", "lang", "source", pred.alias("pred_lang"))
+    langp = with_pred_lang(
+        docs.select("doc_id", "lang", "source", "text")
+    ).drop("text")
 
     pairs = minhash_lsh_neardup_pairs(
         docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4

@@ -244,13 +244,16 @@ class AggStream:
             chunk = rem.unionByName(chunk)
             self.seed_remainder = None
 
-        restart = min(
-            (
-                st.restart_index
-                for st in self.state.values()
-                if st.restart_index is not None
-            ),
-            default=None,
+        # Global trim is only safe at the min watermark when EVERY key
+        # has one: a key with no restart index (new key, or its kv
+        # write lagged a crash) still needs the early rows — keys that
+        # are ahead skip them via the per-key trim in
+        # _agg_chunk_all_keys instead.
+        indexes = [st.restart_index for st in self.state.values()]
+        restart = (
+            None
+            if not indexes or any(ix is None for ix in indexes)
+            else min(indexes)
         )
         if trim_start and restart is not None:
             chunk = chunk.filter(o > F.lit(restart))
@@ -286,14 +289,39 @@ class AggStream:
         # (reference fan-out, aggstream.py:1486-1499)
         chunk = chunk.persist()
         try:
-            self._agg_chunk_all_keys(chunk, processed_max)
+            self._agg_chunk_all_keys(
+                chunk,
+                processed_max,
+                trim_start=trim_start,
+                global_restart=restart if trim_start else None,
+            )
         finally:
             chunk.unpersist()
 
-    def _agg_chunk_all_keys(self, chunk: DataFrame, processed_max) -> None:
+    def _agg_chunk_all_keys(
+        self, chunk: DataFrame, processed_max, *, trim_start=True, global_restart=None
+    ) -> None:
+        o = F.col(self.ordered_on)
         for name, cfg in self.keys.items():
             st = self.state[name]
             filtered = dnf_filter(chunk, cfg.filter)
+            # Per-key trim: the chunk is only trimmed to the GLOBAL
+            # watermark (min across keys, or nothing when a key has no
+            # restart index yet), so a key whose kv write lagged (e.g.
+            # post returned empty -> flush skipped) or a newly added
+            # key would force the OTHER keys to re-aggregate rows
+            # already folded into their persisted bin_acc — sums would
+            # double-count.  Each key ahead of the applied global trim
+            # resumes from its own watermark instead (the reference
+            # raises on mismatched restart indexes, aggstream.py:360;
+            # per-key trim preserves its no-double-count invariant
+            # while letting the lagged key catch up).
+            if (
+                trim_start
+                and st.restart_index is not None
+                and (global_restart is None or st.restart_index > global_restart)
+            ):
+                filtered = filtered.filter(o > F.lit(st.restart_index))
             if isinstance(cfg.bin_by, int):
                 # row-count bins (reference by_x_rows): global bin id
                 # continues across chunks via the persisted row count
@@ -321,7 +349,7 @@ class AggStream:
                 st.rows_so_far += int(agged["__n"].sum())
                 agged = agged.drop(columns="__n")
                 st.bin_buffer.append(agged)
-                st.restart_index = processed_max
+                st.restart_index = self._advance(st.restart_index, processed_max)
                 continue
             agged = segment_agg(
                 filtered,
@@ -352,7 +380,14 @@ class AggStream:
                 if st.restart_index is not None:
                     snaps = snaps[snaps[cfg.snap_col] > st.restart_index]
                 st.snap_buffer.append(snaps)
-            st.restart_index = processed_max
+            st.restart_index = self._advance(st.restart_index, processed_max)
+
+    @staticmethod
+    def _advance(current, new):
+        """Watermarks only move forward: a chunk entirely within a
+        key's already-processed range must not regress its restart
+        index (the per-key trim above makes such chunks no-ops)."""
+        return new if current is None or new > current else current
 
     # ------------------------------------------------------------------
     def _flush(self) -> None:

@@ -272,6 +272,73 @@ def test_memory_budget_flush_equals_one_shot(spark, scratch):
     )
 
 
+def test_lagged_key_restart_no_double_count(spark, scratch):
+    """A key whose kv write lagged (its post returned nothing, so the
+    flush skipped the write) must catch up from its OWN watermark on
+    restart — and must not force the up-to-date keys to re-aggregate
+    rows already folded into their persisted accumulators (sums would
+    double-count)."""
+    pdf = make_ticks()
+    c1, c2 = np.split(pdf, [40])
+    calls = {"n": 0}
+
+    def flaky_post(buffer, bins):
+        calls["n"] += 1
+        # second flush (chunk 2) produces nothing -> kv write skipped,
+        # key "b" restart index stays at chunk 1's watermark
+        return bins.iloc[0:0] if calls["n"] == 2 else bins
+
+    def keys():
+        return {
+            "a": KeyConfig(path=f"{scratch}/lag_a", agg=AGG, bin_by="1h",
+                           tiebreak=["id"]),
+            "b": KeyConfig(path=f"{scratch}/lag_b", agg=AGG, bin_by="1h",
+                           tiebreak=["id"], post=flaky_post),
+        }
+
+    AggStream(spark, ordered_on="ts", keys=keys()).agg(
+        spark.createDataFrame(c1), discard_last=False
+    )
+    AggStream(spark, ordered_on="ts", keys=keys()).agg(
+        spark.createDataFrame(c2), discard_last=False
+    )
+    # restart: key b's kv is at chunk 1's watermark, key a's at chunk
+    # 2's. Re-feed from b's watermark (chunk 2 onward): b reprocesses
+    # chunk 2, a must skip it entirely.
+    AggStream(spark, ordered_on="ts", keys=keys()).agg(
+        spark.createDataFrame(c2), discard_last=False
+    )
+    run_stream(spark, f"{scratch}/lag_one", [pdf])
+    exp = read_bins(spark, f"{scratch}/lag_one")
+    pd.testing.assert_frame_equal(read_bins(spark, f"{scratch}/lag_a"), exp)
+    pd.testing.assert_frame_equal(read_bins(spark, f"{scratch}/lag_b"), exp)
+
+
+def test_new_key_joins_running_stream(spark, scratch):
+    """A key added after other keys have progressed (restart index
+    None) must see ALL rows of the re-fed seed — the global trim must
+    not cut it to the veteran keys' watermark."""
+    pdf = make_ticks()
+    c1, c2 = np.split(pdf, [60])
+    cfg_a = KeyConfig(path=f"{scratch}/vet", agg=AGG, bin_by="1h", tiebreak=["id"])
+    AggStream(spark, ordered_on="ts", keys={"a": cfg_a}).agg(
+        spark.createDataFrame(c1), discard_last=False
+    )
+    cfg_b = KeyConfig(path=f"{scratch}/new", agg=AGG, bin_by="2h", tiebreak=["id"])
+    AggStream(spark, ordered_on="ts", keys={"a": cfg_a, "b": cfg_b}).agg(
+        spark.createDataFrame(pdf), discard_last=False
+    )
+    run_stream(spark, f"{scratch}/vet_one", [pdf])
+    pd.testing.assert_frame_equal(
+        read_bins(spark, f"{scratch}/vet"), read_bins(spark, f"{scratch}/vet_one")
+    )
+    exp_b = (
+        pdf.set_index("ts").resample("2h")["val"].sum(min_count=1).dropna()
+    )
+    got_b = read_bins(spark, f"{scratch}/new")
+    assert list(got_b["sum_val"]) == pytest.approx(list(exp_b))
+
+
 def test_disordered_seed_across_chunks_rejected(spark, scratch):
     """T9: a chunk starting before the restart index (seed went
     backwards) raises instead of silently corrupting bins."""
