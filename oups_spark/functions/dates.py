@@ -38,7 +38,11 @@ def _parse(freq: str) -> tuple[int, str]:
 
 
 def period_duration(freq: str) -> float:
-    """Approximate period length in seconds (exact for fixed freqs)."""
+    """Approximate period length in seconds — exact for fixed freqs,
+    a 30/365-day approximation for months/years.  ONLY for sizing
+    heuristics (file targets, buffer budgets); every grid/label
+    computation must use :func:`floor_ts` / :func:`next_edge` /
+    :func:`step_interval_sql`, which are calendar-exact."""
     n, unit = _parse(freq)
     if unit in _FIXED_SECONDS:
         return n * _FIXED_SECONDS[unit]
@@ -46,6 +50,33 @@ def period_duration(freq: str) -> float:
               "YS": 365 * 86400, "Y": 365 * 86400}
     if unit in approx:
         return n * approx[unit]
+    raise ValueError(f"unsupported period unit: {unit!r}")
+
+
+def is_fixed_freq(freq: str) -> bool:
+    """True when every period of ``freq`` has the same physical
+    duration (UTC, no DST): s/min/h multiples, D, W.  Months and
+    years are calendar periods — arithmetic on them must go through
+    ``add_months``, never a seconds constant."""
+    _n, unit = _parse(freq)
+    return unit in _FIXED_SECONDS or unit in ("D", "W")
+
+
+def step_interval_sql(freq: str) -> str:
+    """SQL interval literal advancing one ``freq`` period — the step
+    for ``F.sequence`` calendar generation, calendar-exact for
+    month/year units."""
+    n, unit = _parse(freq)
+    if unit in _FIXED_SECONDS:
+        return f"INTERVAL {n * _FIXED_SECONDS[unit] * 1_000_000} MICROSECOND"
+    if unit == "D":
+        return f"INTERVAL {n * 86400 * 1_000_000} MICROSECOND"
+    if unit == "W":
+        return f"INTERVAL {n * 7 * 86400 * 1_000_000} MICROSECOND"
+    if unit in ("MS", "M"):
+        return f"INTERVAL '{n}' MONTH"
+    if unit in ("YS", "Y"):
+        return f"INTERVAL '{n * 12}' MONTH"
     raise ValueError(f"unsupported period unit: {unit!r}")
 
 
@@ -66,10 +97,12 @@ def floor_ts(col: Column, freq: str) -> Column:
         return F.timestamp_micros(t - t % micros)
     if unit == "W":
         return F.date_trunc("week", col)
-    if unit in ("MS", "M"):
-        return F.date_trunc("month", col)
-    if unit in ("YS", "Y"):
-        return F.date_trunc("year", col)
+    if unit in ("MS", "M", "YS", "Y"):
+        if n != 1:
+            raise ValueError(
+                f"multi-period month/year frequencies are not supported: {freq!r}"
+            )
+        return F.date_trunc("month" if unit in ("MS", "M") else "year", col)
     raise ValueError(f"unsupported period unit: {unit!r}")
 
 
@@ -78,20 +111,26 @@ def ceil_ts(col: Column, freq: str) -> Column:
     the grid (on-grid values are returned unchanged, matching the
     reference's ceil semantics, ``oups/date_utils.py:38-62``)."""
     floored = floor_ts(col, freq)
-    return F.when(floored == col, col).otherwise(_next_edge(floored, freq))
+    return F.when(floored == col, col).otherwise(next_edge(floored, freq))
 
 
-def _next_edge(floored: Column, freq: str) -> Column:
+def next_edge(on_grid: Column, freq: str) -> Column:
+    """The grid point one ``freq`` period after an on-grid timestamp —
+    calendar-exact for month/year units (``add_months``), epoch
+    arithmetic for fixed ones."""
     n, unit = _parse(freq)
     if unit in _FIXED_SECONDS:
         secs = n * _FIXED_SECONDS[unit]
-        return F.timestamp_micros(unix_us(floored) + secs * 1_000_000)
+        return F.timestamp_micros(unix_us(on_grid) + secs * 1_000_000)
     if unit == "D":
-        return F.timestamp_micros(unix_us(floored) + n * 86400 * 1_000_000)
+        return F.timestamp_micros(unix_us(on_grid) + n * 86400 * 1_000_000)
     if unit == "W":
-        return F.timestamp_micros(unix_us(floored) + 7 * 86400 * 1_000_000)
+        return F.timestamp_micros(unix_us(on_grid) + n * 7 * 86400 * 1_000_000)
     if unit in ("MS", "M"):
-        return F.to_timestamp(F.add_months(floored.cast("date"), 1))
+        return F.to_timestamp(F.add_months(on_grid.cast("date"), n))
     if unit in ("YS", "Y"):
-        return F.to_timestamp(F.add_months(floored.cast("date"), 12))
+        return F.to_timestamp(F.add_months(on_grid.cast("date"), n * 12))
     raise ValueError(f"unsupported period unit: {unit!r}")
+
+
+_next_edge = next_edge  # backward-compat alias

@@ -38,7 +38,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from oups_spark.functions.dates import floor_ts, period_duration, unix_us
+from oups_spark.functions.dates import (
+    floor_ts,
+    is_fixed_freq,
+    next_edge,
+    period_duration,
+    step_interval_sql,
+    unix_us,
+)
 
 AGG_FUNCS = ("first", "last", "min", "max", "sum")
 
@@ -83,10 +90,116 @@ def assign_time_bin(
     if label == "left":
         return start
     if label == "right":
-        return F.timestamp_micros(
-            unix_us(start) + int(period_duration(freq) * 1_000_000)
-        )
+        # calendar-exact right edge (add_months for month/year bins —
+        # a seconds constant would mislabel every non-30-day month)
+        return next_edge(start, freq)
     raise ValueError(f"label must be left|right, got {label!r}")
+
+
+def assign_edge_bin(
+    col: Column,
+    ends: "list",
+    *,
+    closed: str = "left",
+    max_codegen_edges: int = 256,
+) -> Column:
+    """Chunk index for an explicit sorted edge grid (reference
+    ``by_scale`` with a Series, ``segmentby.py:225-236``): chunk ``i``
+    covers values up to ``ends[i]`` — exclusive under
+    ``closed='left'``, inclusive under ``'right'``; values past the
+    last end get index ``len(ends)`` (callers drop them).
+
+    Two physical forms, both O(1) driver data:
+    - small grids: count-of-ends-passed via ``F.aggregate`` over a
+      constant-folded literal array — pure JVM, whole-stage codegen;
+    - large grids: Arrow-batched ``np.searchsorted`` pandas UDF —
+      O(log k) per row, vectorized; the grid ships once per executor
+      in the UDF closure, never through a shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if closed not in ("left", "right"):
+        raise ValueError(f"closed must be left|right, got {closed!r}")
+    ends = list(ends)
+    is_ts = isinstance(ends[0], (pd.Timestamp,)) or "datetime" in str(
+        getattr(ends[0], "dtype", "")
+    )
+    if is_ts:
+        ends_us = [int(pd.Timestamp(e).value // 1000) for e in ends]
+        t = unix_us(col)
+    else:
+        ends_us = ends
+        t = col
+    if sorted(ends_us) != ends_us:
+        raise ValueError("bin edges must be sorted ascending")
+    if len(ends_us) <= max_codegen_edges:
+        arr = F.array(*[F.lit(v) for v in ends_us])
+        if closed == "left":
+            # smallest i with t < ends[i]  ==  #{ends <= t}
+            cmp = lambda e: (e <= t).cast("int")  # noqa: E731
+        else:
+            # smallest i with t <= ends[i]  ==  #{ends < t}
+            cmp = lambda e: (e < t).cast("int")  # noqa: E731
+        return F.aggregate(arr, F.lit(0), lambda acc, e: acc + cmp(e)).cast(
+            "long"
+        )
+    side = "right" if closed == "left" else "left"
+    grid = np.asarray(ends_us, dtype="int64")
+
+    def _bucket(s):
+        vals = s.to_numpy(dtype="int64", copy=False)
+        return pd.Series(np.searchsorted(grid, vals, side=side))
+
+    return F.pandas_udf(_bucket, "long")(t)
+
+
+def segment_agg_edges(
+    df: DataFrame,
+    ordered_on: str,
+    agg: dict,
+    *,
+    ends,
+    labels=None,
+    closed: str = "left",
+    tiebreak: list[str] | None = None,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Aggregate into an EXPLICIT irregular bin grid (reference
+    ``by_scale`` Series / ``(labels, ends)`` contract,
+    ``segmentby.py:227-234``): chunk ``i`` ends at ``ends[i]``
+    (exclusive for ``closed='left'``, inclusive for ``'right'``),
+    rows past the last end are not aggregated, and EVERY given chunk
+    materializes — empty ones as null rows (reference
+    ``n_null_chunks``).  ``labels`` defaults to the ends themselves.
+
+    Plan shape: O(log k) / O(k) map-side index assignment (plan
+    literals, no data-sized driver state), one hash agg on the index,
+    then a broadcast left join from the (tiny) label table.
+    """
+    import pandas as pd
+
+    ends = list(ends)
+    labels = list(labels) if labels is not None else ends
+    if len(labels) != len(ends):
+        raise ValueError(
+            "number of chunk labels has to be equal to number of chunk ends"
+        )
+    order_key = F.struct(ordered_on, *(tiebreak or []))
+    idx = assign_edge_bin(F.col(ordered_on), ends, closed=closed)
+    binned = df.withColumn("__edge_idx", idx).filter(
+        F.col("__edge_idx") < len(ends)
+    )
+    agged = binned.groupBy("__edge_idx").agg(*_agg_exprs(agg, order_key))
+    spark = df.sparkSession
+    lab = spark.createDataFrame(
+        pd.DataFrame({"__edge_idx": range(len(labels)), bin_col: labels})
+    )
+    return (
+        lab.join(F.broadcast(agged), on="__edge_idx", how="left")
+        .orderBy("__edge_idx")
+        .drop("__edge_idx")
+    )
 
 
 def segment_agg(
@@ -94,7 +207,7 @@ def segment_agg(
     ordered_on: str,
     agg: dict,
     *,
-    bin_by: str,
+    bin_by,
     closed: str = "left",
     label: str = "left",
     empty_bins: bool = False,
@@ -102,6 +215,11 @@ def segment_agg(
     bin_col: str = "bin",
 ) -> DataFrame:
     """Aggregate into time bins of period ``bin_by``.
+
+    ``bin_by`` accepts a period string, an explicit sorted sequence of
+    bin ENDS, or a ``(labels, ends)`` tuple (reference ``by_scale``
+    Series contract) — the latter two dispatch to
+    :func:`segment_agg_edges`.
 
     ``agg``: ``{out_col: (in_col, func)}`` with func one of
     first/last/min/max/sum (the reference's closed set,
@@ -114,6 +232,15 @@ def segment_agg(
     across the data's observed span (reference ``NULL_DICT``
     semantics: null, not zero).
     """
+    if not isinstance(bin_by, str):
+        if isinstance(bin_by, tuple) and len(bin_by) == 2:
+            labels, ends = bin_by
+        else:
+            labels, ends = None, bin_by
+        return segment_agg_edges(
+            df, ordered_on, agg, ends=ends, labels=labels, closed=closed,
+            tiebreak=tiebreak, bin_col=bin_col,
+        )
     order_key = F.struct(ordered_on, *(tiebreak or []))
     binned = df.withColumn(
         bin_col, assign_time_bin(F.col(ordered_on), bin_by, closed=closed, label=label)
@@ -128,13 +255,12 @@ def segment_agg(
     ).collect()[0]
     if bounds["mn"] is None:
         return agged.orderBy(bin_col)
-    step_us = int(period_duration(bin_by) * 1_000_000)
     calendar = spark.range(1).select(
         F.explode(
             F.sequence(
                 F.lit(bounds["mn"]).cast("timestamp"),
                 F.lit(bounds["mx"]).cast("timestamp"),
-                F.expr(f"INTERVAL {step_us} MICROSECOND"),
+                F.expr(step_interval_sql(bin_by)),
             )
         ).alias(bin_col)
     )
@@ -273,7 +399,11 @@ def snapshot_agg(
       (forward-fill); instants before any data in their bin are null
       (``cumsegagg.py:556-569``).
 
-    Requires fixed-duration ``bin_by``/``snap_by`` (s/min/h multiples).
+    ``snap_by`` must be fixed-duration (s/min/h/D multiples).
+    ``bin_by`` may additionally be a calendar frequency (``MS``/``YS``):
+    bin edges then come from ``date_trunc``/``add_months`` (exact for
+    28/29/30/31-day months) and ``snap_by`` must evenly divide a day so
+    the snapshot grid lands on bin edges.
 
     Plan shape: partial agg per (bin, first-observing-snapshot) —
     this collapses the data to ≤ rows/snap_count groups — then
@@ -282,14 +412,26 @@ def snapshot_agg(
     single-partition stage.
     """
     tiebreak = tiebreak or []
-    bin_us = int(period_duration(bin_by) * 1_000_000)
+    if not is_fixed_freq(snap_by):
+        raise ValueError("snap_by must be a fixed-duration frequency")
     snap_us = int(period_duration(snap_by) * 1_000_000)
-    if bin_us % snap_us:
-        raise ValueError("snap_by must evenly divide bin_by")
+    if is_fixed_freq(bin_by):
+        bin_us = int(period_duration(bin_by) * 1_000_000)
+        if bin_us % snap_us:
+            raise ValueError("snap_by must evenly divide bin_by")
+    else:
+        # calendar bins hold a whole number of days, so any snap
+        # period dividing a day divides every bin
+        if (86400 * 1_000_000) % snap_us:
+            raise ValueError(
+                "snap_by must evenly divide a day for calendar bin_by"
+            )
 
     o = F.col(ordered_on)
     t_us = unix_us(o)
-    bin_start_us = t_us - t_us % bin_us
+    bin_start = floor_ts(o, bin_by)
+    bin_start_us = unix_us(bin_start)
+    bin_end_us = unix_us(next_edge(bin_start, bin_by))
     snap_floor_us = t_us - t_us % snap_us
     if snap_closed == "left":
         # first snapshot instant strictly after t (on-grid rows are
@@ -303,7 +445,7 @@ def snapshot_agg(
     else:
         raise ValueError(f"snap_closed must be left|right, got {snap_closed!r}")
     # clamp into the bin's grid (bin_start, bin_end]
-    visible_us = F.least(visible_us, bin_start_us + bin_us)
+    visible_us = F.least(visible_us, bin_end_us)
 
     order_key = F.struct(ordered_on, *tiebreak)
     partial_exprs = []
@@ -318,7 +460,7 @@ def snapshot_agg(
             raise ValueError(f"unknown agg func {func!r}")
 
     partials = (
-        df.withColumn(bin_col, F.timestamp_micros(bin_start_us))
+        df.withColumn(bin_col, bin_start)
         .withColumn(snap_col, F.timestamp_micros(visible_us))
         .groupBy(bin_col, snap_col)
         .agg(*partial_exprs)
@@ -337,7 +479,7 @@ def snapshot_agg(
                 F.sequence(
                     F.lit(bounds["mn"]).cast("timestamp"),
                     F.lit(bounds["mx"]).cast("timestamp"),
-                    F.expr(f"INTERVAL {bin_us} MICROSECOND"),
+                    F.expr(step_interval_sql(bin_by)),
                 )
             ).alias(bin_col)
         )
@@ -346,7 +488,8 @@ def snapshot_agg(
             F.explode(
                 F.sequence(
                     F.timestamp_micros(unix_us(F.col(bin_col)) + snap_us),
-                    F.timestamp_micros(unix_us(F.col(bin_col)) + bin_us),
+                    # per-bin right edge — calendar bins vary in length
+                    next_edge(F.col(bin_col), bin_by),
                     F.expr(f"INTERVAL {snap_us} MICROSECOND"),
                 )
             ).alias(snap_col),

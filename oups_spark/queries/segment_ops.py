@@ -136,6 +136,114 @@ def row_count_bins_500(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "segment_bins_month_right",
+    oracle="""
+    WITH f AS (SELECT * FROM orders WHERE o_totalprice > 450000),
+    agged AS (
+      SELECT date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS bin,
+             CAST(count(*) AS BIGINT)     AS n_orders,
+             round(sum(o_totalprice), 2)  AS sum_price
+      FROM f GROUP BY 1
+    ), cal AS (
+      SELECT unnest(generate_series((SELECT min(bin) FROM agged),
+                                    (SELECT max(bin) FROM agged),
+                                    INTERVAL 1 MONTH)) AS bin
+    )
+    SELECT cal.bin, n_orders, sum_price
+    FROM cal LEFT JOIN agged USING (bin)
+    ORDER BY cal.bin
+    """,
+)
+def segment_bins_month_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month bins with RIGHT labels and empty bins (W1 + A6
+    over a non-fixed frequency): right edges come from ``add_months``
+    and the empty-bin calendar steps INTERVAL 1 MONTH — a 30-day
+    approximation would mislabel every non-30-day month and drift the
+    grid. The >450k price filter leaves genuinely empty months."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .withColumn("odt", F.col("o_orderdate").cast("timestamp"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    out = segment_agg(
+        orders,
+        "odt",
+        {"n_orders": ("one", "sum"), "sum_price": ("o_totalprice", "sum")},
+        bin_by="MS",
+        label="right",
+        empty_bins=True,
+    )
+    return out.select(
+        "bin",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+    )
+
+
+# irregular explicit bin grid over the events span (Jan 2024); the
+# uneven spacing is the point — no period string can produce it
+_EDGE_ENDS = [
+    "2024-01-03 00:00:00",
+    "2024-01-05 12:00:00",
+    "2024-01-10 00:00:00",
+    "2024-01-10 06:30:00",
+    "2024-01-20 00:00:00",
+    "2024-01-28 00:00:00",
+]
+_EDGE_VALUES = ", ".join(
+    f"({i}, TIMESTAMP '{e}')" for i, e in enumerate(_EDGE_ENDS)
+)
+
+
+@register(
+    "segment_bins_explicit_edges",
+    oracle=f"""
+    WITH ends AS (SELECT * FROM (VALUES {_EDGE_VALUES}) AS t(i, e)),
+    assigned AS (
+      SELECT (SELECT min(i) FROM ends WHERE ts < e) AS i, value, ts
+      FROM events
+    ), agged AS (
+      SELECT i,
+             arg_min(value, ts)   AS first_val,
+             arg_max(value, ts)   AS last_val,
+             round(sum(value), 6) AS sum_val
+      FROM assigned WHERE i IS NOT NULL GROUP BY i
+    )
+    SELECT e AS bin, first_val, last_val, sum_val
+    FROM ends LEFT JOIN agged USING (i)
+    ORDER BY i
+    """,
+)
+def segment_bins_explicit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit irregular bin edges (reference ``by_scale`` Series
+    contract): chunk i ends at ends[i] (closed-left), rows past the
+    last end are dropped, every chunk materializes (empty -> nulls).
+    The index assignment is a plan-literal array scan / searchsorted
+    — no data-sized driver state, no shuffle beyond the one hash agg."""
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events")
+    out = segment_agg(
+        events,
+        "ts",
+        {
+            "first_val": ("value", "first"),
+            "last_val": ("value", "last"),
+            "sum_val": ("value", "sum"),
+        },
+        bin_by=[pd.Timestamp(e) for e in _EDGE_ENDS],
+        closed="left",
+    )
+    return out.select(
+        "bin",
+        "first_val",
+        "last_val",
+        F.round("sum_val", 6).alias("sum_val"),
+    )
+
+
+@register(
     "snapshot_1d_6h",
     oracle=f"""
     WITH partials AS (

@@ -182,3 +182,209 @@ def test_snapshot_empty_leading_instants_are_null(spark):
     assert pd.isna(got.loc[pd.Timestamp("2024-01-01 00:30")]["sum_val"])
     assert got.loc[pd.Timestamp("2024-01-01 00:45")]["sum_val"] == 5.0
     assert got.loc[pd.Timestamp("2024-01-01 01:00")]["sum_val"] == 5.0
+
+
+# ---------------------------------------------------------------- calendar
+# Month/year bins must be calendar-exact: a 30/365-day approximation
+# mislabels right edges (Feb!) and drifts the empty-bin grid.
+
+
+@pytest.fixture(scope="module")
+def months(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-15 12:00",
+                    "2024-02-10 08:00",   # leap February (29 days)
+                    "2024-02-29 23:59",   # last day of leap Feb
+                    "2024-03-01 00:00",   # exactly on a month edge
+                    # gap: April + May empty
+                    "2024-06-20 06:00",
+                ]
+            ),
+            "id": [1, 2, 3, 4, 5],
+            "val": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_month_bins_right_label_calendar_exact(spark, months):
+    df, pdf = months
+    got = segment_agg(
+        df, "ts", {"sum_val": ("val", "sum")}, bin_by="MS",
+        closed="left", label="right", empty_bins=True, tiebreak=["id"],
+    ).toPandas()
+    exp = (
+        pdf.set_index("ts")
+        .resample("MS", closed="left", label="right")["val"]
+        .sum(min_count=1)
+    )
+    # pandas label='right' for MS gives the NEXT month start — exactly
+    # add_months(start, 1): Feb bin labeled Mar 1, not Mar 2 (30-day).
+    assert list(got["bin"]) == list(exp.index)
+    assert [None if pd.isna(v) else v for v in got["sum_val"]] == [
+        None if pd.isna(v) else v for v in exp
+    ]
+    # the empty-bin calendar spans Feb..Jul labels with Apr/May/Jun gaps
+    assert pd.Timestamp("2024-05-01") in set(got["bin"])
+    assert got.loc[got["bin"] == pd.Timestamp("2024-05-01"), "sum_val"].isna().all()
+
+
+def test_month_bins_closed_right(spark, months):
+    df, pdf = months
+    got = segment_agg(
+        df, "ts", {"sum_val": ("val", "sum")}, bin_by="MS",
+        closed="right", label="left", tiebreak=["id"],
+    ).toPandas()
+    # closed='right': Mar 1 00:00 belongs to the February bin
+    feb = got.loc[got["bin"] == pd.Timestamp("2024-02-01"), "sum_val"]
+    assert feb.iloc[0] == pytest.approx(2.0 + 3.0 + 4.0)
+
+
+def test_year_bins_right_label(spark):
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2023-06-01", "2024-02-29", "2025-12-31"]),
+            "id": [1, 2, 3],
+            "val": [1.0, 2.0, 4.0],
+        }
+    )
+    got = segment_agg(
+        spark.createDataFrame(pdf), "ts", {"sum_val": ("val", "sum")},
+        bin_by="YS", label="right", empty_bins=True, tiebreak=["id"],
+    ).toPandas()
+    assert list(got["bin"]) == list(
+        pd.to_datetime(["2024-01-01", "2025-01-01", "2026-01-01"])
+    )
+    assert list(got["sum_val"]) == [1.0, 2.0, 4.0]
+
+
+def test_snapshot_month_bins_daily_snaps(spark):
+    """Calendar-month bins with daily snapshots: the in-bin grid has
+    31 instants for January and 29 for leap February, and cumulative
+    sums reset at each month boundary."""
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-05 12:00", "2024-01-20 06:00", "2024-02-10 00:00",
+                 "2024-02-28 18:00"]
+            ),
+            "id": [1, 2, 3, 4],
+            "val": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    got = snapshot_agg(
+        spark.createDataFrame(pdf), "ts", {"sum_val": ("val", "sum")},
+        bin_by="MS", snap_by="1D", tiebreak=["id"],
+    ).toPandas()
+    jan = got[got["bin"] == pd.Timestamp("2024-01-01")]
+    feb = got[got["bin"] == pd.Timestamp("2024-02-01")]
+    assert len(jan) == 31 and len(feb) == 29
+    # grid is (bin_start, bin_end]: first January snap is Jan 2 00:00,
+    # last is Feb 1 00:00 (observing the closing bin)
+    assert jan["snap"].iloc[0] == pd.Timestamp("2024-01-02")
+    assert jan["snap"].iloc[-1] == pd.Timestamp("2024-02-01")
+    # cumulative within the bin, reset across bins
+    assert jan.loc[jan["snap"] == pd.Timestamp("2024-01-06"), "sum_val"].iloc[0] == 1.0
+    assert jan["sum_val"].iloc[-1] == 3.0
+    assert feb.loc[feb["snap"] == pd.Timestamp("2024-02-11"), "sum_val"].iloc[0] == 4.0
+    assert feb["sum_val"].iloc[-1] == 12.0
+    # snapshots before any data in the bin are null
+    assert pd.isna(jan.loc[jan["snap"] == pd.Timestamp("2024-01-03"), "sum_val"]).all()
+
+
+def test_snapshot_calendar_bin_rejects_nondividing_snap(spark):
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-05"]), "id": [1], "val": [1.0]}
+    )
+    with pytest.raises(ValueError, match="divide a day"):
+        snapshot_agg(
+            spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")},
+            bin_by="MS", snap_by="7h",
+        )
+
+
+def test_multi_month_freq_rejected(spark):
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-05"]), "id": [1], "val": [1.0]}
+    )
+    with pytest.raises(ValueError, match="month/year"):
+        segment_agg(
+            spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")},
+            bin_by="3MS",
+        ).collect()
+
+
+# ------------------------------------------------------------ explicit edges
+
+
+def test_explicit_edges_closed_left_and_right(spark, f1):
+    df, pdf = f1
+    ends = pd.to_datetime(["2024-01-01 00:15", "2024-01-01 01:10", "2024-01-01 02:00"])
+    got_l = segment_agg(
+        df, "ts", {"sum_val": ("val", "sum")}, bin_by=list(ends),
+        closed="left", tiebreak=["id"],
+    ).toPandas()
+    # closed left: 00:15 rows fall in chunk 1, 01:10 in chunk 2;
+    # 03:00/03:30 are past the last end -> dropped
+    assert list(got_l["bin"]) == list(ends)
+    assert got_l["sum_val"].tolist() == [1.0, 2.0 - 3.0 + 4.0, 5.0]
+    got_r = segment_agg(
+        df, "ts", {"sum_val": ("val", "sum")}, bin_by=list(ends),
+        closed="right", tiebreak=["id"],
+    ).toPandas()
+    # closed right: 00:15 rows included in chunk 0, 01:10 in chunk 1
+    assert got_r["sum_val"].tolist() == [1.0 + 2.0 - 3.0, 4.0 + 5.0, None] or (
+        got_r["sum_val"].tolist()[:2] == [0.0, 9.0]
+        and pd.isna(got_r["sum_val"].iloc[2])
+    )
+
+
+def test_explicit_edges_labels_tuple_and_empty_chunks(spark, f1):
+    df, pdf = f1
+    ends = pd.to_datetime(
+        ["2024-01-01 00:30", "2024-01-01 00:31", "2024-01-01 04:00"]
+    )
+    labels = ["a", "b", "c"]
+    got = segment_agg(
+        df, "ts", {"sum_val": ("val", "sum")}, bin_by=(labels, list(ends)),
+        closed="left", tiebreak=["id"],
+    ).toPandas()
+    assert got["bin"].tolist() == labels
+    # chunk b (00:30, 00:31) is empty -> null row, not dropped
+    assert pd.isna(got.loc[got["bin"] == "b", "sum_val"]).all()
+    assert got.loc[got["bin"] == "a", "sum_val"].iloc[0] == pytest.approx(0.0)
+    assert got.loc[got["bin"] == "c", "sum_val"].iloc[0] == pytest.approx(22.0)
+
+
+def test_edge_bin_udf_path_matches_codegen_path(spark, f1):
+    from oups_spark.operators.segment import assign_edge_bin
+    import pyspark.sql.functions as F
+
+    df, pdf = f1
+    ends = pd.to_datetime(
+        ["2024-01-01 00:15", "2024-01-01 01:00", "2024-01-01 03:00"]
+    )
+    for closed in ("left", "right"):
+        jvm = df.select(
+            "id", assign_edge_bin(F.col("ts"), list(ends), closed=closed).alias("i")
+        ).toPandas().sort_values("id")
+        udf = df.select(
+            "id",
+            assign_edge_bin(
+                F.col("ts"), list(ends), closed=closed, max_codegen_edges=1
+            ).alias("i"),
+        ).toPandas().sort_values("id")
+        assert jvm["i"].tolist() == udf["i"].tolist(), closed
+
+
+def test_explicit_edges_unsorted_rejected(spark, f1):
+    df, _ = f1
+    with pytest.raises(ValueError, match="sorted"):
+        segment_agg(
+            df, "ts", {"s": ("val", "sum")},
+            bin_by=list(pd.to_datetime(["2024-01-02", "2024-01-01"])),
+            closed="left",
+        )
