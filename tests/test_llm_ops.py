@@ -148,3 +148,77 @@ def test_ngram_jaccard_df_cap_exact_and_bounded(spark):
     assert all(base[p] == j for p, j in tight.items())
     high_sim = {p for p, j in base.items() if j >= 0.9}
     assert high_sim <= set(tight)
+
+
+def _planted_vectors(n=600, dim=32, n_pairs=8, seed=11):
+    """Random unit vectors plus planted ~0.97-cosine near-dup pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    planted = []
+    for i in range(n_pairs):
+        a, b = 2 * i, 2 * i + 1
+        V[b] = V[a] + 0.03 * rng.normal(size=dim)
+        V[b] /= np.linalg.norm(V[b])
+        planted.append((a, b))
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "label": ["x"] * n,   # one block: worst case for all-pairs
+            "embedding": [v.astype("float64").tolist() for v in V],
+        }
+    )
+    return pdf, planted
+
+
+def test_neardup_lsh_matches_exact_at_high_threshold(spark):
+    """method='lsh' (the >=0.7-threshold default) must reproduce the
+    exact result on planted 0.9+ pairs with the fixed seed."""
+    from oups_spark.operators.similarity import embedding_neardup_pairs
+
+    pdf, planted = _planted_vectors()
+    df = spark.createDataFrame(pdf).repartition(8)
+    exact = (
+        embedding_neardup_pairs(df, threshold=0.9, method="exact")
+        .toPandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    lsh = (
+        embedding_neardup_pairs(df, threshold=0.9, method="lsh")
+        .toPandas().sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    assert len(exact) >= len(planted)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(exact, lsh)
+
+
+def test_lsh_candidates_subquadratic(spark):
+    """The LSH candidate set must be a small fraction of all pairs —
+    the whole point of the sub-quadratic default."""
+    from oups_spark.operators.similarity import lsh_candidate_pairs
+
+    pdf, _ = _planted_vectors()
+    df = spark.createDataFrame(pdf).repartition(8)
+    n = len(pdf)
+    all_pairs = n * (n - 1) // 2
+    n_cand = lsh_candidate_pairs(
+        df, block_col="label", dim=32
+    ).count()
+    # defaults: 20 tables x 10 planes -> random-pair collision ~2%
+    assert n_cand < 0.10 * all_pairs, (n_cand, all_pairs)
+
+
+def test_neardup_auto_dispatch(spark):
+    from oups_spark.operators import similarity as S
+
+    pdf, _ = _planted_vectors(n=60, n_pairs=2)
+    df = spark.createDataFrame(pdf)
+    # low threshold -> exact (LSH cannot prune there); the result must
+    # contain every pair an exhaustive check finds
+    auto_low = S.embedding_neardup_pairs(df, threshold=0.3, method="auto")
+    exact_low = S.embedding_neardup_pairs(df, threshold=0.3, method="exact")
+    assert auto_low.count() == exact_low.count()
