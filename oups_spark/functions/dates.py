@@ -53,6 +53,28 @@ def period_duration(freq: str) -> float:
     raise ValueError(f"unsupported period unit: {unit!r}")
 
 
+def floor_ts_scalar(ts, freq: str):
+    """Driver-side (pandas) twin of :func:`floor_ts` for manifest
+    arithmetic — same epoch anchoring for fixed freqs, same calendar
+    anchoring for D/W/MS/YS."""
+    import pandas as pd
+
+    n, unit = _parse(freq)
+    t = pd.Timestamp(ts)
+    if unit in _FIXED_SECONDS:
+        return t.floor(f"{n * _FIXED_SECONDS[unit]}s")
+    if unit == "D":
+        return t.floor(f"{n}D")
+    if unit == "W":
+        # ISO week starting Monday, matching Spark's date_trunc('week')
+        return (t - pd.Timedelta(days=int(t.weekday()))).normalize()
+    if unit in ("MS", "M"):
+        return t.to_period("M").start_time
+    if unit in ("YS", "Y"):
+        return t.to_period("Y").start_time
+    raise ValueError(f"unsupported period unit: {unit!r}")
+
+
 def is_fixed_freq(freq: str) -> bool:
     """True when every period of ``freq`` has the same physical
     duration (UTC, no DST): s/min/h multiples, D, W.  Months and

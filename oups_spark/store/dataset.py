@@ -37,7 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import StructType
 
-from oups_spark.functions.dates import floor_ts
+from oups_spark.functions.dates import floor_ts, floor_ts_scalar
 from oups_spark.store.manifest import FileEntry, Manifest
 
 # Reference default: 6_345_000 rows ≈ 290 MB for 6 numeric columns
@@ -49,6 +49,7 @@ DEFAULT_ROW_GROUP_TARGET_SIZE = 6_345_000
 ON_TARGET_SCALE_FACTOR = 0.8
 
 _SRC = "__oups_src"
+_FIDX = "__oups_fidx"
 _POS = "__oups_pos"
 _PERIOD = "__oups_period"
 
@@ -179,8 +180,10 @@ class OrderedDataset:
         if ordered_on not in df.columns:
             raise ValueError(f"ordered_on column {ordered_on!r} not in DataFrame")
 
-        new = df.withColumn(_POS, F.monotonically_increasing_id()).withColumn(
-            _SRC, F.lit(1)
+        new = (
+            df.withColumn(_POS, F.monotonically_increasing_id())
+            .withColumn(_SRC, F.lit(1))
+            .withColumn(_FIDX, F.lit(0))
         )
         if validate_monotonic:
             # one distributed pass yields the order check AND the
@@ -212,12 +215,18 @@ class OrderedDataset:
         merged = new
         n_old = sum(e.n_rows for e in replaced)
         if replaced:
+            # Dataset order for the old side comes from the MANIFEST
+            # file index (Spark orders scan splits by size, so raw
+            # monotonically_increasing_id would not reflect it): the
+            # per-file rank is looked up from input_file_name, and the
+            # in-file id only breaks ties within one file.
             old = (
                 self.spark.read.parquet(
                     *[os.path.join(self.path, e.name) for e in replaced]
                 )
                 .withColumn(_POS, F.monotonically_increasing_id())
                 .withColumn(_SRC, F.lit(0))
+                .withColumn(_FIDX, _file_rank(replaced))
             )
             merged = old.unionByName(new)
 
@@ -327,26 +336,22 @@ class OrderedDataset:
         ]
         selected = set(overlap_idx)
         if max_n_off_target_rgs is not None and entries:
-            if isinstance(target, int):
-                def off(e):
-                    return e.n_rows < ON_TARGET_SCALE_FACTOR * target
-            else:
-                # Period-sized files: treat multi-file periods as
-                # off-target only when tiny relative to siblings —
-                # approximation: never, unless adjacent to overlap.
-                def off(e):
-                    return False
+            flags = _off_target_flags(entries, target)
+
+            def off(i):
+                return flags[i]
+
             lo = min(overlap_idx) if overlap_idx else len(entries)
             hi = max(overlap_idx) if overlap_idx else len(entries) - 1
             left_run = []
             for i in range(lo - 1, -1, -1):
-                if off(entries[i]):
+                if off(i):
                     left_run.append(i)
                 else:
                     break
             right_run = []
             for i in range(hi + 1, len(entries)):
-                if off(entries[i]):
+                if off(i):
                     right_run.append(i)
                 else:
                     break
@@ -372,7 +377,9 @@ class OrderedDataset:
         subset = list(duplicates_on)
         if ordered_on not in subset:
             subset.append(ordered_on)
-        w = Window.partitionBy(*subset).orderBy(F.desc(_SRC), F.desc(_POS))
+        w = Window.partitionBy(*subset).orderBy(
+            F.desc(_SRC), F.desc(_FIDX), F.desc(_POS)
+        )
         return (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -397,8 +404,8 @@ class OrderedDataset:
                 n_out = max(1, -(-approx_rows // target))
                 out = (
                     merged.repartitionByRange(n_out, F.col(ordered_on))
-                    .sortWithinPartitions(ordered_on, _SRC, _POS)
-                    .drop(_SRC, _POS)
+                    .sortWithinPartitions(ordered_on, _SRC, _FIDX, _POS)
+                    .drop(_SRC, _FIDX, _POS)
                 )
                 (
                     out.write.option("maxRecordsPerFile", target)
@@ -409,8 +416,8 @@ class OrderedDataset:
                 out = (
                     merged.withColumn(_PERIOD, floor_ts(F.col(ordered_on), target))
                     .repartition(F.col(_PERIOD))
-                    .sortWithinPartitions(_PERIOD, ordered_on, _SRC, _POS)
-                    .drop(_SRC, _POS)
+                    .sortWithinPartitions(_PERIOD, ordered_on, _SRC, _FIDX, _POS)
+                    .drop(_SRC, _FIDX, _POS)
                 )
                 out.write.partitionBy(_PERIOD).mode("overwrite").parquet(staging)
 
@@ -444,38 +451,60 @@ class OrderedDataset:
 
     # ---------------------------------------------------------- compact
     def compact(
-        self, *, row_group_target_size: int = DEFAULT_ROW_GROUP_TARGET_SIZE
+        self, *, row_group_target_size: int | str = DEFAULT_ROW_GROUP_TARGET_SIZE
     ) -> int:
-        """Coalesce runs of off-target (undersized) files without new
-        data — the reference's off-target coalescing as a standalone
-        maintenance op (Delta's OPTIMIZE equivalent). Returns the
-        number of files rewritten. Only contiguous runs of 2+
-        off-target files are touched; on-target files are never
-        rewritten."""
+        """Coalesce runs of off-target files without new data — the
+        reference's off-target coalescing as a standalone maintenance
+        op (Delta's OPTIMIZE equivalent). Returns the number of files
+        rewritten; on-target files are never rewritten.
+
+        Row-count target: off-target = undersized (< 80% of target);
+        only contiguous runs of 2+ such files are touched.
+        Period target (e.g. ``'1D'``): off-target = the file shares
+        its period with another file or spans several periods
+        (reference one-file-per-period rule,
+        ``time_period_strategy.py:166-199``); a run of 1 is rewritten
+        when that lone file straddles periods (the rewrite splits it).
+        """
         if not self.exists or not self._manifest.files:
             return 0
         files = self._manifest.files
-        off = [e.n_rows < ON_TARGET_SCALE_FACTOR * row_group_target_size for e in files]
+        off = _off_target_flags(files, row_group_target_size)
+        period_target = not isinstance(row_group_target_size, int)
+
+        def qualifies(run: list[FileEntry]) -> bool:
+            if len(run) > 1:
+                return True
+            if period_target and run:
+                e = run[0]
+                return floor_ts_scalar(
+                    e.min, row_group_target_size
+                ) != floor_ts_scalar(e.max, row_group_target_size)
+            return False
+
         runs: list[list[FileEntry]] = []
         cur: list[FileEntry] = []
         for e, is_off in zip(files, off):
             if is_off:
                 cur.append(e)
             else:
-                if len(cur) > 1:
+                if qualifies(cur):
                     runs.append(cur)
                 cur = []
-        if len(cur) > 1:
+        if qualifies(cur):
             runs.append(cur)
         if not runs:
             return 0
         ordered_on = self._manifest.ordered_on
         rewritten = 0
         for run in runs:
-            merged = self.spark.read.parquet(
-                *[os.path.join(self.path, e.name) for e in run]
-            ).withColumn(_POS, F.monotonically_increasing_id()).withColumn(
-                _SRC, F.lit(0)
+            merged = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, e.name) for e in run]
+                )
+                .withColumn(_POS, F.monotonically_increasing_id())
+                .withColumn(_SRC, F.lit(0))
+                .withColumn(_FIDX, _file_rank(run))
             )
             new_entries = self._write_files(
                 merged, ordered_on, row_group_target_size,
@@ -499,6 +528,44 @@ class OrderedDataset:
         """Drop the dataset directory (reference: ``base.py:405-438``)."""
         shutil.rmtree(self.path, ignore_errors=True)
         self._manifest = None
+
+
+def _file_rank(entries: list[FileEntry]) -> F.Column:
+    """Manifest-order rank of the file a row was scanned from: the
+    dataset-order component of the old-side keep-last tiebreak (the
+    in-file monotonic id only orders rows WITHIN one file)."""
+    mapping = F.create_map(
+        *[x for i, e in enumerate(entries) for x in (F.lit(e.name), F.lit(i))]
+    )
+    name = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return F.coalesce(mapping[name], F.lit(-1))
+
+
+def _off_target_flags(entries: list[FileEntry], target) -> list[bool]:
+    """Which files violate the size target (driver-side manifest
+    arithmetic, no Spark job).
+
+    Row-count target: n_rows < 80% of target (reference
+    ``n_rows_strategy.py:33,136``).  Period target: a file is ON
+    target iff it fits entirely inside one period AND is the only
+    file whose span touches that period (reference one-file-per-period
+    rule, ``time_period_strategy.py:166-199``)."""
+    if isinstance(target, int):
+        return [e.n_rows < ON_TARGET_SCALE_FACTOR * target for e in entries]
+    from collections import Counter
+
+    spans = [
+        (floor_ts_scalar(e.min, target), floor_ts_scalar(e.max, target))
+        for e in entries
+    ]
+    touched = Counter()
+    for pmin, pmax in spans:
+        touched[pmin] += 1
+        if pmax != pmin:
+            touched[pmax] += 1
+    return [
+        pmin != pmax or touched[pmin] > 1 for pmin, pmax in spans
+    ]
 
 
 def _merge_kv(kv: dict, update: dict | None) -> None:

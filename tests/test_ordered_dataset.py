@@ -219,3 +219,86 @@ def test_kv_metadata_roundtrip(spark, scratch):
     assert "note" not in ds3.key_value_metadata
     assert ds3.key_value_metadata["other"] == 5
     assert ds3.n_rows == 1  # data untouched
+
+
+def test_period_compact_coalesces_fragmented_days(spark, scratch):
+    """Period-target compaction (reference one-file-per-period rule):
+    several appends inside the same day fragment it into multiple
+    files; compact('1D') rewrites exactly the fragmented days."""
+    ds = OrderedDataset(spark, f"{scratch}/pc1")
+    # day 1: three separate appends (3 files); day 2: one append
+    batches = [
+        pd.DataFrame({"ts": [ts(0), ts(2)], "val": [1.0, 2.0], "sym": ["a", "a"]}),
+        pd.DataFrame({"ts": [ts(5), ts(8)], "val": [3.0, 4.0], "sym": ["a", "a"]}),
+        pd.DataFrame({"ts": [ts(10), ts(22)], "val": [5.0, 6.0], "sym": ["a", "a"]}),
+        pd.DataFrame({"ts": [ts(3, d=2)], "val": [7.0], "sym": ["a"]}),
+    ]
+    for b in batches:
+        ds.write(df=spark.createDataFrame(b), ordered_on="ts",
+                 row_group_target_size="1D")
+    assert ds.n_files == 4  # 3 fragments of day 1 + day 2
+    before = read_sorted(ds)
+    n = ds.compact(row_group_target_size="1D")
+    assert n == 3  # only day 1's fragments rewritten
+    assert ds.n_files == 2  # one file per day
+    after = read_sorted(ds)
+    pd.testing.assert_frame_equal(before, after)
+    # day 2's file was untouched (still on target) and day 1 is whole
+    days = sorted(
+        (e.min.floor("D") if hasattr(e.min, "floor") else e.min, e.n_rows)
+        for e in ds.manifest.files
+    )
+    assert [d[1] for d in days] == [6, 1]
+
+
+def test_period_compact_splits_straddling_file(spark, scratch):
+    """A single file spanning two periods violates one-file-per-period
+    and must be split by compact even though it has no run partner."""
+    ds = OrderedDataset(spark, f"{scratch}/pc2")
+    b = pd.DataFrame({
+        "ts": [ts(6), ts(6, d=2)], "val": [1.0, 2.0], "sym": ["a", "a"],
+    })
+    # write with a row-count target so both days land in ONE file
+    ds.write(df=spark.createDataFrame(b), ordered_on="ts",
+             row_group_target_size=10)
+    assert ds.n_files == 1
+    n = ds.compact(row_group_target_size="1D")
+    assert n == 1
+    assert ds.n_files == 2
+    got = read_sorted(ds)
+    assert list(got["val"]) == [1.0, 2.0]
+
+
+def test_period_compact_noop_when_on_target(spark, scratch):
+    ds = OrderedDataset(spark, f"{scratch}/pc3")
+    b = pd.DataFrame({
+        "ts": [ts(1), ts(2), ts(1, d=2)], "val": [1.0, 2.0, 3.0],
+        "sym": ["a", "a", "a"],
+    })
+    ds.write(df=spark.createDataFrame(b), ordered_on="ts",
+             row_group_target_size="1D")
+    names_before = sorted(e.name for e in ds.manifest.files)
+    assert ds.compact(row_group_target_size="1D") == 0
+    assert sorted(e.name for e in ds.manifest.files) == names_before
+
+
+def test_period_write_coalesces_off_target_neighbors(spark, scratch):
+    """max_n_off_target_rgs with a period target: appending new data
+    adjacent to a fragmented day folds the fragments into the write."""
+    ds = OrderedDataset(spark, f"{scratch}/pc4")
+    # fragment day 1 into two files
+    for b in [
+        pd.DataFrame({"ts": [ts(0)], "val": [1.0], "sym": ["a"]}),
+        pd.DataFrame({"ts": [ts(5)], "val": [2.0], "sym": ["a"]}),
+    ]:
+        ds.write(df=spark.createDataFrame(b), ordered_on="ts",
+                 row_group_target_size="1D")
+    assert ds.n_files == 2
+    # append day 2 with coalescing enabled: the two day-1 fragments
+    # are adjacent off-target files -> folded into this write
+    b = pd.DataFrame({"ts": [ts(1, d=2)], "val": [3.0], "sym": ["a"]})
+    ds.write(df=spark.createDataFrame(b), ordered_on="ts",
+             row_group_target_size="1D", max_n_off_target_rgs=2)
+    assert ds.n_files == 2  # day 1 coalesced + day 2
+    got = read_sorted(ds)
+    assert list(got["val"]) == [1.0, 2.0, 3.0]
