@@ -106,15 +106,18 @@ def volume_bars(
     threshold: float,
     tiebreak: list[str] | None = None,
     bin_col: str = "bin_id",
+    initial_volume: float = 0.0,
 ) -> DataFrame:
     """Threshold-accumulation bins: a new bar opens when accumulated
     ``volume_col`` (over strictly-preceding rows) crosses a multiple
-    of ``threshold`` — the reference's volume-bar ``bin_by`` callable
-    expressed as prefix-sum arithmetic."""
-    ps = add_prefix_sum(
-        df, ordered_on, volume_col, tiebreak=tiebreak,
-        out_col="__ps", exclusive=True,
+    of ``threshold`` — the reference's volume-bar ``bin_by`` callable,
+    expressed through the pluggable distributed binner
+    (:mod:`oups_spark.operators.binby`); ``initial_volume`` carries
+    the accumulator across chunks/restarts."""
+    from oups_spark.operators.binby import VolumeBarBinner, assign_custom_bins
+
+    binned, _state = assign_custom_bins(
+        df, ordered_on, VolumeBarBinner(volume_col, threshold),
+        tiebreak=tiebreak, bin_col=bin_col, initial_state=initial_volume,
     )
-    return ps.withColumn(
-        bin_col, F.floor(F.col("__ps") / F.lit(threshold)).cast("long")
-    ).drop("__ps")
+    return binned

@@ -20,42 +20,78 @@ from __future__ import annotations
 import base64
 import json
 import os
-import pickle
 from dataclasses import dataclass, field
 from datetime import datetime
 from typing import Any
 
 MANIFEST_NAME = "_oups_manifest.json"
 
+# Only explicitly tagged types round-trip through kv metadata — a
+# manifest read from a shared dataset directory must never execute
+# code on the driver, so there is deliberately NO pickle fallback
+# (an unknown tag raises instead of deserializing).
+_TAGS = ("__ts__", "__pdts__", "__pqdf__")
+
 
 def _enc(v: Any) -> Any:
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (bool, int, float, str)) or v is None:
+        return v
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        # pandas parses its own isoformat back at full (ns) precision
+        return {"__pdts__": v.isoformat()}
     if isinstance(v, datetime):
         return {"__ts__": v.isoformat()}
-    if isinstance(v, (int, float, str)) or v is None:
-        return v
-    return {"__pickle__": base64.b64encode(pickle.dumps(v)).decode()}
+    if isinstance(v, pd.DataFrame):
+        import io
+
+        buf = io.BytesIO()
+        v.to_parquet(buf)  # parquet: dtype-faithful and code-free
+        return {"__pqdf__": base64.b64encode(buf.getvalue()).decode()}
+    raise TypeError(
+        f"kv metadata value of type {type(v).__name__} is not "
+        "serializable: use JSON-safe scalars, timestamps, or small "
+        "pandas DataFrames (nested dicts/lists of these are fine)"
+    )
 
 
-def _dec(v: Any) -> Any:
-    if isinstance(v, dict):
-        if "__ts__" in v:
-            return datetime.fromisoformat(v["__ts__"])
-        if "__pickle__" in v:
-            return pickle.loads(base64.b64decode(v["__pickle__"]))
-    return v
+def _dec(v: dict) -> Any:
+    import pandas as pd
+
+    if "__pdts__" in v:
+        return pd.Timestamp(v["__pdts__"])
+    if "__ts__" in v:
+        return datetime.fromisoformat(v["__ts__"])
+    if "__pqdf__" in v:
+        import io
+
+        return pd.read_parquet(io.BytesIO(base64.b64decode(v["__pqdf__"])))
+    raise ValueError(f"unknown kv metadata tag in {sorted(v)}")
+
+
+def _is_tagged(v: dict) -> bool:
+    return any(t in v for t in _TAGS) or any(
+        k.startswith("__") and k.endswith("__") for k in v
+    )
 
 
 def _enc_tree(v: Any) -> Any:
-    if isinstance(v, dict) and "__ts__" not in v and "__pickle__" not in v:
+    if isinstance(v, dict):
         return {k: _enc_tree(x) for k, x in v.items()}
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return [_enc_tree(x) for x in v]
     return _enc(v)
 
 
 def _dec_tree(v: Any) -> Any:
     if isinstance(v, dict):
-        if "__ts__" in v or "__pickle__" in v:
+        if _is_tagged(v):
             return _dec(v)
         return {k: _dec_tree(x) for k, x in v.items()}
     if isinstance(v, list):
@@ -79,7 +115,7 @@ class FileEntry:
     @classmethod
     def from_json(cls, d: dict) -> FileEntry:
         return cls(name=d["name"], n_rows=d["n_rows"],
-                   min=_dec(d["min"]), max=_dec(d["max"]))
+                   min=_dec_tree(d["min"]), max=_dec_tree(d["max"]))
 
 
 @dataclass

@@ -56,7 +56,8 @@ class KeyConfig:
 
     path: str                       # bins dataset directory
     agg: dict                       # {out: (in_col, func)}
-    bin_by: str | int               # period string, or int = row-count bins
+    bin_by: str | int | Any         # period string, int = row-count bins,
+                                    # or a BinBy object (custom binner)
     snap_by: str | None = None      # optional snapshot period
     snap_path: str | None = None    # snapshots dataset directory
     filter: list | None = None      # DNF filter for this key
@@ -75,6 +76,7 @@ class _KeyState:
     bin_buffer: list = field(default_factory=list)   # unflushed bin frames
     snap_buffer: list = field(default_factory=list)  # unflushed snap frames
     rows_so_far: int = 0            # row-count bins: global rank offset
+    binner_state: Any = None        # custom BinBy carried state
 
 
 def _combine_bins(frames: list[pd.DataFrame], agg: dict, bin_col: str) -> pd.DataFrame:
@@ -199,6 +201,7 @@ class AggStream:
                 st.bin_acc = meta.get("bin_acc")
                 st.post_buffer = meta.get("post_buffer", {})
                 st.rows_so_far = meta.get("rows_so_far", 0)
+                st.binner_state = meta.get("binner_state")
                 self.pre_buffer = meta.get("pre_buffer", self.pre_buffer)
             self.state[name] = st
 
@@ -351,6 +354,39 @@ class AggStream:
                 st.bin_buffer.append(agged)
                 st.restart_index = self._advance(st.restart_index, processed_max)
                 continue
+            if not isinstance(cfg.bin_by, str):
+                # custom BinBy object (reference bin_by callable,
+                # segmentby.py:735-800): distributed assignment with
+                # the carried state persisted in kv like rows_so_far
+                from oups_spark.operators.binby import assign_custom_bins
+
+                if cfg.snap_by is not None:
+                    raise ValueError("snapshots require a time-grid bin_by")
+                order_key = F.struct(self.ordered_on, *(cfg.tiebreak or []))
+                from oups_spark.operators.segment import _agg_exprs
+
+                initial = (
+                    st.binner_state
+                    if st.binner_state is not None
+                    else cfg.bin_by.initial_state()
+                )
+                binned, new_state = assign_custom_bins(
+                    filtered, self.ordered_on, cfg.bin_by,
+                    tiebreak=cfg.tiebreak, bin_col=cfg.bin_col,
+                    initial_state=initial,
+                )
+                agged = (
+                    binned.groupBy(cfg.bin_col)
+                    .agg(
+                        F.min(self.ordered_on).alias("bin_label"),
+                        *_agg_exprs(cfg.agg, order_key),
+                    )
+                    .orderBy(cfg.bin_col)
+                ).toPandas()
+                st.binner_state = new_state
+                st.bin_buffer.append(agged)
+                st.restart_index = self._advance(st.restart_index, processed_max)
+                continue
             agged = segment_agg(
                 filtered,
                 self.ordered_on,
@@ -426,6 +462,7 @@ class AggStream:
                 "post_buffer": st.post_buffer,
                 "pre_buffer": self.pre_buffer,
                 "rows_so_far": st.rows_so_far,
+                "binner_state": st.binner_state,
             }
             if bin_out is not None and len(bin_out):
                 ds = OrderedDataset(self.spark, cfg.path)

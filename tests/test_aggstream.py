@@ -350,3 +350,42 @@ def test_disordered_seed_across_chunks_rejected(spark, scratch):
     stream2 = AggStream(spark, ordered_on="ts", keys={"k": cfg})
     with pytest.raises(ValueError, match="not ordered across chunks"):
         stream2.agg(spark.createDataFrame(pdf), trim_start=False)
+
+
+def test_custom_binner_chunked_equals_one_shot(spark, scratch):
+    """AggStream with a custom BinBy (volume bars): bin ids and the
+    carried accumulator must continue across chunks and process
+    restarts via kv metadata."""
+    from oups_spark.operators.binby import VolumeBarBinner
+
+    pdf = make_ticks()
+    pdf["vol"] = (pdf["qty"] * 1.0).astype("float64")
+
+    def run(path, chunks):
+        for c in chunks:
+            s = AggStream(
+                spark, ordered_on="ts",
+                keys={"k": KeyConfig(
+                    path=path, agg={"sum_val": ("val", "sum")},
+                    bin_by=VolumeBarBinner("vol", 500.0),
+                    tiebreak=["id"], bin_col="bin_id",
+                )},
+            )
+            s.agg(spark.createDataFrame(c), discard_last=False)
+
+    run(f"{scratch}/vb_one", [pdf])
+    run(f"{scratch}/vb_many", np.split(pdf, [25, 60, 61]))
+    from oups_spark.store.dataset import OrderedDataset
+
+    one = OrderedDataset(spark, f"{scratch}/vb_one").read().toPandas().sort_values(
+        "bin_id", ignore_index=True
+    )
+    many = OrderedDataset(spark, f"{scratch}/vb_many").read().toPandas().sort_values(
+        "bin_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(one, many)
+    # oracle: pandas exclusive prefix over vol
+    excl = pdf["vol"].cumsum() - pdf["vol"]
+    exp_bins = (excl // 500.0).astype("int64")
+    exp = pdf.groupby(exp_bins)["val"].sum()
+    assert list(one["sum_val"]) == pytest.approx(list(exp))

@@ -101,3 +101,104 @@ def test_flatten_struct_columns(spark):
     out = flatten_struct_columns(df)
     assert out.columns == ["x", "s_a", "s_b"]
     assert out.collect()[0]["s_b"] == 3
+
+
+# ------------------------------------------------------- pluggable binner
+
+
+def _ticks(n=200, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="7min"),
+            "id": range(n),
+            "vol": rng.integers(1, 50, n).astype("float64"),
+            "val": rng.normal(0, 1, n).round(3),
+        }
+    )
+
+
+def test_custom_binner_restart_equivalence(spark):
+    """Chunked binning with the carried state must produce identical
+    bin ids to a one-shot run (the reference buffer round-trip)."""
+    from oups_spark.operators.binby import VolumeBarBinner, assign_custom_bins
+
+    pdf = _ticks()
+    binner = VolumeBarBinner("vol", threshold=100.0)
+    one, _ = assign_custom_bins(
+        spark.createDataFrame(pdf), "ts", binner, tiebreak=["id"]
+    )
+    one = one.toPandas().sort_values("id", ignore_index=True)
+
+    state = None
+    parts = []
+    for lo, hi in [(0, 70), (70, 145), (145, 200)]:
+        chunk = spark.createDataFrame(pdf.iloc[lo:hi])
+        got, state = assign_custom_bins(
+            chunk, "ts", binner, tiebreak=["id"],
+            initial_state=state if state is not None else binner.initial_state(),
+        )
+        parts.append(got.toPandas())
+    many = (
+        pd.concat(parts, ignore_index=True).sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_custom_binner_pluggability_count_trigger(spark):
+    """A second binner through the same mechanism: a new bin opens
+    after every n qualifying rows (count trigger) — oracle is a
+    pandas cumulative count."""
+    import numpy as np
+
+    from oups_spark.operators.binby import assign_custom_bins
+
+    class CountTrigger:
+        bin_dtype = "long"
+
+        def __init__(self, col, pred, n):
+            self.col, self.pred, self.n = col, pred, n
+
+        def initial_state(self):
+            return 0
+
+        def summarize(self, pdf):
+            return int(self.pred(pdf[self.col]).sum())
+
+        def combine(self, state, summary):
+            return state + summary
+
+        def assign(self, pdf, entry):
+            hits = self.pred(pdf[self.col]).astype("int64")
+            excl = entry + hits.cumsum() - hits
+            return (excl // self.n).astype("int64")
+
+    pdf = _ticks()
+    binner = CountTrigger("val", lambda s: s > 0, 10)
+    got, final = assign_custom_bins(
+        spark.createDataFrame(pdf), "ts", binner, tiebreak=["id"]
+    )
+    got = got.toPandas().sort_values("id", ignore_index=True)
+    hits = (pdf["val"] > 0).astype("int64")
+    exp = ((hits.cumsum() - hits) // 10).astype("int64")
+    assert got["bin_id"].tolist() == exp.tolist()
+    assert final == int(hits.sum())
+
+
+def test_volume_bars_initial_volume_continues_bars(spark):
+    from oups_spark.operators.sessionize import volume_bars
+
+    pdf = _ticks(n=50)
+    full = volume_bars(
+        spark.createDataFrame(pdf), "ts", "vol", threshold=100.0, tiebreak=["id"]
+    ).toPandas().sort_values("id", ignore_index=True)
+    head_vol = float(pdf.iloc[:20]["vol"].sum())
+    tail = volume_bars(
+        spark.createDataFrame(pdf.iloc[20:]), "ts", "vol", threshold=100.0,
+        tiebreak=["id"], initial_volume=head_vol,
+    ).toPandas().sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        full.iloc[20:].reset_index(drop=True), tail
+    )
