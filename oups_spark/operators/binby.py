@@ -52,6 +52,13 @@ class BinBy(Protocol):
     def combine(self, state: Any, summary: Any) -> Any:
         """State after a bucket, given the state before it."""
 
+    # Optional: ``summarize_agg() -> Column`` — a Spark aggregate
+    # expression computing the SAME digest as ``summarize``.  When
+    # present, phase 1 runs as a JVM hash aggregation instead of an
+    # applyInPandas pass (no Python workers, no Arrow round-trip of
+    # the bucket data) — provide it whenever the digest is expressible
+    # with built-in aggregates (sums, counts, min/max).
+
     def assign(self, pdf, entry_state: Any):
         """Bin id/label per row of one ordered bucket, given the state
         accumulated over all preceding data.  Returns a pandas Series
@@ -81,38 +88,58 @@ def assign_custom_bins(
     sort_cols = [ordered_on, *tiebreak]
     num = bucketize(df, ordered_on, n_buckets=n_buckets)
 
-    summary_schema = StructType.fromDDL("__bucket long, __summary binary")
-
-    def summarize(key, pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values(sort_cols, ignore_index=True)
-        return pd.DataFrame(
-            {
-                "__bucket": [key[0]],
-                "__summary": [pickle.dumps(binner.summarize(pdf))],
-            }
+    if hasattr(binner, "summarize_agg"):
+        # JVM digest: one hash aggregation, no Python workers
+        rows = (
+            num.groupBy("__bucket")
+            .agg(binner.summarize_agg().alias("__summary"))
+            .collect()
         )
+        summaries = {r["__bucket"]: r["__summary"] for r in rows}
+    else:
+        summary_schema = StructType.fromDDL("__bucket long, __summary binary")
 
-    rows = (
-        num.groupBy("__bucket")
-        .applyInPandas(summarize, summary_schema)
-        .collect()
-    )
+        def summarize(key, pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(sort_cols, ignore_index=True)
+            return pd.DataFrame(
+                {
+                    "__bucket": [key[0]],
+                    "__summary": [pickle.dumps(binner.summarize(pdf))],
+                }
+            )
+
+        rows = (
+            num.groupBy("__bucket")
+            .applyInPandas(summarize, summary_schema)
+            .collect()
+        )
+        summaries = {
+            r["__bucket"]: pickle.loads(r["__summary"]) for r in rows
+        }
     state = initial_state if initial_state is not None else binner.initial_state()
-    entry_states: dict[int, bytes] = {}
-    for r in sorted(rows, key=lambda r: r["__bucket"]):
-        entry_states[r["__bucket"]] = pickle.dumps(state)
-        state = binner.combine(state, pickle.loads(r["__summary"]))
+    entry_states: dict[int, Any] = {}
+    for b in sorted(summaries):
+        entry_states[b] = state
+        state = binner.combine(state, summaries[b])
     final_state = state
 
+    if hasattr(binner, "jvm_assign"):
+        # fully JVM phase 2: the binner expresses assignment as plan
+        # columns (entry states become plan literals) — no Python
+        # workers anywhere in the operator
+        binned = binner.jvm_assign(num, entry_states, sort_cols, bin_col)
+        return binned.drop("__bucket"), final_state
+
+    frozen = {b: pickle.dumps(s) for b, s in entry_states.items()}
     out_schema = StructType(
         [*num.schema.fields, StructField(bin_col, _parse_dtype(binner.bin_dtype))]
     )
 
     def assign(key, pdf):
         pdf = pdf.sort_values(sort_cols, ignore_index=True)
-        entry = pickle.loads(entry_states[key[0]])
+        entry = pickle.loads(frozen[key[0]])
         pdf[bin_col] = binner.assign(pdf, entry)
         return pdf
 
@@ -144,6 +171,11 @@ class VolumeBarBinner:
     def initial_state(self) -> float:
         return 0.0
 
+    def summarize_agg(self):
+        return F.coalesce(
+            F.sum(F.col(self.volume_col)).cast("double"), F.lit(0.0)
+        )
+
     def summarize(self, pdf) -> float:
         return float(pdf[self.volume_col].sum())
 
@@ -157,3 +189,26 @@ class VolumeBarBinner:
             pdf[self.volume_col].cumsum() - pdf[self.volume_col]
         )
         return np.floor(ps / self.threshold).astype("int64")
+
+    def jvm_assign(self, num, entry_states, sort_cols, bin_col):
+        """JVM phase 2: per-bucket exclusive-prefix window + entry
+        offset as a plan-literal array — whole-stage codegen, no
+        Python workers (same plan as the original prefix-sum form)."""
+        from pyspark.sql import Window
+
+        size = max(entry_states, default=0) + 1
+        arr = F.array(
+            *[F.lit(float(entry_states.get(i, 0.0))) for i in range(size)]
+        )
+        entry = F.element_at(arr, (F.col("__bucket") + 1).cast("int"))
+        w = (
+            Window.partitionBy("__bucket")
+            .orderBy(*[F.col(c) for c in sort_cols])
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ps = entry + F.coalesce(
+            F.sum(F.col(self.volume_col)).over(w), F.lit(0.0)
+        )
+        return num.withColumn(
+            bin_col, F.floor(ps / F.lit(self.threshold)).cast("long")
+        )
