@@ -43,6 +43,7 @@ def load_all_query_modules() -> None:
     from oups_spark.queries import (  # noqa: F401
         core,
         llm_ops,
+        misc_ops,
         segment_ops,
         store_ops,
         stream_ops,

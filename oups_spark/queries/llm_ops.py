@@ -394,7 +394,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
-@register("multimodal_features")  # stubbed decode: rows-only check
+@register(
+    "multimodal_features",
+    # The decode is a deterministic stub (real media libs are not in
+    # this container), but its fake features are pure byte arithmetic
+    # — so the WHOLE mapInPandas pipeline is value-checked against a
+    # DuckDB byte-level twin (hex(blob) -> per-byte ints).  A real
+    # decode would swap in behind the same schema.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 'text/fake-image' AS media_type,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ), s AS (
+      SELECT doc_id, media_type, nb,
+             coalesce(list_sum(list_transform(range(1, nb + 1),
+                      i -> CAST(('0x' || substr(h, 2*i-1, 2)) AS BIGINT))),
+                      0) AS bsum
+      FROM m
+    )
+    SELECT doc_id, media_type,
+           CAST(nb AS BIGINT)                 AS n_bytes,
+           CAST(bsum % 2147483648 AS BIGINT)  AS checksum,
+           round(CASE WHEN nb > 0 THEN bsum / nb ELSE 0 END, 6) AS mean_byte,
+           CAST(8 AS BIGINT)                  AS feat_dim
+    FROM s ORDER BY doc_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: pack documents as opaque payloads with
     typed metadata, extract features via Arrow-batched mapInPandas
@@ -402,7 +429,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.multimodal import extract_features, pack_documents_as_media
 
     docs = load(spark, sf_dir, "documents")
-    return extract_features(pack_documents_as_media(docs)).orderBy("doc_id")
+    out = extract_features(pack_documents_as_media(docs))
+    return out.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "feat_dim",
+    ).orderBy("doc_id")
 
 
 def _curation_sql() -> str:
