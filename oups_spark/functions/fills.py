@@ -30,19 +30,34 @@ def anti_by(df: DataFrame, other: DataFrame, on: list[str] | str) -> DataFrame:
     return df.join(other, on=on, how="left_anti")
 
 
-def flatten_struct_columns(df: DataFrame, sep: str = "_") -> DataFrame:
-    """Flatten one level of struct columns into ``parent_child``
-    names (reference ``conform_cmidx`` handles pandas column
-    MultiIndex the same way, ``parquet_adapter.py:45-85``)."""
-    cols = []
-    for field in df.schema.fields:
-        if field.dataType.typeName() == "struct":
-            for sub in field.dataType.fields:
-                cols.append(
-                    F.col(f"`{field.name}`.`{sub.name}`").alias(
-                        f"{field.name}{sep}{sub.name}"
+def flatten_struct_columns(
+    df: DataFrame, sep: str = "_", max_depth: int | None = None
+) -> DataFrame:
+    """Flatten struct columns into ``parent_child`` (recursively
+    ``parent_child_grandchild``) names — the Spark face of the
+    reference's ``conform_cmidx``, which collapses a pandas column
+    MultiIndex the same way (``parquet_adapter.py:45-85``); arbitrary
+    nesting depth matches a MultiIndex of any number of levels.
+    ``max_depth`` bounds the recursion (None = fully flatten)."""
+
+    def expand(prefix_path: str, prefix_name: str, dtype, depth: int):
+        if dtype.typeName() == "struct" and (
+            max_depth is None or depth < max_depth
+        ):
+            out = []
+            for sub in dtype.fields:
+                out.extend(
+                    expand(
+                        f"{prefix_path}.`{sub.name}`",
+                        f"{prefix_name}{sep}{sub.name}",
+                        sub.dataType,
+                        depth + 1,
                     )
                 )
-        else:
-            cols.append(F.col(f"`{field.name}`"))
+            return out
+        return [F.col(prefix_path).alias(prefix_name)]
+
+    cols = []
+    for field in df.schema.fields:
+        cols.extend(expand(f"`{field.name}`", field.name, field.dataType, 0))
     return df.select(*cols)

@@ -44,17 +44,38 @@ def _boundaries(datasets: dict, start, end_excl) -> list:
     return sorted(vals)
 
 
+def _range_row_estimate(per_ds: list, b, e) -> int:
+    """Upper-bound row count over ``[b, e)`` from manifest stats:
+    every file whose span touches the range counts fully (ordered
+    datasets have non-overlapping files, so mins and maxs are both
+    sorted — two bisects per dataset)."""
+    import bisect
+
+    total = 0
+    for mins, maxs, pref in per_ds:
+        lo = bisect.bisect_left(maxs, b)  # first file with max >= b
+        hi = bisect.bisect_left(mins, e) if e is not None else len(mins)
+        if hi > lo:
+            total += pref[hi] - pref[lo]
+    return total
+
+
 def iter_intersections(
-    store, keys, start=None, end_excl=None
+    store, keys, start=None, end_excl=None, *, batch_rows: int = 1_000_000
 ) -> Iterator[dict]:
     """Yield per-interval dicts ``{key: pandas.DataFrame}``.
 
     Each yielded chunk set covers one ``[b_i, b_{i+1})`` interval of
-    the global boundary grid. Ranges are pruned via each dataset's
-    manifest before Spark runs, and each key's covering range is
-    loaded ONCE and sliced per interval driver-side (memory bound =
-    the requested range; use ``tagged_bucket_union`` for ranges that
-    don't fit a driver)."""
+    the global boundary grid.  Intervals are loaded in BATCHES sized
+    by a manifest-estimated row budget (``batch_rows``): consecutive
+    intervals are grouped while their covering files stay under the
+    budget, each batch is loaded once per key (manifest-pruned), and
+    sliced per interval driver-side.  Driver memory is bounded by
+    ``max(batch_rows, rows of one interval)`` — matching the
+    reference's incremental per-row-group loading
+    (``iter_intersections.py:132-193``) rather than the whole range.
+    Use ``tagged_bucket_union`` when the per-interval logic itself
+    should distribute."""
     datasets = {k: store[k] for k in keys}
     for k, ds in datasets.items():
         if not ds.exists:
@@ -63,23 +84,46 @@ def iter_intersections(
     if not bounds:
         return
     ends = bounds[1:] + [end_excl]
-    frames = {}
-    for k, ds in datasets.items():
-        o = ds.ordered_on
-        pdf = (
-            ds.read(start=start, end_excl=end_excl)
-            .orderBy(o)
-            .toPandas()
-        )
-        frames[k] = (o, pdf)
-    for b, e in zip(bounds, ends):
-        out = {}
-        for k, (o, pdf) in frames.items():
-            m = pdf[o] >= b
-            if e is not None:
-                m &= pdf[o] < e
-            out[k] = pdf[m].reset_index(drop=True)
-        yield out
+
+    per_ds = []
+    for ds in datasets.values():
+        files = ds.manifest.files
+        mins = [f.min for f in files]
+        maxs = [f.max for f in files]
+        pref = [0]
+        for f in files:
+            pref.append(pref[-1] + f.n_rows)
+        per_ds.append((mins, maxs, pref))
+
+    # greedy batching: extend while the batch's covering files fit
+    # the budget (a single oversized interval still forms its own
+    # batch — it cannot be subdivided on the boundary grid)
+    intervals = list(zip(bounds, ends))
+    batches: list[list[tuple]] = []
+    cur: list[tuple] = []
+    for b, e in intervals:
+        if cur and _range_row_estimate(per_ds, cur[0][0], e) > batch_rows:
+            batches.append(cur)
+            cur = []
+        cur.append((b, e))
+    if cur:
+        batches.append(cur)
+
+    for batch in batches:
+        b0, e_last = batch[0][0], batch[-1][1]
+        frames = {}
+        for k, ds in datasets.items():
+            o = ds.ordered_on
+            pdf = ds.read(start=b0, end_excl=e_last).orderBy(o).toPandas()
+            frames[k] = (o, pdf)
+        for b, e in batch:
+            out = {}
+            for k, (o, pdf) in frames.items():
+                m = pdf[o] >= b
+                if e is not None:
+                    m &= pdf[o] < e
+                out[k] = pdf[m].reset_index(drop=True)
+            yield out
 
 
 def tagged_bucket_union(

@@ -84,7 +84,11 @@ class Store:
         return "\n".join(str(k) for k in self.keys()) or "<empty store>"
 
     # ---------------------------------------------------- intersections
-    def iter_intersections(self, keys, start=None, end_excl=None):
+    def iter_intersections(
+        self, keys, start=None, end_excl=None, *, batch_rows: int = 1_000_000
+    ):
         from oups_spark.store.intersections import iter_intersections
 
-        return iter_intersections(self, keys, start=start, end_excl=end_excl)
+        return iter_intersections(
+            self, keys, start=start, end_excl=end_excl, batch_rows=batch_rows
+        )

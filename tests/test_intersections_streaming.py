@@ -152,3 +152,20 @@ def test_streaming_bridge_equals_batch(spark, scratch):
         got.sort_values("bin", ignore_index=True),
         exp.sort_values("bin", ignore_index=True),
     )
+
+
+def test_iter_intersections_batched_equals_unbatched(spark, f4_store):
+    """A 1-row batch budget forces one load per interval; the yielded
+    chunks must be identical to the single-batch run (memory bound =
+    one intersection, not the whole range)."""
+    store, data = f4_store
+    keys = [SeriesKey(n) for n in data]
+    big = list(store.iter_intersections(keys, start=ts(1), end_excl=ts(6)))
+    small = list(
+        store.iter_intersections(keys, start=ts(1), end_excl=ts(6), batch_rows=1)
+    )
+    assert len(big) == len(small)
+    for cb, cs in zip(big, small):
+        assert set(cb) == set(cs)
+        for k in cb:
+            pd.testing.assert_frame_equal(cb[k], cs[k])

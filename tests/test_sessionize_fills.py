@@ -202,3 +202,23 @@ def test_volume_bars_initial_volume_continues_bars(spark):
     pd.testing.assert_frame_equal(
         full.iloc[20:].reset_index(drop=True), tail
     )
+
+
+def test_flatten_struct_columns_nested(spark):
+    import pyspark.sql.functions as F
+
+    from oups_spark.functions.fills import flatten_struct_columns
+
+    df = spark.range(2).select(
+        F.col("id"),
+        F.struct(
+            F.lit(1).alias("x"),
+            F.struct(F.lit("a").alias("lo"), F.lit("b").alias("hi")).alias("inner"),
+        ).alias("s"),
+    )
+    flat = flatten_struct_columns(df)
+    assert flat.columns == ["id", "s_x", "s_inner_lo", "s_inner_hi"]
+    assert flat.first()["s_inner_hi"] == "b"
+    one_level = flatten_struct_columns(df, max_depth=1)
+    assert one_level.columns == ["id", "s_x", "s_inner"]
+    assert one_level.schema["s_inner"].dataType.typeName() == "struct"
