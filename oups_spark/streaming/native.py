@@ -1,0 +1,114 @@
+"""Native Structured Streaming segment aggregation.
+
+Two streaming paths coexist (reference seeds both from the same
+aggregation model, ``oups/aggstream/aggstream.py``):
+
+- ``bridge.py``: AggStream as a ``foreachBatch`` sink — EXACT
+  restart/holdback semantics, bins re-emitted and overwritten via
+  keep-last merge writes.  Right when results must match the batch
+  engine bin-for-bin at every instant.
+- this module: Spark's own watermark + window machinery —
+  ``withWatermark`` bounds state, append mode emits each bin ONCE
+  when the watermark passes its end (late rows inside the watermark
+  are still folded in).  Right for high-rate production streams: the
+  state store handles failures, and bins never need rewriting.
+
+The trade: the watermark path holds back any bin newer than
+(max event time - watermark) — the streaming twin of AggStream's
+``discard_last`` completeness gate — and drops rows later than the
+watermark, where AggStream would raise on disorder.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from oups_spark.functions.dates import _FIXED_SECONDS, _parse
+
+_UNIT_NAMES = {
+    "s": "second", "sec": "second", "m": "minute", "min": "minute",
+    "h": "hour", "D": "day", "W": "week",
+}
+
+
+def freq_to_interval(freq: str) -> str:
+    """``'4h'`` -> ``'4 hours'`` (Spark window duration syntax);
+    fixed frequencies only — streaming windows need a constant
+    duration for state management."""
+    n, unit = _parse(freq)
+    if unit not in _FIXED_SECONDS and unit not in ("D", "W"):
+        raise ValueError(
+            f"streaming windows need a fixed-duration frequency, got {freq!r}"
+        )
+    name = _UNIT_NAMES[unit]
+    return f"{n} {name}" + ("s" if n != 1 else "")
+
+
+def streaming_segment_agg(
+    stream_df: DataFrame,
+    ordered_on: str,
+    agg: dict,
+    *,
+    bin_by: str,
+    watermark: str = "0 seconds",
+    tiebreak: list[str] | None = None,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation on a streaming
+    DataFrame — same agg spec as :func:`segment_agg`
+    (first/last/min/max/sum via order-explicit min_by/max_by), bins
+    labeled by their left edge.  Use append output mode: each bin
+    emits exactly once, when the watermark passes its end."""
+    from oups_spark.operators.segment import _agg_exprs
+
+    order_key = F.struct(ordered_on, *(tiebreak or []))
+    win = F.window(F.col(ordered_on), freq_to_interval(bin_by))
+    agged = (
+        stream_df.withWatermark(ordered_on, watermark)
+        .groupBy(win.alias("__w"))
+        .agg(*_agg_exprs(agg, order_key))
+    )
+    return agged.select(
+        F.col("__w.start").alias(bin_col), *[F.col(o) for o in agg]
+    )
+
+
+def write_stream_to_dataset(
+    agged: DataFrame,
+    path: str,
+    *,
+    bin_col: str = "bin",
+    checkpoint_dir: str | None = None,
+    row_group_target_size: int | str = 100_000,
+    available_now: bool = True,
+):
+    """Sink a streaming aggregation into an OrderedDataset: each
+    append-mode micro-batch (closed bins only) goes through the
+    ordered merge write, so the dataset stays one sorted,
+    size-controlled parquet sequence with exactly-once bins (the
+    keep-last dedup on the bin label absorbs Spark's at-least-once
+    redelivery after a checkpoint recovery)."""
+    from oups_spark.store.dataset import OrderedDataset
+
+    spark = agged.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            OrderedDataset(spark, path).write(
+                df=batch_df.orderBy(bin_col),
+                ordered_on=bin_col,
+                duplicates_on=[],
+                row_group_target_size=row_group_target_size,
+                validate_monotonic=False,
+            )
+
+    writer = agged.writeStream.outputMode("append").foreachBatch(sink)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return query

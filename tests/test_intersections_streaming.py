@@ -169,3 +169,72 @@ def test_iter_intersections_batched_equals_unbatched(spark, f4_store):
         assert set(cb) == set(cs)
         for k in cb:
             pd.testing.assert_frame_equal(cb[k], cs[k])
+
+
+def test_native_streaming_windows_equal_batch_closed_bins(spark, scratch):
+    """Watermarked append-mode streaming aggregation == batch
+    segment_agg on every CLOSED bin (the open tail bin is withheld by
+    the watermark — the streaming twin of discard_last)."""
+    import glob
+    import shutil
+
+    from oups_spark.operators.segment import segment_agg
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.streaming.native import (
+        streaming_segment_agg,
+        write_stream_to_dataset,
+    )
+
+    n = 80
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="11min"),
+            "id": range(n),
+            "val": [float((i * 7) % 13 - 6) for i in range(n)],
+        }
+    )
+    src = os.path.join(scratch, "nsrc")
+    os.makedirs(src, exist_ok=True)
+    sdf = spark.createDataFrame(pdf)
+    half = pdf["ts"].iloc[n // 2]
+    for i, cond in enumerate(
+        [F.col("ts") < F.lit(half), F.col("ts") >= F.lit(half)]
+    ):
+        tmp = os.path.join(scratch, f"ntmp{i}")
+        sdf.filter(cond).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"f{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    agg = {
+        "first_val": ("val", "first"),
+        "last_val": ("val", "last"),
+        "sum_val": ("val", "sum"),
+    }
+    reader = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agged = streaming_segment_agg(
+        reader, "ts", agg, bin_by="1h", tiebreak=["id"]
+    )
+    out_path = os.path.join(scratch, "native_bins")
+    write_stream_to_dataset(
+        agged, out_path, checkpoint_dir=os.path.join(scratch, "nckpt")
+    )
+
+    got = (
+        OrderedDataset(spark, out_path).read().toPandas()
+        .sort_values("bin", ignore_index=True)
+    )
+    exp = (
+        segment_agg(sdf, "ts", agg, bin_by="1h", tiebreak=["id"])
+        .toPandas().sort_values("bin", ignore_index=True)
+    )
+    # every emitted bin matches batch exactly; only the open tail bin
+    # (and possibly the one straddling the watermark) is withheld
+    assert 0 < len(got) <= len(exp)
+    assert len(exp) - len(got) <= 1
+    merged = exp.iloc[: len(got)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, merged)
