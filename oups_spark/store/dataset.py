@@ -50,6 +50,7 @@ ON_TARGET_SCALE_FACTOR = 0.8
 
 _SRC = "__oups_src"
 _FIDX = "__oups_fidx"
+_FNAME = "__oups_fname"
 _POS = "__oups_pos"
 _PERIOD = "__oups_period"
 
@@ -220,13 +221,14 @@ class OrderedDataset:
             # monotonically_increasing_id would not reflect it): the
             # per-file rank is looked up from input_file_name, and the
             # in-file id only breaks ties within one file.
-            old = (
+            old = _with_file_rank(
+                self.spark,
                 self.spark.read.parquet(
                     *[os.path.join(self.path, e.name) for e in replaced]
                 )
                 .withColumn(_POS, F.monotonically_increasing_id())
-                .withColumn(_SRC, F.lit(0))
-                .withColumn(_FIDX, _file_rank(replaced))
+                .withColumn(_SRC, F.lit(0)),
+                replaced,
             )
             merged = old.unionByName(new)
 
@@ -234,7 +236,14 @@ class OrderedDataset:
             merged = self._dedup_keep_last(merged, ordered_on, duplicates_on)
 
         new_entries = self._write_files(
-            merged, ordered_on, row_group_target_size, n_old + n_new
+            merged,
+            ordered_on,
+            row_group_target_size,
+            n_old + n_new,
+            # the range partitioner's sample pass re-executes its child;
+            # cache iff that child contains the dedup window (re-scanning
+            # raw parquet twice is cheaper than materializing it)
+            cache=duplicates_on is not None,
         )
 
         man = self._manifest or Manifest(ordered_on=ordered_on)
@@ -387,7 +396,12 @@ class OrderedDataset:
         )
 
     def _write_files(
-        self, merged: DataFrame, ordered_on: str, target, approx_rows: int
+        self,
+        merged: DataFrame,
+        ordered_on: str,
+        target,
+        approx_rows: int,
+        cache: bool = False,
     ) -> list[FileEntry]:
         """Write merged data into size-controlled files, return stats.
 
@@ -396,10 +410,29 @@ class OrderedDataset:
         Period target (e.g. ``'1D'``): one file per period via a
         derived period column (reference's TimePeriod strategy,
         ``time_period_strategy.py``).
+
+        ``cache=True`` persists ``merged`` so the range partitioner's
+        sample pass and the write pass execute the (expensive) child
+        plan once — used when the child contains the keep-last window.
+        Per-file stats come from the parquet footers driver-side (no
+        second Spark scan of the written data); a Spark scan remains as
+        the fallback for ordering columns whose footer stats are
+        unreliable (binary/string truncation).
         """
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:12]}")
         os.makedirs(staging, exist_ok=True)
         try:
+            # µs timestamps (INT96 carries no footer min/max stats)
+            self.spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+        except Exception:  # noqa: BLE001 - conf locked by a custom session
+            pass
+        try:
+            if cache:
+                from pyspark import StorageLevel
+
+                merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
             if isinstance(target, int):
                 n_out = max(1, -(-approx_rows // target))
                 out = (
@@ -421,32 +454,44 @@ class OrderedDataset:
                 )
                 out.write.partitionBy(_PERIOD).mode("overwrite").parquet(staging)
 
-            # Distributed footer-stat collection: one pruned scan of
-            # just the ordering column, grouped by file.
-            stats = (
-                self.spark.read.parquet(staging)
-                .groupBy(F.input_file_name().alias("f"))
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min(ordered_on).alias("mn"),
-                    F.max(ordered_on).alias("mx"),
+            # Per-file stats from the parquet footers (driver-side
+            # metadata reads over the files of THIS write only); the
+            # Spark scan is the fallback when footer stats are
+            # unreliable for the ordering column.
+            stats = _footer_stats(staging, ordered_on)
+            if stats is None:
+                rows = (
+                    self.spark.read.parquet(staging)
+                    .groupBy(F.input_file_name().alias("f"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.min(ordered_on).alias("mn"),
+                        F.max(ordered_on).alias("mx"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-            entries = []
-            for row in sorted(stats, key=lambda r: (r["mn"], r["mx"])):
                 # input_file_name() yields a URI: strip scheme and
                 # percent-decoding (Spark also escapes ':' etc. in
                 # partition dir names on disk — one decode recovers
                 # the on-disk path).
-                src = urllib.parse.unquote(urllib.parse.urlparse(row["f"]).path)
+                stats = [
+                    (
+                        urllib.parse.unquote(urllib.parse.urlparse(r["f"]).path),
+                        r["n"],
+                        r["mn"],
+                        r["mx"],
+                    )
+                    for r in rows
+                ]
+            entries = []
+            for src, n, mn, mx in sorted(stats, key=lambda t: (t[2], t[3])):
                 name = f"file_{uuid.uuid4().hex}.parquet"
                 os.replace(src, os.path.join(self.path, name))
-                entries.append(
-                    FileEntry(name=name, n_rows=row["n"], min=row["mn"], max=row["mx"])
-                )
+                entries.append(FileEntry(name=name, n_rows=n, min=mn, max=mx))
             return entries
         finally:
+            if cache:
+                merged.unpersist()
             shutil.rmtree(staging, ignore_errors=True)
 
     # ---------------------------------------------------------- compact
@@ -498,13 +543,14 @@ class OrderedDataset:
         ordered_on = self._manifest.ordered_on
         rewritten = 0
         for run in runs:
-            merged = (
+            merged = _with_file_rank(
+                self.spark,
                 self.spark.read.parquet(
                     *[os.path.join(self.path, e.name) for e in run]
                 )
                 .withColumn(_POS, F.monotonically_increasing_id())
-                .withColumn(_SRC, F.lit(0))
-                .withColumn(_FIDX, _file_rank(run))
+                .withColumn(_SRC, F.lit(0)),
+                run,
             )
             new_entries = self._write_files(
                 merged, ordered_on, row_group_target_size,
@@ -530,15 +576,88 @@ class OrderedDataset:
         self._manifest = None
 
 
-def _file_rank(entries: list[FileEntry]) -> F.Column:
-    """Manifest-order rank of the file a row was scanned from: the
-    dataset-order component of the old-side keep-last tiebreak (the
-    in-file monotonic id only orders rows WITHIN one file)."""
-    mapping = F.create_map(
-        *[x for i, e in enumerate(entries) for x in (F.lit(e.name), F.lit(i))]
+def _footer_stats(
+    staging: str, ordered_on: str
+) -> list[tuple[str, int, Any, Any]] | None:
+    """Per-file ``(path, n_rows, min, max)`` of the ordering column
+    from the parquet footers — metadata-only reads, no Spark job.
+
+    Scope is the staging dir of ONE write (the files just written),
+    so the driver-side walk is bounded by the write size, not the
+    dataset size. Returns ``None`` (caller falls back to a Spark
+    scan) when stats can't be trusted: binary/string physical types
+    (parquet min/max may be truncated), INT96 (no stats at all), or
+    any row group missing stats."""
+    import pyarrow.parquet as pq
+    from datetime import timezone
+
+    def norm(v):
+        # pyarrow returns tz-aware UTC for isAdjustedToUTC timestamps;
+        # Spark collect (session TZ = UTC) returns naive — align.
+        if hasattr(v, "tzinfo") and v.tzinfo is not None:
+            return v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v
+
+    out: list[tuple[str, int, Any, Any]] = []
+    for root, _dirs, names in os.walk(staging):
+        for nm in names:
+            if not nm.endswith(".parquet"):
+                continue
+            p = os.path.join(root, nm)
+            md = pq.read_metadata(p)
+            if md.num_rows == 0:
+                continue
+            sch = md.schema
+            idx = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if sch.column(i).path == ordered_on
+                ),
+                None,
+            )
+            if idx is None:
+                return None
+            if sch.column(idx).physical_type in (
+                "BYTE_ARRAY",
+                "FIXED_LEN_BYTE_ARRAY",
+                "INT96",
+            ):
+                return None
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mins.append(norm(st.min))
+                maxs.append(norm(st.max))
+            out.append((p, md.num_rows, min(mins), max(maxs)))
+    return out
+
+
+def _with_file_rank(
+    spark: SparkSession, df: DataFrame, entries: list[FileEntry]
+) -> DataFrame:
+    """Attach the manifest-order rank (``_FIDX``) of each row's source
+    file: the dataset-order component of the old-side keep-last
+    tiebreak (the in-file monotonic id only orders rows WITHIN one
+    file).
+
+    Implemented as a broadcast hash join on the file basename — O(1)
+    per row and a compact codegen plan, vs the O(n_files)-per-row
+    ``create_map`` literal probe it replaces (which also produced an
+    expression whose Janino compile time grew with file count)."""
+    ranks = spark.createDataFrame(
+        [(e.name, i) for i, e in enumerate(entries)],
+        f"{_FNAME} string, {_FIDX} int",
     )
     name = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    return F.coalesce(mapping[name], F.lit(-1))
+    return (
+        df.withColumn(_FNAME, name)
+        .join(F.broadcast(ranks), _FNAME, "left")
+        .drop(_FNAME)
+        .withColumn(_FIDX, F.coalesce(F.col(_FIDX), F.lit(-1)))
+    )
 
 
 def _off_target_flags(entries: list[FileEntry], target) -> list[bool]:
