@@ -25,9 +25,13 @@ one scalar aggregate per round, no row-level diff join.
 
 Scale posture (100 TB): rounds are O(log diameter); near-dup
 components are shallow (duplicate families, not social graphs), so
-2-4 rounds is typical. Every step is a plain keyed shuffle on node
-ids — uniformly distributed, AQE-skew-safe; nothing is collected to
-the driver except the one convergence scalar.
+2-4 rounds is typical. The iteration runs ONLY over edge-incident
+nodes — isolated nodes (the overwhelming majority of a near-dup
+graph) can never change label, so they skip the loop entirely and
+rejoin in one final keyed pass; per-round volume is O(|edges|), not
+O(|nodes|). Every step is a plain keyed shuffle on node ids —
+uniformly distributed, AQE-skew-safe; nothing is collected to the
+driver except the one convergence scalar.
 """
 
 from __future__ import annotations
@@ -70,9 +74,15 @@ def connected_components(
     ).localCheckpoint()
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint()
+    # Only edge-incident nodes can ever take a label other than their
+    # own id — iterate over exactly those (the symmetric union makes
+    # "u" cover every endpoint); isolated nodes rejoin after the loop.
+    labels = (
+        e.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
     prev_total = None
     for _ in range(max_rounds):
         # 1. min label over neighbors (invariant: every comp value is
@@ -113,7 +123,13 @@ def connected_components(
         if total == prev_total:
             break
         prev_total = total
-    return labels
+    # isolated nodes label themselves; the edge-node labels are tiny
+    # (bounded by 2·|edges|) so AQE broadcasts this join
+    return nodes.select(F.col(id_col).alias("id")).join(
+        labels, on="id", how="left"
+    ).select(
+        "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    )
 
 
 def neardup_clusters(

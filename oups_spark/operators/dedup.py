@@ -254,14 +254,13 @@ def minhash_lsh_neardup_pairs(
     # the band self-join (otherwise the md5/shingle subplan re-runs)
     sigs = minhash_signatures(df, id_col, text_col).persist()
     cands = lsh_band_pairs(sigs, id_col, bands=bands, rows_per_band=rows_per_band)
-    n_part = df.sparkSession.sparkContext.defaultParallelism * 2
-    cands = cands.repartition(n_part, "id_a", "id_b")
     sh = df.select(F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    # candidate pairs repartitioned wide, shingle arrays attached by
-    # id joins (AQE broadcasts the array table when it is small) —
-    # Jaccard verification runs at full parallelism
+    # shingle arrays attached by id joins; the candidate side arrives
+    # already hash-distributed from the distinct, and AQE broadcasts
+    # the array table when it is small / splits skewed partitions —
+    # an explicit repartition here measured as a pure extra shuffle
     return (
         cands.join(a, on="id_a")
         .join(b, on="id_b")

@@ -334,6 +334,91 @@ def text_stats_df(
     )
 
 
+def text_profile_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document text stats AND language-ID fused into ONE pass:
+    a single tokenize barrier feeds every derived column, so the text
+    is split exactly once per row (separate :func:`text_stats_df` +
+    :func:`with_pred_lang` calls each re-scan and re-tokenize the
+    corpus). Map-side only, zero shuffle — the curation-pipeline
+    shape where both families of columns are needed together.
+
+    Output: id, ``keep_cols``, n_tokens, n_bpe_tokens, punct_ratio,
+    stopword_ratio, mean_token_len, fingerprint, pred_lang.
+    """
+    c = F.col(text_col)
+    base = once_per_row(
+        df.select(
+            F.col(id_col),
+            *[F.col(k) for k in keep_cols],
+            F.length(c).alias("__n_chars"),
+            F.regexp_count(c, F.lit(PUNCT_CLASS)).alias("__pc"),
+            bpe_token_count(c).alias("n_bpe_tokens"),
+            c.alias("__text"),
+        ),
+        {"__tok": tokens(F.col("__text"))},
+    )
+    tok = F.col("__tok")
+    n = F.size(tok)
+    sw = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
+    tl = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    stats = once_per_row(
+        base,
+        {
+            "n_tokens": n.cast("long"),
+            "punct_ratio": F.round(
+                F.when(
+                    F.col("__n_chars") > 0, F.col("__pc") / F.col("__n_chars")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+            "stopword_ratio": F.round(
+                F.when(n > 0, sw.cast("long") / n).otherwise(F.lit(0.0)), 6
+            ),
+            "mean_token_len": F.round(
+                F.when(n > 0, tl.cast("long") / n).otherwise(F.lit(0.0)), 6
+            ),
+            "__dtok": F.array_distinct(tok),
+        },
+    )
+    dtok = F.col("__dtok")
+    scored = once_per_row(
+        stats,
+        {
+            "fingerprint": F.md5(F.concat_ws(" ", F.array_sort(dtok))),
+            **{
+                f"__score_{lang}": F.size(
+                    F.filter(dtok, lambda t: t.isin(*markers))
+                )
+                for lang, markers in LANG_MARKERS.items()
+            },
+        },
+    )
+    mx = F.greatest(*[F.col(f"__score_{lang}") for lang in LANG_MARKERS])
+    expr = None
+    for lang in LANG_MARKERS:
+        cond = F.col(f"__score_{lang}") == mx
+        expr = (
+            F.when(cond, F.lit(lang))
+            if expr is None
+            else expr.when(cond, F.lit(lang))
+        )
+    return scored.withColumn("pred_lang", expr).drop(
+        "__text",
+        "__tok",
+        "__dtok",
+        "__n_chars",
+        "__pc",
+        *[f"__score_{lang}" for lang in LANG_MARKERS],
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(

@@ -522,30 +522,33 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (canonical + lang-consistent + quality thresholds), and the BPE
     token budget the kept set contributes.
 
-    Scale shape: stats and lang-ID are map-side derivations of the
-    same scan; clustering is the only iterative piece (O(log d)
-    keyed-shuffle rounds); the final rollup is a low-cardinality
-    hash aggregation. Output rows = |langs| x |sources|, independent
-    of corpus size."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    from oups_spark.operators.components import neardup_clusters
-    from oups_spark.operators.text import text_stats_df
+    Scale shape: stats and lang-ID are ONE fused map-side pass over
+    the persisted narrow projection of the corpus (single tokenize
+    barrier); the MinHash/clustering branch re-reads that same cached
+    projection instead of re-scanning parquet; clustering is the only
+    iterative piece (O(log d) keyed-shuffle rounds); the final rollup
+    is a low-cardinality hash aggregation. Output rows =
+    |langs| x |sources|, independent of corpus size."""
+    from pyspark import StorageLevel
 
-    stats = text_stats_df(docs, "doc_id")
-    langp = with_pred_lang(
-        docs.select("doc_id", "lang", "source", "text")
-    ).drop("text")
+    from oups_spark.operators.components import neardup_clusters
+    from oups_spark.operators.text import text_profile_df
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    profile = text_profile_df(docs, "doc_id", keep_cols=("lang", "source"))
 
     pairs = minhash_lsh_neardup_pairs(
         docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
     )
     clusters = neardup_clusters(docs, pairs, id_col="doc_id")
 
-    j = langp.join(stats, "doc_id").join(
-        clusters.select("doc_id", "is_canonical"), "doc_id"
-    )
+    j = profile.join(clusters.select("doc_id", "is_canonical"), "doc_id")
     keep = (
         F.col("is_canonical")
         & (F.col("pred_lang") == F.col("lang"))
