@@ -264,11 +264,15 @@ def ivf_cosine_topk(
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the classic ANN scale path alongside LSH.
 
-    Train: a bounded sample (``limit(sample_size)`` — deterministic)
-    is pulled to the driver and clustered with a few Lloyd iterations
-    on the unit sphere (spherical k-means; numpy, milliseconds). The
-    centroid matrix is a closure constant — no fitting job, no MLlib
-    dependency, fully deterministic for a given corpus prefix + seed.
+    Train: a REPRESENTATIVE bounded sample — rows where
+    ``pmod(xxhash64(id), ceil(n/sample_size)) = 0`` — is pulled to
+    the driver and clustered with a few Lloyd iterations on the unit
+    sphere (spherical k-means; numpy, milliseconds). The hash filter
+    draws uniformly from the whole corpus (a ``limit(sample_size)``
+    prefix would be one time-slice/partition of a 100 TB table and
+    skew the quantizer) while staying fully deterministic for a given
+    corpus + seed. The centroid matrix is a closure constant — no
+    fitting job, no MLlib dependency.
 
     Search: one Arrow-batched matmul assigns every corpus vector its
     nearest cell (this is the partition layout — at scale the cell id
@@ -280,11 +284,18 @@ def ivf_cosine_topk(
     """
     import numpy as np
 
+    n_corpus = corpus.count()
+    stride = max(1, -(-n_corpus // sample_size))  # ceil(n / sample_size)
+    sample_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .collect()
+    )
+    # stable ordering so centroid init doesn't depend on partition
+    # scheduling (collect order is only partition-order stable)
+    sample_rows.sort(key=lambda r: r[0])
     sample = np.vstack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in corpus.select(vec_col).limit(sample_size).collect()
-        ]
+        [np.asarray(r[1], dtype=np.float64) for r in sample_rows]
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

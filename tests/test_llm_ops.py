@@ -116,6 +116,38 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert approx.equals(again)
 
 
+def test_ivf_sampling_representative_under_skewed_order(spark):
+    """Centroid training must survive a cluster-ordered corpus (ids
+    correlated with cluster — the 100 TB failure mode for prefix
+    sampling): the xxhash64-stride sample draws from every cluster,
+    so per-cluster cells exist and probe recall stays high."""
+    import numpy as np
+
+    from oups_spark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 8, 250, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(n_clusters):  # ids strictly ordered by cluster
+        for p in centers[c] + 0.05 * rng.normal(size=(per, dim)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_cosine_topk(
+        emb, queries, k=5, n_cells=8, nprobe=2, sample_size=256
+    ).toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # a prefix sample would see ONLY cluster 0 -> recall ~ nprobe/cells
+    # = 25% on the tight clusters here; the hash sample must be near-exact
+    assert recall > 0.8, f"skew-ordered IVF recall {recall:.2f}"
+
+
 def test_ngram_jaccard_df_cap_exact_and_bounded(spark):
     """df_cap semantics: a generous cap changes nothing (planted
     shingles are rare); an aggressive cap may only SHRINK the pair
