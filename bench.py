@@ -30,8 +30,11 @@ HEADLINE = [
     "dnf_filter_events",
     "segment_bins_1h",
     "segment_bins_4h_right",
+    "segment_bins_quarter_right",
+    "segment_bins_4h_0930_offset",
     "row_count_bins_500",
     "snapshot_1d_6h",
+    "snapshot_1y_1ms",
     "aggstream_hourly_restart",
     "text_stats",
     "lang_id",

@@ -7,7 +7,13 @@ by epoch arithmetic; non-fixed ones (``D``, ``W``, ``MS``/month,
 ``YS``/year) use ``date_trunc``.
 
 Period strings accept a pandas-ish subset: ``<n><unit>`` with unit in
-``s, min, h, D, W, MS, M, YS, Y`` (n only for fixed units and D).
+``s, min, h, D, W, MS, M, YS, Y`` — multiples are allowed everywhere
+(``3MS`` = quarters anchored at Jan 1970, ``2Y`` = biennia).
+
+Fixed frequencies additionally accept ``origin``/``offset`` anchoring
+(the pandas ``TimeGrouper`` contract, reference
+``oups/aggstream/segmentby.py:211-222``): the grid is shifted so that
+``origin + offset`` is an edge — e.g. 4h bins starting at 09:30.
 """
 
 from __future__ import annotations
@@ -53,7 +59,32 @@ def period_duration(freq: str) -> float:
     raise ValueError(f"unsupported period unit: {unit!r}")
 
 
-def floor_ts_scalar(ts, freq: str):
+def months_per(freq: str) -> int | None:
+    """Number of months per period for calendar frequencies
+    (``MS``/``M``/``YS``/``Y`` and multiples), else ``None``."""
+    n, unit = _parse(freq)
+    if unit in ("MS", "M"):
+        return n
+    if unit in ("YS", "Y"):
+        return n * 12
+    return None
+
+
+def anchor_us(origin=None, offset=None) -> int:
+    """Grid anchor in epoch microseconds: ``origin + offset`` (both
+    optional; origin defaults to the epoch). Accepts anything
+    ``pd.Timestamp`` / ``pd.Timedelta`` accept."""
+    import pandas as pd
+
+    a = 0
+    if origin is not None:
+        a = int(pd.Timestamp(origin).value // 1000)
+    if offset is not None:
+        a += int(pd.Timedelta(offset).value // 1000)
+    return a
+
+
+def floor_ts_scalar(ts, freq: str, *, origin=None, offset=None):
     """Driver-side (pandas) twin of :func:`floor_ts` for manifest
     arithmetic — same epoch anchoring for fixed freqs, same calendar
     anchoring for D/W/MS/YS."""
@@ -61,17 +92,26 @@ def floor_ts_scalar(ts, freq: str):
 
     n, unit = _parse(freq)
     t = pd.Timestamp(ts)
-    if unit in _FIXED_SECONDS:
-        return t.floor(f"{n * _FIXED_SECONDS[unit]}s")
+    anchored = origin is not None or offset is not None
+    if anchored and not is_fixed_freq(freq):
+        raise ValueError("origin/offset anchoring requires a fixed frequency")
+    if unit in _FIXED_SECONDS or (anchored and unit in ("D", "W")):
+        step = n * (
+            _FIXED_SECONDS.get(unit) or 86400 * (7 if unit == "W" else 1)
+        )
+        a = anchor_us(origin, offset)
+        rel = t.value // 1000 - a
+        return pd.Timestamp((rel - rel % (step * 1_000_000) + a) * 1000)
     if unit == "D":
         return t.floor(f"{n}D")
     if unit == "W":
         # ISO week starting Monday, matching Spark's date_trunc('week')
         return (t - pd.Timedelta(days=int(t.weekday()))).normalize()
-    if unit in ("MS", "M"):
-        return t.to_period("M").start_time
-    if unit in ("YS", "Y"):
-        return t.to_period("Y").start_time
+    if unit in ("MS", "M", "YS", "Y"):
+        mper = months_per(freq)
+        m = (t.year - 1970) * 12 + t.month - 1
+        fm = m - m % mper
+        return pd.Timestamp(year=1970 + fm // 12, month=fm % 12 + 1, day=1)
     raise ValueError(f"unsupported period unit: {unit!r}")
 
 
@@ -102,37 +142,55 @@ def step_interval_sql(freq: str) -> str:
     raise ValueError(f"unsupported period unit: {unit!r}")
 
 
-def floor_ts(col: Column, freq: str) -> Column:
+def floor_ts(col: Column, freq: str, *, origin=None, offset=None) -> Column:
     """Floor a timestamp column to the period grid (epoch-anchored for
-    fixed frequencies, calendar-anchored for D/W/MS/YS)."""
+    fixed frequencies, calendar-anchored for D/W/MS/YS, multi-period
+    months/years anchored at Jan 1970 — ``3MS`` gives standard
+    quarters). ``origin``/``offset`` shift the grid of FIXED
+    frequencies so ``origin + offset`` is an edge (pandas
+    ``TimeGrouper`` anchoring; reference ``segmentby.py:211-222``).
+
+    ``pmod`` (not ``%``, which follows the dividend's sign) keeps the
+    floor exact for pre-anchor timestamps."""
     n, unit = _parse(freq)
-    if unit in _FIXED_SECONDS:
-        micros = n * _FIXED_SECONDS[unit] * 1_000_000
-        # integer modulo (not double division) — exact at any epoch
-        t = unix_us(col)
-        return F.timestamp_micros(t - t % micros)
+    anchored = origin is not None or offset is not None
+    if anchored and not is_fixed_freq(freq):
+        raise ValueError("origin/offset anchoring requires a fixed frequency")
+    if unit in _FIXED_SECONDS or (anchored and unit in ("D", "W")):
+        secs = n * (
+            _FIXED_SECONDS.get(unit) or 86400 * (7 if unit == "W" else 1)
+        )
+        micros = F.lit(secs * 1_000_000)
+        a = anchor_us(origin, offset)
+        t = unix_us(col) - F.lit(a)
+        return F.timestamp_micros(t - F.pmod(t, micros) + F.lit(a))
     if unit == "D":
         if n == 1:
             return F.date_trunc("day", col)
-        micros = n * 86400 * 1_000_000
         t = unix_us(col)
-        return F.timestamp_micros(t - t % micros)
+        micros = F.lit(n * 86400 * 1_000_000)
+        return F.timestamp_micros(t - F.pmod(t, micros))
     if unit == "W":
         return F.date_trunc("week", col)
     if unit in ("MS", "M", "YS", "Y"):
-        if n != 1:
-            raise ValueError(
-                f"multi-period month/year frequencies are not supported: {freq!r}"
-            )
-        return F.date_trunc("month" if unit in ("MS", "M") else "year", col)
+        mper = months_per(freq)
+        if mper == 1:
+            return F.date_trunc("month", col)
+        if mper == 12:
+            return F.date_trunc("year", col)
+        m = (F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1
+        fm = (m - F.pmod(m, F.lit(mper))).cast("int")
+        return F.to_timestamp(
+            F.add_months(F.lit("1970-01-01").cast("date"), fm)
+        )
     raise ValueError(f"unsupported period unit: {unit!r}")
 
 
-def ceil_ts(col: Column, freq: str) -> Column:
+def ceil_ts(col: Column, freq: str, *, origin=None, offset=None) -> Column:
     """Ceiling: the next grid point strictly above unless already on
     the grid (on-grid values are returned unchanged, matching the
     reference's ceil semantics, ``oups/date_utils.py:38-62``)."""
-    floored = floor_ts(col, freq)
+    floored = floor_ts(col, freq, origin=origin, offset=offset)
     return F.when(floored == col, col).otherwise(next_edge(floored, freq))
 
 

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from oups_spark.functions.dates import (
     floor_ts,
     is_fixed_freq,
+    months_per,
     next_edge,
     period_duration,
     step_interval_sql,
@@ -72,7 +73,13 @@ def _agg_exprs(agg: dict, order_key: Column) -> list[Column]:
 
 
 def assign_time_bin(
-    col: Column, freq: str, *, closed: str = "left", label: str = "left"
+    col: Column,
+    freq: str,
+    *,
+    closed: str = "left",
+    label: str = "left",
+    origin=None,
+    offset=None,
 ) -> Column:
     """Bin label for a timestamp under closed/label conventions.
 
@@ -80,11 +87,16 @@ def assign_time_bin(
     bin. ``closed='right'``: bin is (start, end] — on-edge rows close
     the previous bin (implemented by flooring ``t - 1µs``).
     ``label``: report the left or right edge as the bin's label.
+    ``origin``/``offset`` shift the grid of fixed frequencies
+    (pandas ``TimeGrouper`` anchoring).
     """
     if closed == "left":
-        start = floor_ts(col, freq)
+        start = floor_ts(col, freq, origin=origin, offset=offset)
     elif closed == "right":
-        start = floor_ts(F.timestamp_micros(unix_us(col) - 1), freq)
+        start = floor_ts(
+            F.timestamp_micros(unix_us(col) - 1), freq,
+            origin=origin, offset=offset,
+        )
     else:
         raise ValueError(f"closed must be left|right, got {closed!r}")
     if label == "left":
@@ -213,6 +225,8 @@ def segment_agg(
     empty_bins: bool = False,
     tiebreak: list[str] | None = None,
     bin_col: str = "bin",
+    origin=None,
+    offset=None,
 ) -> DataFrame:
     """Aggregate into time bins of period ``bin_by``.
 
@@ -243,7 +257,11 @@ def segment_agg(
         )
     order_key = F.struct(ordered_on, *(tiebreak or []))
     binned = df.withColumn(
-        bin_col, assign_time_bin(F.col(ordered_on), bin_by, closed=closed, label=label)
+        bin_col,
+        assign_time_bin(
+            F.col(ordered_on), bin_by, closed=closed, label=label,
+            origin=origin, offset=offset,
+        ),
     )
     agged = binned.groupBy(bin_col).agg(*_agg_exprs(agg, order_key))
     if not empty_bins:
@@ -399,11 +417,15 @@ def snapshot_agg(
       (forward-fill); instants before any data in their bin are null
       (``cumsegagg.py:556-569``).
 
-    ``snap_by`` must be fixed-duration (s/min/h/D multiples).
-    ``bin_by`` may additionally be a calendar frequency (``MS``/``YS``):
-    bin edges then come from ``date_trunc``/``add_months`` (exact for
-    28/29/30/31-day months) and ``snap_by`` must evenly divide a day so
-    the snapshot grid lands on bin edges.
+    Grid compatibility (the snapshot grid must land on bin edges):
+    - fixed ``snap_by`` + fixed ``bin_by``: snap must divide bin;
+    - fixed ``snap_by`` + calendar ``bin_by`` (``MS``/``YS`` and
+      multiples): snap must divide a day (calendar bins hold whole
+      days);
+    - calendar ``snap_by`` + calendar ``bin_by``: snap months must
+      divide bin months (e.g. monthly snapshots in yearly bins,
+      quarterly snapshots in biennial bins — reference ``by_scale``
+      generality, ``segmentby.py:860-911``).
 
     Plan shape: partial agg per (bin, first-observing-snapshot) —
     this collapses the data to ≤ rows/snap_count groups — then
@@ -412,40 +434,44 @@ def snapshot_agg(
     single-partition stage.
     """
     tiebreak = tiebreak or []
-    if not is_fixed_freq(snap_by):
-        raise ValueError("snap_by must be a fixed-duration frequency")
-    snap_us = int(period_duration(snap_by) * 1_000_000)
-    if is_fixed_freq(bin_by):
-        bin_us = int(period_duration(bin_by) * 1_000_000)
-        if bin_us % snap_us:
-            raise ValueError("snap_by must evenly divide bin_by")
+    if is_fixed_freq(snap_by):
+        snap_us = int(period_duration(snap_by) * 1_000_000)
+        if is_fixed_freq(bin_by):
+            bin_us = int(period_duration(bin_by) * 1_000_000)
+            if bin_us % snap_us:
+                raise ValueError("snap_by must evenly divide bin_by")
+        else:
+            # calendar bins hold a whole number of days, so any snap
+            # period dividing a day divides every bin
+            if (86400 * 1_000_000) % snap_us:
+                raise ValueError(
+                    "snap_by must evenly divide a day for calendar bin_by"
+                )
     else:
-        # calendar bins hold a whole number of days, so any snap
-        # period dividing a day divides every bin
-        if (86400 * 1_000_000) % snap_us:
+        bm, sm = months_per(bin_by), months_per(snap_by)
+        if bm is None or sm is None or bm % sm:
             raise ValueError(
-                "snap_by must evenly divide a day for calendar bin_by"
+                "calendar snap_by requires a calendar bin_by it evenly "
+                f"divides, got bin_by={bin_by!r}, snap_by={snap_by!r}"
             )
 
     o = F.col(ordered_on)
-    t_us = unix_us(o)
     bin_start = floor_ts(o, bin_by)
-    bin_start_us = unix_us(bin_start)
-    bin_end_us = unix_us(next_edge(bin_start, bin_by))
-    snap_floor_us = t_us - t_us % snap_us
+    bin_end = next_edge(bin_start, bin_by)
+    snap_floor = floor_ts(o, snap_by)
     if snap_closed == "left":
         # first snapshot instant strictly after t (on-grid rows are
         # excluded from the snapshot at their own instant)
-        visible_us = snap_floor_us + snap_us
+        visible = next_edge(snap_floor, snap_by)
     elif snap_closed == "right":
         # first snapshot instant >= t (on-grid rows included)
-        visible_us = F.when(t_us % snap_us == 0, t_us).otherwise(
-            snap_floor_us + snap_us
+        visible = F.when(snap_floor == o, o).otherwise(
+            next_edge(snap_floor, snap_by)
         )
     else:
         raise ValueError(f"snap_closed must be left|right, got {snap_closed!r}")
     # clamp into the bin's grid (bin_start, bin_end]
-    visible_us = F.least(visible_us, bin_end_us)
+    visible = F.least(visible, bin_end)
 
     order_key = F.struct(ordered_on, *tiebreak)
     partial_exprs = []
@@ -461,7 +487,7 @@ def snapshot_agg(
 
     partials = (
         df.withColumn(bin_col, bin_start)
-        .withColumn(snap_col, F.timestamp_micros(visible_us))
+        .withColumn(snap_col, visible)
         .groupBy(bin_col, snap_col)
         .agg(*partial_exprs)
     )
@@ -487,10 +513,10 @@ def snapshot_agg(
             bin_col,
             F.explode(
                 F.sequence(
-                    F.timestamp_micros(unix_us(F.col(bin_col)) + snap_us),
+                    next_edge(F.col(bin_col), snap_by),
                     # per-bin right edge — calendar bins vary in length
                     next_edge(F.col(bin_col), bin_by),
-                    F.expr(f"INTERVAL {snap_us} MICROSECOND"),
+                    F.expr(step_interval_sql(snap_by)),
                 )
             ).alias(snap_col),
         )

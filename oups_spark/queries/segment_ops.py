@@ -181,6 +181,145 @@ def segment_bins_month_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "segment_bins_quarter_right",
+    oracle="""
+    WITH f AS (SELECT * FROM orders WHERE o_totalprice > 450000),
+    agged AS (
+      SELECT time_bucket(INTERVAL '3 months', CAST(o_orderdate AS TIMESTAMP))
+               + INTERVAL 3 MONTH            AS bin,
+             CAST(count(*) AS BIGINT)        AS n_orders,
+             round(sum(o_totalprice), 2)     AS sum_price
+      FROM f GROUP BY 1
+    ), cal AS (
+      SELECT unnest(generate_series((SELECT min(bin) FROM agged),
+                                    (SELECT max(bin) FROM agged),
+                                    INTERVAL 3 MONTH)) AS bin
+    )
+    SELECT cal.bin, n_orders, sum_price
+    FROM cal LEFT JOIN agged USING (bin)
+    ORDER BY cal.bin
+    """,
+)
+def segment_bins_quarter_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-period calendar bins (``3MS`` = quarters anchored at Jan,
+    reference ``by_scale`` accepting any pandas TimeGrouper freq,
+    ``segmentby.py:211-222``): months-since-epoch modulo arithmetic
+    gives exact quarter edges, right labels via ``add_months``, empty
+    quarters materialized (the >450k filter leaves some)."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .withColumn("odt", F.col("o_orderdate").cast("timestamp"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    out = segment_agg(
+        orders,
+        "odt",
+        {"n_orders": ("one", "sum"), "sum_price": ("o_totalprice", "sum")},
+        bin_by="3MS",
+        label="right",
+        empty_bins=True,
+    )
+    return out.select(
+        "bin", "n_orders", F.round("sum_price", 2).alias("sum_price")
+    )
+
+
+@register(
+    "segment_bins_4h_0930_offset",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) - 34200000000)
+             - (epoch_us(ts) - 34200000000) % 14400000000
+             + 34200000000)      AS bin,
+           count(*)              AS n_rows,
+           round(sum(value), 6)  AS sum_val
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def segment_bins_4h_0930_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-anchored fixed bins (pandas TimeGrouper origin/offset,
+    reference ``segmentby.py:211-222``): a 4h grid shifted to start
+    at 09:30 — the classic market-session grid that epoch anchoring
+    cannot express."""
+    events = load(spark, sf_dir, "events").withColumn(
+        "one", F.lit(1).cast("long")
+    )
+    out = segment_agg(
+        events,
+        "ts",
+        {"n_rows": ("one", "sum"), "sum_val": ("value", "sum")},
+        bin_by="4h",
+        offset="9h30min",
+    )
+    return out.select("bin", "n_rows", F.round("sum_val", 6).alias("sum_val"))
+
+
+@register(
+    "snapshot_1y_1ms",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderdate AS TIMESTAMP) AS ts, o_totalprice AS value
+      FROM orders
+    ), partials AS (
+      SELECT date_trunc('year', ts) AS bin,
+             least(date_trunc('month', ts) + INTERVAL 1 MONTH,
+                   date_trunc('year', ts) + INTERVAL 1 YEAR) AS snap,
+             CAST(count(*) AS BIGINT) AS p_n,
+             max(value) AS p_max,
+             sum(value) AS p_sum
+      FROM base GROUP BY 1, 2
+    ), grid AS (
+      SELECT bin, bin + to_months(CAST(k AS INT)) AS snap
+      FROM (SELECT unnest(generate_series((SELECT min(bin) FROM partials),
+                                          (SELECT max(bin) FROM partials),
+                                          INTERVAL 1 YEAR)) AS bin),
+           (SELECT unnest(generate_series(1, 12)) AS k)
+    )
+    SELECT bin, snap,
+           CAST(coalesce(sum(p_n) OVER w, 0) AS BIGINT) AS n_orders,
+           round(max(p_max) OVER w, 2)                  AS max_price,
+           round(sum(p_sum) OVER w, 2)                  AS sum_price
+    FROM grid LEFT JOIN partials USING (bin, snap)
+    WINDOW w AS (PARTITION BY bin ORDER BY snap
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bin, snap
+    """,
+)
+def snapshot_1y_1ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar snapshots inside calendar bins (reference ``snap_by``
+    generality, ``segmentby.py:860-911``): at every month start, the
+    cumulative year-to-date aggregate — both grids calendar-exact
+    (28/29/30/31-day months), forward-filled quiet months.  Tie-unsafe
+    first/last are omitted (order dates repeat); n/max/sum are
+    order-insensitive."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .withColumn("odt", F.col("o_orderdate").cast("timestamp"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    out = snapshot_agg(
+        orders,
+        "odt",
+        {
+            "n_orders": ("one", "sum"),
+            "max_price": ("o_totalprice", "max"),
+            "sum_price": ("o_totalprice", "sum"),
+        },
+        bin_by="1Y",
+        snap_by="MS",
+        snap_closed="left",
+    )
+    return out.select(
+        "bin",
+        "snap",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.round("max_price", 2).alias("max_price"),
+        F.round("sum_price", 2).alias("sum_price"),
+    )
+
+
 # irregular explicit bin grid over the events span (Jan 2024); the
 # uneven spacing is the point — no period string can produce it
 _EDGE_ENDS = [

@@ -306,15 +306,107 @@ def test_snapshot_calendar_bin_rejects_nondividing_snap(spark):
         )
 
 
-def test_multi_month_freq_rejected(spark):
-    pdf = pd.DataFrame(
-        {"ts": pd.to_datetime(["2024-01-05"]), "id": [1], "val": [1.0]}
+def test_multi_month_quarter_bins(spark):
+    """3MS = standard quarters anchored at Jan (months-since-epoch
+    modulo; same grid as DuckDB time_bucket(INTERVAL '3 months')) —
+    NOT pandas resample's data-start anchoring."""
+    ts = pd.to_datetime(
+        ["2023-11-20", "2024-01-05", "2024-02-28", "2024-03-31", "2024-04-01"]
     )
-    with pytest.raises(ValueError, match="month/year"):
+    pdf = pd.DataFrame({"ts": ts, "val": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = segment_agg(
+        spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")}, bin_by="3MS"
+    ).toPandas()
+    assert list(out["bin"]) == list(
+        pd.to_datetime(["2023-10-01", "2024-01-01", "2024-04-01"])
+    )
+    assert list(out["s"]) == [1.0, 9.0, 5.0]
+
+
+def test_biennial_bins_and_scalar_parity(spark):
+    from oups_spark.functions.dates import floor_ts_scalar
+
+    ts = pd.to_datetime(["1991-06-01", "1992-01-01", "1993-12-31", "1994-01-01"])
+    pdf = pd.DataFrame({"ts": ts, "val": [1.0, 1.0, 1.0, 1.0]})
+    out = segment_agg(
+        spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")}, bin_by="2Y"
+    ).toPandas()
+    assert list(out["bin"]) == list(pd.to_datetime(["1990-01-01", "1992-01-01", "1994-01-01"]))
+    assert list(out["s"]) == [1.0, 2.0, 1.0]
+    for t in ts:
+        assert floor_ts_scalar(t, "2Y") == pd.Timestamp(f"{t.year - t.year % 2}-01-01")
+
+
+def test_origin_offset_anchored_bins(spark):
+    """4h bins shifted to 09:30 (TimeGrouper origin/offset): edges at
+    09:30/13:30/..., matching pandas resample(offset=...)."""
+    ts = pd.to_datetime(
+        ["2024-01-01 09:29", "2024-01-01 09:30", "2024-01-01 13:29",
+         "2024-01-01 13:30", "2024-01-02 01:00"]
+    )
+    pdf = pd.DataFrame({"ts": ts, "val": [1.0, 2.0, 4.0, 8.0, 16.0]})
+    out = segment_agg(
+        spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")},
+        bin_by="4h", offset="9h30min",
+    ).toPandas()
+    expect = (
+        pdf.set_index("ts")["val"]
+        .resample("4h", offset="9h30min")
+        .sum(min_count=1)
+        .dropna()
+    )
+    assert list(out["bin"]) == list(expect.index)
+    assert list(out["s"]) == list(expect.values)
+    # origin as a timestamp anchors identically
+    out2 = segment_agg(
+        spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")},
+        bin_by="4h", origin="2000-01-01 09:30:00",
+    ).toPandas()
+    assert out.equals(out2)
+
+
+def test_origin_rejected_for_calendar_freq(spark):
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-05"]), "val": [1.0]}
+    )
+    with pytest.raises(ValueError, match="fixed frequency"):
         segment_agg(
             spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")},
-            bin_by="3MS",
+            bin_by="MS", offset="30min",
         ).collect()
+
+
+def test_snapshot_calendar_snaps_in_year_bins(spark):
+    """Monthly snapshots inside yearly bins: cumulative YTD at every
+    month start, quiet months forward-filled, 12 snaps per bin."""
+    ts = pd.to_datetime(["2024-01-15", "2024-03-02", "2024-03-20", "2024-11-30"])
+    pdf = pd.DataFrame({"ts": ts, "val": [1.0, 2.0, 4.0, 8.0]})
+    out = snapshot_agg(
+        spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")},
+        bin_by="1Y", snap_by="MS", snap_closed="left",
+    ).toPandas()
+    assert len(out) == 12
+    assert list(out["snap"]) == list(
+        pd.date_range("2024-02-01", "2025-01-01", freq="MS")
+    )
+    got = dict(zip(out["snap"].dt.strftime("%Y-%m-%d"), out["s"]))
+    assert got["2024-02-01"] == 1.0      # jan row visible
+    assert got["2024-03-01"] == 1.0      # quiet feb ffilled
+    assert got["2024-04-01"] == 7.0      # both march rows
+    assert got["2024-11-01"] == 7.0      # quiet months ffilled
+    assert got["2024-12-01"] == 15.0     # nov row lands
+    assert got["2025-01-01"] == 15.0     # year-end snapshot
+
+
+def test_snapshot_calendar_snap_rejects_fixed_bin(spark):
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-05"]), "val": [1.0]}
+    )
+    with pytest.raises(ValueError, match="calendar snap_by"):
+        snapshot_agg(
+            spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")},
+            bin_by="1D", snap_by="MS",
+        )
 
 
 # ------------------------------------------------------------ explicit edges
