@@ -13,6 +13,18 @@ files of ~1 GB) the file list is a few MB of JSON — still fine to
 load driver-side; beyond that the natural upgrade is a parquet
 manifest or a Delta transaction log, which this module isolates the
 rest of the engine from.
+
+FILESYSTEM CONTRACT: the commit protocol relies on an atomic,
+overwriting rename — a guarantee POSIX filesystems and HDFS provide
+but object stores (S3) do NOT. On an object store, ``save`` must be
+routed through a conditional-put (put-if-match on the manifest
+object's ETag / generation) instead of rename; everything else in
+this module is backend-agnostic since readers only ever GET the one
+manifest object. All swap logic is confined to :meth:`Manifest.save`
+precisely so that swap-out is a one-method change. The swap contract
+itself (reader sees old-or-new, never partial; crashed writers leave
+only ignorable ``.tmp`` debris) is pinned by
+``tests/test_store_catalog.py::test_manifest_swap_contract``.
 """
 
 from __future__ import annotations

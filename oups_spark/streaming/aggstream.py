@@ -49,6 +49,16 @@ _META_KEY = "aggstream"
 _PANDAS_AGG = {"first": "first", "last": "last", "min": "min", "max": "max"}
 
 
+class SeedPreException(RuntimeError):
+    """The user ``pre`` hook failed on a seed chunk.
+
+    Crash ergonomics match the reference (``aggstream.py:1508-1528``,
+    its ``SeedPreException`` path): everything aggregated from chunks
+    BEFORE the failing one — buffered bin/snap frames and restart
+    state — is flushed before the exception propagates, so a restart
+    resumes from the completed prefix instead of recomputing it."""
+
+
 @dataclass
 class KeyConfig:
     """Per-key aggregation pipeline config (reference keys_config,
@@ -225,7 +235,15 @@ class AggStream:
         if isinstance(seed, DataFrame):
             seed = [seed]
         for chunk in seed:
-            self._process_chunk(chunk, trim_start=trim_start, discard_last=discard_last)
+            try:
+                self._process_chunk(
+                    chunk, trim_start=trim_start, discard_last=discard_last
+                )
+            except SeedPreException:
+                # flush the completed prefix + restart state before
+                # propagating (see SeedPreException docstring)
+                self._flush()
+                raise
             n_buf = max(
                 (sum(len(f) for f in st.bin_buffer) for st in self.state.values()),
                 default=0,
@@ -239,7 +257,12 @@ class AggStream:
     def _process_chunk(self, chunk: DataFrame, *, trim_start: bool, discard_last: bool):
         o = F.col(self.ordered_on)
         if self.pre is not None:
-            chunk = self.pre(chunk, self.pre_buffer)
+            try:
+                chunk = self.pre(chunk, self.pre_buffer)
+            except Exception as exc:
+                raise SeedPreException(
+                    f"pre hook failed on seed chunk: {exc}"
+                ) from exc
 
         # prepend the previous chunk's held-back remainder
         if self.seed_remainder is not None and len(self.seed_remainder):

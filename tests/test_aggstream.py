@@ -198,6 +198,51 @@ def test_snapshots_chunked_equals_one_shot(spark, scratch):
     pd.testing.assert_frame_equal(one, many)
 
 
+def test_pre_failure_flushes_prefix_and_restart_resumes(spark, scratch):
+    """A pre hook failing mid-stream must leave the store equal to a
+    clean run over the good prefix (buffered bins + restart state are
+    flushed before the exception propagates), and a restarted stream
+    over the remaining chunks must land exactly on the one-shot
+    result (reference SeedPreException path, aggstream.py:1508-1528)."""
+    from oups_spark.streaming.aggstream import SeedPreException
+
+    pdf = make_ticks()
+    chunks = np.split(pdf, [40, 70])
+
+    run_stream(spark, f"{scratch}/golden", chunks)
+    run_stream(spark, f"{scratch}/prefix", chunks[:2])
+
+    calls = {"n": 0}
+
+    def pre(chunk, buf):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("boom")
+        return chunk
+
+    cfg = KeyConfig(
+        path=f"{scratch}/fail", agg=AGG, bin_by="1h", tiebreak=["id"]
+    )
+    stream = AggStream(spark, ordered_on="ts", keys={"k": cfg}, pre=pre)
+    with pytest.raises(SeedPreException, match="boom"):
+        stream.agg(
+            [spark.createDataFrame(c) for c in chunks], discard_last=False
+        )
+    pd.testing.assert_frame_equal(
+        read_bins(spark, f"{scratch}/fail"),
+        read_bins(spark, f"{scratch}/prefix"),
+    )
+
+    # restart (fresh object, state from kv metadata) over the
+    # remaining chunk completes to the one-shot result
+    stream2 = AggStream(spark, ordered_on="ts", keys={"k": cfg})
+    stream2.agg(spark.createDataFrame(chunks[2]), discard_last=False)
+    pd.testing.assert_frame_equal(
+        read_bins(spark, f"{scratch}/fail"),
+        read_bins(spark, f"{scratch}/golden"),
+    )
+
+
 def test_pre_post_hooks_with_buffers(spark, scratch):
     import pyspark.sql.functions as F
 

@@ -61,3 +61,32 @@ def test_store_rejects_foreign_key(wstore):
 
     with pytest.raises(TypeError):
         wstore[Other("a")]
+
+
+def test_manifest_swap_contract(tmp_path):
+    """The manifest commit contract (local/HDFS atomic-rename backend):
+    a reader sees the old or the new manifest, never a partial one; a
+    crashed writer's half-written tmp file is invisible to readers and
+    swept by the next successful save."""
+    from oups_spark.store.manifest import MANIFEST_NAME, FileEntry, Manifest
+
+    d = str(tmp_path)
+    m = Manifest(ordered_on="ts")
+    m.files = [FileEntry(name="f1.parquet", n_rows=10, min=1, max=2)]
+    m.save(d)
+    assert not os.path.exists(os.path.join(d, MANIFEST_NAME + ".tmp"))
+
+    # crashed writer: half-written tmp must not affect readers
+    tmp = os.path.join(d, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write('{"version": 1, "ordered_on": "ts", "files": [{"na')
+    loaded = Manifest.load(d)
+    assert [f.name for f in loaded.files] == ["f1.parquet"]
+
+    # the next save goes through the same tmp path and swaps cleanly
+    m.files.append(FileEntry(name="f2.parquet", n_rows=5, min=3, max=4))
+    m.save(d)
+    assert not os.path.exists(tmp)
+    loaded2 = Manifest.load(d)
+    assert [f.name for f in loaded2.files] == ["f1.parquet", "f2.parquet"]
+    assert loaded2.n_rows == 15
