@@ -29,11 +29,6 @@ from oups_spark.operators.text import (
     BPE_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
-    lang_id_df,
-    lang_scores,
-    simhash32,
-    with_pred_lang,
-    with_text_stats,
 )
 from oups_spark.queries import register
 from oups_spark.tables import load
@@ -74,13 +69,28 @@ _BPE_SQL = BPE_PATTERN.replace("'", "''")
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, punctuation/stopword ratios, mean token
     length, order-invariant bag-of-words fingerprint — JVM-side,
-    tokenizing once per document (explode + hash aggregation)."""
-    from oups_spark.operators.text import text_stats_df
+    tokenizing once per document.
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    Uses the SAME fused ``text_profile_df`` plan shape as ``lang_id``
+    and ``corpus_curation`` so the heavy tokenize stage's generated
+    code is compiled once per session and shared (Spark's codegen
+    cache is keyed on generated source)."""
+    from oups_spark.operators.text import text_profile_df
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    return text_stats_df(docs, "doc_id").orderBy("doc_id")
+    return text_profile_df(docs, "doc_id", keep_cols=("lang", "source")).select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "fingerprint",
+    ).orderBy("doc_id")
 
 
 def _lang_case_sql() -> str:
@@ -109,10 +119,22 @@ def _lang_case_sql() -> str:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language-ID heuristic: argmax of per-language
     marker hits over the distinct token set, first-wins tiebreak in
-    LANG_MARKERS order.  Tokenizes ONCE per document behind a Generate
-    barrier — map-side, zero shuffle."""
-    docs = load(spark, sf_dir, "documents")
-    return lang_id_df(docs, "doc_id", "text", "lang").orderBy("doc_id")
+    LANG_MARKERS order.  Map-side, zero shuffle, sharing the fused
+    ``text_profile_df`` plan shape (and its compiled codegen) with
+    ``text_stats`` / ``corpus_curation``."""
+    from oups_spark.operators.text import text_profile_df
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    prof = text_profile_df(docs, "doc_id", keep_cols=("lang", "source"))
+    return prof.select(
+        "doc_id",
+        "pred_lang",
+        (F.col("pred_lang") == F.col("lang")).alias("is_match"),
+    ).orderBy("doc_id")
 
 
 @register(
