@@ -156,12 +156,18 @@ class OrderedDataset:
         max_n_off_target_rgs: int | None = None,
         key_value_metadata: dict | None = None,
         validate_monotonic: bool = True,
+        known_stats: tuple | None = None,
     ) -> None:
         """Ordered merge write (see module docstring for the plan).
 
         ``key_value_metadata``: dict merged into the manifest kv;
         a ``None`` value removes the key (reference semantics,
         ``base.py:600-649``).
+
+        ``known_stats``: optional ``(min, max, n_rows)`` of the new
+        batch's ordering column, when the producer already knows them
+        (e.g. a driver-built frame) — skips the bounds job. Only
+        honored with ``validate_monotonic=False``.
         """
         if self._manifest is None:
             if df is not None and ordered_on is None:
@@ -190,6 +196,8 @@ class OrderedDataset:
             # one distributed pass yields the order check AND the
             # batch bounds — no second scan of the new data
             df_min, df_max, n_new = self._check_monotonic(new, ordered_on)
+        elif known_stats is not None:
+            df_min, df_max, n_new = known_stats
         else:
             stats = new.agg(
                 F.min(ordered_on).alias("mn"),
@@ -435,11 +443,15 @@ class OrderedDataset:
                 merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
             if isinstance(target, int):
                 n_out = max(1, -(-approx_rows // target))
-                out = (
-                    merged.repartitionByRange(n_out, F.col(ordered_on))
-                    .sortWithinPartitions(ordered_on, _SRC, _FIDX, _POS)
-                    .drop(_SRC, _FIDX, _POS)
-                )
+                if n_out == 1:
+                    # one output split: the range partitioner would
+                    # only add its child-re-executing sample pass
+                    out = merged.coalesce(1)
+                else:
+                    out = merged.repartitionByRange(n_out, F.col(ordered_on))
+                out = out.sortWithinPartitions(
+                    ordered_on, _SRC, _FIDX, _POS
+                ).drop(_SRC, _FIDX, _POS)
                 (
                     out.write.option("maxRecordsPerFile", target)
                     .mode("overwrite")

@@ -304,9 +304,25 @@ class AggStream:
             chunk = chunk.filter(o < F.lit(chunk_max))
             if bounds["mn"] == chunk_max:
                 return  # whole chunk held back
-            processed_max = chunk.agg(F.max(self.ordered_on).alias("mx")).collect()[0][
-                "mx"
-            ]
+            # Watermark: any value w with processed_max <= w < chunk_max
+            # is equivalent to the exact processed max — no row exists in
+            # (processed_max, chunk_max), every future row is >= chunk_max,
+            # and both the `> watermark` trim and snapshot finality only
+            # compare against it. For timestamp/integer streams the
+            # predecessor of chunk_max is exact and saves a full second
+            # scan of the chunk; other types fall back to the scan.
+            import datetime as _dt
+
+            if isinstance(chunk_max, (_dt.datetime, pd.Timestamp)):
+                processed_max = pd.Timestamp(chunk_max) - pd.Timedelta(
+                    microseconds=1
+                )
+            elif isinstance(chunk_max, (int, np.integer)):
+                processed_max = chunk_max - 1
+            else:
+                processed_max = chunk.agg(
+                    F.max(self.ordered_on).alias("mx")
+                ).collect()[0]["mx"]
         else:
             processed_max = chunk_max
 
@@ -496,6 +512,12 @@ class AggStream:
                     row_group_target_size=cfg.row_group_target_size,
                     key_value_metadata={_META_KEY: meta},
                     validate_monotonic=False,  # sorted by construction
+                    # driver-built frame: bounds are already known
+                    known_stats=(
+                        bin_out[cfg.bin_col].min(),
+                        bin_out[cfg.bin_col].max(),
+                        len(bin_out),
+                    ),
                 )
             if snap_out is not None and len(snap_out) and cfg.snap_path:
                 sds = OrderedDataset(self.spark, cfg.snap_path)
@@ -506,6 +528,11 @@ class AggStream:
                     row_group_target_size=cfg.row_group_target_size,
                     key_value_metadata={_META_KEY: {"restart_index": st.restart_index}},
                     validate_monotonic=False,
+                    known_stats=(
+                        snap_out[cfg.snap_col].min(),
+                        snap_out[cfg.snap_col].max(),
+                        len(snap_out),
+                    ),
                 )
             st.bin_acc = combined.iloc[[-1]]
             st.bin_buffer = []
