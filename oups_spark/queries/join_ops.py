@@ -1,0 +1,93 @@
+"""Driver-facing time-series join queries: as-of join and bucketed
+range join — the classic joins Spark lacks as primitives, verified
+against DuckDB's NATIVE ASOF JOIN and a plain inequality join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oups_spark.operators.asof import asof_join, range_join
+from oups_spark.queries import register
+from oups_spark.tables import load
+
+
+@register(
+    "asof_click_before_purchase",
+    oracle="""
+    WITH p AS (SELECT event_id, ts, user_id, value
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, max(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.event_id, p.ts, p.user_id, p.value,
+           c.ts AS click_ts, c.click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): every purchase gains the latest
+    same-user click at-or-before it, left-join semantics for users
+    with no prior click. One keyed shuffle (union + running window) —
+    both sides unbounded; the oracle is DuckDB's NATIVE ASOF JOIN, so
+    the semantics are checked against an independent implementation.
+    Clicks are pre-deduped per (user, ts) so the match is unique and
+    both engines are deterministic."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        value_cols=["click_value"], direction="backward",
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "value",
+        F.col("ts_right").alias("click_ts"), "click_value",
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_first_week",
+    oracle="""
+    WITH iv AS (SELECT user_id,
+                       date_trunc('day', min(ts)) AS w_start,
+                       date_trunc('day', min(ts)) + INTERVAL 3 DAY AS w_end
+                FROM events GROUP BY 1)
+    SELECT e.event_id, e.user_id, e.ts, iv.w_start, iv.w_end
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id
+     AND e.ts >= iv.w_start AND e.ts < iv.w_end
+    ORDER BY e.event_id
+    """,
+)
+def range_join_first_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: events matched into each user's first-3-day
+    activity window. Intervals explode onto a daily grid so the join
+    is an EQUALITY join on (user, day-cell) with a residual interval
+    predicate — never an unbounded inequality join; the oracle states
+    the same result as a plain inequality join."""
+    events = load(spark, sf_dir, "events")
+    intervals = (
+        events.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 3 DAYS"))
+    )
+    out = range_join(
+        events.select("event_id", "user_id", "ts"),
+        intervals,
+        left_on="ts",
+        start_col="w_start",
+        end_col="w_end",
+        by="user_id",
+        grid="1D",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "w_start", "w_end"
+    ).orderBy("event_id")

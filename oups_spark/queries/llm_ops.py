@@ -593,3 +593,78 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_PACK_BUDGET = 2048
+
+@register(
+    "token_pack_assignment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, lang, n_tok,
+                 coalesce(sum(n_tok) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS off
+          FROM t)
+    SELECT lang,
+           CAST(off // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)            AS n_tokens
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def token_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (contiguous fill): documents are
+    laid out per language in doc_id order and chunked into
+    ~2048-BPE-token packs — the concat-then-chunk layout that turns a
+    curated corpus into training sequences. Global running offsets
+    come from the two-phase range-bucket prefix sum (no
+    single-partition window at any scale)."""
+    from oups_spark.operators.pack import pack_token_budget
+    from oups_spark.operators.text import bpe_token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", bpe_token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_token_budget(
+        docs, id_col="doc_id", token_col="n_tok",
+        budget=_PACK_BUDGET, by="lang",
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+@register(
+    "stratified_sample_mix",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {_MD5INT.format(x="CAST(doc_id AS VARCHAR)")} % 10000 <
+          (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                       WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 10000
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing downsample: per-source keep rates
+    via a cross-engine md5 hash of doc_id — reproducible (no RNG
+    state), map-side, zero shuffle; the standard rebalancing step
+    before assembling a training mixture."""
+    from oups_spark.operators.pack import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return stratified_sample(
+        docs, id_col="doc_id", strata_col="source",
+        rates=_MIX_RATES, default_rate=0.1,
+    ).orderBy("doc_id")

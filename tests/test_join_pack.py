@@ -1,0 +1,212 @@
+"""As-of join, range join, token packing, stratified sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from oups_spark.operators.asof import asof_join, range_join
+from oups_spark.operators.pack import pack_token_budget, stratified_sample
+
+
+def _quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sym": ["a", "a", "a", "b"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00", "2024-01-01 10:05",
+                     "2024-01-01 10:10", "2024-01-01 10:02"]
+                ),
+                "bid": [1.0, 2.0, 3.0, 9.0],
+            }
+        )
+    )
+    trades = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sym": ["a", "a", "a", "a", "b", "b"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 09:59", "2024-01-01 10:00",
+                     "2024-01-01 10:07", "2024-01-01 10:30",
+                     "2024-01-01 10:01", "2024-01-01 10:02"]
+                ),
+                "qty": [10, 20, 30, 40, 50, 60],
+            }
+        )
+    )
+    return quotes, trades
+
+
+def test_asof_backward_matches_merge_asof(spark):
+    quotes, trades = _quotes_trades(spark)
+    got = (
+        asof_join(trades, quotes, on="ts", by="sym", value_cols=["bid"])
+        .orderBy("sym", "ts")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        trades.toPandas().sort_values("ts"),
+        quotes.toPandas().sort_values("ts"),
+        on="ts", by="sym", direction="backward",
+    ).sort_values(["sym", "ts"], ignore_index=True)
+    pd.testing.assert_series_equal(
+        got["bid"], exp["bid"], check_names=False
+    )
+    # 09:59 trade predates every quote -> null match
+    assert pd.isna(got.iloc[0]["bid"])
+    # equal timestamp matches (10:00 trade sees 10:00 quote)
+    assert got.iloc[1]["bid"] == 1.0
+
+
+def test_asof_forward_and_tolerance(spark):
+    quotes, trades = _quotes_trades(spark)
+    fwd = (
+        asof_join(
+            trades, quotes, on="ts", by="sym",
+            value_cols=["bid"], direction="forward",
+        )
+        .orderBy("sym", "ts")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        trades.toPandas().sort_values("ts"),
+        quotes.toPandas().sort_values("ts"),
+        on="ts", by="sym", direction="forward",
+    ).sort_values(["sym", "ts"], ignore_index=True)
+    pd.testing.assert_series_equal(fwd["bid"], exp["bid"], check_names=False)
+
+    tol = (
+        asof_join(
+            trades, quotes, on="ts", by="sym",
+            value_cols=["bid"], tolerance="3min",
+        )
+        .orderBy("sym", "ts")
+        .toPandas()
+    )
+    exp_tol = pd.merge_asof(
+        trades.toPandas().sort_values("ts"),
+        quotes.toPandas().sort_values("ts"),
+        on="ts", by="sym", direction="backward",
+        tolerance=pd.Timedelta("3min"),
+    ).sort_values(["sym", "ts"], ignore_index=True)
+    pd.testing.assert_series_equal(tol["bid"], exp_tol["bid"], check_names=False)
+
+
+def test_range_join_end_exclusive_and_cell_edges(spark):
+    rows = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["x"] * 4,
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00", "2024-01-02 23:59",
+                     "2024-01-03 00:00", "2024-01-05 00:00"]
+                ),
+                "rid": [1, 2, 3, 4],
+            }
+        )
+    )
+    # interval ends exactly on a day boundary: end-exclusive
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["x"],
+                "s": pd.to_datetime(["2024-01-01 00:00"]),
+                "e": pd.to_datetime(["2024-01-03 00:00"]),
+            }
+        )
+    )
+    got = (
+        range_join(rows, iv, left_on="ts", start_col="s", end_col="e",
+                   by="k", grid="1D")
+        .orderBy("rid")
+        .toPandas()
+    )
+    assert list(got["rid"]) == [1, 2]  # 00:00 on end day excluded
+
+
+def test_pack_token_budget_contiguous_fill(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "grp": ["g1"] * 4 + ["g2"] * 2,
+            "n_tok": [600, 600, 600, 600, 100, 5000],
+        }
+    )
+    got = (
+        pack_token_budget(
+            spark.createDataFrame(pdf), id_col="doc_id",
+            token_col="n_tok", budget=1000, by="grp",
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # g1 offsets: 0, 600, 1200, 1800 -> packs 0, 0, 1, 1
+    # g2 offsets: 0, 100            -> packs 0, 0 (straddler starts in 0)
+    assert list(got["pack_offset"]) == [0, 600, 1200, 1800, 0, 100]
+    assert list(got["pack_id"]) == [0, 0, 1, 1, 0, 0]
+
+
+def test_pack_matches_pandas_cumsum_across_buckets(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(500),
+            "grp": rng.choice(["a", "b"], 500),
+            "n_tok": rng.integers(1, 400, 500),
+        }
+    )
+    got = (
+        pack_token_budget(
+            spark.createDataFrame(pdf), id_col="doc_id",
+            token_col="n_tok", budget=777, by="grp", n_buckets=7,
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp_off = (
+        pdf.sort_values("doc_id")
+        .groupby("grp")["n_tok"]
+        .transform(lambda s: s.cumsum().shift(fill_value=0))
+    )
+    assert list(got["pack_offset"]) == list(exp_off)
+    assert list(got["pack_id"]) == list(exp_off // 777)
+
+
+def test_stratified_sample_deterministic_md5(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": range(1000), "src": ["a", "b"] * 500}
+    )
+    got = (
+        stratified_sample(
+            spark.createDataFrame(pdf), id_col="doc_id",
+            strata_col="src", rates={"a": 0.3}, default_rate=0.05,
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+    def keep(i, rate):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return h % 10_000 < rate * 10_000
+
+    exp = [
+        i for i, s in zip(pdf["doc_id"], pdf["src"])
+        if keep(i, 0.3 if s == "a" else 0.05)
+    ]
+    assert list(got["doc_id"]) == exp
+    # rerun is bit-identical
+    again = (
+        stratified_sample(
+            spark.createDataFrame(pdf), id_col="doc_id",
+            strata_col="src", rates={"a": 0.3}, default_rate=0.05,
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got.equals(again)
