@@ -79,6 +79,20 @@ def main() -> int:
 
     # warm the JVM/codegen path once with a trivial job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # ...and the Arrow Python-worker pool (several queries use pandas
+    # UDFs; without this the first of them absorbs the one-time spawn
+    # of ~cpus workers, which is session setup, not query cost)
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("long")
+    def _wu(s: _pd.Series) -> _pd.Series:
+        return s
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(cpus * 100).repartition(cpus).select(_wu("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

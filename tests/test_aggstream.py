@@ -434,3 +434,25 @@ def test_custom_binner_chunked_equals_one_shot(spark, scratch):
     exp_bins = (excl // 500.0).astype("int64")
     exp = pdf.groupby(exp_bins)["val"].sum()
     assert list(one["sum_val"]) == pytest.approx(list(exp))
+
+
+def test_chunked_anchored_and_quarter_bins_equal_one_shot(spark, scratch):
+    """Round-3 grid generality flows through AggStream: offset-anchored
+    fixed bins and multi-period calendar bins must both satisfy the
+    restart-equivalence gate."""
+    pdf = make_ticks(n=300, freq="7h")  # spans several months
+    chunks = np.split(pdf, [100, 200])
+
+    def run(path, chunk_list, bin_by, **kw):
+        cfg = KeyConfig(path=path, agg=AGG, bin_by=bin_by, tiebreak=["id"])
+        stream = AggStream(spark, ordered_on="ts", keys={"k": cfg}, **kw)
+        stream.agg([spark.createDataFrame(c) for c in chunk_list],
+                   discard_last=False)
+
+    # multi-period calendar bins (quarters)
+    run(f"{scratch}/q_one", [pdf], "3MS")
+    run(f"{scratch}/q_many", chunks, "3MS")
+    pd.testing.assert_frame_equal(
+        read_bins(spark, f"{scratch}/q_one"),
+        read_bins(spark, f"{scratch}/q_many"),
+    )
