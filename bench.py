@@ -82,13 +82,10 @@ def main() -> int:
     # ...and the Arrow Python-worker pool (several queries use pandas
     # UDFs; without this the first of them absorbs the one-time spawn
     # of ~cpus workers, which is session setup, not query cost)
-    import pandas as _pd
-    from pyspark.sql.functions import pandas_udf as _pudf
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType
 
-    @_pudf("long")
-    def _wu(s: _pd.Series) -> _pd.Series:
-        return s
-
+    _wu = pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(cpus * 100).repartition(cpus).select(_wu("id")).write.format(
         "noop"
