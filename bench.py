@@ -59,6 +59,9 @@ HEADLINE = [
     "range_join_first_week",
     "token_pack_assignment",
     "stratified_sample_mix",
+    "moving_avg_per_user",
+    "value_percentiles_by_type",
+    "daily_type_pivot",
 ]
 
 

@@ -123,3 +123,91 @@ def calendar_floor_ceil(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("f2h", "c2h", "fw", "fm", "cm", "n_rows", "sum_val")
         .orderBy("f2h")
     )
+
+
+@register(
+    "moving_avg_per_user",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5,
+           round(value - lag(value, 1) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta1
+    FROM events ORDER BY event_id
+    """,
+)
+def moving_avg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key sliding-window analytics (5-row moving average +
+    1-lag delta): the bread-and-butter time-series smoothing shape.
+    Windows are PARTITIONED by user_id — bounded frames, streaming
+    state, parallel across keys, no global sort."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), 6).alias("ma5"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("delta1"),
+    ).orderBy("event_id")
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           CAST(count(*) AS BIGINT)             AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (continuous interpolation — Spark
+    ``percentile`` matches DuckDB ``quantile_cont``). At cluster
+    scale swap in ``percentile_approx`` (t-digest sketch, one pass,
+    mergeable) — the exact form is the oracle-checkable anchor."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "daily_type_pivot",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS BIGINT) AS view,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(coalesce(sum(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS error
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per day × event type). Explicit value list
+    keeps it a single-pass conditional aggregation — ``pivot`` with
+    an unbounded value set would need a distinct-values pre-pass."""
+    events = load(spark, sf_dir, "events")
+    piv = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .count()
+    )
+    out = piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("click", "view", "purchase", "error")
+        ],
+    )
+    return out.orderBy("day")
