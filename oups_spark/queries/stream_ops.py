@@ -141,3 +141,69 @@ def aggstream_snapshots_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_val", 6).alias("max_val"),
         F.round("sum_val", 6).alias("sum_val"),
     ).orderBy("bin", "snap")
+
+
+@register(
+    "streaming_native_hourly",
+    oracle="""
+    WITH agged AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+             arg_min(value, ts)   AS first_val,
+             arg_max(value, ts)   AS last_val,
+             round(min(value), 6) AS min_val,
+             round(max(value), 6) AS max_val,
+             round(sum(value), 6) AS sum_val
+      FROM events GROUP BY 1
+    ), mx AS (SELECT max(ts) AS m FROM events)
+    SELECT bin, first_val, last_val, min_val, max_val, sum_val
+    FROM agged, mx
+    WHERE bin + INTERVAL 1 HOUR <= m
+    ORDER BY bin
+    """,
+)
+def streaming_native_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE Structured Streaming path (readStream -> watermarked
+    tumbling window -> append-mode foreachBatch into the ordered
+    store, availableNow trigger): hourly bins emit exactly once when
+    the watermark passes their end, so the result equals the batch
+    aggregation MINUS the unclosed final bin — the streaming twin of
+    AggStream's discard_last completeness gate, and the oracle states
+    exactly that."""
+    from oups_spark.streaming.native import (
+        streaming_segment_agg,
+        write_stream_to_dataset,
+    )
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_hourly")
+    path = os.path.join(base, "bins_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    # FileStreamSource needs a directory base path; the glob filter
+    # narrows it to the one events file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agged = streaming_segment_agg(
+        stream, "ts", _AGG, bin_by="1h", watermark="0 seconds"
+    )
+    write_stream_to_dataset(
+        agged, path, checkpoint_dir=os.path.join(base, "ckpt")
+    )
+    out = OrderedDataset(spark, path).read()
+    return out.select(
+        "bin",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("bin")
