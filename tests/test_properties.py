@@ -140,3 +140,67 @@ def test_compact_leaves_on_target_files(spark, scratch):
     names = {e.name for e in ds.manifest.files}
     assert ds.compact(row_group_target_size=10) == 0
     assert {e.name for e in ds.manifest.files} == names
+
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # minute offset
+        st.integers(min_value=0, max_value=2),    # key
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_rows=_asof_rows, right_rows=_asof_rows,
+       direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_merge_asof_property(
+    spark, left_rows, right_rows, direction
+):
+    """asof_join == pandas merge_asof on arbitrary keyed inputs (right
+    side deduped per (key, ts) so the match is unique)."""
+    from oups_spark.operators.asof import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+
+    def frame(rows, val):
+        df = pd.DataFrame(
+            {
+                "ts": [base + pd.Timedelta(minutes=m) for m, _k, _v in rows],
+                "k": [k for _m, k, _v in rows],
+                val: [v for _m, _k, v in rows],
+            }
+        )
+        return df
+
+    left = frame(left_rows, "lv").drop_duplicates(
+        subset=["k", "ts"], ignore_index=True
+    )
+    right = (
+        frame(right_rows, "rv")
+        .groupby(["k", "ts"], as_index=False)["rv"]
+        .max()
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts", by="k", value_cols=["rv"], direction=direction,
+        )
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        left.sort_values(["ts", "k"], ignore_index=True),
+        right.sort_values(["ts", "k"], ignore_index=True),
+        on="ts", by="k", direction=direction,
+    ).sort_values(["k", "ts"], ignore_index=True)
+    pd.testing.assert_series_equal(
+        got["rv"].astype(float), exp["rv"].astype(float), check_names=False
+    )
