@@ -401,9 +401,15 @@ def snapshot_agg(
     tiebreak: list[str] | None = None,
     bin_col: str = "bin",
     snap_col: str = "snap",
+    origin=None,
+    offset=None,
 ) -> DataFrame:
     """Point-in-time snapshots: at every ``snap_by`` instant, the
     cumulative aggregate of the in-progress ``bin_by`` bin.
+
+    ``origin``/``offset`` anchor BOTH grids (fixed frequencies only)
+    — bin edges must stay on the snapshot grid, so the two share one
+    anchor.
 
     Semantics (reference ``cumsegagg.py:186-196,243-252``):
     - bins reset the accumulator, snapshots observe it;
@@ -434,6 +440,11 @@ def snapshot_agg(
     single-partition stage.
     """
     tiebreak = tiebreak or []
+    anchored = origin is not None or offset is not None
+    if anchored and not (is_fixed_freq(bin_by) and is_fixed_freq(snap_by)):
+        raise ValueError(
+            "origin/offset anchoring requires fixed bin_by AND snap_by"
+        )
     if is_fixed_freq(snap_by):
         snap_us = int(period_duration(snap_by) * 1_000_000)
         if is_fixed_freq(bin_by):
@@ -456,9 +467,9 @@ def snapshot_agg(
             )
 
     o = F.col(ordered_on)
-    bin_start = floor_ts(o, bin_by)
+    bin_start = floor_ts(o, bin_by, origin=origin, offset=offset)
     bin_end = next_edge(bin_start, bin_by)
-    snap_floor = floor_ts(o, snap_by)
+    snap_floor = floor_ts(o, snap_by, origin=origin, offset=offset)
     if snap_closed == "left":
         # first snapshot instant strictly after t (on-grid rows are
         # excluded from the snapshot at their own instant)

@@ -480,3 +480,39 @@ def test_explicit_edges_unsorted_rejected(spark, f1):
             bin_by=list(pd.to_datetime(["2024-01-02", "2024-01-01"])),
             closed="left",
         )
+
+
+def test_snapshot_anchored_grids(spark):
+    """origin/offset anchor BOTH snapshot and bin grids: daily bins
+    starting 09:30 with 4h-spaced snapshots — snap instants land on
+    09:30-anchored edges and the bin end is the last snapshot."""
+    ts = pd.to_datetime(
+        ["2024-01-01 09:30", "2024-01-01 10:00", "2024-01-01 14:00",
+         "2024-01-02 09:00"]
+    )
+    pdf = pd.DataFrame({"ts": ts, "val": [1.0, 2.0, 4.0, 8.0]})
+    out = snapshot_agg(
+        spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")},
+        bin_by="1D", snap_by="4h", snap_closed="left", offset="9h30min",
+    ).toPandas()
+    # one full bin [01-01 09:30, 01-02 09:30); snaps at 13:30, 17:30,
+    # 21:30, 01:30, 05:30, 09:30
+    b0 = out[out["bin"] == pd.Timestamp("2024-01-01 09:30")]
+    assert list(b0["snap"]) == list(
+        pd.to_datetime(["2024-01-01 13:30", "2024-01-01 17:30",
+                        "2024-01-01 21:30", "2024-01-02 01:30",
+                        "2024-01-02 05:30", "2024-01-02 09:30"])
+    )
+    got = dict(zip(b0["snap"].dt.strftime("%m-%d %H:%M"), b0["s"]))
+    assert got["01-01 13:30"] == 3.0   # 09:30 + 10:00 rows
+    assert got["01-01 17:30"] == 7.0   # + 14:00 row
+    assert got["01-02 09:30"] == 15.0  # + next-day 09:00 row (same bin)
+
+
+def test_snapshot_anchoring_rejects_calendar(spark):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-01-05"]), "val": [1.0]})
+    with pytest.raises(ValueError, match="fixed bin_by AND snap_by"):
+        snapshot_agg(
+            spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")},
+            bin_by="MS", snap_by="6h", offset="30min",
+        )
