@@ -71,6 +71,12 @@ def assert_matches_oracle(spark_df, duck_con, oracle_sql, *, atol=1e-9, check_ro
     assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
     for c in got.columns:
         g, e = got[c], exp[c]
+        if pd.api.types.is_datetime64_any_dtype(g) and pd.api.types.is_datetime64_any_dtype(e):
+            # Spark yields datetime64[ns], DuckDB datetime64[us]; with
+            # differing units assert_series_equal compares raw epoch
+            # ints — align the unit first
+            g = g.astype("datetime64[ns]")
+            e = e.astype("datetime64[ns]")
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
             pd.testing.assert_series_equal(
                 g.astype(float), e.astype(float), check_names=False, atol=atol, rtol=1e-9
