@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_features",
+    "multimodal_frame_sample",
     "session_windows",
     "volume_bars_10k",
     "aggstream_filter_fanout",

@@ -93,3 +93,72 @@ def extract_features(media: DataFrame, *, batch_hint: int = 64) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    frame_bytes: int = 32,
+    every_n: int = 2,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling: each payload is treated as a
+    sequence of ``frame_bytes``-sized frames; every ``every_n``-th
+    frame (up to ``max_frames``) becomes ONE OUTPUT ROW with per-frame
+    features — the row-EXPANDING ``mapInPandas`` shape real video
+    decode drops into (a production version would seek keyframes with
+    ffmpeg instead of slicing bytes; the Arrow batch iteration,
+    1-to-many row fan-out, and schema contract are identical)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = -(-len(payload) // frame_bytes) if payload else 0
+                for fi in range(0, n_frames, every_n)[:max_frames]:
+                    fb = payload[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    fidx.append(fi)
+                    sizes.append(len(fb))
+                    sums.append(sum(fb) % (1 << 31))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_payloads(media: DataFrame, *, target_bytes: int) -> DataFrame:
+    """Resize plumbing: binary in → binary out through an Arrow batch
+    (truncate-or-zero-pad STUB in place of a real resampling kernel).
+    Output schema matches the input media schema with updated
+    payload/width metadata, so resized tables feed every downstream
+    media operator unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                (p or b"")[:target_bytes].ljust(target_bytes, b"\x00")
+                for p in pdf["payload"]
+            ]
+            out["width"] = target_bytes
+            out["height"] = 1
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -668,3 +668,46 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", strata_col="source",
         rates=_MIX_RATES, default_rate=0.1,
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    # Row-expanding frame sampling: payloads sliced into 32-byte
+    # frames, every 2nd frame up to 4 sampled, per-frame byte
+    # features — value-checked against a DuckDB blob-hex twin, same
+    # deterministic-stub rationale as multimodal_features.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ), f AS (
+      SELECT doc_id, i AS frame_idx,
+             least(32, nb - i*32) AS fb,
+             coalesce(list_sum(list_transform(
+               range(i*32 + 1, i*32 + least(32, nb - i*32) + 1),
+               j -> CAST(('0x' || substr(h, 2*j-1, 2)) AS BIGINT))), 0) AS bsum
+      FROM m, unnest(range(0, CAST(ceil(nb / 32.0) AS INT))) AS t(i)
+      WHERE i % 2 = 0 AND i < 8
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT)          AS frame_idx,
+           CAST(fb AS BIGINT)                 AS n_bytes,
+           CAST(bsum % 2147483648 AS BIGINT)  AS checksum
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media (1-to-many mapInPandas fan-out
+    — the video keyframe-extraction shape; see
+    operators/multimodal.py::sample_frames)."""
+    from oups_spark.operators.multimodal import (
+        pack_documents_as_media,
+        sample_frames,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = sample_frames(
+        pack_documents_as_media(docs), frame_bytes=32, every_n=2, max_frames=4
+    )
+    return out.orderBy("doc_id", "frame_idx")

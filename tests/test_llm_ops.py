@@ -254,3 +254,34 @@ def test_neardup_auto_dispatch(spark):
     auto_low = S.embedding_neardup_pairs(df, threshold=0.3, method="auto")
     exact_low = S.embedding_neardup_pairs(df, threshold=0.3, method="exact")
     assert auto_low.count() == exact_low.count()
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from oups_spark.operators.multimodal import (
+        extract_features,
+        pack_documents_as_media,
+        resize_payloads,
+        sample_frames,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    media = pack_documents_as_media(docs)
+
+    resized = resize_payloads(media, target_bytes=48)
+    feats = extract_features(resized).toPandas()
+    # every payload now exactly 48 bytes (truncate-or-pad)
+    assert (feats["n_bytes"] == 48).all()
+
+    frames = sample_frames(
+        media, frame_bytes=16, every_n=3, max_frames=2
+    ).toPandas()
+    src = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    for _, row in frames.iterrows():
+        payload = src[row["doc_id"]]
+        fi = int(row["frame_idx"])
+        assert fi % 3 == 0 and fi < 6  # every 3rd frame, max 2
+        fb = payload[fi * 16 : (fi + 1) * 16]
+        assert row["n_bytes"] == len(fb)
+        assert row["checksum"] == sum(fb) % (1 << 31)
+    # fan-out bounded: at most max_frames rows per doc
+    assert frames.groupby("doc_id").size().max() <= 2
