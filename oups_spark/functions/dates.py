@@ -25,6 +25,9 @@ from pyspark.sql import Column
 
 _FIXED_SECONDS = {"s": 1, "sec": 1, "min": 60, "m": 60, "h": 3600}
 _PERIOD_RE = re.compile(r"^(\d*)\s*([A-Za-z]+)$")
+# Monday 1969-12-29 00:00 UTC in epoch µs — the week-grid anchor
+# (epoch itself is a Thursday); n=1 coincides with date_trunc('week')
+_MONDAY_EPOCH_US = -3 * 86400 * 1_000_000
 
 
 def unix_us(col: Column) -> Column:
@@ -105,8 +108,12 @@ def floor_ts_scalar(ts, freq: str, *, origin=None, offset=None):
     if unit == "D":
         return t.floor(f"{n}D")
     if unit == "W":
-        # ISO week starting Monday, matching Spark's date_trunc('week')
-        return (t - pd.Timedelta(days=int(t.weekday()))).normalize()
+        if n == 1:
+            # ISO week starting Monday, matching date_trunc('week')
+            return (t - pd.Timedelta(days=int(t.weekday()))).normalize()
+        rel = t.value // 1000 - _MONDAY_EPOCH_US
+        step = n * 7 * 86400 * 1_000_000
+        return pd.Timestamp((rel - rel % step + _MONDAY_EPOCH_US) * 1000)
     if unit in ("MS", "M", "YS", "Y"):
         mper = months_per(freq)
         m = (t.year - 1970) * 12 + t.month - 1
@@ -171,7 +178,15 @@ def floor_ts(col: Column, freq: str, *, origin=None, offset=None) -> Column:
         micros = F.lit(n * 86400 * 1_000_000)
         return F.timestamp_micros(t - F.pmod(t, micros))
     if unit == "W":
-        return F.date_trunc("week", col)
+        if n == 1:
+            return F.date_trunc("week", col)
+        # n-week grid anchored at the Monday preceding the epoch
+        # (1969-12-29) — n=1 coincides with date_trunc('week')
+        t = unix_us(col) - F.lit(_MONDAY_EPOCH_US)
+        micros = F.lit(n * 7 * 86400 * 1_000_000)
+        return F.timestamp_micros(
+            t - F.pmod(t, micros) + F.lit(_MONDAY_EPOCH_US)
+        )
     if unit in ("MS", "M", "YS", "Y"):
         mper = months_per(freq)
         if mper == 1:

@@ -54,6 +54,7 @@ def asof_join(
     direction: str = "backward",
     tolerance=None,
     suffix: str = "_right",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row gains the payload of the
     latest (direction='backward') or earliest ('forward') right row
@@ -72,6 +73,11 @@ def asof_join(
     tolerance : optional max distance (pandas Timedelta-like or
         numeric) — matches farther than this are nulled out,
         pandas ``merge_asof`` semantics.
+    tiebreak : right-side column(s) ordering ties when several right
+        rows share one (by, on) instant — the row with the LARGEST
+        tiebreak wins (both directions). Without it, equal-instant
+        right rows make the match nondeterministic; pre-aggregate the
+        right side per (by, on) or pass a tiebreak.
     """
     if isinstance(by, str):
         by = [by]
@@ -84,17 +90,25 @@ def asof_join(
     }
 
     lt = left.withColumn(_TAG, F.lit(1))
+    extra_tb = [
+        c for c in (tiebreak or []) if c not in (*by, on) and c not in left.columns
+    ]
     rt = right.select(
         *[F.col(c) for c in by],
         F.col(on),
+        *[F.col(c) for c in extra_tb],
         F.struct(*[F.col(c) for c in value_cols]).alias(_VALS),
     ).withColumn(_TAG, F.lit(0))
     both = lt.unionByName(rt, allowMissingColumns=True)
 
+    # within one (on, tag=0) group the tiebreak columns order right
+    # rows ascending, so the running `last` picks the LARGEST
+    # tiebreak; tag sorts right before left at equal instants
+    tb = [F.col(c).asc() for c in (tiebreak or [])]
     if direction == "backward":
-        order = [F.col(on).asc(), F.col(_TAG).asc()]
+        order = [F.col(on).asc(), F.col(_TAG).asc(), *tb]
     else:
-        order = [F.col(on).desc(), F.col(_TAG).asc()]
+        order = [F.col(on).desc(), F.col(_TAG).asc(), *tb]
     w = (
         Window.partitionBy(*by)
         .orderBy(*order)
@@ -142,6 +156,7 @@ def range_join(
     by: list[str] | str | None = None,
     grid: str = "1D",
     how: str = "inner",
+    suffix: str = "_right",
 ) -> DataFrame:
     """Join left rows to right intervals: match iff
     ``start <= left_on < end`` (and ``by`` keys equal, if given).
@@ -152,6 +167,11 @@ def range_join(
     — never an unbounded inequality join. Cost scales with
     Σ interval_span/grid, so choose ``grid`` near the typical
     interval length.
+
+    Degenerate intervals (``end <= start``) match nothing and are
+    dropped before the cell explode (a reversed sequence would
+    otherwise error). Right columns whose names collide with left
+    ones are renamed with ``suffix``.
     """
     from oups_spark.functions.dates import floor_ts, step_interval_sql
 
@@ -168,7 +188,7 @@ def range_join(
             F.expr(step_interval_sql(grid)),
         )
     ).alias("__cell")
-    rt = right.select("*", cells)
+    rt = right.filter(F.col(end_col) > F.col(start_col)).select("*", cells)
     lt = left.withColumn("__cell", floor_ts(F.col(left_on), grid))
     cond = [lt["__cell"] == rt["__cell"]]
     cond.extend(lt[c] == rt[c] for c in by)
@@ -177,6 +197,8 @@ def range_join(
     joined = lt.join(rt, on=cond, how=how)
     keep = [lt[c] for c in left.columns]
     keep.extend(
-        rt[c] for c in right.columns if c not in (*by, "__cell")
+        rt[c].alias(c + suffix if c in left.columns else c)
+        for c in right.columns
+        if c not in (*by, "__cell")
     )
     return joined.select(*keep)

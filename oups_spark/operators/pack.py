@@ -53,18 +53,37 @@ def pack_token_budget(
     if isinstance(by, str):
         by = [by]
     by = by or []
+    id_dtype = dict(df.dtypes)[id_col]
+    if not (
+        id_dtype.startswith("timestamp")
+        or id_dtype in ("tinyint", "smallint", "int", "bigint", "date")
+    ):
+        # bucketize range-buckets via a long cast; a non-numeric id
+        # would silently collapse to one bucket (single-partition
+        # window) or drop null-bucket rows — refuse instead
+        raise ValueError(
+            f"pack_token_budget needs a numeric/timestamp id_col for "
+            f"range bucketing, got {id_col!r}: {id_dtype}"
+        )
     num = bucketize(df, id_col, n_buckets=n_buckets)
     sums = (
         num.groupBy(*by, "__bucket")
         .agg(F.sum(token_col).alias("__tok"))
         .collect()
     )
-    offsets: dict[tuple, int] = {}
-    acc: dict[tuple, int] = {}
-    for r in sorted(sums, key=lambda r: (*[r[c] for c in by], r["__bucket"])):
+    # offsets are PER GROUP: only the bucket order within one group
+    # matters, so group keys never need to be comparable (NULL-keyed
+    # groups are fine)
+    per_key: dict[tuple, dict] = {}
+    for r in sums:
         key = tuple(r[c] for c in by)
-        offsets[(*key, r["__bucket"])] = acc.get(key, 0)
-        acc[key] = acc.get(key, 0) + (r["__tok"] or 0)
+        per_key.setdefault(key, {})[r["__bucket"]] = r["__tok"] or 0
+    offsets: dict[tuple, int] = {}
+    for key, buckets in per_key.items():
+        acc = 0
+        for b in sorted(buckets):
+            offsets[(*key, b)] = acc
+            acc += buckets[b]
     spark = df.sparkSession
     off_df = spark.createDataFrame(
         [(*k,) + (v,) for k, v in offsets.items()],
@@ -76,9 +95,15 @@ def pack_token_budget(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     run = F.coalesce(F.sum(token_col).over(w), F.lit(0)) + F.col("__base")
+    off_b = F.broadcast(off_df)
+    # null-SAFE key equality: a NULL group key is a real group
+    cond = [num["__bucket"] == off_b["__bucket"]]
+    cond.extend(num[c].eqNullSafe(off_b[c]) for c in by)
+    joined = num.join(off_b, on=cond).select(
+        *[num[c] for c in num.columns], off_b["__base"]
+    )
     return (
-        num.join(F.broadcast(off_df), on=[*by, "__bucket"])
-        .withColumn(offset_col, run.cast("long"))
+        joined.withColumn(offset_col, run.cast("long"))
         .withColumn(
             pack_col, F.floor(F.col(offset_col) / F.lit(budget)).cast("long")
         )

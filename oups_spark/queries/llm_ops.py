@@ -550,7 +550,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection instead of re-scanning parquet; clustering is the only
     iterative piece (O(log d) keyed-shuffle rounds); the final rollup
     is a low-cardinality hash aggregation. Output rows =
-    |langs| x |sources|, independent of corpus size."""
+    |langs| x |sources|, independent of corpus size.
+
+    NOTE: the narrow projection is left persisted because the
+    RETURNED plan still references it; materialize the result, then
+    release it (``spark.catalog.clearCache()`` or unpersist) — the
+    bench/driver harnesses do exactly that after each query."""
     from pyspark import StorageLevel
 
     from oups_spark.operators.components import neardup_clusters

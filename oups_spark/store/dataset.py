@@ -429,11 +429,14 @@ class OrderedDataset:
         """
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:12]}")
         os.makedirs(staging, exist_ok=True)
+        # µs timestamps for THIS write (INT96 carries no footer
+        # min/max stats); the session's own setting is restored after
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev_ts_conf = ts_set = None
         try:
-            # µs timestamps (INT96 carries no footer min/max stats)
-            self.spark.conf.set(
-                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-            )
+            prev_ts_conf = self.spark.conf.get(ts_conf, None)
+            self.spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+            ts_set = True
         except Exception:  # noqa: BLE001 - conf locked by a custom session
             pass
         try:
@@ -505,6 +508,13 @@ class OrderedDataset:
             if cache:
                 merged.unpersist()
             shutil.rmtree(staging, ignore_errors=True)
+            try:
+                if ts_set and prev_ts_conf is not None:
+                    self.spark.conf.set(ts_conf, prev_ts_conf)
+                elif ts_set:
+                    self.spark.conf.unset(ts_conf)
+            except Exception:  # noqa: BLE001
+                pass
 
     # ---------------------------------------------------------- compact
     def compact(

@@ -76,6 +76,8 @@ class KeyConfig:
     bin_col: str = "bin"
     snap_col: str = "snap"
     row_group_target_size: int | str = 100_000
+    origin: Any = None              # TimeGrouper grid anchoring for
+    offset: Any = None              # fixed bin_by/snap_by frequencies
 
 
 @dataclass
@@ -433,6 +435,8 @@ class AggStream:
                 bin_by=cfg.bin_by,
                 tiebreak=cfg.tiebreak,
                 bin_col=cfg.bin_col,
+                origin=cfg.origin,
+                offset=cfg.offset,
             ).toPandas()
             st.bin_buffer.append(agged)
             if cfg.snap_by is not None:
@@ -443,6 +447,8 @@ class AggStream:
                     bin_by=cfg.bin_by,
                     snap_by=cfg.snap_by,
                     tiebreak=cfg.tiebreak,
+                    origin=cfg.origin,
+                    offset=cfg.offset,
                     bin_col=cfg.bin_col,
                     snap_col=cfg.snap_col,
                 ).toPandas()

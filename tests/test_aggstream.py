@@ -443,9 +443,11 @@ def test_chunked_anchored_and_quarter_bins_equal_one_shot(spark, scratch):
     pdf = make_ticks(n=300, freq="7h")  # spans several months
     chunks = np.split(pdf, [100, 200])
 
-    def run(path, chunk_list, bin_by, **kw):
-        cfg = KeyConfig(path=path, agg=AGG, bin_by=bin_by, tiebreak=["id"])
-        stream = AggStream(spark, ordered_on="ts", keys={"k": cfg}, **kw)
+    def run(path, chunk_list, bin_by, **cfg_kw):
+        cfg = KeyConfig(
+            path=path, agg=AGG, bin_by=bin_by, tiebreak=["id"], **cfg_kw
+        )
+        stream = AggStream(spark, ordered_on="ts", keys={"k": cfg})
         stream.agg([spark.createDataFrame(c) for c in chunk_list],
                    discard_last=False)
 
@@ -456,3 +458,10 @@ def test_chunked_anchored_and_quarter_bins_equal_one_shot(spark, scratch):
         read_bins(spark, f"{scratch}/q_one"),
         read_bins(spark, f"{scratch}/q_many"),
     )
+
+    # offset-anchored fixed bins (grid shifted to 09:30)
+    run(f"{scratch}/o_one", [pdf], "1D", offset="9h30min")
+    run(f"{scratch}/o_many", chunks, "1D", offset="9h30min")
+    one = read_bins(spark, f"{scratch}/o_one")
+    pd.testing.assert_frame_equal(one, read_bins(spark, f"{scratch}/o_many"))
+    assert (one["bin"].dt.strftime("%H:%M") == "09:30").all()

@@ -210,3 +210,92 @@ def test_stratified_sample_deterministic_md5(spark):
         .toPandas()
     )
     assert got.equals(again)
+
+
+def test_range_join_degenerate_intervals_and_suffix(spark):
+    rows = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["x", "x"],
+                "ts": pd.to_datetime(["2024-01-01 06:00", "2024-01-02 06:00"]),
+                "v": [1, 2],
+            }
+        )
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["x", "x", "x"],
+                "s": pd.to_datetime(
+                    ["2024-01-01", "2024-01-02", "2024-01-03"]
+                ),
+                "e": pd.to_datetime(
+                    ["2024-01-02", "2024-01-02", "2024-01-02"]  # zero/inverted
+                ),
+                "v": [10, 20, 30],  # collides with left 'v'
+            }
+        )
+    )
+    got = (
+        range_join(rows, iv, left_on="ts", start_col="s", end_col="e",
+                   by="k", grid="1D")
+        .orderBy("ts")
+        .toPandas()
+    )
+    # only the valid interval matches; degenerate ones match nothing
+    assert list(got["v"]) == [1]
+    assert list(got["v_right"]) == [10]
+
+
+def test_asof_tiebreak_deterministic_on_equal_instants(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"],
+                "ts": pd.to_datetime(["2024-01-01 10:30"]),
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"] * 3,
+                "ts": pd.to_datetime(["2024-01-01 10:00"] * 3),
+                "seq": [2, 3, 1],
+                "px": [20.0, 30.0, 10.0],
+            }
+        ).sample(frac=1, random_state=0)  # shuffled input order
+    )
+    got = asof_join(
+        left, right, on="ts", by="k", value_cols=["px"], tiebreak=["seq"]
+    ).toPandas()
+    # largest tiebreak (seq=3) wins, regardless of input/partition order
+    assert list(got["px"]) == [30.0]
+
+
+def test_pack_null_group_keys_and_string_id_rejected(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "grp": ["g1", None, "g1", None, "g2", None],
+            "n_tok": [100, 200, 300, 400, 500, 600],
+        }
+    )
+    got = (
+        pack_token_budget(
+            spark.createDataFrame(pdf), id_col="doc_id",
+            token_col="n_tok", budget=450, by="grp",
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # NULL is its own group: offsets 0,200,600 -> packs 0,0,1
+    nulls = got[got["grp"].isna()].sort_values("doc_id")
+    assert list(nulls["pack_offset"]) == [0, 200, 600]
+    assert list(nulls["pack_id"]) == [0, 0, 1]
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "n_tok": [1, 2]})
+    )
+    with pytest.raises(ValueError, match="numeric/timestamp id_col"):
+        pack_token_budget(sdf, id_col="doc_id", token_col="n_tok", budget=10)

@@ -516,3 +516,24 @@ def test_snapshot_anchoring_rejects_calendar(spark):
             spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")},
             bin_by="MS", snap_by="6h", offset="30min",
         )
+
+
+def test_multi_week_bins_monday_anchored(spark):
+    """2W bins: Monday-anchored biweekly grid consistent with
+    date_trunc('week') at n=1; labels step exactly 14 days."""
+    from oups_spark.functions.dates import floor_ts_scalar
+
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-01-14", "2024-01-15", "2024-01-28", "2024-01-29"]
+    )  # 2024-01-01 is a Monday on the biweekly grid (epoch-Monday + 2820w)
+    pdf = pd.DataFrame({"ts": ts, "val": [1.0, 2.0, 4.0, 8.0, 16.0]})
+    out = segment_agg(
+        spark.createDataFrame(pdf), "ts", {"s": ("val", "sum")}, bin_by="2W"
+    ).toPandas()
+    assert list(out["bin"]) == list(
+        pd.to_datetime(["2024-01-01", "2024-01-15", "2024-01-29"])
+    )
+    assert list(out["s"]) == [3.0, 12.0, 16.0]
+    for t in ts:
+        f = floor_ts_scalar(t, "2W")
+        assert f.weekday() == 0 and (t - f).days < 14
