@@ -268,3 +268,64 @@ def minhash_lsh_neardup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with banded-LSH
+    candidate generation (bit-sampling LSH over the 32-bit hash).
+
+    Recall is EXACT for ``max_hamming <= bands - 1`` by pigeonhole:
+    two hashes within distance d differ in at most d of the ``bands``
+    disjoint bit-bands, so at least one band matches and the pair is
+    a candidate. Precision is exact always (candidates are verified
+    on the true distance). One equality self-join on (band, key) —
+    never an all-pairs comparison.
+    """
+    from oups_spark.operators.text import simhash_signatures
+
+    if 32 % bands:
+        raise ValueError(f"bands must divide 32, got {bands}")
+    sigs = simhash_signatures(df, id_col, text_col).persist()
+    width = 32 // bands
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    keyed = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("bk")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band", "key"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "key"
+    )
+    cands = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -716,3 +716,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_documents_as_media(docs), frame_bytes=32, every_n=2, max_frames=4
     )
     return out.orderBy("doc_id", "frame_idx")
+
+
+_SIMHASH_CTE = f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOK}) AS tok FROM documents),
+    h AS (SELECT doc_id, {_MD5INT.format(x='u.s')} AS hv
+          FROM (SELECT doc_id, unnest(tok) AS s FROM t) u),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+             count(*) AS n
+      FROM h, (SELECT unnest(range(0, 32)) AS j)
+      GROUP BY doc_id, j
+    ),
+    s AS (
+      SELECT doc_id,
+             sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+@register(
+    "simhash_neardup_pairs",
+    oracle=_SIMHASH_CTE + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via bit-band LSH —
+    pigeonhole-exact recall at 4 bands, so the sub-quadratic plan is
+    value-identical to the all-pairs oracle."""
+    from oups_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=3, bands=4
+    ).orderBy("id_a", "id_b")
