@@ -465,3 +465,39 @@ def test_chunked_anchored_and_quarter_bins_equal_one_shot(spark, scratch):
     one = read_bins(spark, f"{scratch}/o_one")
     pd.testing.assert_frame_equal(one, read_bins(spark, f"{scratch}/o_many"))
     assert (one["bin"].dt.strftime("%H:%M") == "09:30").all()
+
+
+def test_calendar_snapshots_chunked_equals_one_shot(spark, scratch):
+    """Monthly snapshots inside yearly bins flow through chunked
+    AggStream with restarts: the label-keyed stitching is grid-shape
+    agnostic, so calendar snap grids satisfy the equivalence gate."""
+    rng = np.random.default_rng(3)
+    ts = pd.date_range("2023-01-05", periods=200, freq="3D")
+    pdf = pd.DataFrame(
+        {
+            "ts": ts,
+            "id": range(len(ts)),
+            "val": rng.normal(10, 5, len(ts)).round(3),
+            "qty": rng.integers(1, 50, len(ts)),
+        }
+    )
+    agg = {"sum_val": ("val", "sum"), "max_val": ("val", "max")}
+
+    def run(path, chunk_list):
+        cfg = KeyConfig(
+            path=f"{path}/bins", snap_path=f"{path}/snaps", agg=agg,
+            bin_by="1Y", snap_by="MS", tiebreak=["id"],
+        )
+        stream = AggStream(spark, ordered_on="ts", keys={"k": cfg})
+        stream.agg(
+            [spark.createDataFrame(c) for c in chunk_list], discard_last=False
+        )
+        from oups_spark.store.dataset import OrderedDataset
+
+        return OrderedDataset(spark, f"{path}/snaps").read().toPandas(
+        ).sort_values(["bin", "snap"], ignore_index=True)
+
+    one = run(f"{scratch}/cs_one", [pdf])
+    many = run(f"{scratch}/cs_many", np.split(pdf, [70, 140]))
+    pd.testing.assert_frame_equal(one, many)
+    assert (one["snap"].dt.day == 1).all()  # month-start grid
