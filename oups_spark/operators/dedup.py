@@ -28,6 +28,7 @@ from oups_spark.operators.text import (
     md5_int,
     md5_int60,
     shingles,
+    simhash_signatures,
     tokens,
 )
 
@@ -288,8 +289,6 @@ def simhash_neardup_pairs(
     on the true distance). One equality self-join on (band, key) —
     never an all-pairs comparison.
     """
-    from oups_spark.operators.text import simhash_signatures
-
     if 32 % bands:
         raise ValueError(f"bands must divide 32, got {bands}")
     sigs = simhash_signatures(df, id_col, text_col).persist()
@@ -317,15 +316,15 @@ def simhash_neardup_pairs(
     b = keyed.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "key"
     )
-    cands = (
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    # verify BEFORE the distinct: the map-side bit_count filter
+    # discards most raw band-bucket collisions, so the dedup shuffle
+    # carries only true near-dups instead of all candidates
+    return (
         a.join(b, on=["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
-    return (
-        cands.withColumn("hamming", ham)
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

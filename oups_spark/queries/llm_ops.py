@@ -45,6 +45,29 @@ _MD5INT = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
 _SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 _BPE_SQL = BPE_PATTERN.replace("'", "''")
 
+# one shared SimHash oracle CTE (ends in a CTE named `s` holding
+# (doc_id, simhash)) — both simhash queries derive from it so the
+# signature definition cannot silently diverge between oracles
+_SIMHASH_CTE = f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOK}) AS tok FROM documents),
+    h AS (SELECT doc_id, {_MD5INT.format(x='u.s')} AS hv
+          FROM (SELECT doc_id, unnest(tok) AS s FROM t) u),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+             count(*) AS n
+      FROM h, (SELECT unnest(range(0, 32)) AS j)
+      GROUP BY doc_id, j
+    ),
+    s AS (
+      SELECT doc_id,
+             sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
 
 @register(
     "text_stats",
@@ -301,22 +324,7 @@ def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_signatures",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, list_distinct({_TOK}) AS tok FROM documents),
-    h AS (SELECT doc_id, {_MD5INT.format(x='u.s')} AS hv
-          FROM (SELECT doc_id, unnest(tok) AS s FROM t) u),
-    bits AS (
-      SELECT doc_id, j,
-             sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
-             count(*) AS n
-      FROM h, (SELECT unnest(range(0, 32)) AS j)
-      GROUP BY doc_id, j
-    )
-    SELECT doc_id,
-           sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
-             AS simhash
-    FROM bits GROUP BY doc_id ORDER BY doc_id
-    """,
+    oracle=_SIMHASH_CTE + "SELECT doc_id, simhash FROM s ORDER BY doc_id",
 )
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (majority vote per bit over the
@@ -717,25 +725,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.orderBy("doc_id", "frame_idx")
 
-
-_SIMHASH_CTE = f"""
-    WITH t AS (SELECT doc_id, list_distinct({_TOK}) AS tok FROM documents),
-    h AS (SELECT doc_id, {_MD5INT.format(x='u.s')} AS hv
-          FROM (SELECT doc_id, unnest(tok) AS s FROM t) u),
-    bits AS (
-      SELECT doc_id, j,
-             sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
-             count(*) AS n
-      FROM h, (SELECT unnest(range(0, 32)) AS j)
-      GROUP BY doc_id, j
-    ),
-    s AS (
-      SELECT doc_id,
-             sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
-               AS simhash
-      FROM bits GROUP BY doc_id
-    )
-"""
 
 @register(
     "simhash_neardup_pairs",

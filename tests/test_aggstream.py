@@ -484,14 +484,15 @@ def test_calendar_snapshots_chunked_equals_one_shot(spark, scratch):
     agg = {"sum_val": ("val", "sum"), "max_val": ("val", "max")}
 
     def run(path, chunk_list):
-        cfg = KeyConfig(
-            path=f"{path}/bins", snap_path=f"{path}/snaps", agg=agg,
-            bin_by="1Y", snap_by="MS", tiebreak=["id"],
-        )
-        stream = AggStream(spark, ordered_on="ts", keys={"k": cfg})
-        stream.agg(
-            [spark.createDataFrame(c) for c in chunk_list], discard_last=False
-        )
+        # FRESH AggStream per chunk: state (year-bin accumulator,
+        # restart index) must round-trip through kv metadata
+        for c in chunk_list:
+            cfg = KeyConfig(
+                path=f"{path}/bins", snap_path=f"{path}/snaps", agg=agg,
+                bin_by="1Y", snap_by="MS", tiebreak=["id"],
+            )
+            stream = AggStream(spark, ordered_on="ts", keys={"k": cfg})
+            stream.agg(spark.createDataFrame(c), discard_last=False)
         from oups_spark.store.dataset import OrderedDataset
 
         return OrderedDataset(spark, f"{path}/snaps").read().toPandas(
