@@ -204,3 +204,68 @@ def test_asof_join_matches_merge_asof_property(
     pd.testing.assert_series_equal(
         got["rv"].astype(float), exp["rv"].astype(float), check_names=False
     )
+
+
+_interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),   # start hour
+        st.integers(min_value=-2, max_value=60),   # duration hours (may be <= 0)
+        st.integers(min_value=0, max_value=1),     # key
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+_point_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=160),   # hour
+        st.integers(min_value=0, max_value=1),     # key
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(intervals=_interval_rows, points=_point_rows)
+def test_range_join_matches_naive_inequality_join(spark, intervals, points):
+    """Bucketed range_join == naive inequality join on arbitrary keyed
+    intervals (including zero-length/inverted ones, which match
+    nothing) at a grid much coarser than many intervals."""
+    from oups_spark.operators.asof import range_join
+
+    base = pd.Timestamp("2024-01-01")
+    iv = pd.DataFrame(
+        {
+            "k": [k for _s, _d, k in intervals],
+            "iid": range(len(intervals)),
+            "s": [base + pd.Timedelta(hours=s) for s, _d, _k in intervals],
+            "e": [
+                base + pd.Timedelta(hours=s + d) for s, d, _k in intervals
+            ],
+        }
+    )
+    pts = pd.DataFrame(
+        {
+            "k": [k for _h, k in points],
+            "pid": range(len(points)),
+            "ts": [base + pd.Timedelta(hours=h) for h, _k in points],
+        }
+    )
+    got = (
+        range_join(
+            spark.createDataFrame(pts), spark.createDataFrame(iv),
+            left_on="ts", start_col="s", end_col="e", by="k", grid="1D",
+        )
+        .select("pid", "iid")
+        .toPandas()
+    )
+    exp = pts.merge(iv, on="k")
+    exp = exp[(exp["ts"] >= exp["s"]) & (exp["ts"] < exp["e"])][["pid", "iid"]]
+    got_set = set(map(tuple, got.values))
+    exp_set = set(map(tuple, exp.values))
+    assert got_set == exp_set
