@@ -90,9 +90,13 @@ def asof_join(
     }
 
     lt = left.withColumn(_TAG, F.lit(1))
-    extra_tb = [
-        c for c in (tiebreak or []) if c not in (*by, on) and c not in left.columns
-    ]
+    # tiebreak columns must come from the RIGHT side even when left
+    # shares the name — unionByName aligns by name, and left rows at
+    # an equal instant sort after all right rows (tag) regardless of
+    # their own values, so selecting the right column is always safe;
+    # excluding shared names silently nulled the sort key for right
+    # rows and made equal-instant ties nondeterministic again
+    extra_tb = [c for c in (tiebreak or []) if c not in (*by, on)]
     rt = right.select(
         *[F.col(c) for c in by],
         F.col(on),
@@ -175,6 +179,11 @@ def range_join(
     """
     from oups_spark.functions.dates import floor_ts, step_interval_sql
 
+    if how not in ("inner", "left"):
+        # the exploded right side makes right/full joins wrong: an
+        # unmatched interval spanning k grid cells would emit k
+        # null-extended duplicate rows
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
     if isinstance(by, str):
         by = [by]
     by = by or []

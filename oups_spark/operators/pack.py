@@ -71,6 +71,16 @@ def pack_token_budget(
         .agg(F.sum(token_col).alias("__tok"))
         .collect()
     )
+    # a NULL id has no place in the (by, id) layout order: it lands
+    # in a NULL __bucket (visible here for free — no extra scan),
+    # where the driver-side sorted() would raise TypeError and the
+    # non-null-safe __bucket join would silently drop the rows —
+    # refuse instead (same posture as the dtype guard above)
+    if any(r["__bucket"] is None for r in sums):
+        raise ValueError(
+            f"pack_token_budget: {id_col!r} contains NULLs; drop or "
+            f"impute them before packing"
+        )
     # offsets are PER GROUP: only the bucket order within one group
     # matters, so group keys never need to be comparable (NULL-keyed
     # groups are fine)

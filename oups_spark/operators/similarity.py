@@ -264,15 +264,19 @@ def ivf_cosine_topk(
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the classic ANN scale path alongside LSH.
 
-    Train: a REPRESENTATIVE bounded sample — rows where
-    ``pmod(xxhash64(id), ceil(n/sample_size)) = 0`` — is pulled to
-    the driver and clustered with a few Lloyd iterations on the unit
-    sphere (spherical k-means; numpy, milliseconds). The hash filter
-    draws uniformly from the whole corpus (a ``limit(sample_size)``
-    prefix would be one time-slice/partition of a 100 TB table and
-    skew the quantizer) while staying fully deterministic for a given
-    corpus + seed. The centroid matrix is a closure constant — no
-    fitting job, no MLlib dependency.
+    Train: a REPRESENTATIVE bounded sample — the ``sample_size`` rows
+    with the LOWEST ``xxhash64(id)`` — is pulled to the driver and
+    clustered with a few Lloyd iterations on the unit sphere
+    (spherical k-means; numpy, milliseconds). Ordering by a uniform
+    hash draws uniformly from the whole corpus (a plain
+    ``limit(sample_size)`` prefix would be one time-slice/partition
+    of a 100 TB table and skew the quantizer) while staying fully
+    deterministic for a given corpus + seed, and it needs NO sizing
+    pass: Spark's TakeOrdered keeps a bounded per-task top-K, so this
+    is ONE job instead of round 3's count + stride-filter pair, and a
+    corpus smaller than ``sample_size`` simply yields all its rows.
+    The centroid matrix is a closure constant — no fitting job, no
+    MLlib dependency.
 
     Search: one Arrow-batched matmul assigns every corpus vector its
     nearest cell (this is the partition layout — at scale the cell id
@@ -284,13 +288,14 @@ def ivf_cosine_topk(
     """
     import numpy as np
 
-    n_corpus = corpus.count()
-    stride = max(1, -(-n_corpus // sample_size))  # ceil(n / sample_size)
     sample_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
         .collect()
     )
+    if not sample_rows:
+        raise ValueError("ivf_cosine_topk: corpus is empty, cannot train quantizer")
     # stable ordering so centroid init doesn't depend on partition
     # scheduling (collect order is only partition-order stable)
     sample_rows.sort(key=lambda r: r[0])

@@ -339,25 +339,46 @@ def text_profile_df(
     id_col: str,
     text_col: str = "text",
     keep_cols: tuple[str, ...] = (),
+    families: tuple[str, ...] = ("stats", "lang"),
 ) -> DataFrame:
-    """Per-document text stats AND language-ID fused into ONE pass:
+    """Per-document text stats and/or language-ID fused into ONE pass:
     a single tokenize barrier feeds every derived column, so the text
     is split exactly once per row (separate :func:`text_stats_df` +
     :func:`with_pred_lang` calls each re-scan and re-tokenize the
-    corpus). Map-side only, zero shuffle — the curation-pipeline
-    shape where both families of columns are needed together.
+    corpus). Map-side only, zero shuffle.
 
-    Output: id, ``keep_cols``, n_tokens, n_bpe_tokens, punct_ratio,
-    stopword_ratio, mean_token_len, fingerprint, pred_lang.
+    ``families`` selects the column families actually materialized:
+    ``"stats"`` -> n_tokens, n_bpe_tokens, punct_ratio,
+    stopword_ratio, mean_token_len, fingerprint; ``"lang"`` ->
+    pred_lang.  A stats-only caller must not pay for the five
+    language-score array filters it would drop (and vice versa) —
+    Catalyst prunes unused *columns* but the score expressions live
+    behind a Generate barrier whose output the pruner keeps whole,
+    so the selection has to happen at plan-construction time.  The
+    curation pipeline passes both families and keeps the fully fused
+    shape.
+
+    Output: id, ``keep_cols``, then the selected families' columns.
     """
+    want_stats = "stats" in families
+    want_lang = "lang" in families
+    if not (want_stats or want_lang):
+        raise ValueError("families must include 'stats' and/or 'lang'")
     c = F.col(text_col)
+    stats_inputs = (
+        [
+            F.length(c).alias("__n_chars"),
+            F.regexp_count(c, F.lit(PUNCT_CLASS)).alias("__pc"),
+            bpe_token_count(c).alias("n_bpe_tokens"),
+        ]
+        if want_stats
+        else []
+    )
     base = once_per_row(
         df.select(
             F.col(id_col),
             *[F.col(k) for k in keep_cols],
-            F.length(c).alias("__n_chars"),
-            F.regexp_count(c, F.lit(PUNCT_CLASS)).alias("__pc"),
-            bpe_token_count(c).alias("n_bpe_tokens"),
+            *stats_inputs,
             c.alias("__text"),
         ),
         {"__tok": tokens(F.col("__text"))},
@@ -368,8 +389,7 @@ def text_profile_df(
     tl = F.aggregate(
         F.transform(tok, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
-    stats = once_per_row(
-        base,
+    stat_exprs = (
         {
             "n_tokens": n.cast("long"),
             "punct_ratio": F.round(
@@ -384,32 +404,42 @@ def text_profile_df(
             "mean_token_len": F.round(
                 F.when(n > 0, tl.cast("long") / n).otherwise(F.lit(0.0)), 6
             ),
-            "__dtok": F.array_distinct(tok),
-        },
+        }
+        if want_stats
+        else {}
+    )
+    stats = once_per_row(
+        base, {**stat_exprs, "__dtok": F.array_distinct(tok)}
     )
     dtok = F.col("__dtok")
-    scored = once_per_row(
-        stats,
-        {
-            "fingerprint": F.md5(F.concat_ws(" ", F.array_sort(dtok))),
-            **{
-                f"__score_{lang}": F.size(
-                    F.filter(dtok, lambda t: t.isin(*markers))
-                )
-                for lang, markers in LANG_MARKERS.items()
-            },
-        },
+    fp_exprs = (
+        {"fingerprint": F.md5(F.concat_ws(" ", F.array_sort(dtok)))}
+        if want_stats
+        else {}
     )
-    mx = F.greatest(*[F.col(f"__score_{lang}") for lang in LANG_MARKERS])
-    expr = None
-    for lang in LANG_MARKERS:
-        cond = F.col(f"__score_{lang}") == mx
-        expr = (
-            F.when(cond, F.lit(lang))
-            if expr is None
-            else expr.when(cond, F.lit(lang))
-        )
-    return scored.withColumn("pred_lang", expr).drop(
+    score_exprs = (
+        {
+            f"__score_{lang}": F.size(
+                F.filter(dtok, lambda t: t.isin(*markers))
+            )
+            for lang, markers in LANG_MARKERS.items()
+        }
+        if want_lang
+        else {}
+    )
+    scored = once_per_row(stats, {**fp_exprs, **score_exprs})
+    if want_lang:
+        mx = F.greatest(*[F.col(f"__score_{lang}") for lang in LANG_MARKERS])
+        expr = None
+        for lang in LANG_MARKERS:
+            cond = F.col(f"__score_{lang}") == mx
+            expr = (
+                F.when(cond, F.lit(lang))
+                if expr is None
+                else expr.when(cond, F.lit(lang))
+            )
+        scored = scored.withColumn("pred_lang", expr)
+    return scored.drop(
         "__text",
         "__tok",
         "__dtok",

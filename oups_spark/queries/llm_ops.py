@@ -94,18 +94,20 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, order-invariant bag-of-words fingerprint — JVM-side,
     tokenizing once per document.
 
-    Uses the SAME fused ``text_profile_df`` plan shape as ``lang_id``
-    and ``corpus_curation`` so the heavy tokenize stage's generated
-    code is compiled once per session and shared (Spark's codegen
-    cache is keyed on generated source)."""
+    Routes through ``text_profile_df(families=("stats",))`` — the
+    same fused single-tokenize shape as ``lang_id`` /
+    ``corpus_curation`` minus the five language-score array filters
+    this query would immediately drop (round 3 paid +70% wall for
+    them; column pruning can't reach inside the Generate barrier, so
+    the selection happens at plan-construction time)."""
     from oups_spark.operators.text import text_profile_df
 
     docs = (
         load(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "source", "text")
+        .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    return text_profile_df(docs, "doc_id", keep_cols=("lang", "source")).select(
+    return text_profile_df(docs, "doc_id", families=("stats",)).select(
         "doc_id",
         "n_tokens",
         "n_bpe_tokens",
@@ -142,17 +144,17 @@ def _lang_case_sql() -> str:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language-ID heuristic: argmax of per-language
     marker hits over the distinct token set, first-wins tiebreak in
-    LANG_MARKERS order.  Map-side, zero shuffle, sharing the fused
-    ``text_profile_df`` plan shape (and its compiled codegen) with
-    ``text_stats`` / ``corpus_curation``."""
+    LANG_MARKERS order.  Map-side, zero shuffle, via
+    ``text_profile_df(families=("lang",))`` — the shared tokenize
+    barrier subtree without the stats columns this query drops."""
     from oups_spark.operators.text import text_profile_df
 
     docs = (
         load(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "source", "text")
+        .select("doc_id", "lang", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    prof = text_profile_df(docs, "doc_id", keep_cols=("lang", "source"))
+    prof = text_profile_df(docs, "doc_id", keep_cols=("lang",))
     return prof.select(
         "doc_id",
         "pred_lang",

@@ -299,3 +299,67 @@ def test_pack_null_group_keys_and_string_id_rejected(spark):
     )
     with pytest.raises(ValueError, match="numeric/timestamp id_col"):
         pack_token_budget(sdf, id_col="doc_id", token_col="n_tok", budget=10)
+
+
+def test_asof_tiebreak_column_shared_with_left(spark):
+    # regression: when the tiebreak column name also exists on the
+    # LEFT side, it must still order RIGHT rows (round 3 excluded
+    # shared names from the right select, so unionByName filled NULL
+    # for every right row and ties went nondeterministic again)
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"],
+                "ts": pd.to_datetime(["2024-01-01 10:30"]),
+                "seq": [999],  # same name as the right-side tiebreak
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"] * 3,
+                "ts": pd.to_datetime(["2024-01-01 10:00"] * 3),
+                "seq": [2, 3, 1],
+                "px": [20.0, 30.0, 10.0],
+            }
+        ).sample(frac=1, random_state=0)
+    )
+    got = asof_join(
+        left, right, on="ts", by="k", value_cols=["px"], tiebreak=["seq"]
+    ).toPandas()
+    assert list(got["px"]) == [30.0]
+    # left's own column is untouched in the output
+    assert list(got["seq"]) == [999]
+
+
+def test_range_join_rejects_right_full_how(spark):
+    rows = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01"]), "v": [1]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "s": pd.to_datetime(["2024-01-01"]),
+                "e": pd.to_datetime(["2024-01-02"]),
+            }
+        )
+    )
+    for how in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            range_join(
+                rows, iv, left_on="ts", start_col="s", end_col="e", how=how
+            )
+
+
+def test_pack_null_id_rejected(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, None], "n_tok": [100, 200, 300]}
+    ).astype({"doc_id": "Int64"})
+    with pytest.raises(ValueError, match="contains NULLs"):
+        pack_token_budget(
+            spark.createDataFrame(pdf),
+            id_col="doc_id",
+            token_col="n_tok",
+            budget=450,
+        )
