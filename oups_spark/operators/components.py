@@ -32,6 +32,15 @@ rejoin in one final keyed pass; per-round volume is O(|edges|), not
 O(|nodes|). Every step is a plain keyed shuffle on node ids —
 uniformly distributed, AQE-skew-safe; nothing is collected to the
 driver except the one convergence scalar.
+
+Small-graph fast path: when the (deduplicated) edge list fits under
+``driver_edge_threshold`` rows, the loop is skipped entirely — the
+edges are collected (bounded: threshold × 2 longs, ~16 MB at the
+default) and labeled with a driver-side union-find, and the labels
+rejoin as a broadcast. The distributed loop costs ~5 tiny jobs per
+round, which dominates wall-clock exactly when the graph is small;
+the threshold keeps the driver state bounded and the distributed
+path remains the default above it.
 """
 
 from __future__ import annotations
@@ -48,6 +57,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_rounds: int = 25,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -60,6 +70,10 @@ def connected_components(
     max_rounds : safety bound; with pointer jumping a component of
         diameter d converges in O(log d) rounds, so the default
         covers graphs far beyond any dedup workload.
+    driver_edge_threshold : edge count at or below which labeling
+        runs as a driver-side union-find over the collected edge
+        list instead of the iterative distributed loop (see module
+        docstring); pass 0 to force the distributed path.
 
     Returns
     -------
@@ -72,6 +86,17 @@ def connected_components(
     e = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).localCheckpoint()
+
+    # count() over the checkpointed edges is metadata-cheap; a small
+    # graph short-circuits the whole iterative machinery
+    if e.count() <= driver_edge_threshold:
+        labels = _union_find_labels(e, nodes.schema[id_col].dataType)
+        return nodes.select(F.col(id_col).alias("id")).join(
+            F.broadcast(labels), on="id", how="left"
+        ).select(
+            "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+        )
+
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     # Only edge-incident nodes can ever take a label other than their
@@ -130,6 +155,48 @@ def connected_components(
     ).select(
         "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
     )
+
+
+def _union_find_labels(e: DataFrame, id_type) -> DataFrame:
+    """Driver-side union-find over a collected (u, v) edge list:
+    returns ``(id, comp)`` for every edge-incident node, comp = the
+    component's minimum member. Path-halving find + union by size;
+    only called for edge lists bounded by ``driver_edge_threshold``.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for u, v in e.collect():
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if size[ru] < size[rv]:
+                ru, rv = rv, ru
+            parent[rv] = ru
+            size[ru] += size[rv]
+
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    schema = StructType(
+        [StructField("id", id_type), StructField("comp", id_type)]
+    )
+    return e.sparkSession.createDataFrame(rows, schema)
 
 
 def neardup_clusters(

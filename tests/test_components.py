@@ -113,3 +113,36 @@ def test_components_match_union_find(spark, n, edge_idx):
     edges = [(a % n, b % n) for a, b in edge_idx]
     got = _run(spark, range(n), edges)
     assert got == _union_find(n, edges)
+
+
+def test_distributed_path_matches_driver_shortcut(spark):
+    # force the iterative distributed loop (threshold=0) on shapes
+    # that stress it: long path (pointer jumping), forest + isolated,
+    # asymmetric duplicates — must agree with the union-find path
+    cases = [
+        (range(40), [(i, i + 1) for i in range(39)]),
+        ([1, 2, 3, 4, 5, 6, 7], [(2, 1), (6, 7)]),
+        ([1, 2, 3], [(3, 1), (1, 3), (3, 1), (2, 3)]),
+    ]
+    for node_ids, edges in cases:
+        fast = _run(spark, node_ids, edges)
+        dist = _run(spark, node_ids, edges, driver_edge_threshold=0)
+        assert dist == fast
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=25),
+    edge_idx=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        max_size=35,
+    ),
+)
+def test_distributed_components_match_union_find(spark, n, edge_idx):
+    edges = [(a % n, b % n) for a, b in edge_idx]
+    got = _run(spark, range(n), edges, driver_edge_threshold=0)
+    assert got == _union_find(n, edges)
