@@ -248,6 +248,44 @@ def embedding_neardup_pairs(
     return _verify_pairs(df, pairs, id_col, vec_col, threshold)
 
 
+def train_spherical_centroids(
+    sample, *, n_cells: int, lloyd_iters: int, seed: int
+):
+    """Spherical k-means on the unit sphere over an (n, d) sample
+    matrix — shared by ``ivf_cosine_topk`` and the DuckDB oracle
+    generator (same rows + same seed => bit-identical centroids, so
+    the oracle can emit them as SQL literals)."""
+    import numpy as np
+
+    sample = np.asarray(sample, dtype=np.float64)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[
+        rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    ]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for j in range(len(cents)):
+            m = sample[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents
+
+
+def lsh_planes(
+    *, n_planes: int = 6, n_tables: int = 4, dim: int = 64, seed: int = 42
+) -> list[list[list[float]]]:
+    """The seeded hyperplane tables used by ``lsh_cosine_topk`` —
+    exposed so the DuckDB oracle generator emits the SAME literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [rng.normal(size=(n_planes, dim)).tolist() for _ in range(n_tables)]
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -299,20 +337,12 @@ def ivf_cosine_topk(
     # stable ordering so centroid init doesn't depend on partition
     # scheduling (collect order is only partition-order stable)
     sample_rows.sort(key=lambda r: r[0])
-    sample = np.vstack(
-        [np.asarray(r[1], dtype=np.float64) for r in sample_rows]
+    C = train_spherical_centroids(
+        np.vstack([np.asarray(r[1], dtype=np.float64) for r in sample_rows]),
+        n_cells=n_cells,
+        lloyd_iters=lloyd_iters,
+        seed=seed,
     )
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
-    for _ in range(lloyd_iters):
-        assign = np.argmax(sample @ cents.T, axis=1)
-        for j in range(len(cents)):
-            m = sample[assign == j]
-            if len(m):
-                c = m.mean(axis=0)
-                cents[j] = c / max(np.linalg.norm(c), 1e-12)
-    C = cents
 
     @F.pandas_udf(IntegerType())
     def cell_of(v: pd.Series) -> pd.Series:
@@ -397,8 +427,9 @@ def lsh_cosine_topk(
     """
     import numpy as np
 
-    rng = np.random.default_rng(seed)
-    all_planes = [rng.normal(size=(n_planes, dim)).tolist() for _ in range(n_tables)]
+    all_planes = lsh_planes(
+        n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed
+    )
     # One numpy matmul per Arrow batch computes every table's bucket:
     # signs = V @ P.T reshaped (n, tables, planes), dotted with bit
     # weights. The plane matrix ships once in the UDF closure.

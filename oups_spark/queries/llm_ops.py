@@ -402,23 +402,149 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
-@register("ann_lsh_topk")  # approximate: rows-only check by design
+def _vec_sql(v) -> str:
+    """A float vector as a DuckDB DOUBLE[] literal. ``repr(float)``
+    is the shortest round-tripping decimal, so DuckDB parses back the
+    bit-identical double the Spark plan / UDF closure carries."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+_ANN_RANK_TAIL = """
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN list_dot_product(qe, qe) * list_dot_product(ce, ce) > 0
+                  THEN list_dot_product(qe, ce) /
+                       sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce))
+                  ELSE 0 END AS sim
+      FROM cand
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk,
+             round(sim, 6) AS cosine_sim
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk AS "rank", cosine_sim
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+
+def _lsh_oracle_sql() -> str:
+    """Exact DuckDB twin of ``ann_lsh_topk``: the hyperplane tables
+    are seeded literals (``lsh_planes``), so bucket assignment,
+    OR-construction candidate generation, and exact ranking are all
+    SQL-expressible — the 'approximate' query is deterministic given
+    the seed, hence fully oracle-checkable."""
+    from oups_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes()  # defaults shared with lsh_cosine_topk
+    buckets = []
+    for t, tbl in enumerate(planes):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, {_vec_sql(p)}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(tbl)
+        )
+        buckets.append(f"({bits}) AS b{t}")
+    any_table = " OR ".join(f"q.b{t} = c.b{t}" for t in range(len(planes)))
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {", ".join(buckets)} FROM v),
+    q AS (SELECT * FROM b WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      q.e AS qe, c.e AS ce
+      FROM q JOIN b c ON ({any_table})
+      WHERE c.vec_id != q.vec_id
+    ),
+    {_ANN_RANK_TAIL}"""
+
+
+def _ivf_oracle_sql() -> str | None:
+    """Exact DuckDB twin of ``ann_ivf_topk``. The quantizer is
+    deterministic given corpus + seed: at oracle scale the corpus is
+    smaller than ``sample_size``, so the training sample is ALL rows
+    sorted by id — reproduced here by reading the parquet directly
+    and running the SAME ``train_spherical_centroids`` code, then
+    emitting the centroids as SQL literals. Returns None (rows-only
+    check) when the table is missing or too big to replicate the
+    xxhash64-ordered sample engine-side."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from oups_spark.operators.similarity import train_spherical_centroids
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding::DOUBLE[] FROM read_parquet('{path}') "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    if not rows or len(rows) > 4096:  # sample_size default
+        return None
+    C = train_spherical_centroids(
+        np.vstack([r[0] for r in rows]), n_cells=16, lloyd_iters=5, seed=42
+    )
+    cents = ", ".join(
+        f"({j}, {_vec_sql(C[j])}::DOUBLE[])" for j in range(len(C))
+    )
+    # cell assignment / probe ranking by RAW dot product: the UDFs
+    # normalize the vector first, but argmax/argsort are invariant to
+    # a positive per-row scaling
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents(cell, c) AS (VALUES {cents}),
+    cc AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, cents.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_dot_product(v.e, cents.c) DESC,
+                                           cents.cell) AS rn
+        FROM v CROSS JOIN cents) WHERE rn = 1
+    ),
+    qp AS (
+      SELECT vec_id AS query_id, e AS qe, cell FROM (
+        SELECT v.vec_id, v.e, cents.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_dot_product(v.e, cents.c) DESC,
+                                           cents.cell) AS rn
+        FROM v CROSS JOIN cents WHERE v.vec_id < 10) WHERE rn <= 3
+    ),
+    cand AS (
+      SELECT qp.query_id, cc.vec_id AS neighbor_id, qp.qe, cc.e AS ce
+      FROM qp JOIN cc USING (cell)
+      WHERE cc.vec_id != qp.query_id
+    ),
+    {_ANN_RANK_TAIL}"""
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketed top-k (the 1/2^planes scale
-    path); approximate by construction, so no SQL oracle — pytest
-    asserts recall against the brute-force baseline instead."""
+    path). Approximate vs brute force, but DETERMINISTIC given the
+    seeded plane literals — so the oracle replays the same buckets
+    and candidate set in DuckDB and the result is hash-checked, while
+    pytest separately asserts recall against the exact baseline."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
-@register("ann_ivf_topk")  # approximate: rows-only check by design
+@register("ann_ivf_topk", oracle=_ivf_oracle_sql())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned top-k (the inverted-file ANN scale path:
     spherical-kmeans cells from a driver-side sample, corpus bucketed
-    by cell, queries probe nprobe cells); approximate by
-    construction, so no SQL oracle — pytest asserts recall against
-    the brute-force baseline."""
+    by cell, queries probe nprobe cells). Deterministic given
+    corpus + seed, so the oracle regenerates the identical centroids
+    and replays cell assignment + probing + exact ranking in DuckDB;
+    pytest separately asserts recall against the exact baseline."""
     from oups_spark.operators.similarity import ivf_cosine_topk
 
     emb = load(spark, sf_dir, "embeddings")
