@@ -396,7 +396,7 @@ def snapshot_agg(
     agg: dict,
     *,
     bin_by: str,
-    snap_by: str,
+    snap_by,
     snap_closed: str = "left",
     tiebreak: list[str] | None = None,
     bin_col: str = "bin",
@@ -423,7 +423,17 @@ def snapshot_agg(
       (forward-fill); instants before any data in their bin are null
       (``cumsegagg.py:556-569``).
 
-    Grid compatibility (the snapshot grid must land on bin edges):
+    ``snap_by`` accepts a frequency string OR an explicit sorted
+    sequence of snapshot instants (reference ``by_scale`` Series
+    generality, ``segmentby.py:860-911``) — irregular observation
+    grids like market-session closes. Edge-list snapshots need no
+    divisibility relation with ``bin_by``: each instant observes the
+    bin whose ``(bin_start, bin_end]`` span contains it, and a row
+    whose next observing instant falls past its bin's end is simply
+    never observed (its bin closes before any snapshot looks).
+
+    Grid compatibility for FREQUENCY ``snap_by`` (the grid must land
+    on bin edges):
     - fixed ``snap_by`` + fixed ``bin_by``: snap must divide bin;
     - fixed ``snap_by`` + calendar ``bin_by`` (``MS``/``YS`` and
       multiples): snap must divide a day (calendar bins hold whole
@@ -439,13 +449,31 @@ def snapshot_agg(
     calendar left-join to materialize quiet instants. No
     single-partition stage.
     """
+    import pandas as pd
+
     tiebreak = tiebreak or []
     anchored = origin is not None or offset is not None
-    if anchored and not (is_fixed_freq(bin_by) and is_fixed_freq(snap_by)):
+    snap_edges = None
+    if not isinstance(snap_by, str):
+        snap_edges = [pd.Timestamp(e) for e in list(snap_by)]
+        if not snap_edges:
+            raise ValueError("snap_by edge sequence must be non-empty")
+        if any(a >= b for a, b in zip(snap_edges, snap_edges[1:])):
+            raise ValueError(
+                "snap_by edge sequence must be strictly ascending"
+            )
+        if anchored:
+            raise ValueError(
+                "origin/offset anchoring applies to frequency grids, "
+                "not explicit snap_by edges"
+            )
+    elif anchored and not (is_fixed_freq(bin_by) and is_fixed_freq(snap_by)):
         raise ValueError(
             "origin/offset anchoring requires fixed bin_by AND snap_by"
         )
-    if is_fixed_freq(snap_by):
+    if snap_edges is not None:
+        pass  # no divisibility constraint for explicit instants
+    elif is_fixed_freq(snap_by):
         snap_us = int(period_duration(snap_by) * 1_000_000)
         if is_fixed_freq(bin_by):
             bin_us = int(period_duration(bin_by) * 1_000_000)
@@ -466,23 +494,48 @@ def snapshot_agg(
                 f"divides, got bin_by={bin_by!r}, snap_by={snap_by!r}"
             )
 
+    if snap_closed not in ("left", "right"):
+        raise ValueError(f"snap_closed must be left|right, got {snap_closed!r}")
     o = F.col(ordered_on)
     bin_start = floor_ts(o, bin_by, origin=origin, offset=offset)
     bin_end = next_edge(bin_start, bin_by)
-    snap_floor = floor_ts(o, snap_by, origin=origin, offset=offset)
-    if snap_closed == "left":
-        # first snapshot instant strictly after t (on-grid rows are
-        # excluded from the snapshot at their own instant)
-        visible = next_edge(snap_floor, snap_by)
-    elif snap_closed == "right":
-        # first snapshot instant >= t (on-grid rows included)
-        visible = F.when(snap_floor == o, o).otherwise(
-            next_edge(snap_floor, snap_by)
+    if snap_edges is not None:
+        # first observing instant from the explicit grid: index i =
+        # #{edges <= t} ('left': first edge > t) or #{edges < t}
+        # ('right': first edge >= t); past-the-last rows get null and
+        # are never observed
+        idx = assign_edge_bin(o, snap_edges, closed=snap_closed)
+        edges_arr = F.array(
+            *[F.lit(e.to_pydatetime()).cast("timestamp") for e in snap_edges]
         )
+        e_at = F.element_at(edges_arr, (idx + 1).cast("int"))
+        if snap_closed == "right":
+            # a row exactly at bin_start sits on an edge owned by the
+            # PREVIOUS bin (snap-before-bin: that instant observes the
+            # closing bin) — its first observing instant inside its
+            # own bin is the next edge up
+            visible = F.when(
+                e_at == bin_start, F.element_at(edges_arr, (idx + 2).cast("int"))
+            ).otherwise(e_at)
+        else:
+            visible = e_at
     else:
-        raise ValueError(f"snap_closed must be left|right, got {snap_closed!r}")
-    # clamp into the bin's grid (bin_start, bin_end]
-    visible = F.least(visible, bin_end)
+        snap_floor = floor_ts(o, snap_by, origin=origin, offset=offset)
+        if snap_closed == "left":
+            # first snapshot instant strictly after t (on-grid rows are
+            # excluded from the snapshot at their own instant)
+            visible = next_edge(snap_floor, snap_by)
+        else:
+            # first snapshot instant >= t (on-grid rows included) —
+            # except exactly at bin_start, where that instant belongs
+            # to the PREVIOUS bin (snap-before-bin rule): the row's
+            # first observing instant in its own bin is one snap up
+            visible = F.when(
+                snap_floor == o,
+                F.when(o == bin_start, next_edge(o, snap_by)).otherwise(o),
+            ).otherwise(next_edge(snap_floor, snap_by))
+        # clamp into the bin's grid (bin_start, bin_end]
+        visible = F.least(visible, bin_end)
 
     order_key = F.struct(ordered_on, *tiebreak)
     partial_exprs = []
@@ -509,29 +562,47 @@ def snapshot_agg(
     ).collect()[0]
     if bounds["mn"] is None:
         return partials.select(bin_col, snap_col, *[F.lit(None).alias(o_) for o_ in agg])
-    grid = (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.sequence(
-                    F.lit(bounds["mn"]).cast("timestamp"),
-                    F.lit(bounds["mx"]).cast("timestamp"),
-                    F.expr(step_interval_sql(bin_by)),
-                )
-            ).alias(bin_col)
+    if snap_edges is not None:
+        # each explicit instant belongs to the bin whose
+        # (bin_start, bin_end] span contains it: closed='right' time
+        # binning maps an on-boundary instant to the PREVIOUS bin
+        grid = (
+            spark.createDataFrame(pd.DataFrame({snap_col: snap_edges}))
+            .select(
+                assign_time_bin(
+                    F.col(snap_col), bin_by, closed="right", label="left"
+                ).alias(bin_col),
+                F.col(snap_col),
+            )
+            .filter(
+                (F.col(bin_col) >= F.lit(bounds["mn"]))
+                & (F.col(bin_col) <= F.lit(bounds["mx"]))
+            )
         )
-        .select(
-            bin_col,
-            F.explode(
-                F.sequence(
-                    next_edge(F.col(bin_col), snap_by),
-                    # per-bin right edge — calendar bins vary in length
-                    next_edge(F.col(bin_col), bin_by),
-                    F.expr(step_interval_sql(snap_by)),
-                )
-            ).alias(snap_col),
+    else:
+        grid = (
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.lit(bounds["mn"]).cast("timestamp"),
+                        F.lit(bounds["mx"]).cast("timestamp"),
+                        F.expr(step_interval_sql(bin_by)),
+                    )
+                ).alias(bin_col)
+            )
+            .select(
+                bin_col,
+                F.explode(
+                    F.sequence(
+                        next_edge(F.col(bin_col), snap_by),
+                        # per-bin right edge — calendar bins vary in length
+                        next_edge(F.col(bin_col), bin_by),
+                        F.expr(step_interval_sql(snap_by)),
+                    )
+                ).alias(snap_col),
+            )
         )
-    )
     joined = grid.join(partials, on=[bin_col, snap_col], how="left")
     w = (
         Window.partitionBy(bin_col)

@@ -441,3 +441,80 @@ def snapshot_1d_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_val", 6).alias("max_val"),
         F.round("sum_val", 6).alias("sum_val"),
     )
+
+
+# Irregular snapshot instants (think market-session closes): no
+# divisibility relation with the daily bins, instants mid-day and on
+# day boundaries, a deliberately sub-second one included.
+_SNAP_EDGES = [
+    "2024-01-03 09:30:00",
+    "2024-01-03 16:00:00",
+    "2024-01-05 00:00:00",
+    "2024-01-10 12:34:56.789",
+    "2024-01-15 00:00:00",
+    "2024-01-22 18:45:00",
+    "2024-02-01 00:00:00",
+]
+_SNAP_EDGE_VALUES = ", ".join(f"(TIMESTAMP '{e}')" for e in _SNAP_EDGES)
+
+
+@register(
+    "snapshot_irregular_edges",
+    oracle=f"""
+    WITH edges AS (SELECT * FROM (VALUES {_SNAP_EDGE_VALUES}) AS t(e)),
+    p0 AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % {_DAY_US}) AS bin,
+             (SELECT min(e) FROM edges WHERE ts < e) AS snap,
+             value, ts
+      FROM events
+    ), partials AS (
+      SELECT bin, snap,
+             arg_min(value, ts) AS p_first,
+             arg_max(value, ts) AS p_last,
+             sum(value) AS p_sum
+      FROM p0 WHERE snap IS NOT NULL GROUP BY bin, snap
+    ), grid AS (
+      SELECT * FROM (
+        SELECT make_timestamp(
+                 epoch_us(e - INTERVAL 1 MICROSECOND)
+                 - epoch_us(e - INTERVAL 1 MICROSECOND) % {_DAY_US}) AS bin,
+               e AS snap
+        FROM edges)
+      WHERE bin BETWEEN (SELECT min(bin) FROM partials)
+                    AND (SELECT max(bin) FROM partials)
+    )
+    SELECT bin, snap,
+           first_value(p_first IGNORE NULLS) OVER w AS first_val,
+           last_value(p_last IGNORE NULLS)   OVER w AS last_val,
+           round(sum(p_sum) OVER w, 6)       AS sum_val
+    FROM grid LEFT JOIN partials USING (bin, snap)
+    WINDOW w AS (PARTITION BY bin ORDER BY snap
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bin, snap
+    """,
+)
+def snapshot_irregular_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-edge snapshot grid (reference ``by_scale`` Series
+    generality inside ``snap_by``): cumulative in-bin aggregates
+    observed at arbitrary sorted instants — instants on a day
+    boundary observe the CLOSING daily bin, rows whose next instant
+    falls past their bin's end are never observed."""
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events")
+    out = snapshot_agg(
+        events,
+        "ts",
+        {
+            "first_val": ("value", "first"),
+            "last_val": ("value", "last"),
+            "sum_val": ("value", "sum"),
+        },
+        bin_by="1D",
+        snap_by=[pd.Timestamp(e) for e in _SNAP_EDGES],
+        snap_closed="left",
+    )
+    return out.select(
+        "bin", "snap", "first_val", "last_val",
+        F.round("sum_val", 6).alias("sum_val"),
+    )

@@ -207,3 +207,64 @@ def streaming_native_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_val", 6).alias("max_val"),
         F.round("sum_val", 6).alias("sum_val"),
     ).orderBy("bin")
+
+
+# Irregular bin ends for the streamed by_scale gate — mid-stream
+# edges (some between chunk cuts, one straddling a cut, one empty
+# sliver, one past the data) exercise fold-across-chunks, the
+# exactly-once empty-bin materialization, and the final open bin.
+_STREAM_EDGES = [
+    "2024-01-03 07:11:00",
+    "2024-01-08 00:00:00",       # exactly on a chunk cut
+    "2024-01-08 00:00:01",       # near-empty sliver just after it
+    "2024-01-17 18:30:00",
+    "2024-01-26 12:00:00",
+]
+_EDGE_BIN_ORACLE = (
+    "WITH ends AS (SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, TIMESTAMP '{e}')" for i, e in enumerate(_STREAM_EDGES))
+    + """) AS t(i, e)),
+    assigned AS (
+      SELECT (SELECT min(i) FROM ends WHERE ts < e) AS i, value, ts
+      FROM events
+    ), agged AS (
+      SELECT i,
+             arg_min(value, ts)   AS first_val,
+             arg_max(value, ts)   AS last_val,
+             round(min(value), 6) AS min_val,
+             round(max(value), 6) AS max_val,
+             round(sum(value), 6) AS sum_val
+      FROM assigned WHERE i IS NOT NULL GROUP BY i
+    )
+    SELECT e AS bin, first_val, last_val, min_val, max_val, sum_val
+    FROM ends LEFT JOIN agged USING (i)
+    WHERE e <= (SELECT max(ts) FROM events) OR first_val IS NOT NULL
+    ORDER BY i
+    """
+)
+
+
+@register("aggstream_edge_bins_restart", oracle=_EDGE_BIN_ORACLE)
+def aggstream_edge_bins_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-edge bin_by through the chunked/restarted AggStream
+    (reference streamed ``by_scale`` Series, ``segmentby.py:225-236``):
+    4 chunks, fresh AggStream per chunk, irregular bin ends including
+    one exactly on a chunk cut and an empty sliver — must equal the
+    one-shot SQL edge binning. Empty bins materialize once their end
+    passes the watermark; an edge past the stream's end stays
+    unwritten unless it holds data (the open bin)."""
+    import pandas as pd
+
+    base = _run_chunked(
+        spark, sf_dir, _fresh("aggstream_edge_bins"),
+        bin_by=[pd.Timestamp(e) for e in _STREAM_EDGES],
+    )
+    out = OrderedDataset(spark, os.path.join(base, "bins")).read()
+    return out.select(
+        "bin",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("bin")

@@ -67,7 +67,9 @@ class KeyConfig:
     path: str                       # bins dataset directory
     agg: dict                       # {out: (in_col, func)}
     bin_by: str | int | Any         # period string, int = row-count bins,
-                                    # or a BinBy object (custom binner)
+                                    # an explicit edge sequence / (labels,
+                                    # ends) tuple (reference by_scale
+                                    # Series), or a BinBy object
     snap_by: str | None = None      # optional snapshot period
     snap_path: str | None = None    # snapshots dataset directory
     filter: list | None = None      # DNF filter for this key
@@ -392,6 +394,48 @@ class AggStream:
                 ).toPandas()
                 st.rows_so_far += int(agged["__n"].sum())
                 agged = agged.drop(columns="__n")
+                st.bin_buffer.append(agged)
+                st.restart_index = self._advance(st.restart_index, processed_max)
+                continue
+            if isinstance(
+                cfg.bin_by, (list, tuple, np.ndarray, pd.Series, pd.Index)
+            ):
+                # explicit edge grid (reference by_scale Series in the
+                # streamed engine, segmentby.py:225-236): the grid is
+                # a plan constant, so no carried binner state is
+                # needed — each chunk aggregates into the same labeled
+                # chunks and _combine_bins folds them across chunk
+                # boundaries and restarts (a bin straddling chunks
+                # combines exactly like a time bin would)
+                if cfg.snap_by is not None:
+                    raise ValueError("snapshots require a time-grid bin_by")
+                if isinstance(cfg.bin_by, tuple):
+                    edge_spec, ends = cfg.bin_by, list(cfg.bin_by[1])
+                else:
+                    edge_spec = list(cfg.bin_by)
+                    ends = edge_spec
+                agged = segment_agg(
+                    filtered,
+                    self.ordered_on,
+                    cfg.agg,
+                    bin_by=edge_spec,
+                    tiebreak=cfg.tiebreak,
+                    bin_col=cfg.bin_col,
+                ).toPandas()
+                # segment_agg_edges materializes EVERY chunk as a row
+                # (nulls for empty) — but re-emitting a completed bin
+                # as all-null would overwrite its flushed value via
+                # the keep-last merge. Keep (a) bins this chunk put
+                # data in, and (b) empty bins that became FINAL now
+                # (end <= watermark, not final before): each empty bin
+                # materializes exactly once; trailing bins past the
+                # stream's watermark stay unwritten until they close.
+                has_data = agged[list(cfg.agg)].notna().any(axis=1)
+                ends_s = pd.Series(ends)
+                final_now = ends_s <= processed_max
+                if st.restart_index is not None:
+                    final_now &= ends_s > st.restart_index
+                agged = agged[(has_data | final_now).to_numpy()]
                 st.bin_buffer.append(agged)
                 st.restart_index = self._advance(st.restart_index, processed_max)
                 continue

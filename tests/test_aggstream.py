@@ -502,3 +502,51 @@ def test_calendar_snapshots_chunked_equals_one_shot(spark, scratch):
     many = run(f"{scratch}/cs_many", np.split(pdf, [70, 140]))
     pd.testing.assert_frame_equal(one, many)
     assert (one["snap"].dt.day == 1).all()  # month-start grid
+
+
+def test_edge_bins_chunked_equals_one_shot(spark, scratch):
+    """Explicit-edge bin_by (reference by_scale Series in the
+    streamed engine): chunked + process-restarted runs must match a
+    one-shot run, including empty bins (which materialize exactly
+    once, when the watermark passes their end) and a bin straddling
+    a chunk boundary."""
+    pdf = make_ticks(n=97)  # ~34h of 21-min ticks from Jan 1
+    edges = pd.to_datetime([
+        "2024-01-01 02:00", "2024-01-01 02:00:00.000001",  # near-empty sliver
+        "2024-01-01 11:30", "2024-01-01 18:45", "2024-01-02 09:00",
+    ], format="mixed")
+
+    def run(path, chunks, restart_each=False):
+        def mk():
+            return AggStream(
+                spark, ordered_on="ts",
+                keys={"k": KeyConfig(
+                    path=path, agg=AGG, bin_by=list(edges), tiebreak=["id"],
+                )},
+            )
+        if restart_each:
+            for c in chunks:
+                mk().agg(spark.createDataFrame(c), discard_last=False)
+        else:
+            mk().agg([spark.createDataFrame(c) for c in chunks],
+                     discard_last=False)
+
+    run(f"{scratch}/e_one", [pdf])
+    run(f"{scratch}/e_many", np.split(pdf, [10, 40, 41, 70]))
+    run(f"{scratch}/e_restart", np.split(pdf, [33, 66]), restart_each=True)
+    one = read_bins(spark, f"{scratch}/e_one")
+    pd.testing.assert_frame_equal(one, read_bins(spark, f"{scratch}/e_many"))
+    pd.testing.assert_frame_equal(one, read_bins(spark, f"{scratch}/e_restart"))
+
+    # pandas oracle: closed-left chunks ending at each edge, rows past
+    # the last edge dropped, empty chunks as null rows
+    idx = np.searchsorted(edges.values, pdf["ts"].values, side="right")
+    kept = pdf[idx < len(edges)].copy()
+    kept["bin"] = edges[np.searchsorted(edges.values, kept["ts"].values, side="right")]
+    exp = kept.groupby("bin")["val"].sum()
+    got = one.set_index("bin")["sum_val"]
+    for e in edges:
+        if e in exp.index:
+            assert got[e] == pytest.approx(exp[e])
+        else:
+            assert e in got.index and pd.isna(got[e])

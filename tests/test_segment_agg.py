@@ -537,3 +537,93 @@ def test_multi_week_bins_monday_anchored(spark):
     for t in ts:
         f = floor_ts_scalar(t, "2W")
         assert f.weekday() == 0 and (t - f).days < 14
+
+
+def test_snapshot_right_row_exactly_on_bin_start_observed(spark):
+    """Round-4 regression: a row at exactly the bin start under
+    snap_closed='right' sat on a snapshot instant owned by the
+    PREVIOUS bin (snap-before-bin) and was silently dropped from
+    every snapshot of its own bin."""
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-02 00:00", "2024-01-02 03:00"]),
+            "id": [1, 2],
+            "val": [10.0, 1.0],
+        }
+    )
+    got = snapshot_agg(
+        spark.createDataFrame(pdf), "ts", {"sum_val": ("val", "sum")},
+        bin_by="1D", snap_by="6h", snap_closed="right", tiebreak=["id"],
+    ).toPandas().set_index("snap")
+    assert got.loc[pd.Timestamp("2024-01-02 06:00")]["sum_val"] == 11.0
+    assert got.loc[pd.Timestamp("2024-01-03 00:00")]["sum_val"] == 11.0
+
+
+def test_snapshot_explicit_edges(spark):
+    """snap_by as an explicit instant sequence: arbitrary irregular
+    grid, day-boundary instants observe the CLOSING bin, rows whose
+    next instant lies past their bin's end are never observed."""
+    edges = list(pd.to_datetime([
+        "2024-01-02 02:00", "2024-01-02 11:30",
+        "2024-01-03 00:00", "2024-01-03 16:00",
+    ]))
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-02 00:00", "2024-01-02 01:00", "2024-01-02 12:00",
+                 "2024-01-03 10:00", "2024-01-03 20:00"]
+            ),
+            "id": [1, 2, 3, 4, 5],
+            "val": [10.0, 1.0, 100.0, 7.0, 1000.0],
+        }
+    )
+    for closed in ("left", "right"):
+        got = snapshot_agg(
+            spark.createDataFrame(pdf), "ts", {"sum_val": ("val", "sum")},
+            bin_by="1D", snap_by=edges, snap_closed=closed, tiebreak=["id"],
+        ).toPandas()
+        idx = got.set_index(["bin", "snap"])["sum_val"]
+        s = pd.Timestamp
+        assert idx[(s("2024-01-02"), s("2024-01-02 02:00"))] == 11.0
+        assert idx[(s("2024-01-02"), s("2024-01-02 11:30"))] == 11.0
+        # midnight instant observes the CLOSING Jan-2 bin incl. 12:00 row
+        assert idx[(s("2024-01-02"), s("2024-01-03 00:00"))] == 111.0
+        # Jan-3 bin: 10:00 row observed at 16:00; 20:00 row never
+        # observed (no later instant inside the Jan-3 bin)
+        assert idx[(s("2024-01-03"), s("2024-01-03 16:00"))] == 7.0
+        assert len(got) == 4
+
+    # 'right' with a row exactly on a mid-bin instant: included there
+    pdf2 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-02 02:00"]), "id": [1], "val": [5.0]}
+    )
+    got2 = snapshot_agg(
+        spark.createDataFrame(pdf2), "ts", {"sum_val": ("val", "sum")},
+        bin_by="1D", snap_by=edges, snap_closed="right", tiebreak=["id"],
+    ).toPandas().set_index("snap")
+    assert got2.loc[pd.Timestamp("2024-01-02 02:00")]["sum_val"] == 5.0
+    # 'left' excludes it at its own instant, sees it at the next
+    got3 = snapshot_agg(
+        spark.createDataFrame(pdf2), "ts", {"sum_val": ("val", "sum")},
+        bin_by="1D", snap_by=edges, snap_closed="left", tiebreak=["id"],
+    ).toPandas().set_index("snap")
+    assert pd.isna(got3.loc[pd.Timestamp("2024-01-02 02:00")]["sum_val"])
+    assert got3.loc[pd.Timestamp("2024-01-02 11:30")]["sum_val"] == 5.0
+
+
+def test_snapshot_edges_validation(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01"]), "val": [1.0]})
+    )
+    with pytest.raises(ValueError, match="ascending"):
+        snapshot_agg(
+            df, "ts", {"s": ("val", "sum")}, bin_by="1D",
+            snap_by=list(pd.to_datetime(["2024-01-02", "2024-01-02"])),
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        snapshot_agg(df, "ts", {"s": ("val", "sum")}, bin_by="1D", snap_by=[])
+    with pytest.raises(ValueError, match="anchoring"):
+        snapshot_agg(
+            df, "ts", {"s": ("val", "sum")}, bin_by="1D",
+            snap_by=list(pd.to_datetime(["2024-01-02"])), offset="9h",
+        )
