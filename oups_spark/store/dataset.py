@@ -58,10 +58,13 @@ _PERIOD = "__oups_period"
 class OrderedDataset:
     """Handle on one ordered dataset directory (may not exist yet)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, *, backend=None):
+        # backend: optional ManifestBackend routing manifest commits
+        # (e.g. ObjectStoreBackend conditional-put); None = POSIX rename
         self.spark = spark
         self.path = os.path.abspath(path)
-        self._manifest = Manifest.load(self.path)
+        self.backend = backend
+        self._manifest = Manifest.load(self.path, backend)
 
     # ------------------------------------------------------------- state
     @property
@@ -259,7 +262,7 @@ class OrderedDataset:
         man.files = kept + new_entries
         man.schema_json = df.schema.json()
         _merge_kv(man.kv, key_value_metadata)
-        man.save(self.path)
+        man.save(self.path, self.backend)
         self._manifest = man
         for name in replaced_names:
             p = os.path.join(self.path, name)
@@ -271,7 +274,7 @@ class OrderedDataset:
         man = self._manifest or Manifest(ordered_on=ordered_on or "")
         _merge_kv(man.kv, key_value_metadata)
         os.makedirs(self.path, exist_ok=True)
-        man.save(self.path)
+        man.save(self.path, self.backend)
         self._manifest = man
 
     def _check_monotonic(self, new: DataFrame, ordered_on: str):
@@ -583,7 +586,7 @@ class OrderedDataset:
                 e for e in self._manifest.files if e.name not in names
             ] + new_entries
             rewritten += len(run)
-        self._manifest.save(self.path)
+        self._manifest.save(self.path, self.backend)
         for run in runs:
             for e in run:
                 p = os.path.join(self.path, e.name)

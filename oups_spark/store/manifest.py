@@ -14,17 +14,23 @@ load driver-side; beyond that the natural upgrade is a parquet
 manifest or a Delta transaction log, which this module isolates the
 rest of the engine from.
 
-FILESYSTEM CONTRACT: the commit protocol relies on an atomic,
-overwriting rename — a guarantee POSIX filesystems and HDFS provide
-but object stores (S3) do NOT. On an object store, ``save`` must be
-routed through a conditional-put (put-if-match on the manifest
-object's ETag / generation) instead of rename; everything else in
-this module is backend-agnostic since readers only ever GET the one
-manifest object. All swap logic is confined to :meth:`Manifest.save`
-precisely so that swap-out is a one-method change. The swap contract
-itself (reader sees old-or-new, never partial; crashed writers leave
-only ignorable ``.tmp`` debris) is pinned by
-``tests/test_store_catalog.py::test_manifest_swap_contract``.
+FILESYSTEM CONTRACT: the commit protocol is pluggable via
+:class:`ManifestBackend`. The default :class:`PosixRenameBackend`
+relies on an atomic, overwriting rename — a guarantee POSIX
+filesystems and HDFS provide but object stores (S3) do NOT. For
+object stores, :class:`ObjectStoreBackend` routes ``save`` through a
+CONDITIONAL PUT (put-if-match on the manifest object's generation /
+ETag, put-if-absent for creation) — a stale writer raises
+:class:`ManifestConflictError` instead of silently clobbering a
+concurrent commit. Everything else in this module is
+backend-agnostic since readers only ever GET the one manifest
+object; :class:`InMemoryObjectStore` is the in-tree mock that
+exercises the conditional-put path (swap in an S3/GCS client by
+implementing the same three methods). The swap contract itself
+(reader sees old-or-new, never partial; crashed writers leave only
+ignorable ``.tmp`` debris) is pinned by
+``tests/test_store_catalog.py::test_manifest_swap_contract`` against
+BOTH backends.
 """
 
 from __future__ import annotations
@@ -37,6 +43,119 @@ from datetime import datetime
 from typing import Any
 
 MANIFEST_NAME = "_oups_manifest.json"
+
+
+class ManifestConflictError(RuntimeError):
+    """A conditional manifest commit lost a race: the manifest changed
+    (or appeared) since this writer read it. The writer must re-read,
+    re-apply its change on top, and retry."""
+
+
+class ManifestBackend:
+    """Storage backend for the single manifest object of a dataset.
+
+    ``read`` returns ``(payload_bytes, token)`` or ``None`` when the
+    manifest does not exist; ``commit`` atomically publishes new
+    bytes. ``token`` is backend-defined (an ETag / generation);
+    backends that support conditional writes MUST reject a commit
+    whose ``expect_token`` no longer matches the stored object.
+    """
+
+    def read(self, dirpath: str):  # -> tuple[bytes, Any] | None
+        raise NotImplementedError
+
+    def commit(self, dirpath: str, data: bytes, *, expect_token) -> Any:
+        raise NotImplementedError
+
+
+class PosixRenameBackend(ManifestBackend):
+    """Atomic tmp-file + ``os.replace`` swap (POSIX / HDFS).
+
+    Rename gives atomic visibility but no compare-and-swap, so
+    commits are last-writer-wins; tokens are always ``None``. Correct
+    for single-writer-per-dataset deployments (the store's documented
+    locking posture)."""
+
+    def read(self, dirpath: str):
+        path = os.path.join(dirpath, MANIFEST_NAME)
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as fh:
+            return fh.read(), None
+
+    def commit(self, dirpath: str, data: bytes, *, expect_token) -> Any:
+        tmp = os.path.join(dirpath, MANIFEST_NAME + ".tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, os.path.join(dirpath, MANIFEST_NAME))
+        return None
+
+
+class ObjectStoreBackend(ManifestBackend):
+    """Conditional-put commit protocol for object stores (S3 / GCS):
+
+    - creation  = put-if-absent  (S3 ``If-None-Match: *``),
+    - overwrite = put-if-match on the generation read earlier
+      (S3 ``If-Match: <etag>`` / GCS ``ifGenerationMatch``).
+
+    A stale writer — one whose read token no longer matches — gets
+    :class:`ManifestConflictError` instead of clobbering a concurrent
+    commit, which upgrades the store's concurrency posture from
+    last-writer-wins to optimistic CAS. Subclasses supply the three
+    primitive object operations; :class:`InMemoryObjectStore` is the
+    reference implementation the contract tests run against.
+    """
+
+    def _get(self, key: str):  # -> tuple[bytes, Any] | None
+        raise NotImplementedError
+
+    def _put_if_absent(self, key: str, data: bytes) -> Any:
+        raise NotImplementedError
+
+    def _put_if_match(self, key: str, data: bytes, token) -> Any:
+        raise NotImplementedError
+
+    @staticmethod
+    def _key(dirpath: str) -> str:
+        return os.path.join(dirpath, MANIFEST_NAME)
+
+    def read(self, dirpath: str):
+        return self._get(self._key(dirpath))
+
+    def commit(self, dirpath: str, data: bytes, *, expect_token) -> Any:
+        if expect_token is None:
+            return self._put_if_absent(self._key(dirpath), data)
+        return self._put_if_match(self._key(dirpath), data, expect_token)
+
+
+class InMemoryObjectStore(ObjectStoreBackend):
+    """Dict-backed mock with monotone generation tokens — the
+    conditional-put semantics of S3/GCS without a network."""
+
+    def __init__(self):
+        self._objects: dict[str, tuple[bytes, int]] = {}
+
+    def _get(self, key: str):
+        hit = self._objects.get(key)
+        return None if hit is None else hit
+
+    def _put_if_absent(self, key: str, data: bytes) -> Any:
+        if key in self._objects:
+            raise ManifestConflictError(
+                f"manifest already exists at {key}: concurrent creation"
+            )
+        self._objects[key] = (data, 1)
+        return 1
+
+    def _put_if_match(self, key: str, data: bytes, token) -> Any:
+        hit = self._objects.get(key)
+        if hit is None or hit[1] != token:
+            raise ManifestConflictError(
+                f"manifest at {key} changed since read (expected generation "
+                f"{token}, found {hit[1] if hit else 'absent'})"
+            )
+        self._objects[key] = (data, token + 1)
+        return token + 1
 
 # Only explicitly tagged types round-trip through kv metadata — a
 # manifest read from a shared dataset directory must never execute
@@ -130,12 +249,20 @@ class FileEntry:
                    min=_dec_tree(d["min"]), max=_dec_tree(d["max"]))
 
 
+_DEFAULT_BACKEND = PosixRenameBackend()
+
+
 @dataclass
 class Manifest:
     ordered_on: str
     files: list[FileEntry] = field(default_factory=list)
     kv: dict[str, Any] = field(default_factory=dict)
     schema_json: str | None = None  # Spark StructType json of the dataset
+    # backend commit token of the version this instance was loaded
+    # from (None = freshly created / posix backend) — save() passes
+    # it as the conditional-put precondition, making read-modify-
+    # write optimistic CAS on backends that support it
+    token: Any = field(default=None, compare=False, repr=False)
 
     @property
     def n_rows(self) -> int:
@@ -144,7 +271,8 @@ class Manifest:
     def sort_files(self) -> None:
         self.files.sort(key=lambda f: (f.min, f.max))
 
-    def save(self, dirpath: str) -> None:
+    def save(self, dirpath: str, backend: ManifestBackend | None = None) -> None:
+        backend = backend or _DEFAULT_BACKEND
         self.sort_files()
         payload = {
             "version": 1,
@@ -153,21 +281,23 @@ class Manifest:
             "kv": _enc_tree(self.kv),
             "schema_json": self.schema_json,
         }
-        tmp = os.path.join(dirpath, MANIFEST_NAME + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-        os.replace(tmp, os.path.join(dirpath, MANIFEST_NAME))
+        data = json.dumps(payload).encode()
+        self.token = backend.commit(dirpath, data, expect_token=self.token)
 
     @classmethod
-    def load(cls, dirpath: str) -> Manifest | None:
-        path = os.path.join(dirpath, MANIFEST_NAME)
-        if not os.path.exists(path):
+    def load(
+        cls, dirpath: str, backend: ManifestBackend | None = None
+    ) -> Manifest | None:
+        backend = backend or _DEFAULT_BACKEND
+        hit = backend.read(dirpath)
+        if hit is None:
             return None
-        with open(path) as fh:
-            payload = json.load(fh)
+        data, token = hit
+        payload = json.loads(data)
         return cls(
             ordered_on=payload["ordered_on"],
             files=[FileEntry.from_json(d) for d in payload["files"]],
             kv=_dec_tree(payload.get("kv", {})),
             schema_json=payload.get("schema_json"),
+            token=token,
         )
