@@ -95,25 +95,43 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    # Median of N in-session reps per query: the first rep absorbs that
+    # plan shape's Janino compile, and single-rep numbers on this host
+    # wobble enough to misread small queries. Per-query median (plus
+    # min/max spread) is what round-over-round comparison should use.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
             continue
-        t0 = time.time()
-        try:
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                df = q.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(round(time.time() - t0, 3))
+            except Exception as exc:  # noqa: BLE001
+                samples = []
+                print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            # drop cached/checkpointed RDDs a query pinned (persist or
+            # localCheckpoint) so residue never skews later timings —
+            # each rep is measured from a clean cache on a warm JVM
+            spark.catalog.clearCache()
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist()
+            if not samples:
+                break
+        if samples:
+            timings[name] = sorted(samples)[len(samples) // 2]
+            spread[name] = [min(samples), max(samples)]
+        else:
             timings[name] = -1.0
-            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
-        # drop cached/checkpointed RDDs a query pinned (persist or
-        # localCheckpoint) so residue never skews later timings —
-        # each query is measured from a clean cache on a warm JVM
-        spark.catalog.clearCache()
-        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-            rdd.unpersist()
+            spread[name] = []
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -123,6 +141,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "spread": spread,
             }
         )
     )

@@ -14,6 +14,11 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("OUPS_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Corpus-dependent oracle generators (the IVF quantizer bakes centroid
+# literals from the table it will run against) must read the SAME sf
+# the tests query. Set before any oups_spark.queries import — the
+# registry is populated, and oracles frozen, at module-import time.
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", SF_DIR)
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
 
 TABLES = (
