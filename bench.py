@@ -63,6 +63,12 @@ HEADLINE = [
     "moving_avg_per_user",
     "value_percentiles_by_type",
     "daily_type_pivot",
+    "repetition_stats",
+    "decontamination_overlap",
+    "pii_scan",
+    "embedding_quantize",
+    "label_centroids",
+    "json_props_extract",
 ]
 
 

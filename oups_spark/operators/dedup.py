@@ -328,3 +328,53 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def decontamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, the
+    fraction of its distinct word n-gram shingles that occur anywhere
+    in the benchmark corpus (the standard n-gram-overlap test-set
+    leak check run before pre-training).
+
+    Shape: the benchmark's distinct shingle set is BROADCAST (eval
+    suites are tiny next to a 100 TB training corpus — that asymmetry
+    is the whole point of the check), training shingles are exploded
+    and left-joined against it map-side, and one keyed shuffle of
+    narrow ``(id, hit)`` rows re-aggregates per document. The training
+    corpus is never shuffled by content and never self-joined.
+
+    Documents with fewer than ``n`` tokens have no shingles and drop
+    out (callers wanting them back can left-join the result).
+    """
+    bg = (
+        bench.select(
+            F.explode(shingles(tokens(F.col(text_col)), n)).alias("g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tg = train.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("g"),
+    )
+    return (
+        tg.join(F.broadcast(bg), on="g", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contam_frac",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6),
+        )
+    )

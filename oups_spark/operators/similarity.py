@@ -472,3 +472,93 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard embedding
+    compression step before an ANN index is built (4× smaller than
+    float32, 8× smaller than the float64 compute form). Per row:
+    ``scale = max(|v|)/127``, ``q_i = clamp(floor(v_i/scale + .5),
+    -127, 127)``; the reconstruction error is reported as the MSE of
+    ``q_i*scale`` against ``v_i``.
+
+    Pure JVM-side array expressions, zero shuffle — at 100 TB this is
+    a map stage fused into the scan. ``floor(x + 0.5)`` (round half
+    toward +inf) is used instead of an engine ``round`` builtin
+    because Java and C++ engines disagree on half-away vs half-even;
+    floor is exact on both. The quantized vector itself is returned
+    as an md5 over its comma-joined form so the result row stays
+    narrow while still value-checking every component.
+
+    Output: id, scale, mse (both rounded to 6dp), q_md5.
+    """
+    from oups_spark.operators.text import once_per_row
+
+    v = _as_double(F.col(vec_col))
+    base = once_per_row(
+        df.select(F.col(id_col), v.alias("__v")),
+        {
+            "__scale": F.aggregate(
+                F.col("__v"),
+                F.lit(0.0),
+                lambda a, x: F.greatest(a, F.abs(x)),
+            )
+            / F.lit(127.0)
+        },
+    )
+    sc = F.col("__scale")
+    q = F.when(
+        sc > 0,
+        F.transform(
+            F.col("__v"),
+            lambda x: F.least(
+                F.greatest(F.floor(x / sc + F.lit(0.5)), F.lit(-127)),
+                F.lit(127),
+            ).cast("long"),
+        ),
+    ).otherwise(
+        F.transform(F.col("__v"), lambda x: F.lit(0).cast("long"))
+    )
+    qd = once_per_row(base, {"__q": q})
+    err = F.zip_with(
+        F.col("__v"),
+        F.col("__q"),
+        lambda x, qq: (x - qq * sc) * (x - qq * sc),
+    )
+    n = F.size(F.col("__v"))
+    mse = F.when(
+        n > 0,
+        F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / n,
+    ).otherwise(F.lit(0.0))
+    return qd.select(
+        F.col(id_col),
+        F.round(sc, 6).alias("scale"),
+        F.round(mse, 6).alias("mse"),
+        F.md5(F.concat_ws(",", F.col("__q"))).alias("q_md5"),
+    )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid of an embedding column, one value per
+    (label, dimension) row: ``posexplode`` fans each vector out to
+    (dim, val) pairs, and ONE hash aggregation with map-side partial
+    combine reduces them — the canonical distributed centroid shape
+    (shuffle volume is |labels|·dim partials per task, independent of
+    corpus size). Returning exploded rows rather than re-assembled
+    arrays keeps the plan a single agg; callers wanting arrays can
+    ``collect_list`` over (label, dim).
+
+    Output: label, dim (0-based), n_vecs, centroid (rounded 6dp).
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "val"),
+    )
+    return e.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("val"), 6).alias("centroid"),
+    )

@@ -334,6 +334,140 @@ def text_stats_df(
     )
 
 
+def max_multiplicity(arr: Column) -> Column:
+    """Largest multiplicity of any element of a string array, computed
+    MAP-SIDE: sort the array so equal elements are contiguous, then one
+    ``F.aggregate`` left fold tracks (prev, current run, best run).
+    The distributed alternative (explode + groupBy + max(count)) ships
+    every token of the corpus through a shuffle just to answer a
+    per-row question — this stays inside the scan stage at any scale.
+    Empty arrays yield 0."""
+    srt = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(srt, init, step, lambda acc: acc["best"])
+
+
+def bigrams(tok: Column) -> Column:
+    """Word 2-grams WITH multiplicity (unlike :func:`shingles`, which
+    dedups) — repetition signals need the counts. Same zip-with-shift
+    construction; trailing null pad filtered."""
+    shifted = F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0)))
+    grams = F.zip_with(tok, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(grams, lambda x: x.isNotNull())
+
+
+def repetition_stats_df(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document, fully
+    map-side (zero shuffle): highly repetitive documents (keyword
+    stuffing, boilerplate, degenerate generations) are the first thing
+    a pre-training curation pass drops.
+
+    Output per row:
+    - ``dup_token_frac``  — 1 - distinct/total tokens (0 if empty);
+    - ``top_token_frac``  — multiplicity of the most frequent token
+      over total tokens;
+    - ``top_bigram_frac`` — multiplicity of the most frequent word
+      2-gram over total 2-grams (0 if fewer than 2 tokens).
+
+    One tokenize pass per row behind a :func:`once_per_row` barrier;
+    the multiplicity maxima use :func:`max_multiplicity` (sorted-array
+    run length), NOT explode+groupBy — nothing leaves the scan stage.
+    """
+    base = once_per_row(
+        df.select(F.col(id_col), F.col(text_col).alias("__text")),
+        {"__tok": tokens(F.col("__text"))},
+    )
+    mids = once_per_row(
+        base,
+        {
+            "__n": F.size(F.col("__tok")),
+            "__nd": F.size(F.array_distinct(F.col("__tok"))),
+            "__mt": max_multiplicity(F.col("__tok")),
+            "__g2": bigrams(F.col("__tok")),
+        },
+    )
+    out = once_per_row(
+        mids,
+        {"__ng": F.size(F.col("__g2")), "__mg": max_multiplicity(F.col("__g2"))},
+    )
+    n, nd = F.col("__n"), F.col("__nd")
+    ng = F.col("__ng")
+    return out.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0)), 6
+        ).alias("dup_token_frac"),
+        F.round(
+            F.when(n > 0, F.col("__mt").cast("double") / n).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("top_token_frac"),
+        F.round(
+            F.when(ng > 0, F.col("__mg").cast("double") / ng).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+# ------------------------------------------------------------------ PII
+# Patterns restricted to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): explicit ASCII classes, bounded
+# repetition, no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # NANP-ish 3-3-4 with -, . or space separators
+    "phone": r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    # dotted quad (no boundary anchors: RE2 \b differs from Java's)
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+# Redaction order matters (a dotted phone must be consumed before the
+# ipv4 pattern can nibble at it); both engines apply the same order.
+PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_scan_df(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII detection + redaction, pure JVM regex, zero
+    shuffle: counts per pattern family and the md5 of the redacted
+    text (each match replaced by ``<FAMILY>`` in :data:`PII_ORDER`).
+    The md5 (not the redacted text) is returned so the result stays
+    narrow; a production scrub pass would write the redacted column.
+    """
+    c = F.col(text_col)
+    red = c
+    counts = []
+    for fam in PII_ORDER:
+        pat = PII_PATTERNS[fam]
+        counts.append(F.regexp_count(c, F.lit(pat)).alias(f"n_{fam}"))
+        red = F.regexp_replace(red, pat, f"<{fam.upper()}>")
+    return df.select(
+        F.col(id_col), *counts, F.md5(red).alias("redacted_md5")
+    )
+
+
 def text_profile_df(
     df: DataFrame,
     id_col: str,

@@ -45,6 +45,7 @@ def load_all_query_modules() -> None:
         join_ops,
         llm_ops,
         misc_ops,
+        quality_ops,
         segment_ops,
         store_ops,
         stream_ops,

@@ -1,0 +1,250 @@
+"""Data-quality / curation queries added in round 4: repetition
+signals, benchmark decontamination, PII scrub, embedding
+quantization, per-label centroids, and semi-structured JSON
+extraction.
+
+Same contract as ``llm_ops``: every oracle is generated from the
+SAME Python constants as the Spark plan (regex patterns, shingle
+width, quantization formula), so results match value-for-value.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oups_spark.operators.dedup import decontamination_overlap
+from oups_spark.operators.similarity import label_centroids, quantize_int8
+from oups_spark.operators.text import (
+    PII_ORDER,
+    PII_PATTERNS,
+    pii_scan_df,
+    repetition_stats_df,
+)
+from oups_spark.queries import register
+from oups_spark.tables import load
+
+_TOK = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+_SH3 = (
+    "list_distinct(list_transform(range(1, greatest(len(tok)-1, 1)), "
+    "i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))"
+)
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    tm AS (
+      SELECT doc_id, max(c) AS mt FROM (
+        SELECT doc_id, x, count(*) AS c
+        FROM (SELECT doc_id, unnest(tok) AS x FROM t) GROUP BY doc_id, x)
+      GROUP BY doc_id
+    ),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(tok), 1)),
+                                i -> tok[i] || ' ' || tok[i+1]) AS g2
+          FROM t),
+    gm AS (
+      SELECT doc_id, max(c) AS mg, sum(c) AS ng FROM (
+        SELECT doc_id, x, count(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS x FROM g) GROUP BY doc_id, x)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.tok)::BIGINT AS n_tokens,
+           round(CASE WHEN len(t.tok) > 0
+                 THEN (len(t.tok) - len(list_distinct(t.tok))) / len(t.tok)::DOUBLE
+                 ELSE 0 END, 6) AS dup_token_frac,
+           round(CASE WHEN len(t.tok) > 0
+                 THEN coalesce(tm.mt, 0) / len(t.tok)::DOUBLE
+                 ELSE 0 END, 6) AS top_token_frac,
+           round(CASE WHEN coalesce(gm.ng, 0) > 0
+                 THEN gm.mg / gm.ng::DOUBLE
+                 ELSE 0 END, 6) AS top_bigram_frac
+    FROM t LEFT JOIN tm USING (doc_id) LEFT JOIN gm USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-token
+    fraction, most-frequent token / 2-gram fractions), computed
+    map-side via sorted-array run lengths — the oracle's
+    unnest+groupBy formulation would shuffle every token at scale;
+    the Spark plan never leaves the scan stage."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return repetition_stats_df(docs, "doc_id").orderBy("doc_id")
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOK} AS tok FROM documents),
+    s AS (SELECT doc_id, source, {_SH3} AS sh FROM t),
+    bg AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE source = 'src0'),
+    tg AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE source != 'src0')
+    SELECT tg.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_contaminated,
+           round(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS contam_frac
+    FROM tg LEFT JOIN bg ON tg.g = bg.g
+    GROUP BY tg.doc_id ORDER BY tg.doc_id
+    """,
+)
+def decontamination_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document (sources !=
+    'src0'), the fraction of its distinct 3-gram shingles occurring
+    anywhere in the benchmark corpus (source 'src0'). The benchmark
+    shingle set is broadcast; the training corpus is never
+    self-joined or content-shuffled."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return decontamination_overlap(train, bench, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+# Synthetic PII-bearing rows unioned with the corpus in BOTH engines
+# (the test corpus itself contains no PII, which would make the scan
+# vacuous): same literals, ids above any real doc_id.
+PII_PROBE_ROWS: tuple[tuple[int, str], ...] = (
+    (10_000_000, "reach me at jane.doe@example.com or 555-867-5309 today"),
+    (10_000_001, "server 192.168.0.1 pinged 10.0.0.254; mail root@host.org"),
+    (10_000_002, "no pii here, just ordinary words and 123 numbers"),
+    (10_000_003, "dial 415 555 2671 or fax 020.7946.0958 at the office"),
+    (10_000_004, "x@y.io, 10.1.2.3, and 999-123-4567 all on one line"),
+)
+
+
+def _pii_oracle_sql() -> str:
+    values = ",\n      ".join(
+        "({}::BIGINT, '{}')".format(i, t.replace("'", "''"))
+        for i, t in PII_PROBE_ROWS
+    )
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{PII_PATTERNS[fam]}')) AS n_{fam}"
+        for fam in PII_ORDER
+    )
+    red = "text"
+    for fam in PII_ORDER:
+        red = (
+            f"regexp_replace({red}, '{PII_PATTERNS[fam]}', "
+            f"'<{fam.upper()}>', 'g')"
+        )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES {values}) AS probes(doc_id, text)
+    )
+    SELECT doc_id,
+           {counts},
+           md5({red}) AS redacted_md5
+    FROM base ORDER BY doc_id
+    """
+
+
+@register("pii_scan", oracle=_pii_oracle_sql())
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus plus a fixed probe
+    set (the synthetic corpus carries no PII of its own): per-row
+    match counts for email / phone / IPv4 patterns and the md5 of the
+    fully-redacted text. Pure JVM regex, zero shuffle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = spark.createDataFrame(
+        list(PII_PROBE_ROWS), "doc_id bigint, text string"
+    )
+    return pii_scan_df(docs.unionByName(probes), "doc_id").orderBy("doc_id")
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+          FROM v),
+    q AS (SELECT vec_id, v, scale,
+                 CASE WHEN scale > 0 THEN
+                   list_transform(v, x -> CAST(least(greatest(
+                     floor(x / scale + 0.5), -127), 127) AS BIGINT))
+                 ELSE list_transform(v, x -> 0::BIGINT) END AS q
+          FROM s)
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(CASE WHEN len(v) > 0 THEN
+                 list_sum(list_transform(range(1, len(v)+1),
+                   i -> (v[i] - q[i]*scale) * (v[i] - q[i]*scale))) / len(v)
+                 ELSE 0 END, 6) AS mse,
+           md5(array_to_string(q, ',')) AS q_md5
+    FROM q ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with
+    reconstruction-error reporting — map-side array expressions, the
+    quantized vector value-checked via md5 of its joined form."""
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "vec_id").orderBy("vec_id")
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+    u AS (SELECT label, unnest(range(1, len(e)+1)) AS i, unnest(e) AS val
+          FROM v)
+    SELECT label, (i-1)::INT AS dim, count(*) AS n_vecs,
+           round(avg(val), 6) AS centroid
+    FROM u GROUP BY label, i ORDER BY label, dim
+    """,
+)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension):
+    posexplode + one hash agg with map-side partial combine — the
+    canonical distributed centroid (shuffle volume independent of
+    corpus size)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return label_centroids(emb).orderBy("label", "dim")
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(k)::BIGINT AS sum_k,
+           round(avg(k), 6) AS avg_k,
+           max(k) AS max_k
+    FROM (SELECT event_type,
+                 json_extract_string(props, '$.k')::BIGINT AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` JSON column:
+    ``get_json_object`` path extraction (JVM-side, no UDF) feeding a
+    grouped aggregate."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
