@@ -268,3 +268,83 @@ def aggstream_edge_bins_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_val", 6).alias("max_val"),
         F.round("sum_val", 6).alias("sum_val"),
     ).orderBy("bin")
+
+
+@register(
+    "streaming_native_sessions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 2 DAY
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), y AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    ), s AS (
+      SELECT user_id,
+             min(ts)                  AS session_start,
+             max(ts) + INTERVAL 2 DAY AS session_end,
+             count(*)                 AS n_events,
+             round(sum(value), 6)     AS sum_val
+      FROM y GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_val
+    FROM s WHERE session_end <= (SELECT max(ts) FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization on a NATIVE Structured Stream: the
+    SAME batch operator (``session_agg`` — one declarative
+    ``F.session_window`` plan) runs unchanged over a watermarked
+    ``readStream``, append mode, foreachBatch into the ordered store.
+    The state store merges session fragments across micro-batches; a
+    session emits exactly once, when the watermark passes its end
+    (last event + gap). Result == the batch sessionization MINUS
+    sessions whose end is still ahead of the final watermark — the
+    session twin of ``streaming_native_hourly``'s completeness gate,
+    and the oracle states exactly that."""
+    from oups_spark.operators.sessionize import session_agg
+    from oups_spark.streaming.native import write_stream_to_dataset
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_sessions")
+    path = os.path.join(base, "sessions_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agged = session_agg(
+        stream.withWatermark("ts", "0 seconds"),
+        "ts",
+        {"n_events": ("event_id", "count"), "sum_val": ("value", "sum")},
+        gap="2 days",
+        partition_by=["user_id"],
+    )
+    write_stream_to_dataset(
+        agged,
+        path,
+        bin_col="session_start",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    out = OrderedDataset(spark, path).read()
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("user_id", "session_start")
