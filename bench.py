@@ -63,7 +63,6 @@ HEADLINE = [
     "moving_avg_per_user",
     "value_percentiles_by_type",
     "daily_type_pivot",
-    "streaming_native_sessions",
     "repetition_stats",
     "decontamination_overlap",
     "pii_scan",

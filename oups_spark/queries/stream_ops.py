@@ -348,3 +348,71 @@ def streaming_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_val", 6).alias("sum_val"),
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "streaming_stateful_ffill",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type <> 'error' THEN value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS v_ffill
+    FROM m ORDER BY event_id
+    """,
+)
+def streaming_stateful_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState):
+    per-user forward fill where the carry is a single checkpointed
+    state-store value per key — semantics Spark's built-in streaming
+    aggregations can't express (T5 accumulator carry, reference
+    ``aggstream.py`` buffer model, re-expressed on the native state
+    store). Equals the batch window form since micro-batches arrive
+    event-time-ordered."""
+    from oups_spark.streaming.stateful import stateful_ffill
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_stateful_ffill")
+    path = os.path.join(base, "ffill_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    masked = stream.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    filled = stateful_ffill(
+        masked,
+        key="user_id",
+        ordered_on="ts",
+        tiebreak="event_id",
+        value_col="v",
+        id_col="event_id",
+    )
+    from oups_spark.streaming.native import write_stream_to_dataset
+
+    write_stream_to_dataset(
+        filled, path, bin_col="event_id",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    out = OrderedDataset(spark, path).read()
+    return out.select(
+        "event_id", F.round("v_ffill", 6).alias("v_ffill")
+    ).orderBy("event_id")
