@@ -49,6 +49,7 @@ HEADLINE = [
     "embedding_neardup_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "multimodal_features",
     "multimodal_frame_sample",
     "session_windows",

@@ -876,3 +876,89 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(
         docs, "doc_id", "text", max_hamming=3, bands=4
     ).orderBy("id_a", "id_b")
+
+
+def _pq_oracle_sql() -> str | None:
+    """Exact DuckDB twin of ``ann_pq_topk``: the per-subspace
+    codebooks are deterministic given corpus + seed (same replication
+    contract as ``_ivf_oracle_sql``), so encoding (per-subspace
+    argmin), ADC scoring (sum of subspace dots against the assigned
+    centroid), the rerank cut, and the exact final ranking are all
+    SQL-expressible with the codebooks emitted as literals."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from oups_spark.operators.similarity import train_pq_codebooks
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding::DOUBLE[] FROM read_parquet('{path}') "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    if not rows or len(rows) > 4096:  # sample_size default
+        return None
+    books = train_pq_codebooks(
+        np.vstack([r[0] for r in rows]), m=8, k_codes=16, iters=5, seed=42
+    )
+    d = books[0].shape[1]
+    cents = ", ".join(
+        f"({j}, {c}, {_vec_sql(books[j][c])}::DOUBLE[])"
+        for j in range(len(books))
+        for c in range(len(books[j]))
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents(j, c, cv) AS (VALUES {cents}),
+    enc AS (
+      SELECT vec_id, j, c FROM (
+        SELECT v.vec_id, cents.j, cents.c,
+               row_number() OVER (PARTITION BY v.vec_id, cents.j
+                 ORDER BY list_sum(list_transform(range(1, {d + 1}),
+                   i -> (v.e[cents.j*{d}+i] - cents.cv[i])
+                      * (v.e[cents.j*{d}+i] - cents.cv[i]))) ASC,
+                 cents.c ASC) AS rn
+        FROM v CROSS JOIN cents) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    approx AS (
+      SELECT qs.query_id, enc.vec_id AS neighbor_id,
+             sum(list_sum(list_transform(range(1, {d + 1}),
+               i -> qs.qe[enc.j*{d}+i] * cents.cv[i]))) AS a
+      FROM qs CROSS JOIN enc
+      JOIN cents ON cents.j = enc.j AND cents.c = enc.c
+      WHERE enc.vec_id != qs.query_id
+      GROUP BY qs.query_id, enc.vec_id
+    ),
+    cand AS (
+      SELECT r.query_id, r.neighbor_id, qs.qe AS qe, cv2.e AS ce
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY a DESC, neighbor_id) AS rn
+            FROM approx) r
+      JOIN qs ON qs.query_id = r.query_id
+      JOIN v cv2 ON cv2.vec_id = r.neighbor_id
+      WHERE r.rn <= 64
+    ),
+    {_ANN_RANK_TAIL}"""
+
+
+@register("ann_pq_topk", oracle=_pq_oracle_sql())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k (the compressed-exhaustive ANN
+    family, next to LSH's bucketing and IVF's partition pruning):
+    per-subspace k-means codebooks from the deterministic hash
+    sample, m-byte codes per corpus vector, ADC scoring against the
+    centroid reconstruction, exact rerank of the top candidates.
+    Deterministic given corpus + seed, so fully hash-checked."""
+    from oups_spark.operators.similarity import pq_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")

@@ -285,3 +285,26 @@ def test_multimodal_resize_and_frame_sample(spark):
         assert row["checksum"] == sum(fb) % (1 << 31)
     # fan-out bounded: at most max_frames rows per doc
     assert frames.groupby("doc_id").size().max() <= 2
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    from oups_spark.operators.similarity import pq_cosine_topk
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = pq_cosine_topk(emb, queries, k=5).toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_pairs = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # rerank=64 over the tiny sf0.001 corpus covers nearly all of it,
+    # and ADC ordering is a faithful proxy — recall should be high
+    assert recall > 0.8, f"PQ recall {recall:.2f} suspiciously low"
+    # bit-identical across runs (codebooks are seeded, sample is
+    # hash-ordered — no RNG or partition-order dependence)
+    approx2 = pq_cosine_topk(emb, queries, k=5).toPandas()
+    pd.testing.assert_frame_equal(
+        approx.reset_index(drop=True), approx2.reset_index(drop=True)
+    )
+    for _, g in approx.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
