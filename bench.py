@@ -70,6 +70,7 @@ HEADLINE = [
     "embedding_quantize",
     "label_centroids",
     "json_props_extract",
+    "duplicated_windows",
 ]
 
 

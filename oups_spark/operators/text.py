@@ -595,3 +595,34 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": bow_fingerprint(c),
         }
     )
+
+
+def window_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    width: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Fixed-width character-window fingerprints per document — the
+    substring-granular dedup primitive (the batch form of rolling-hash
+    fingerprinting: a sequential CPU slides one hash in O(1) per
+    position; a columnar engine hashes each window directly inside the
+    scan stage, which is the same set of fingerprints without the
+    sequential dependency).  Windows start every ``stride`` chars;
+    documents shorter than ``width`` contribute none.
+
+    Output: one (id, fp) row per DISTINCT window fingerprint per
+    document — dedup'd inside the row's array before the explode so
+    the downstream shuffle never carries within-document repeats.
+    """
+    c = F.col(text_col)
+    positions = F.when(
+        F.length(c) >= width,
+        F.sequence(F.lit(1), F.length(c) - width + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    fps = F.array_distinct(
+        F.transform(positions, lambda i: F.md5(c.substr(i, F.lit(width))))
+    )
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))

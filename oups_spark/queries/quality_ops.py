@@ -248,3 +248,41 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "duplicated_windows",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(length(text) - 30, 1), 16),
+               i -> md5(substr(text, i, 32))))) AS fp
+      FROM documents
+    )
+    SELECT fp, count(DISTINCT doc_id) AS n_docs
+    FROM w GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+    ORDER BY fp
+    """,
+)
+def duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granular duplicate detection via character-window
+    fingerprints (width 32, stride 16) — the batch form of
+    rolling-hash document fingerprinting, and the primitive behind
+    exact-substring training-data dedup: fingerprints shared by more
+    than one document mark copied spans. One uniform-key shuffle of
+    (fp, doc_id) rows; within-document repeats are deduplicated
+    map-side before the explode."""
+    from oups_spark.operators.text import window_fingerprints
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wf = window_fingerprints(docs, "doc_id", "text", width=32, stride=16)
+    return (
+        wf.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )

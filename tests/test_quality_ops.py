@@ -171,3 +171,29 @@ def test_label_centroids_exact(spark):
     assert got.loc[(0, 0), "n_vecs"] == 2
     assert got.loc[(1, 0), "centroid"] == 5.0
     assert math.isclose(got.loc[(1, 1), "centroid"], 6.0)
+
+
+def test_window_fingerprints_shared_spans(spark):
+    from oups_spark.operators.text import window_fingerprints
+
+    shared = "X" * 16 + "Y" * 16  # one full 32-char window, aligned
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    shared + "A" * 16,
+                    shared + "B" * 16,
+                    "short",  # < width -> no fingerprints
+                    "z" * 64,  # unrelated
+                ],
+            }
+        )
+    )
+    wf = window_fingerprints(df, "doc_id", "text", width=32, stride=16)
+    got = wf.toPandas()
+    assert set(got[got.duplicated("fp", keep=False)]["doc_id"]) == {1, 2}
+    assert 3 not in set(got["doc_id"])
+    # doc 4 contributes windows but shares none: all-'z' windows are
+    # identical WITHIN the doc and deduped to one fingerprint
+    assert (got["doc_id"] == 4).sum() == 1
