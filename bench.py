@@ -71,6 +71,7 @@ HEADLINE = [
     "label_centroids",
     "json_props_extract",
     "duplicated_windows",
+    "salted_join_order_customer",
 ]
 
 

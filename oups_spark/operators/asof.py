@@ -211,3 +211,45 @@ def range_join(
         if c not in (*by, "__cell")
     )
     return joined.select(*keep)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equality join with SALTED keys for skewed key distributions —
+    the manual escape hatch when AQE's skew-join split (enabled in
+    the session defaults) can't help: AQE splits oversized SHUFFLE
+    partitions, but a single hot KEY whose rows must meet matching
+    rows still lands in one task under plain hash partitioning.
+
+    Salting fixes the key side: every left row gets a deterministic
+    salt in ``[0, n_salts)`` derived from ``xxhash64(salt_from)``
+    (any left column that spreads rows — an id, a timestamp; NOT the
+    join key), and the right side is replicated ``n_salts`` times via
+    a tiny posexplode, so the join runs on ``(on…, salt)`` and the
+    hot key's rows spread over ``n_salts`` tasks. Replication
+    multiplies only the RIGHT side — use it dimension-side (small),
+    exactly where broadcast is ruled out by size but one key
+    dominates the fact side.
+
+    Deterministic (no rand()), so results are stable across retries
+    and the oracle can assert bit-equality with the plain join.
+    ``how`` is restricted to inner/left: right/full would count
+    unmatched right rows once per replica.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lt = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    )
+    rt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return lt.join(rt, on=[*keys, "__salt"], how=how).drop("__salt")

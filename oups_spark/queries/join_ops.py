@@ -91,3 +91,45 @@ def range_join_first_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", "w_start", "w_end"
     ).orderBy("event_id")
+
+
+@register(
+    "salted_join_order_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_spent
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c_custkey
+    """,
+)
+def salted_join_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe SALTED shuffle join, oracle-proven equivalent to the
+    plain join: fact rows carry a deterministic xxhash64 salt, the
+    dimension side replicates n_salts times, the join runs on
+    (key, salt) so a hot key spreads across n_salts tasks. The
+    shuffle_hash hint keeps the demo on the shuffle path (Spark would
+    otherwise broadcast this small dimension and hide the pattern —
+    salting targets the sizes where broadcast is impossible)."""
+    from oups_spark.operators.asof import salted_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = salted_join(
+        orders,
+        cust.hint("shuffle_hash"),
+        "c_custkey",
+        salt_from="o_orderkey",
+        n_salts=8,
+    )
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -363,3 +363,37 @@ def test_pack_null_id_rejected(spark):
             token_col="n_tok",
             budget=450,
         )
+
+
+def test_salted_join_equals_plain_join(spark):
+    from oups_spark.operators.asof import salted_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 1, 2, 3, 9],  # key 1 is hot
+                "rid": [10, 11, 12, 13, 14, 15, 16],
+                "x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "name": ["a", "b", "c", "d"]})
+    )
+    salted = (
+        salted_join(left, right, "k", salt_from="rid", n_salts=4)
+        .orderBy("rid")
+        .toPandas()
+    )
+    plain = left.join(right, on="k").orderBy("rid").toPandas()
+    pd.testing.assert_frame_equal(
+        salted.reset_index(drop=True)[sorted(salted.columns)],
+        plain.reset_index(drop=True)[sorted(plain.columns)],
+    )
+    # left join keeps unmatched left rows exactly once
+    lsalted = salted_join(
+        left, right, "k", salt_from="rid", n_salts=4, how="left"
+    )
+    assert lsalted.filter(F.col("k") == 9).count() == 1
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", salt_from="rid", how="right")
