@@ -72,6 +72,7 @@ HEADLINE = [
     "json_props_extract",
     "duplicated_windows",
     "salted_join_order_customer",
+    "twap_hourly",
 ]
 
 

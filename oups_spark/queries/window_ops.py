@@ -202,3 +202,71 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+@register(
+    "twap_hourly",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, ts, value, event_id,
+             lead(ts) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS nxt,
+             date_trunc('hour', ts) AS bin
+      FROM events
+    ), y AS (
+      SELECT event_type, bin, value,
+             epoch_us(least(coalesce(nxt, bin + INTERVAL 1 HOUR),
+                            bin + INTERVAL 1 HOUR))
+               - epoch_us(ts) AS dt
+      FROM x
+    )
+    SELECT event_type, bin,
+           round(sum(value * dt) / sum(dt), 6) AS twap,
+           count(*) AS n_obs
+    FROM y GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (event_type, hour) — the financial
+    TS aggregation the reference's store exists to serve: each
+    observation is weighted by its holding time (until the next
+    observation of its key, clamped to the bin end; the last
+    observation holds to the bin edge). One keyed window (lead) + one
+    hash agg — both partitioned by event_type, no global window; at
+    100 TB this is a per-key shuffle of (type, ts) pairs and
+    map-combined partial sums."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    bin_col = F.date_trunc("hour", F.col("ts"))
+    bin_end = bin_col + F.expr("INTERVAL 1 HOUR")
+    nxt = F.lead("ts").over(w)
+    # ts reads as TIMESTAMP_NTZ (ns-parquet conversion); unix_micros
+    # wants TIMESTAMP — the session is pinned UTC, so the cast is a
+    # pure relabel
+    dt = (
+        F.unix_micros(
+            F.least(F.coalesce(nxt, bin_end), bin_end).cast("timestamp")
+        )
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ).cast("double")
+    y = ev.select(
+        "event_type",
+        bin_col.alias("bin"),
+        "value",
+        dt.alias("dt"),
+    )
+    return (
+        y.groupBy("event_type", "bin")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias(
+                "twap"
+            ),
+            F.count("*").alias("n_obs"),
+        )
+        .orderBy("event_type", "bin")
+    )
