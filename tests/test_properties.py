@@ -269,3 +269,85 @@ def test_range_join_matches_naive_inequality_join(spark, intervals, points):
     got_set = set(map(tuple, got.values))
     exp_set = set(map(tuple, exp.values))
     assert got_set == exp_set
+
+
+# ---------------------------------------------------------------- round 4
+
+salted_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # join key (0 = hot)
+        st.integers(min_value=0, max_value=10_000),  # salt-source id
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=salted_rows, n_salts=st.sampled_from([1, 2, 8]))
+def test_salted_join_property(spark, rows, n_salts):
+    """salted_join == plain join for ANY input and salt count
+    (inner and left), including duplicate salt-source values and
+    keys absent from the dimension side."""
+    from oups_spark.operators.asof import salted_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [k for k, _ in rows], "rid": [r for _, r in rows]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [0, 1, 2], "name": ["a", "b", "c"]})
+    )
+    for how in ("inner", "left"):
+        got = (
+            salted_join(left, right, "k", salt_from="rid", n_salts=n_salts, how=how)
+            .toPandas()
+            .sort_values(["k", "rid", "name"], ignore_index=True, na_position="last")
+        )
+        want = (
+            left.join(right, on="k", how=how)
+            .toPandas()
+            .sort_values(["k", "rid", "name"], ignore_index=True, na_position="last")
+        )
+        pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+vec_strategy = st.lists(
+    st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=st.lists(vec_strategy.map(tuple), min_size=1, max_size=8, unique=True))
+def test_quantize_int8_property(spark, vecs):
+    """For any float vectors: per-component reconstruction error is
+    bounded by scale/2 (+ float slack), codes stay in [-127, 127],
+    and the zero vector maps to scale 0 / zero error."""
+    import numpy as np
+
+    vecs = [list(v) for v in vecs]
+    from oups_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)), "v": vecs})
+    )
+    got = quantize_int8(df, "vec_id", "v").toPandas().set_index("vec_id")
+    for i, v in enumerate(vecs):
+        scale = np.abs(np.asarray(v, dtype=np.float64)).max() / 127
+        row = got.loc[i]
+        if scale == 0:
+            assert row["scale"] == 0 and row["mse"] == 0
+        else:
+            # mse is rounded to 6dp on output; allow that slack
+            assert row["mse"] <= (scale / 2) ** 2 + 1e-6
