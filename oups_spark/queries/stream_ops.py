@@ -416,3 +416,55 @@ def streaming_stateful_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.round("v_ffill", 6).alias("v_ffill")
     ).orderBy("event_id")
+
+
+@register(
+    "streaming_dedup_ingest",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, round(value, 6) AS value
+    FROM events ORDER BY event_id
+    """,
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest: the source is deliberately
+    DOUBLED (every row emitted twice — the at-least-once delivery a
+    real queue gives you) and ``dropDuplicatesWithinWatermark`` on
+    the event id collapses the redeliveries with state bounded by the
+    watermark horizon (keys older than the watermark are evicted —
+    state is O(events per horizon), not O(stream)). The ordered-store
+    sink's keep-last merge would absorb any residual duplicate that
+    slipped past a longer redelivery gap. Result == the source table
+    exactly, and the oracle states that."""
+    from oups_spark.streaming.native import write_stream_to_dataset
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_dedup_ingest")
+    path = os.path.join(base, "ingest_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    doubled = stream.withColumn(
+        "__copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("__copy")
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    write_stream_to_dataset(
+        deduped, path, bin_col="event_id",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    out = OrderedDataset(spark, path).read()
+    return out.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round("value", 6).alias("value"),
+    ).orderBy("event_id")
