@@ -27,6 +27,7 @@ HEADLINE = [
     "store_merge_keep_last",
     "store_append_range_read",
     "store_compact_roundtrip",
+    "store_time_travel",
     "dnf_filter_events",
     "segment_bins_1h",
     "segment_bins_4h_right",

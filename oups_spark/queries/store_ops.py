@@ -157,3 +157,46 @@ def store_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.read().orderBy("ts", "event_id").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+@register(
+    "store_time_travel",
+    oracle="""
+    SELECT event_id, ts, user_id, round(value, 6) AS value
+    FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    ORDER BY event_id
+    """,
+)
+def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: two ordered writes under ``retain_versions=True``
+    (immutable manifest snapshot per commit, replaced files retained
+    until ``vacuum``), then ``read(as_of=<first generation>)`` must
+    return EXACTLY the first batch — the reproducible-training
+    contract a 100 TB pipeline pins dataset versions with. The oracle
+    states the first batch's contents directly."""
+    import pyspark.sql.functions as _F
+
+    path = os.path.join(_fresh("store_time_travel"), "events_ds")
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    cut = "2024-01-15"
+    ds = OrderedDataset(spark, path, retain_versions=True)
+    ds.write(
+        df=events.filter(_F.col("ts") < cut),
+        ordered_on="ts",
+        row_group_target_size=5000,
+    )
+    ds.write(
+        df=events.filter(_F.col("ts") >= cut),
+        ordered_on="ts",
+        row_group_target_size=5000,
+    )
+    g_first = ds.versions()[0]
+    return (
+        ds.read(as_of=g_first)
+        .select(
+            "event_id", "ts", "user_id", _F.round("value", 6).alias("value")
+        )
+        .orderBy("event_id")
+    )

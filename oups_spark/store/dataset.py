@@ -58,12 +58,29 @@ _PERIOD = "__oups_period"
 class OrderedDataset:
     """Handle on one ordered dataset directory (may not exist yet)."""
 
-    def __init__(self, spark: SparkSession, path: str, *, backend=None):
+    def __init__(
+        self, spark: SparkSession, path: str, *, backend=None,
+        retain_versions: bool = False,
+    ):
         # backend: optional ManifestBackend routing manifest commits
         # (e.g. ObjectStoreBackend conditional-put); None = POSIX rename
+        #
+        # retain_versions: keep an immutable manifest snapshot per
+        # commit and DEFER physical deletion of replaced data files,
+        # enabling `read(as_of=<generation>)` time travel until
+        # `vacuum()` reclaims space. POSIX-path mechanism — on object
+        # stores, bucket versioning snapshots the manifest object per
+        # commit already, so the engine-level copies are refused to
+        # avoid a second, divergent history.
+        if retain_versions and backend is not None:
+            raise ValueError(
+                "retain_versions uses filesystem manifest snapshots; "
+                "with an object-store backend use bucket versioning"
+            )
         self.spark = spark
         self.path = os.path.abspath(path)
         self.backend = backend
+        self.retain_versions = retain_versions
         self._manifest = Manifest.load(self.path, backend)
 
     # ------------------------------------------------------------- state
@@ -109,6 +126,7 @@ class OrderedDataset:
         columns: list[str] | None = None,
         filters=None,
         ordered: bool = False,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Scan, with manifest file pruning for ``[start, end_excl)``.
 
@@ -116,24 +134,39 @@ class OrderedDataset:
         reference's row-group slicing, ``base.py:297-330``); the range
         predicate is also applied so parquet footer pruning and
         row-level filtering finish the job.
+
+        ``as_of``: TIME TRAVEL — read the dataset exactly as of an
+        earlier commit generation (``versions()`` lists them;
+        requires the dataset to be written with
+        ``retain_versions=True``). Reproducible-training contract: a
+        pinned generation always returns the same rows until
+        ``vacuum`` reclaims it, after which it raises — never a
+        silent partial read.
         """
-        if not self.exists:
-            raise FileNotFoundError(f"no ordered dataset at {self.path}")
-        entries = self._manifest.files
+        if as_of is not None:
+            from oups_spark.store.manifest import load_snapshot
+
+            man = load_snapshot(self.path, as_of)
+        else:
+            if not self.exists:
+                raise FileNotFoundError(f"no ordered dataset at {self.path}")
+            man = self._manifest
+        entries = man.files
         if start is not None:
             entries = [e for e in entries if e.max >= start]
         if end_excl is not None:
             entries = [e for e in entries if e.min < end_excl]
         if not entries:
-            schema = self.schema()
-            if schema is None:
+            schema_json = man.schema_json
+            if schema_json is None:
                 raise ValueError("empty dataset with no recorded schema")
+            schema = StructType.fromJson(__import__("json").loads(schema_json))
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.parquet(
                 *[os.path.join(self.path, e.name) for e in entries]
             )
-        o = F.col(self._manifest.ordered_on)
+        o = F.col(man.ordered_on)
         if start is not None:
             df = df.filter(o >= F.lit(start))
         if end_excl is not None:
@@ -145,7 +178,7 @@ class OrderedDataset:
         if columns:
             df = df.select(*columns)
         if ordered:
-            df = df.orderBy(self._manifest.ordered_on)
+            df = df.orderBy(man.ordered_on)
         return df
 
     # ------------------------------------------------------------- write
@@ -262,12 +295,13 @@ class OrderedDataset:
         man.files = kept + new_entries
         man.schema_json = df.schema.json()
         _merge_kv(man.kv, key_value_metadata)
-        man.save(self.path, self.backend)
+        man.save(self.path, self.backend, snapshot=self.retain_versions)
         self._manifest = man
-        for name in replaced_names:
-            p = os.path.join(self.path, name)
-            if os.path.exists(p):
-                os.remove(p)
+        if not self.retain_versions:
+            for name in replaced_names:
+                p = os.path.join(self.path, name)
+                if os.path.exists(p):
+                    os.remove(p)
 
     # ----------------------------------------------------------- helpers
     def _update_kv_only(self, ordered_on, key_value_metadata) -> None:
@@ -586,13 +620,56 @@ class OrderedDataset:
                 e for e in self._manifest.files if e.name not in names
             ] + new_entries
             rewritten += len(run)
-        self._manifest.save(self.path, self.backend)
-        for run in runs:
-            for e in run:
-                p = os.path.join(self.path, e.name)
-                if os.path.exists(p):
-                    os.remove(p)
+        self._manifest.save(self.path, self.backend, snapshot=self.retain_versions)
+        if not self.retain_versions:
+            for run in runs:
+                for e in run:
+                    p = os.path.join(self.path, e.name)
+                    if os.path.exists(p):
+                        os.remove(p)
         return rewritten
+
+    # ------------------------------------------------------ time travel
+    def versions(self) -> list[int]:
+        """Generations available for ``read(as_of=...)`` (ascending).
+        Non-empty only for datasets written with
+        ``retain_versions=True`` (or after snapshots were created out
+        of band); see ``vacuum`` for reclaiming old ones."""
+        from oups_spark.store.manifest import list_snapshots
+
+        return list_snapshots(self.path)
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Reclaim storage from time travel: keep the newest
+        ``keep_last`` snapshot generations, drop older snapshot
+        manifests, and delete data files referenced by NO retained
+        snapshot and not by the current manifest. Returns the number
+        of data files deleted.
+
+        Mirrors Delta's VACUUM at manifest granularity: time travel
+        to a vacuumed generation raises (its snapshot is gone), never
+        silently reads partial data.
+        """
+        from oups_spark.store.manifest import drop_snapshot, load_snapshot
+
+        gens = self.versions()
+        keep = gens[-keep_last:] if keep_last > 0 else []
+        live: set[str] = {e.name for e in (self._manifest.files if self._manifest else [])}
+        for g in keep:
+            live |= {e.name for e in load_snapshot(self.path, g).files}
+        removed = 0
+        for g in gens:
+            if g not in keep:
+                drop_snapshot(self.path, g)
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return 0
+        for n in names:
+            if n.endswith(".parquet") and n not in live:
+                os.remove(os.path.join(self.path, n))
+                removed += 1
+        return removed
 
     # ----------------------------------------------------------- delete
     def delete(self) -> None:

@@ -258,6 +258,9 @@ class Manifest:
     files: list[FileEntry] = field(default_factory=list)
     kv: dict[str, Any] = field(default_factory=dict)
     schema_json: str | None = None  # Spark StructType json of the dataset
+    # monotone commit counter: incremented by every save(); the key of
+    # time-travel snapshots (see snapshot_* helpers)
+    generation: int = 0
     # backend commit token of the version this instance was loaded
     # from (None = freshly created / posix backend) — save() passes
     # it as the conditional-put precondition, making read-modify-
@@ -271,18 +274,43 @@ class Manifest:
     def sort_files(self) -> None:
         self.files.sort(key=lambda f: (f.min, f.max))
 
-    def save(self, dirpath: str, backend: ManifestBackend | None = None) -> None:
-        backend = backend or _DEFAULT_BACKEND
-        self.sort_files()
+    def _payload(self) -> bytes:
         payload = {
             "version": 1,
             "ordered_on": self.ordered_on,
+            "generation": self.generation,
             "files": [f.to_json() for f in self.files],
             "kv": _enc_tree(self.kv),
             "schema_json": self.schema_json,
         }
-        data = json.dumps(payload).encode()
+        return json.dumps(payload).encode()
+
+    def save(
+        self,
+        dirpath: str,
+        backend: ManifestBackend | None = None,
+        *,
+        snapshot: bool = False,
+    ) -> None:
+        backend = backend or _DEFAULT_BACKEND
+        self.sort_files()
+        self.generation += 1
+        data = self._payload()
         self.token = backend.commit(dirpath, data, expect_token=self.token)
+        if snapshot:
+            write_snapshot(dirpath, self.generation, data)
+
+    @classmethod
+    def _from_payload(cls, data: bytes, token: Any = None) -> Manifest:
+        payload = json.loads(data)
+        return cls(
+            ordered_on=payload["ordered_on"],
+            files=[FileEntry.from_json(d) for d in payload["files"]],
+            kv=_dec_tree(payload.get("kv", {})),
+            schema_json=payload.get("schema_json"),
+            generation=payload.get("generation", 0),
+            token=token,
+        )
 
     @classmethod
     def load(
@@ -293,11 +321,57 @@ class Manifest:
         if hit is None:
             return None
         data, token = hit
-        payload = json.loads(data)
-        return cls(
-            ordered_on=payload["ordered_on"],
-            files=[FileEntry.from_json(d) for d in payload["files"]],
-            kv=_dec_tree(payload.get("kv", {})),
-            schema_json=payload.get("schema_json"),
-            token=token,
+        return cls._from_payload(data, token)
+
+
+# ------------------------------------------------- time-travel snapshots
+# Immutable per-generation manifest copies (`_oups_manifest.v%08d.json`)
+# power `OrderedDataset.read(as_of=...)`. POSIX-path mechanism only: on
+# object stores, bucket versioning already snapshots the single manifest
+# object per commit, so the engine-level copies would be redundant.
+_SNAP_PREFIX = MANIFEST_NAME[: -len(".json")] + ".v"
+
+
+def snapshot_name(generation: int) -> str:
+    return f"{_SNAP_PREFIX}{generation:08d}.json"
+
+
+def write_snapshot(dirpath: str, generation: int, data: bytes) -> None:
+    path = os.path.join(dirpath, snapshot_name(generation))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+
+
+def list_snapshots(dirpath: str) -> list[int]:
+    """Available snapshot generations, ascending."""
+    out = []
+    try:
+        names = os.listdir(dirpath)
+    except FileNotFoundError:
+        return []
+    for n in names:
+        if n.startswith(_SNAP_PREFIX) and n.endswith(".json"):
+            try:
+                out.append(int(n[len(_SNAP_PREFIX) : -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def load_snapshot(dirpath: str, generation: int) -> Manifest:
+    path = os.path.join(dirpath, snapshot_name(generation))
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no manifest snapshot for generation {generation} at {dirpath} "
+            f"(available: {list_snapshots(dirpath)})"
         )
+    with open(path, "rb") as fh:
+        return Manifest._from_payload(fh.read())
+
+
+def drop_snapshot(dirpath: str, generation: int) -> None:
+    p = os.path.join(dirpath, snapshot_name(generation))
+    if os.path.exists(p):
+        os.remove(p)

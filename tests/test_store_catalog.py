@@ -170,3 +170,68 @@ def test_ordered_dataset_write_through_object_store_backend(spark, tmp_path):
     from oups_spark.store.manifest import MANIFEST_NAME
 
     assert not os.path.exists(os.path.join(path, MANIFEST_NAME))
+
+
+def test_time_travel_read_and_vacuum(spark, scratch):
+    import os
+
+    import pandas as pd
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    path = os.path.join(scratch, "tt_ds")
+    ds = OrderedDataset(spark, path, retain_versions=True)
+
+    def batch(lo, hi, val):
+        return spark.createDataFrame(
+            pd.DataFrame({"ts": list(range(lo, hi)), "v": [val] * (hi - lo)})
+        )
+
+    ds.write(df=batch(0, 10, 1.0), ordered_on="ts", row_group_target_size=4)
+    ds.write(df=batch(10, 20, 2.0), ordered_on="ts", row_group_target_size=4)
+    # overlapping rewrite: replaces files but retains them on disk
+    ds.write(
+        df=batch(5, 15, 3.0),
+        ordered_on="ts",
+        duplicates_on=[],
+        row_group_target_size=4,
+    )
+    gens = ds.versions()
+    assert len(gens) == 3
+    g1, g2, g3 = gens
+    assert ds.read(as_of=g1).count() == 10
+    assert ds.read(as_of=g2).count() == 20
+    got_g2 = ds.read(as_of=g2).toPandas().sort_values("ts")
+    assert list(got_g2["v"].unique()) == [1.0, 2.0]
+    # current state: overlap rows overwritten by the third batch
+    cur = ds.read().toPandas().sort_values("ts")
+    assert cur[(cur.ts >= 5) & (cur.ts < 15)]["v"].eq(3.0).all()
+    # pinned generation is stable: same rows on a second read
+    assert ds.read(as_of=g2).count() == 20
+
+    # vacuum keeps the newest snapshot only; older time travel raises
+    removed = ds.vacuum(keep_last=1)
+    assert removed > 0
+    assert ds.versions() == [g3]
+    with __import__("pytest").raises(FileNotFoundError):
+        ds.read(as_of=g1)
+    # current read is untouched by vacuum
+    assert ds.read().count() == 20
+    assert ds.read(as_of=g3).count() == 20
+
+
+def test_retain_versions_rejects_object_store_backend(spark, scratch):
+    import os
+
+    import pytest
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import InMemoryObjectStore
+
+    with pytest.raises(ValueError):
+        OrderedDataset(
+            spark,
+            os.path.join(scratch, "x"),
+            backend=InMemoryObjectStore(),
+            retain_versions=True,
+        )
