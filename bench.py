@@ -74,6 +74,11 @@ HEADLINE = [
     "duplicated_windows",
     "salted_join_order_customer",
     "twap_hourly",
+    "doc_chunk_overlap",
+    "bm25_topk",
+    "deterministic_shuffle",
+    "source_quota_topk",
+    "streaming_interval_join",
 ]
 
 

@@ -121,6 +121,53 @@ def pack_token_budget(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str,
+    seed: str,
+    n_shards: int = 8,
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: every
+    row gets a global position under the total order ``(md5(seed:id),
+    id)`` and a round-robin shard ``pos % n_shards`` (shard sizes
+    differ by at most 1 — the balanced split training loaders want).
+
+    No RNG state: the permutation is a pure function of (seed, id),
+    so any engine — and any rerun — produces the identical order.
+    The global position uses the same two-phase range-bucket prefix
+    sum as :func:`pack_token_budget`: hash values are range-bucketed,
+    per-bucket counts come back to the driver (one tiny row per
+    bucket), and rows window only within their bucket. The md5 key is
+    uniform by construction, so buckets are balanced even when ids
+    are skewed — there is never a single-partition window.
+    """
+    from oups_spark.operators.segment import _offset_lookup
+
+    h = md5_int(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    num = bucketize(df.withColumn("__h", h), "__h", n_buckets=n_buckets)
+    counts = {
+        r["__bucket"]: r["c"]
+        for r in num.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    w = Window.partitionBy("__bucket").orderBy("__h", id_col)
+    pos = _offset_lookup(offsets).cast("long") + F.row_number().over(w) - 1
+    return (
+        num.withColumn(pos_col, pos)
+        .withColumn(shard_col, (F.col(pos_col) % n_shards).cast("int"))
+        .drop("__h", "__bucket")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     *,

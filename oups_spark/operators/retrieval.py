@@ -1,0 +1,177 @@
+"""Text-retrieval operators: overlapping document chunking and BM25
+scoring/top-k.
+
+Reference parity: none — beyond-reference LLM-pipeline layer (the
+reference has no text operators). Both operators are the standard
+pre-training / RAG building blocks:
+
+- ``doc_chunks`` splits each document into fixed-width token windows
+  with a stride (overlap = width - stride), the unit of work for
+  embedding indexes and context-window packing. Pure map-side
+  1-to-many fan-out (``posexplode`` of a per-row computed array) —
+  the chunker never shuffles and payload text never nears the driver,
+  so it scales linearly with corpus size.
+- ``bm25_topk`` scores documents against a FIXED, small set of query
+  terms with Okapi BM25. Per-document term frequencies and length are
+  map-side array expressions; the corpus statistics BM25 needs
+  (N, avgdl, per-term document frequencies) reduce to ONE tiny row
+  (one partial-agg shuffle of ~16 bytes x terms per partition),
+  which re-enters the plan as a broadcast. The final top-k is a
+  TakeOrderedAndProject, not a global sort — at 100 TB the full
+  pipeline is one corpus scan + one scalar-sized shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from oups_spark.operators.text import tokens
+
+
+def doc_chunks(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    width: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into token windows ``[i*stride,
+    i*stride + width)`` for every ``i >= 0`` with ``i*stride <
+    n_tokens`` (so the last window may be short; empty documents
+    yield no chunks).
+
+    Output: ``(id_col, chunk_id, n_chunk_tokens, chunk_text)`` —
+    chunk ids are 0-based per document.
+
+    DuckDB twin: ``tok[i*stride+1 : i*stride+width]`` over
+    ``range(0, ceil(len(tok)/stride))`` (1-based inclusive list
+    slicing matches Spark's ``slice(tok, start, length)``).
+    """
+    if width <= 0 or stride <= 0:
+        raise ValueError(f"width/stride must be positive, got {width}/{stride}")
+    tok = tokens(F.col(text_col))
+    n = F.size(tok)
+    n_chunks = F.ceil(n / F.lit(float(stride))).cast("int")
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        F.col(id_col), F.posexplode(starts).alias("chunk_id", "__start"), tok.alias("__tok")
+    )
+    ck = F.slice(F.col("__tok"), F.col("__start") + 1, width)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(ck).alias("n_chunk_tokens"),
+        F.array_join(ck, " ").alias("chunk_text"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k over a fixed query-term set.
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b +
+    b * dl/avgdl)), idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Deterministic output order: score DESC, then ``id_col`` ASC;
+    scores rounded to 6 decimals BEFORE ranking so cross-engine
+    float noise cannot flip the cut.
+
+    Scale shape: per-document tf/dl are array expressions inside the
+    scan stage; (N, avgdl, df_t...) is one partial-aggregated row
+    broadcast back into the plan; top-k is take-ordered. No UDFs.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    tok = tokens(F.col(text_col))
+
+    def _tf(term: str):
+        # NB: a two-parameter lambda would be read by F.filter as
+        # (element, index) — close over the term instead
+        return F.size(F.filter(tok, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(tok).alias("__dl"),
+        *[_tf(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__N") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}") + 0.5)
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        part = idf * tf * (k1 + 1.0) / norm
+        score = part if score is None else score + part
+    out = j.select(
+        F.col(id_col),
+        F.col("__dl").cast("long").alias("doc_len"),
+        F.round(score, 6).alias("bm25"),
+    )
+    return (
+        out.filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    *,
+    table: str,
+    id_col: str,
+    tok_sql: str,
+    terms: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`, generated from the SAME
+    constants so results match value-for-value."""
+    tf_exprs = ", ".join(
+        f"len(list_filter(tok, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"ln(1 + (s.N - s.df_{i} + 0.5)/(s.df_{i} + 0.5)) * tf_{i} * {k1 + 1.0!r}"
+        f" / (tf_{i} + {k1!r} * (1 - {b!r} + {b!r} * dl / s.avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH t AS (SELECT {id_col}, {tok_sql} AS tok FROM {table}),
+    d AS (SELECT {id_col}, len(tok)::DOUBLE AS dl, {tf_exprs} FROM t),
+    s AS (SELECT count(*)::DOUBLE AS N, avg(dl) AS avgdl, {df_exprs} FROM d)
+    SELECT {id_col}, dl::BIGINT AS doc_len, round({parts}, 6) AS bm25
+    FROM d, s
+    WHERE round({parts}, 6) > 0
+    ORDER BY bm25 DESC, {id_col} LIMIT {k}
+    """

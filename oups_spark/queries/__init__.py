@@ -46,6 +46,7 @@ def load_all_query_modules() -> None:
         llm_ops,
         misc_ops,
         quality_ops,
+        retrieval_ops,
         segment_ops,
         store_ops,
         stream_ops,

@@ -1,0 +1,153 @@
+"""Retrieval / corpus-assembly queries added in round 4 (continued):
+overlapping document chunking, BM25 top-k retrieval, reproducible
+global shuffle, and per-source quota curation.
+
+Same contract as ``llm_ops``: every oracle is generated from the
+SAME Python constants as the Spark plan (chunk width/stride, BM25
+terms and k1/b, shuffle seed, quota size), so results match
+value-for-value.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from oups_spark.operators.pack import deterministic_shuffle
+from oups_spark.operators.retrieval import bm25_oracle_sql, bm25_topk, doc_chunks
+from oups_spark.queries import register
+from oups_spark.tables import load
+
+_TOK = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents)
+    SELECT doc_id,
+           i::INT AS chunk_id,
+           len(tok[i*{_CHUNK_S}+1 : i*{_CHUNK_S}+{_CHUNK_W}])::INT
+               AS n_chunk_tokens,
+           array_to_string(tok[i*{_CHUNK_S}+1 : i*{_CHUNK_S}+{_CHUNK_W}], ' ')
+               AS chunk_text
+    FROM t, LATERAL unnest(range(0, CAST(ceil(len(tok) / {_CHUNK_S}.0) AS BIGINT))) AS u(i)
+    WHERE len(tok) > 0
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping token chunks (width 32, stride 24) —
+    the unit of work for embedding indexes and packed training
+    sequences. Map-side posexplode fan-out; no shuffle, text never
+    near the driver."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return doc_chunks(
+        docs, id_col="doc_id", width=_CHUNK_W, stride=_CHUNK_S
+    ).orderBy("doc_id", "chunk_id")
+
+
+_BM25_TERMS = ["vector", "merge", "window"]
+_BM25_K = 25
+
+
+@register(
+    "bm25_topk",
+    oracle=bm25_oracle_sql(
+        table="documents",
+        id_col="doc_id",
+        tok_sql=_TOK,
+        terms=_BM25_TERMS,
+        k=_BM25_K,
+    ),
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval for a fixed term set: per-doc tf/dl stay
+    map-side, the corpus stats (N, avgdl, df) are ONE broadcast row,
+    the cut is a TakeOrderedAndProject — one corpus scan total."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return bm25_topk(
+        docs, id_col="doc_id", terms=_BM25_TERMS, k=_BM25_K
+    )
+
+
+_SEED = "seed42"
+_N_SHARDS = 8
+_SHUF_HASH = (
+    f"CAST(('0x' || substr(md5('{_SEED}:' || doc_id), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "deterministic_shuffle",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY {_SHUF_HASH}, doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT doc_id, pos, CAST(pos % {_N_SHARDS} AS INT) AS shard
+    FROM p ORDER BY pos
+    """,
+)
+def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order shuffle: md5(seed:id) total
+    order -> global position (two-phase range-bucket prefix sum, no
+    single-partition window) -> round-robin shard. Identical
+    permutation in any engine and any rerun."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return deterministic_shuffle(
+        docs, id_col="doc_id", seed=_SEED, n_shards=_N_SHARDS
+    ).select("doc_id", "pos", "shard").orderBy("pos")
+
+
+_QUOTA = 5
+
+
+@register(
+    "source_quota_topk",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, rk FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {_QUOTA}
+    ORDER BY source, rk
+    """,
+)
+def source_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota curation (the per-domain cap every web-scale
+    corpus applies): keep the top {quota} documents of each source by
+    length, deterministic tiebreak on doc_id. One keyed shuffle on
+    source; at 100 TB the source cardinality (domains) is huge so the
+    shuffle is well spread — a single mega-source would need the
+    two-phase per-partition top-k variant (documented in SCALE.md).
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QUOTA)
+        .orderBy("source", "rk")
+    )

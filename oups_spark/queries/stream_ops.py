@@ -468,3 +468,117 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type",
         F.round("value", 6).alias("value"),
     ).orderBy("event_id")
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id  AS user_id,
+           c.ts       AS click_ts,
+           round(epoch(p.ts) - epoch(c.ts), 6) AS delay_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 6 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE stream-stream interval join: clicks joined to the same
+    user's purchases within the following 6 hours, both sides
+    watermarked so the state store can evict a click once no
+    qualifying purchase can still arrive (state is O(events per
+    horizon), not O(stream) — the event-time range condition is what
+    makes the join state bounded; without it Spark rejects the plan).
+    Inner-join matches emit in the micro-batch they complete in, so
+    the result equals the batch interval join exactly — the oracle
+    states that plain join. Sink: append-mode foreachBatch into the
+    ordered store, keep-last dedup on (click_id, purchase_id)
+    absorbing checkpoint-recovery redelivery.
+
+    Reference parity: none (the reference has no joins,
+    SURVEY.md §2.3) — beyond-reference streaming layer.
+    """
+    from oups_spark.streaming.native import write_stream_to_dataset
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_interval_join")
+    path = os.path.join(base, "pairs_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+
+    def _stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        for c in _ns_timestamp_cols(src):
+            s = s.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        F.round(
+            F.unix_micros("purchase_ts") / 1e6
+            - F.unix_micros("click_ts") / 1e6,
+            6,
+        ).alias("delay_s"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            OrderedDataset(spark, path).write(
+                df=batch_df.orderBy("click_id"),
+                ordered_on="click_id",
+                duplicates_on=["click_id", "purchase_id"],
+                row_group_target_size=100_000,
+                validate_monotonic=False,
+            )
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(base, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = OrderedDataset(spark, path).read()
+    return out.select(
+        "click_id", "purchase_id", "user_id", "click_ts", "delay_s"
+    ).orderBy("click_id", "purchase_id")
