@@ -79,6 +79,9 @@ HEADLINE = [
     "deterministic_shuffle",
     "source_quota_topk",
     "streaming_interval_join",
+    "sliding_window_1h_15m",
+    "kmeans_clusters",
+    "incremental_neardup_ingest",
 ]
 
 

@@ -378,3 +378,45 @@ def decontamination_overlap(
             F.round(F.col("n_contaminated") / F.col("n_grams"), 6),
         )
     )
+
+
+def lsh_band_pairs_between(
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    id_col: str,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Cross-corpus LSH candidates: (id_a from ``sigs_a``, id_b from
+    ``sigs_b``) sharing at least one band — the incremental-ingest
+    variant of :func:`lsh_band_pairs` (self-join) used to dedup a NEW
+    batch against a PERSISTED signature index. Same shape: bands
+    exploded to (band, key) rows, ONE equality join, distinct pairs.
+    The index side never rebuilds signatures — it arrives as stored
+    columns — so the recurring cost of ingest-time dedup is
+    O(batch) + one bucketed join against the index, not O(corpus).
+    """
+
+    def keyed(sigs: DataFrame, out: str) -> DataFrame:
+        entries = []
+        for b in range(bands):
+            cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+            entries.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.struct(
+                        *[F.col(c).alias(f"k{r}") for r, c in enumerate(cols)]
+                    ).alias("key"),
+                )
+            )
+        return sigs.select(
+            F.col(id_col).alias(out), F.explode(F.array(*entries)).alias("bk")
+        ).select(out, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    return (
+        keyed(sigs_a, "id_a")
+        .join(keyed(sigs_b, "id_b"), on=["band", "key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -698,3 +698,141 @@ def pq_cosine_topk(
             "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim")
         )
     )
+
+
+# ------------------------------------------------------------- k-means
+def _kmeans_init_ids(ids, k: int, seed: int):
+    """Deterministic engine-portable init: the k ids with the lowest
+    ``(md5_int32(f'{seed}:{id}'), id)`` — computable identically in
+    Spark (``md5_int``), Python (hashlib, here) and DuckDB SQL."""
+    import hashlib
+
+    def h(i):
+        return int(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16
+        )
+
+    return sorted(sorted(ids), key=lambda i: (h(i), i))[:k]
+
+
+def kmeans_lloyd_np(X, ids, *, k: int, iters: int, seed: int):
+    """Numpy twin of :func:`kmeans_lloyd` — same init, same update
+    rule, float64 throughout. Shared by the DuckDB oracle generator
+    (same data + seed => same final centroids up to summation-order
+    ulps, so assignments match wherever margins exceed ~1e-12)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    ids = list(ids)
+    pos = {v: i for i, v in enumerate(ids)}
+    C = np.vstack([X[pos[i]] for i in _kmeans_init_ids(ids, k, seed)])
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)  # ties -> lowest cluster idx
+        for j in range(len(C)):
+            m = X[assign == j]
+            if len(m):
+                C[j] = m.mean(axis=0)  # empty cluster keeps its centroid
+    return C
+
+
+def _sq_dist(vec: Column, cent: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid — pure JVM fold,
+    whole-stage-codegen friendly."""
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment against a literal centroid matrix
+    (argmin of squared L2, ties to the lowest cluster id) — map-side,
+    zero shuffle; the k x dim distance arithmetic stays inside
+    whole-stage codegen."""
+    v = F.col(vec_col).cast("array<double>")
+    pairs = F.array(
+        *[
+            F.struct(
+                _sq_dist(v, c).alias("d"), F.lit(j).alias("j")
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn(
+        cluster_col, F.array_min(pairs)["j"].cast("int")
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """DISTRIBUTED Lloyd's k-means over the full table (unlike the
+    IVF quantizer, which trains on a bounded driver sample): each
+    iteration is (1) a map-side literal-centroid assignment and
+    (2) one hash aggregation — ``posexplode`` to (cluster, dim)
+    cells, partial-combined map-side, so the shuffle carries at most
+    ``k x dim x n_partitions`` partials regardless of corpus size;
+    only ``k x dim`` averaged cells ever reach the driver. This is
+    the canonical iterative-algorithm shape on Spark: tiny model
+    state driver-side, one bounded-shuffle job per iteration, data
+    never re-partitioned.
+
+    Deterministic: init picks the k ids with the lowest
+    ``md5(seed:id)`` (engine-portable; one bounded TakeOrdered job),
+    updates are float64 averages. :func:`kmeans_lloyd_np` is the
+    sequential twin used to generate the DuckDB oracle.
+
+    Returns the input with a ``cluster`` column from the FINAL
+    assignment.
+    """
+    from oups_spark.operators.text import md5_int
+
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    init_ids = [
+        r[0]
+        for r in base.select(id_col)
+        .orderBy(
+            md5_int(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        .limit(k)
+        .collect()
+    ]
+    cents = {
+        r[0]: list(r[1])
+        for r in base.filter(F.col(id_col).isin(init_ids)).collect()
+    }
+    C = [cents[i] for i in init_ids]
+    for _ in range(iters):
+        assigned = kmeans_assign(base, C, vec_col="__v")
+        cells = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("__v")).alias("d", "x")
+            )
+            .groupBy("cluster", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in cells:
+            upd.setdefault(r["cluster"], {})[r["d"]] = r["m"]
+        C = [
+            [upd[j][d] for d in range(len(C[j]))] if j in upd else C[j]
+            for j in range(len(C))
+        ]
+    return kmeans_assign(df, C, vec_col=vec_col)

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from oups_spark.operators.dedup import (
     MINHASH_P,
     exact_dedup,
+    hashed_shingles,
+    jaccard,
     minhash_lsh_neardup_pairs,
     minhash_params,
     minhash_signatures,
@@ -962,3 +964,99 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+_SPLIT_ID = 400  # existing corpus: doc_id < 400; new batch: >= 400
+
+
+@register(
+    "incremental_neardup_ingest",
+    oracle=_SIGS_CTE
+    + f""",
+    so AS (SELECT * FROM sigs WHERE doc_id < {_SPLIT_ID}),
+    sn AS (SELECT * FROM sigs WHERE doc_id >= {_SPLIT_ID}),
+    cand AS (
+      SELECT a.doc_id AS id_old, b.doc_id AS id_new
+      FROM so a JOIN sn b ON {_band_condition()}
+    ),
+    shn AS (SELECT doc_id, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOK} AS tok FROM documents)),
+    ver AS (
+      SELECT id_old, id_new
+      FROM cand JOIN shn a ON a.doc_id = id_old JOIN shn b ON b.doc_id = id_new
+      WHERE len(list_intersect(a.sh, b.sh)) /
+            len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    )
+    SELECT d.doc_id,
+           min(ver.id_old) AS dup_of,
+           CASE WHEN min(ver.id_old) IS NULL THEN 1 ELSE 0 END AS kept
+    FROM documents d LEFT JOIN ver ON ver.id_new = d.doc_id
+    WHERE d.doc_id >= {_SPLIT_ID}
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME near-dup filtering against a PERSISTED signature
+    index — the shape a 100 TB corpus actually runs day to day:
+    the MinHash signatures of the existing corpus are written ONCE
+    into an ordered-store dataset (~128 B/doc), and each incoming
+    batch (here: doc_id >= 400) computes only its OWN signatures,
+    band-joins them against the stored index (bucketed equality
+    join — never O(corpus) recompute, never all-pairs), and
+    exact-Jaccard-verifies the candidates. Output: every batch doc
+    with the oldest near-duplicate it collides with (dup_of) and a
+    kept flag — survivors would then be appended to both the corpus
+    and the index.
+
+    The index roundtrips through OrderedDataset for real (write,
+    then read back), so the query also exercises the store as the
+    home of derived pipeline state (reference kv-metadata role,
+    ``base.py:600-649``)."""
+    import os as _os
+
+    from oups_spark.operators.dedup import lsh_band_pairs_between
+    from oups_spark.queries.store_ops import _fresh
+    from oups_spark.store.dataset import OrderedDataset
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    old = docs.filter(F.col("doc_id") < _SPLIT_ID)
+    new = docs.filter(F.col("doc_id") >= _SPLIT_ID)
+
+    path = _os.path.join(_fresh("incremental_neardup_ingest"), "sig_index")
+    ds = OrderedDataset(spark, path)
+    ds.write(
+        df=minhash_signatures(old, "doc_id", "text"),
+        ordered_on="doc_id",
+        validate_monotonic=False,
+    )
+    index = ds.read()
+
+    sigs_new = minhash_signatures(new, "doc_id", "text")
+    cands = lsh_band_pairs_between(index, sigs_new, "doc_id").select(
+        F.col("id_a").alias("id_old"), F.col("id_b").alias("id_new")
+    )
+    sh = docs.select("doc_id", hashed_shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_old"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_new"), F.col("sh").alias("sh_b"))
+    ver = (
+        cands.join(a, on="id_old")
+        .join(b, on="id_new")
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select("id_old", "id_new")
+    )
+    agg = ver.groupBy("id_new").agg(F.min("id_old").alias("dup_of"))
+    return (
+        new.select("doc_id")
+        .join(agg, new["doc_id"] == agg["id_new"], "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.when(F.col("dup_of").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -286,3 +286,74 @@ def duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("fp")
     )
+
+
+def _kmeans_oracle_sql() -> str | None:
+    """DuckDB twin of ``kmeans_clusters``: the FINAL centroids are
+    deterministic given corpus + seed, so the generator replays the
+    same iterations with the numpy twin (same init ids, same float64
+    update rule) and emits them as literals; the SQL is then one
+    argmin assignment. Returns None (rows-only) when the table is
+    missing or too large to replicate driver-side."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    from oups_spark.operators.similarity import kmeans_lloyd_np
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{path}') "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    if not rows or len(rows) > 100_000:
+        return None
+    C = kmeans_lloyd_np(
+        np.vstack([r[1] for r in rows]),
+        [r[0] for r in rows],
+        k=8,
+        iters=3,
+        seed=42,
+    )
+    from oups_spark.queries.llm_ops import _vec_sql
+
+    cents = ", ".join(
+        f"({j}, {_vec_sql(C[j])}::DOUBLE[])" for j in range(len(C))
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents(cl, c) AS (VALUES {cents})
+    SELECT vec_id, cl::INT AS cluster FROM (
+      SELECT v.vec_id, cents.cl,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_distance(v.e, cents.c),
+                                         cents.cl) AS rn
+      FROM v CROSS JOIN cents) WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@register("kmeans_clusters", oracle=_kmeans_oracle_sql())
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 3 iterations) over the full
+    embedding table — the canonical iterative algorithm on Spark:
+    per iteration, a map-side literal-centroid assignment plus ONE
+    partial-combined hash agg whose shuffle is O(k x dim x
+    partitions) and whose driver state is k x dim cells; the corpus
+    itself is scanned, never re-shuffled. The oracle replays the
+    same deterministic iterations sequentially (numpy twin) and
+    checks the final assignment of every vector."""
+    from oups_spark.operators.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        kmeans_lloyd(emb, k=8, iters=3, seed=42)
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )

@@ -518,3 +518,50 @@ def snapshot_irregular_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin", "snap", "first_val", "last_val",
         F.round("sum_val", 6).alias("sum_val"),
     )
+
+
+@register(
+    "sliding_window_1h_15m",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, min(ts)) AS lo, max(ts) AS hi
+      FROM events
+    ),
+    ws AS (
+      SELECT unnest(generate_series(lo - INTERVAL 45 MINUTE, hi, INTERVAL 15 MINUTE)) AS w
+      FROM b
+    )
+    SELECT ws.w AS win_start,
+           count(e.ts)          AS n_events,
+           round(sum(e.value), 6) AS sum_val,
+           round(avg(e.value), 6) AS avg_val
+    FROM ws JOIN events e
+      ON e.ts >= ws.w AND e.ts < ws.w + INTERVAL 1 HOUR
+    GROUP BY ws.w
+    HAVING count(e.ts) > 0
+    ORDER BY win_start
+    """,
+)
+def sliding_window_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) windows — 1h length, 15min slide: every event
+    contributes to 4 overlapping windows. The reference's segmentation
+    model is strictly tumbling (one bin per row, ``segmentby.py``);
+    Spark's ``F.window(ts, '1 hour', '15 minutes')`` generalizes it
+    natively — the expansion happens inside the Generate node of the
+    scan stage (each row fans out to length/slide window assignments
+    BEFORE the hash agg, which partial-aggregates map-side), so the
+    shuffle carries only per-(window, partition) partials at any
+    scale. The oracle states the same semantics as an interval join
+    against a generated window-start grid."""
+    events = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return (
+        events.groupBy(win.alias("__w"))
+        .agg(
+            F.count("ts").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_val"),
+            F.round(F.avg("value"), 6).alias("avg_val"),
+        )
+        .select(F.col("__w.start").alias("win_start"), "n_events", "sum_val", "avg_val")
+        .orderBy("win_start")
+    )
