@@ -82,6 +82,9 @@ HEADLINE = [
     "sliding_window_1h_15m",
     "kmeans_clusters",
     "incremental_neardup_ingest",
+    "shipping_priority",
+    "promo_revenue_monthly",
+    "regional_supplier_volume",
 ]
 
 
