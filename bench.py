@@ -85,6 +85,7 @@ HEADLINE = [
     "shipping_priority",
     "promo_revenue_monthly",
     "regional_supplier_volume",
+    "store_schema_evolution",
 ]
 
 

@@ -200,3 +200,43 @@ def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "store_schema_evolution",
+    oracle=f"""
+    SELECT event_id, ts, value,
+           CASE WHEN ts >= TIMESTAMP '{T1}'
+                THEN round(value * 2, 6) END AS v2
+    FROM events
+    ORDER BY ts, event_id
+    """,
+)
+def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the ordered store (beyond reference — the
+    reference is fixed-schema, SURVEY §1.3): the first append carries
+    (event_id, ts, value); the second adds a ``v2`` column with
+    ``evolve_schema=True``. No old file is rewritten — the manifest
+    records the union schema and ``read`` projects every file
+    through it, so pre-evolution rows come back with ``v2`` NULL.
+    At 100 TB this is the only affordable way to add a column: a
+    metadata commit, zero data movement."""
+    path = os.path.join(_fresh("store_schema_evolution"), "events_ds")
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    t1 = F.lit(T1).cast("timestamp")
+    ds = OrderedDataset(spark, path)
+    ds.write(
+        df=events.filter(F.col("ts") < t1),
+        ordered_on="ts",
+        row_group_target_size=2000,
+    )
+    ds.write(
+        df=events.filter(F.col("ts") >= t1).withColumn(
+            "v2", F.round(F.col("value") * 2, 6)
+        ),
+        row_group_target_size=2000,
+        evolve_schema=True,
+    )
+    return ds.read().orderBy("ts", "event_id").select(
+        "event_id", "ts", "value", "v2"
+    )

@@ -163,7 +163,17 @@ class OrderedDataset:
             schema = StructType.fromJson(__import__("json").loads(schema_json))
             df = self.spark.createDataFrame([], schema)
         else:
-            df = self.spark.read.parquet(
+            reader = self.spark.read
+            if man.schema_json:
+                # explicit manifest schema: (a) files written before a
+                # schema evolution read back NULL for later columns,
+                # (b) no footer schema-inference job on the scan
+                reader = reader.schema(
+                    StructType.fromJson(
+                        __import__("json").loads(man.schema_json)
+                    )
+                )
+            df = reader.parquet(
                 *[os.path.join(self.path, e.name) for e in entries]
             )
         o = F.col(man.ordered_on)
@@ -193,6 +203,7 @@ class OrderedDataset:
         key_value_metadata: dict | None = None,
         validate_monotonic: bool = True,
         known_stats: tuple | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         """Ordered merge write (see module docstring for the plan).
 
@@ -204,6 +215,16 @@ class OrderedDataset:
         batch's ordering column, when the producer already knows them
         (e.g. a driver-built frame) — skips the bounds job. Only
         honored with ``validate_monotonic=False``.
+
+        ``evolve_schema``: SCHEMA EVOLUTION (beyond reference — the
+        reference is fixed-schema-on-first-write, SURVEY §1.3). When
+        True, a batch may add columns (existing rows read back NULL
+        for them) or omit existing ones (the batch's rows carry
+        NULL); same-named columns must keep their type. The manifest
+        records the evolved union schema and ``read`` projects every
+        file through it, so on-disk files are never rewritten just
+        for a schema change. When False (default), a column-set
+        mismatch raises — the reference's posture.
         """
         if self._manifest is None:
             if df is not None and ordered_on is None:
@@ -222,6 +243,31 @@ class OrderedDataset:
 
         if ordered_on not in df.columns:
             raise ValueError(f"ordered_on column {ordered_on!r} not in DataFrame")
+
+        target_schema = None
+        if self._manifest is not None and self._manifest.schema_json:
+            old_schema = self.schema()
+            old_by = {f.name: f for f in old_schema.fields}
+            new_by = {f.name: f for f in df.schema.fields}
+            for c in set(new_by) & set(old_by):
+                # a same-named column must keep its type in ALL cases:
+                # without this, a non-overlapping append could land a
+                # differently-typed file that only explodes at read time
+                if old_by[c].dataType != new_by[c].dataType:
+                    raise ValueError(
+                        f"schema evolution cannot change column {c!r}: "
+                        f"{old_by[c].dataType} -> {new_by[c].dataType}"
+                    )
+            if set(new_by) != set(old_by):
+                if not evolve_schema:
+                    raise ValueError(
+                        f"batch columns {sorted(new_by)} != dataset columns "
+                        f"{sorted(old_by)}; pass evolve_schema=True to evolve"
+                    )
+                target_schema = StructType(
+                    list(old_schema.fields)
+                    + [f for f in df.schema.fields if f.name not in old_by]
+                )
 
         new = (
             df.withColumn(_POS, F.monotonically_increasing_id())
@@ -274,7 +320,9 @@ class OrderedDataset:
                 .withColumn(_SRC, F.lit(0)),
                 replaced,
             )
-            merged = old.unionByName(new)
+            # allowMissingColumns: under schema evolution either side
+            # may lack columns the other has — absent values are NULL
+            merged = old.unionByName(new, allowMissingColumns=True)
 
         if duplicates_on is not None:
             merged = self._dedup_keep_last(merged, ordered_on, duplicates_on)
@@ -293,7 +341,7 @@ class OrderedDataset:
         man = self._manifest or Manifest(ordered_on=ordered_on)
         man.ordered_on = ordered_on
         man.files = kept + new_entries
-        man.schema_json = df.schema.json()
+        man.schema_json = (target_schema or df.schema).json()
         _merge_kv(man.kv, key_value_metadata)
         man.save(self.path, self.backend, snapshot=self.retain_versions)
         self._manifest = man

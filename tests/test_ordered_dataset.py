@@ -302,3 +302,62 @@ def test_period_write_coalesces_off_target_neighbors(spark, scratch):
     assert ds.n_files == 2  # day 1 coalesced + day 2
     got = read_sorted(ds)
     assert list(got["val"]) == [1.0, 2.0, 3.0]
+
+
+def test_schema_evolution_add_column(spark, scratch):
+    ds = OrderedDataset(spark, f"{scratch}/evo")
+    ds.write(
+        df=make_df(spark, [(ts(1), 1.0, "a"), (ts(2), 2.0, "b")]),
+        ordered_on="ts",
+    )
+    # adding a column without opting in raises (reference fixed-schema posture)
+    batch2 = make_df(
+        spark,
+        [(ts(3), 3.0, "c", 30), (ts(4), 4.0, "d", 40)],
+        cols=("ts", "val", "sym", "extra"),
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        ds.write(df=batch2)
+    ds.write(df=batch2, evolve_schema=True)
+    out = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    assert list(out.columns) == ["ts", "val", "sym", "extra"]
+    assert out["extra"].tolist()[:2] == [None, None] or out[
+        "extra"
+    ].isna().tolist()[:2] == [True, True]
+    assert out["extra"].tolist()[2:] == [30, 40]
+    # reopened handle sees the evolved schema too
+    again = OrderedDataset(spark, f"{scratch}/evo").read().toPandas()
+    assert list(again.columns) == ["ts", "val", "sym", "extra"]
+
+
+def test_schema_evolution_missing_column_and_overlap_merge(spark, scratch):
+    ds = OrderedDataset(spark, f"{scratch}/evo2")
+    ds.write(
+        df=make_df(
+            spark,
+            [(ts(1), 1.0, "a", 10), (ts(2), 2.0, "b", 20)],
+            cols=("ts", "val", "sym", "extra"),
+        ),
+        ordered_on="ts",
+    )
+    # an overlapping batch WITHOUT 'extra': replaces ts(2) via keep-last
+    # dedup; the replacing row reads back NULL for 'extra'
+    ds.write(
+        df=make_df(spark, [(ts(2), 9.0, "B")]),
+        duplicates_on=["ts"],
+        evolve_schema=True,
+    )
+    out = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    assert out["val"].tolist() == [1.0, 9.0]
+    assert out["extra"].tolist()[0] == 10
+    assert pd.isna(out["extra"].tolist()[1])
+
+
+def test_schema_evolution_type_conflict_raises(spark, scratch):
+    ds = OrderedDataset(spark, f"{scratch}/evo3")
+    ds.write(
+        df=make_df(spark, [(ts(1), 1.0, "a")]), ordered_on="ts"
+    )
+    bad = make_df(spark, [(ts(2), "not-a-double", "b")])
+    with pytest.raises(ValueError, match="cannot change column"):
+        ds.write(df=bad, evolve_schema=True)
