@@ -288,6 +288,21 @@ class AggStream:
         if trim_start and restart is not None:
             chunk = chunk.filter(o > F.lit(restart))
 
+        # persist BEFORE the driver probes: the bounds agg, the
+        # discard_last remainder pull and every key's filter+agg all
+        # consume this same chunk — caching here collapses what was
+        # one source re-scan per probe into a single materialization
+        base = chunk = chunk.persist()
+        try:
+            self._process_cached_chunk(
+                chunk, o, restart, trim_start=trim_start, discard_last=discard_last
+            )
+        finally:
+            base.unpersist()
+
+    def _process_cached_chunk(
+        self, chunk, o, restart, *, trim_start: bool, discard_last: bool
+    ):
         bounds = chunk.agg(
             F.min(self.ordered_on).alias("mn"), F.max(self.ordered_on).alias("mx")
         ).collect()[0]
@@ -330,19 +345,16 @@ class AggStream:
         else:
             processed_max = chunk_max
 
-        # one chunk feeds every key's pipeline: cache it so the N
-        # filter+agg jobs don't recompute the seed lineage
-        # (reference fan-out, aggstream.py:1486-1499)
-        chunk = chunk.persist()
-        try:
-            self._agg_chunk_all_keys(
-                chunk,
-                processed_max,
-                trim_start=trim_start,
-                global_restart=restart if trim_start else None,
-            )
-        finally:
-            chunk.unpersist()
+        # one cached chunk feeds every key's pipeline (reference
+        # fan-out, aggstream.py:1486-1499) — the discard_last filter
+        # above is a narrow view over the persisted base, so the N
+        # filter+agg jobs still read the cache, not the source
+        self._agg_chunk_all_keys(
+            chunk,
+            processed_max,
+            trim_start=trim_start,
+            global_restart=restart if trim_start else None,
+        )
 
     def _agg_chunk_all_keys(
         self, chunk: DataFrame, processed_max, *, trim_start=True, global_restart=None
