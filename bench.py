@@ -86,6 +86,7 @@ HEADLINE = [
     "promo_revenue_monthly",
     "regional_supplier_volume",
     "store_schema_evolution",
+    "lm_quality_score",
 ]
 
 

@@ -626,3 +626,58 @@ def window_fingerprints(
         F.transform(positions, lambda i: F.md5(c.substr(i, F.lit(width))))
     )
     return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def bigram_nll_df(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-style quality signal from a SELF-TRAINED bigram LM:
+    score(doc) = mean over its bigrams (w1, w2) of
+    ``-ln((c(w1 w2) + 1) / (c(w1) + V))`` (add-one smoothing,
+    V = corpus vocabulary size). Documents whose word transitions are
+    atypical for the corpus — boilerplate, gibberish, wrong-language
+    contamination — score high; it is the classic cheap stand-in for
+    a neural-perplexity filter.
+
+    Two passes, both bounded: (1) unigram + bigram counts — explode,
+    hash agg with map-side partial combine, so the shuffle carries at
+    most vocab / bigram-vocab partials per partition, NOT one row per
+    token; (2) scoring — the doc's bigrams explode and join the count
+    tables, which Spark broadcasts (they are vocabulary-sized; at
+    100 TB cap them to a top-V vocabulary with an OOV bucket and the
+    broadcast stays megabytes — the formula is unchanged). Output per
+    doc: ``n_bigrams``, ``avg_nll`` (rounded 6dp).
+
+    Docs with fewer than 2 tokens have no bigrams and drop out,
+    matching the SQL twin.
+    """
+    tok = tokens(F.col(text_col))
+    bg = df.select(
+        F.col(id_col), F.explode(bigrams(tok)).alias("bg")
+    ).select(
+        F.col(id_col),
+        F.col("bg"),
+        F.split(F.col("bg"), " ", 2).getItem(0).alias("w1"),
+    )
+    uni = (
+        df.select(F.explode(tok).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("V"))
+    big = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bg.join(F.broadcast(big), on="bg")
+        .join(F.broadcast(uni), on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (-F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("V")))).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )

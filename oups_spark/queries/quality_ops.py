@@ -357,3 +357,37 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "lm_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    u AS (SELECT unnest(tok) AS w1 FROM t),
+    uni AS (SELECT w1, count(*) AS cu FROM u GROUP BY w1),
+    v AS (SELECT count(*) AS V FROM uni),
+    bg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS bg, tok[i] AS w1
+           FROM t, LATERAL unnest(range(1, len(tok))) AS r(i)
+           WHERE len(tok) >= 2),
+    big AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln((cb + 1) / (cu + V))), 6) AS avg_nll
+    FROM bg JOIN big USING (bg) JOIN uni USING (w1), v
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM negative log-likelihood per document —
+    the cheap perplexity-style quality filter (atypical word
+    transitions => high score). Count tables shuffle at vocabulary
+    size (map-side partial combine), the scoring joins broadcast; at
+    100 TB the LM caps to a top-V vocab + OOV bucket (documented in
+    the operator) and nothing else changes."""
+    from oups_spark.operators.text import bigram_nll_df
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return bigram_nll_df(docs, "doc_id").orderBy("doc_id")
