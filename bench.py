@@ -121,24 +121,28 @@ def main() -> int:
 
     # Median of N in-session reps per query: the first rep absorbs that
     # plan shape's Janino compile, and single-rep numbers on this host
-    # wobble enough to misread small queries. Per-query median (plus
-    # min/max spread) is what round-over-round comparison should use.
+    # wobble enough to misread small queries. Reps are INTERLEAVED —
+    # N full passes over the query list, not N back-to-back runs of
+    # one query — because the host's stall bursts span tens of
+    # seconds: consecutive reps would all land inside one burst and
+    # drag the median, while interleaved reps sample well-separated
+    # instants. Per-query median (plus min/max spread) is what
+    # round-over-round comparison should use.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        q = REGISTRY.get(name)
-        if q is None:
-            continue
-        samples: list[float] = []
-        for _ in range(reps):
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE if n in REGISTRY}
+    failed: set[str] = set()
+    for _ in range(reps):
+        for name in HEADLINE:
+            q = REGISTRY.get(name)
+            if q is None or name in failed:
+                continue
             t0 = time.time()
             try:
                 df = q.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                samples.append(round(time.time() - t0, 3))
+                samples[name].append(round(time.time() - t0, 3))
             except Exception as exc:  # noqa: BLE001
-                samples = []
+                failed.add(name)
                 print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
             # drop cached/checkpointed RDDs a query pinned (persist or
             # localCheckpoint) so residue never skews later timings —
@@ -148,11 +152,12 @@ def main() -> int:
                 spark.sparkContext._jsc.getPersistentRDDs().values()
             ):
                 rdd.unpersist()
-            if not samples:
-                break
-        if samples:
-            timings[name] = sorted(samples)[len(samples) // 2]
-            spread[name] = [min(samples), max(samples)]
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name, s in samples.items():
+        if s and name not in failed:
+            timings[name] = sorted(s)[len(s) // 2]
+            spread[name] = [min(s), max(s)]
         else:
             timings[name] = -1.0
             spread[name] = []
