@@ -87,6 +87,7 @@ HEADLINE = [
     "regional_supplier_volume",
     "store_schema_evolution",
     "lm_quality_score",
+    "store_stats_skipping",
 ]
 
 

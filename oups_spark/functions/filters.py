@@ -57,3 +57,54 @@ def dnf_filter(df: DataFrame, filters: list[list[tuple]] | list[tuple] | None) -
     if not filters:
         return df
     return df.filter(dnf_condition(filters))
+
+
+def dnf_file_can_match(
+    col_stats: dict | None,
+    filters: list[list[tuple]] | list[tuple] | None,
+) -> bool:
+    """Data-skipping predicate: can a file whose per-column [min, max]
+    stats are ``col_stats`` contain ANY row satisfying the DNF
+    filter? Conservative — ``True`` whenever the stats cannot PROVE
+    emptiness (unknown column, unknown op, no stats).
+
+    A file is skippable iff EVERY or-group has at least one conjunct
+    the stats disprove. This is the same footer-stats argument
+    Spark's parquet reader applies per row group, lifted to manifest
+    granularity so pruning happens before any scan task is planned —
+    the Delta/Iceberg file-skipping model.
+    """
+    if not filters:
+        return True
+    if filters and isinstance(filters[0], tuple):
+        filters = [filters]
+    if not col_stats:
+        return True
+
+    def disproved(col: str, op: str, value) -> bool:
+        st = col_stats.get(col)
+        if st is None:
+            return False
+        lo, hi = st
+        if lo is None or hi is None:
+            return False
+        try:
+            if op in ("==", "="):
+                return value < lo or value > hi
+            if op == ">":
+                return hi <= value
+            if op == ">=":
+                return hi < value
+            if op == "<":
+                return lo >= value
+            if op == "<=":
+                return lo > value
+            if op == "in":
+                return all(v < lo or v > hi for v in value)
+        except TypeError:  # incomparable types -> cannot prune
+            return False
+        return False  # !=, not-in, ~ : never file-provable
+
+    return any(
+        not any(disproved(*term) for term in group) for group in filters
+    )

@@ -240,3 +240,41 @@ def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.read().orderBy("ts", "event_id").select(
         "event_id", "ts", "value", "v2"
     )
+
+
+@register(
+    "store_stats_skipping",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_id < 1000
+       OR (event_id > 9500 AND value > 500.0)
+    ORDER BY event_id
+    """,
+)
+def store_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column file statistics as a data-skipping index (beyond
+    reference — the reference prunes only on the ordering column;
+    this is the Delta/Iceberg file-stats model): the write records
+    [min, max] bounds for EVERY flat column in the manifest, and a
+    DNF-filtered read drops whole files the bounds disprove BEFORE a
+    single scan task is planned. Here event_id is time-correlated,
+    so both or-groups prune to a handful of head/tail files; at
+    100 TB any column correlated with the layout order (ids,
+    ingestion dates, monotone metrics) gets the same free pruning,
+    and uncorrelated columns degrade to a normal pushdown scan."""
+    path = os.path.join(_fresh("store_stats_skipping"), "events_ds")
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ds = OrderedDataset(spark, path)
+    ds.write(df=events, ordered_on="ts", row_group_target_size=1000)
+    out = ds.read(
+        filters=[
+            [("event_id", "<", 1000)],
+            [("event_id", ">", 9500), ("value", ">", 500.0)],
+        ]
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).orderBy("event_id")

@@ -156,6 +156,16 @@ class OrderedDataset:
             entries = [e for e in entries if e.max >= start]
         if end_excl is not None:
             entries = [e for e in entries if e.min < end_excl]
+        if filters:
+            # data-skipping on ANY filtered column from the per-file
+            # stats recorded at write time (Delta/Iceberg file-stats
+            # model) — pruning happens before a single scan task is
+            # planned; files without stats are conservatively kept
+            from oups_spark.functions.filters import dnf_file_can_match
+
+            entries = [
+                e for e in entries if dnf_file_can_match(e.cols, filters)
+            ]
         if not entries:
             schema_json = man.schema_json
             if schema_json is None:
@@ -580,14 +590,17 @@ class OrderedDataset:
                         r["n"],
                         r["mn"],
                         r["mx"],
+                        None,
                     )
                     for r in rows
                 ]
             entries = []
-            for src, n, mn, mx in sorted(stats, key=lambda t: (t[2], t[3])):
+            for src, n, mn, mx, cols in sorted(stats, key=lambda t: (t[2], t[3])):
                 name = f"file_{uuid.uuid4().hex}.parquet"
                 os.replace(src, os.path.join(self.path, name))
-                entries.append(FileEntry(name=name, n_rows=n, min=mn, max=mx))
+                entries.append(
+                    FileEntry(name=name, n_rows=n, min=mn, max=mx, cols=cols)
+                )
             return entries
         finally:
             if cache:
@@ -748,7 +761,7 @@ def _footer_stats(
             return v.astimezone(timezone.utc).replace(tzinfo=None)
         return v
 
-    out: list[tuple[str, int, Any, Any]] = []
+    out: list[tuple[str, int, Any, Any, dict | None]] = []
     for root, _dirs, names in os.walk(staging):
         for nm in names:
             if not nm.endswith(".parquet"):
@@ -781,7 +794,28 @@ def _footer_stats(
                     return None
                 mins.append(norm(st.min))
                 maxs.append(norm(st.max))
-            out.append((p, md.num_rows, min(mins), max(maxs)))
+            # Per-column [min, max] BOUNDS for the data-skipping index
+            # (every other flat column with trustworthy stats).
+            # Strings are included: parquet statistics are bounds by
+            # spec (a truncated max is rounded UP), which is exactly
+            # what pruning needs; INT96 carries no stats; nested
+            # leaves (dotted paths) are not filterable columns here.
+            cols: dict[str, tuple] = {}
+            for i in range(md.num_columns):
+                c = sch.column(i)
+                if i == idx or "." in c.path or c.physical_type == "INT96":
+                    continue
+                cmins, cmaxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        cmins = []
+                        break
+                    cmins.append(norm(st.min))
+                    cmaxs.append(norm(st.max))
+                if cmins:
+                    cols[c.path] = (min(cmins), max(cmaxs))
+            out.append((p, md.num_rows, min(mins), max(maxs), cols or None))
     return out
 
 

@@ -232,21 +232,39 @@ def _dec_tree(v: Any) -> Any:
 
 @dataclass
 class FileEntry:
-    """Stats of one data file (≈ one row group in reference terms)."""
+    """Stats of one data file (≈ one row group in reference terms).
+
+    ``cols``: optional per-column ``{name: [min, max]}`` footer stats
+    beyond the ordering column — the data-skipping index
+    (Delta/Iceberg file-stats model). Absent for files written before
+    the feature or via the Spark-scan stats fallback; pruning
+    degrades gracefully to "cannot skip".
+    """
 
     name: str  # path relative to the dataset directory
     n_rows: int
     min: Any  # ordered_on min
     max: Any  # ordered_on max
+    cols: dict | None = None
 
     def to_json(self) -> dict:
-        return {"name": self.name, "n_rows": self.n_rows,
-                "min": _enc(self.min), "max": _enc(self.max)}
+        d = {"name": self.name, "n_rows": self.n_rows,
+             "min": _enc(self.min), "max": _enc(self.max)}
+        if self.cols:
+            d["cols"] = {
+                c: [_enc(lo), _enc(hi)] for c, (lo, hi) in self.cols.items()
+            }
+        return d
 
     @classmethod
     def from_json(cls, d: dict) -> FileEntry:
+        cols = d.get("cols")
         return cls(name=d["name"], n_rows=d["n_rows"],
-                   min=_dec_tree(d["min"]), max=_dec_tree(d["max"]))
+                   min=_dec_tree(d["min"]), max=_dec_tree(d["max"]),
+                   cols={
+                       c: (_dec_tree(lo), _dec_tree(hi))
+                       for c, (lo, hi) in cols.items()
+                   } if cols else None)
 
 
 _DEFAULT_BACKEND = PosixRenameBackend()

@@ -361,3 +361,36 @@ def test_schema_evolution_type_conflict_raises(spark, scratch):
     bad = make_df(spark, [(ts(2), "not-a-double", "b")])
     with pytest.raises(ValueError, match="cannot change column"):
         ds.write(df=bad, evolve_schema=True)
+
+
+def test_column_stats_file_skipping(spark, scratch):
+    from oups_spark.functions.filters import dnf_file_can_match
+
+    # pure predicate: OR-groups, unknown cols, conservative defaults
+    st = {"v": (10, 20), "s": ("a", "m")}
+    assert not dnf_file_can_match(st, [[("v", ">", 25)]])
+    assert dnf_file_can_match(st, [[("v", ">", 15)]])
+    assert dnf_file_can_match(st, [[("v", ">", 25)], [("s", "==", "b")]])
+    assert not dnf_file_can_match(st, [[("v", ">", 25)], [("s", "==", "z")]])
+    assert dnf_file_can_match(st, [[("unknown", "==", 1)]])
+    assert dnf_file_can_match(None, [[("v", ">", 25)]])
+    assert not dnf_file_can_match(st, [[("v", "in", [1, 2, 30])]])
+    assert dnf_file_can_match(st, [[("v", "in", [1, 15])]])
+    assert dnf_file_can_match(st, [[("v", "!=", 99)]])  # never provable
+
+    # end to end: val correlates with ts, so val filters prune files
+    rows = [(ts(h), float(h), f"s{h:02d}") for h in range(1, 21)]
+    ds = OrderedDataset(spark, f"{scratch}/skip")
+    ds.write(df=make_df(spark, rows), ordered_on="ts", row_group_target_size=5)
+    assert ds.n_files == 4
+    out = ds.read(filters=[("val", ">", 14.5)])
+    assert len(out.inputFiles()) < 4  # files pruned driver-side
+    got = sorted(r.val for r in out.collect())
+    assert got == [15.0, 16.0, 17.0, 18.0, 19.0, 20.0]
+    # string column stats prune too
+    out2 = ds.read(filters=[("sym", "<=", "s03")])
+    assert len(out2.inputFiles()) == 1
+    assert sorted(r.sym for r in out2.collect()) == ["s01", "s02", "s03"]
+    # fully pruned -> empty frame with the dataset schema
+    out3 = ds.read(filters=[("val", ">", 99.0)])
+    assert out3.count() == 0 and out3.columns == ["ts", "val", "sym"]
