@@ -88,6 +88,7 @@ HEADLINE = [
     "store_schema_evolution",
     "lm_quality_score",
     "store_stats_skipping",
+    "text_feature_vectors",
 ]
 
 

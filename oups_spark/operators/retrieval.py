@@ -175,3 +175,50 @@ def bm25_oracle_sql(
     WHERE round({parts}, 6) > 0
     ORDER BY bm25 DESC, {id_col} LIMIT {k}
     """
+
+
+def hashed_feature_vectors(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = 32,
+) -> DataFrame:
+    """Deterministic text -> vector featurization by the hashing
+    trick: every token is hashed into one of ``dim`` buckets
+    (``md5_int % dim`` — engine-portable), the vector is the
+    L2-normalized bucket-count histogram. The cheap, model-free
+    bridge from a text corpus into the vector operators (cosine
+    top-k, ANN, k-means, embedding near-dup) when no trained encoder
+    is in the loop — and the plumbing twin of one (swap the
+    expression for a ``mapInPandas`` encoder batch, schema and
+    partitioning unchanged).
+
+    Fully map-side: one tokenize + one hash pass, then an
+    ``aggregate`` fold that rebuilds the dim-array per token —
+    O(dim x n_tok) arithmetic, but dim is a small constant and the
+    whole fold stays inside whole-stage codegen; no shuffle, no UDF,
+    no Python. Empty documents yield the zero vector.
+    """
+    from oups_spark.operators.text import md5_int, tokens
+
+    tok = tokens(F.col(text_col))
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    # one pass: fold tokens into the histogram by incrementing the
+    # hashed bucket of each token
+    hist = F.aggregate(
+        F.transform(tok, lambda t: F.pmod(md5_int(t), F.lit(dim)).cast("int")),
+        zeros,
+        lambda acc, b: F.transform(
+            acc,
+            lambda v, i: F.when(i == b, v + F.lit(1.0)).otherwise(v),
+        ),
+    )
+    base = df.select(F.col(id_col), hist.alias("__h"))
+    norm = F.sqrt(
+        F.aggregate(F.col("__h"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    vec = F.when(
+        norm > 0, F.transform(F.col("__h"), lambda x: F.round(x / norm, 6))
+    ).otherwise(F.col("__h"))
+    return base.select(F.col(id_col), vec.alias("features"))

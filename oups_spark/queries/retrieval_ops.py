@@ -151,3 +151,66 @@ def source_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _QUOTA)
         .orderBy("source", "rk")
     )
+
+
+_FDIM = 32
+_MD5B = "CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "text_feature_vectors",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    b AS (SELECT doc_id,
+                 list_transform(tok, x -> {_MD5B} % {_FDIM}) AS bk
+          FROM t),
+    h AS (SELECT doc_id,
+                 list_transform(range(0, {_FDIM}),
+                   d -> CAST(len(list_filter(bk, v -> v = d)) AS DOUBLE)) AS hv
+          FROM b),
+    n AS (SELECT doc_id, hv,
+                 sqrt(list_sum(list_transform(hv, x -> x * x))) AS nrm
+          FROM h),
+    f AS (SELECT doc_id,
+            CASE WHEN nrm > 0 THEN
+              list_transform(hv,
+                x -> CAST(floor(round(x / nrm, 6) * 1000000 + 0.5) AS BIGINT))
+            ELSE list_transform(hv, x -> 0::BIGINT) END AS iv
+          FROM n)
+    SELECT doc_id,
+           len(list_filter(iv, x -> x != 0)) AS nnz,
+           md5(array_to_string(iv, ',')) AS f_md5
+    FROM f ORDER BY doc_id
+    """,
+)
+def text_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization of every document into a dense
+    {dim}-d unit vector — the model-free bridge from text into the
+    vector operators (and the plumbing twin of a mapInPandas
+    encoder). One map-side pass, no shuffle; the vector is
+    value-checked via md5 of its 1e-6-scaled integer form (exact
+    cross-engine, same device as embedding_quantize)."""
+    from oups_spark.operators.retrieval import hashed_feature_vectors
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    feats = hashed_feature_vectors(docs, id_col="doc_id", dim=_FDIM)
+    ints = F.transform(
+        F.col("features"),
+        lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    return (
+        feats.select(
+            "doc_id",
+            F.size(F.filter(ints, lambda x: x != 0)).alias("nnz"),
+            F.md5(
+                F.array_join(
+                    F.transform(ints, lambda x: x.cast("string")), ","
+                )
+            ).alias("f_md5"),
+        )
+        .orderBy("doc_id")
+    )
