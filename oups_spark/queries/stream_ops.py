@@ -568,16 +568,21 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 validate_monotonic=False,
             )
 
-    q = (
-        joined.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option(
-            "checkpointLocation", os.path.join(base, "ckpt")
+    from oups_spark.streaming.native import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(
+        spark, int(os.environ.get("OUPS_STREAM_STATE_PARTITIONS", "8"))
+    ):
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option(
+                "checkpointLocation", os.path.join(base, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     out = OrderedDataset(spark, path).read()
     return out.select(
         "click_id", "purchase_id", "user_id", "click_ts", "delay_s"

@@ -21,6 +21,8 @@ watermark, where AggStream would raise on disorder.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -108,7 +110,35 @@ def write_stream_to_dataset(
         writer = writer.trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    query = writer.start()
     if available_now:
-        query.awaitTermination()
-    return query
+        # size the state-store layout to the stream (see
+        # scoped_shuffle_partitions): every micro-batch pays per
+        # state partition, data or not
+        n_state = int(os.environ.get("OUPS_STREAM_STATE_PARTITIONS", "8"))
+        with scoped_shuffle_partitions(spark, n_state):
+            query = writer.start()
+            query.awaitTermination()
+        return query
+    return writer.start()
+
+
+from contextlib import contextmanager  # noqa: E402  (helper below)
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark, n: int):
+    """Temporarily set ``spark.sql.shuffle.partitions`` — a streaming
+    query FREEZES this value into its state-store layout at start, so
+    it must be sized to the stream's state volume, not the session's
+    batch default: every micro-batch touches every state partition
+    (delta file + CRC each), making per-batch overhead linear in the
+    partition count whatever the data size. The driver-harness
+    streams are small; a production deployment sizes this to
+    state-volume / executor-memory instead (and cannot change it
+    without a new checkpoint — Spark pins it per checkpoint)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
