@@ -89,6 +89,8 @@ HEADLINE = [
     "lm_quality_score",
     "store_stats_skipping",
     "text_feature_vectors",
+    "trailing_24h_per_user",
+    "source_quota_twophase",
 ]
 
 

@@ -196,3 +196,59 @@ def stratified_sample(
     )
     bucket = F.pmod(md5_int(F.col(id_col).cast("string")), F.lit(denom))
     return df.filter(bucket < rate_expr * denom)
+
+
+def grouped_topk(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int,
+    ascending: bool = False,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Skew-safe per-group top-k: the fallback for a plain
+    ``row_number`` window when one group dwarfs the rest (a
+    mega-domain in per-domain quotas). Two phases:
+
+    1. LOCAL top-k per (input partition, group) via ``mapInPandas``
+       folding across the partition's Arrow batches — memory and
+       shuffle output are bounded at k rows per group per partition,
+       so the hot group's billions of rows never travel;
+    2. the exact ``row_number`` window over the reduced set (at most
+       k x n_partitions rows per group).
+
+    Deterministic: ordering is ``(order_col, id_col)`` with the id
+    ascending tiebreak in both phases. Result is IDENTICAL to the
+    single-window form (fuzz-asserted in tests) — only the shuffle
+    volume changes.
+    """
+    import pandas as pd
+
+    out_schema = df.select(group_col, order_col, id_col).schema
+
+    def local_topk(it):
+        acc: dict = {}
+        for pdf in it:
+            for g, grp in pdf.groupby(group_col, sort=False, dropna=False):
+                cur = pd.concat([acc[g], grp]) if g in acc else grp
+                acc[g] = cur.sort_values(
+                    [order_col, id_col], ascending=[ascending, True]
+                ).head(k)
+        if acc:
+            yield pd.concat(acc.values())[
+                [group_col, order_col, id_col]
+            ]
+
+    reduced = df.select(group_col, order_col, id_col).mapInPandas(
+        local_topk, out_schema
+    )
+    order = (
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        reduced.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -211,3 +211,40 @@ def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.orderBy("day")
+
+
+@register(
+    "trailing_24h_per_user",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           round(sum(value) OVER w, 6)     AS sum_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def trailing_24h_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frames (vs ``moving_avg_per_user``'s row
+    frames): each event sees the count/sum of the same user's events
+    in its trailing 24 hours. RANGE frames are tiebreak-free by
+    construction — all rows sharing an instant share a frame — so
+    the result is deterministic without a synthetic ordering column.
+    Spark expresses the interval as a µs-precision ``rangeBetween``
+    over ``unix_micros`` (exact twin of the SQL INTERVAL frame);
+    keyed partitions keep frames bounded and parallel across users,
+    never a global sort."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_24h"),
+    ).orderBy("event_id")

@@ -214,3 +214,41 @@ def text_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "source_quota_twophase",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, rk FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {_QUOTA}
+    ORDER BY source, rk
+    """,
+)
+def source_quota_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-source quota as ``source_quota_topk``, computed
+    by the skew-safe two-phase operator (``grouped_topk``): local
+    per-partition top-k bounds shuffle output at k rows per group
+    per partition — the form that survives one mega-source holding
+    most of a 100 TB corpus. Checked against the identical oracle as
+    the single-window form: same result, different shuffle volume.
+    """
+    from oups_spark.operators.pack import grouped_topk
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        grouped_topk(
+            docs,
+            group_col="source",
+            order_col="n_chars",
+            id_col="doc_id",
+            k=_QUOTA,
+        )
+        .select("doc_id", "source", "n_chars", "rk")
+        .orderBy("source", "rk")
+    )

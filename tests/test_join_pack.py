@@ -397,3 +397,38 @@ def test_salted_join_equals_plain_join(spark):
     assert lsalted.filter(F.col("k") == 9).count() == 1
     with pytest.raises(ValueError):
         salted_join(left, right, "k", salt_from="rid", how="right")
+
+
+def test_grouped_topk_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.pack import grouped_topk
+
+    rng = random.Random(7)
+    # skewed: group 'hot' holds 80% of rows; ties in score included
+    rows = [
+        (
+            "hot" if rng.random() < 0.8 else f"g{rng.randrange(6)}",
+            float(rng.randrange(50)),
+            i,
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, score double, id long").repartition(7)
+    got = {
+        (r.grp, r.id, r.rk)
+        for r in grouped_topk(
+            df, group_col="grp", order_col="score", id_col="id", k=5
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.col("id"))
+    want = {
+        (r.grp, r.id, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert got == want
