@@ -91,6 +91,7 @@ HEADLINE = [
     "text_feature_vectors",
     "trailing_24h_per_user",
     "source_quota_twophase",
+    "streaming_sliding_hourly",
 ]
 
 

@@ -587,3 +587,81 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "click_id", "purchase_id", "user_id", "click_ts", "delay_s"
     ).orderBy("click_id", "purchase_id")
+
+
+@register(
+    "streaming_sliding_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, min(ts)) AS lo, max(ts) AS hi
+      FROM events
+    ),
+    ws AS (
+      SELECT unnest(generate_series(lo - INTERVAL 45 MINUTE, hi, INTERVAL 15 MINUTE)) AS w
+      FROM b
+    ),
+    agged AS (
+      SELECT ws.w AS win_start,
+             count(e.ts)            AS n_events,
+             round(sum(e.value), 6) AS sum_val
+      FROM ws JOIN events e
+        ON e.ts >= ws.w AND e.ts < ws.w + INTERVAL 1 HOUR
+      GROUP BY ws.w
+      HAVING count(e.ts) > 0
+    )
+    SELECT win_start, n_events, sum_val
+    FROM agged, (SELECT max(ts) AS m FROM events) mx
+    WHERE win_start + INTERVAL 1 HOUR <= mx.m
+    ORDER BY win_start
+    """,
+)
+def streaming_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING windows on a NATIVE Structured Stream (1h length, 15m
+    slide): the stateful window operator fans each row into 4 open
+    windows, append mode emits each window once at watermark passage
+    — so the result equals the batch hopping aggregation
+    (``sliding_window_1h_15m``) minus windows still open at the
+    final watermark, and the oracle states exactly that."""
+    from oups_spark.streaming.native import (
+        streaming_segment_agg,
+        write_stream_to_dataset,
+    )
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_sliding_hourly")
+    path = os.path.join(base, "wins_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # count = sum of ones (the agg spec is the reference's closed
+    # 5-func set, aggstream.py:47)
+    stream = stream.withColumn("__one", F.lit(1).cast("long"))
+    agged = streaming_segment_agg(
+        stream,
+        "ts",
+        {"n_events": ("__one", "sum"), "sum_val": ("value", "sum")},
+        bin_by="1h",
+        slide_by="15min",
+        watermark="0 seconds",
+        bin_col="win_start",
+    )
+    write_stream_to_dataset(
+        agged, path, bin_col="win_start",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    out = OrderedDataset(spark, path).read()
+    return out.select(
+        "win_start",
+        "n_events",
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("win_start")

@@ -53,19 +53,30 @@ def streaming_segment_agg(
     agg: dict,
     *,
     bin_by: str,
+    slide_by: str | None = None,
     watermark: str = "0 seconds",
     tiebreak: list[str] | None = None,
     bin_col: str = "bin",
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation on a streaming
-    DataFrame — same agg spec as :func:`segment_agg`
-    (first/last/min/max/sum via order-explicit min_by/max_by), bins
-    labeled by their left edge.  Use append output mode: each bin
-    emits exactly once, when the watermark passes its end."""
+    """Watermarked window aggregation on a streaming DataFrame —
+    same agg spec as :func:`segment_agg` (first/last/min/max/sum via
+    order-explicit min_by/max_by), bins labeled by their left edge.
+    ``slide_by`` makes the windows HOPPING (each row enters
+    length/slide overlapping windows — the fan-out happens in the
+    stateful operator, state is per open window). Use append output
+    mode: each window emits exactly once, when the watermark passes
+    its end."""
     from oups_spark.operators.segment import _agg_exprs
 
     order_key = F.struct(ordered_on, *(tiebreak or []))
-    win = F.window(F.col(ordered_on), freq_to_interval(bin_by))
+    if slide_by is not None:
+        win = F.window(
+            F.col(ordered_on),
+            freq_to_interval(bin_by),
+            freq_to_interval(slide_by),
+        )
+    else:
+        win = F.window(F.col(ordered_on), freq_to_interval(bin_by))
     agged = (
         stream_df.withWatermark(ordered_on, watermark)
         .groupBy(win.alias("__w"))
