@@ -1,6 +1,7 @@
 """Retrieval / corpus-assembly queries added in round 4 (continued):
 overlapping document chunking, BM25 top-k retrieval, reproducible
-global shuffle, and per-source quota curation.
+global shuffle, per-source quota curation (single-window and
+skew-safe two-phase forms), and hashing-trick text featurization.
 
 Same contract as ``llm_ops``: every oracle is generated from the
 SAME Python constants as the Spark plan (chunk width/stride, BM25
