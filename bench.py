@@ -92,6 +92,7 @@ HEADLINE = [
     "trailing_24h_per_user",
     "source_quota_twophase",
     "streaming_sliding_hourly",
+    "corpus_pipeline_end2end",
 ]
 
 

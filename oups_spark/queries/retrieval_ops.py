@@ -253,3 +253,97 @@ def source_quota_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "rk")
         .orderBy("source", "rk")
     )
+
+
+_P_MIN_TOK, _P_MAX_DUP = 10, 0.6
+_P_SEED, _P_SHARDS, _P_BUDGET = "pipe1", 4, 2000
+_P_HASH = (
+    f"CAST(('0x' || substr(md5('{_P_SEED}:' || doc_id), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "corpus_pipeline_end2end",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    q AS (
+      SELECT doc_id,
+             len(tok) AS n_tokens,
+             CASE WHEN len(tok) > 0
+                  THEN (len(tok) - len(list_distinct(tok))) / len(tok)::DOUBLE
+                  ELSE 0 END AS dup_frac,
+             md5(array_to_string(list_sort(list_distinct(tok)), ' ')) AS fp
+      FROM t
+      WHERE len(tok) >= {_P_MIN_TOK}
+    ),
+    d AS (
+      SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM q WHERE dup_frac <= {_P_MAX_DUP})
+      WHERE rn = 1
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY {_P_HASH}, doc_id) - 1 AS pos
+      FROM d
+    )
+    SELECT doc_id, n_tokens, pos,
+           CAST(pos % {_P_SHARDS} AS INT) AS shard,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / {_P_BUDGET}) AS BIGINT) AS pack_id
+    FROM s ORDER BY pos
+    """,
+)
+def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data assembly line END TO END, four operators
+    composed in one plan: (1) quality gate (min length, max
+    duplicate-token fraction — map-side), (2) exact dedup on the
+    bag-of-words fingerprint (keep lowest id), (3) reproducible
+    global shuffle into training order, (4) contiguous token-budget
+    packing IN THAT ORDER — exactly how shuffled training sequences
+    are laid out. Every stage is the already-oracle-checked operator;
+    this query checks their COMPOSITION value-for-value against the
+    same four stages in SQL. Scale shape: one corpus scan, one dedup
+    shuffle on the fingerprint, then the two-phase prefix-sum
+    machinery of shuffle+pack (driver state = bucket counts only)."""
+    from oups_spark.operators.pack import pack_token_budget
+    from oups_spark.operators.text import once_per_row, tokens
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # one fused tokenize pass feeds length, dup-fraction and
+    # fingerprint (Generate barrier, see once_per_row)
+    t = once_per_row(docs, {"__tok": tokens(F.col("text"))})
+    n = F.size(F.col("__tok"))
+    nd = F.size(F.array_distinct(F.col("__tok")))
+    q = t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, (n - nd).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("__tok"))))
+        ).alias("fp"),
+    ).filter(n >= _P_MIN_TOK)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    d = (
+        q.filter(F.col("dup_frac") <= _P_MAX_DUP)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    s = deterministic_shuffle(
+        d, id_col="doc_id", seed=_P_SEED, n_shards=_P_SHARDS
+    )
+    packed = pack_token_budget(
+        s, id_col="pos", token_col="n_tokens", budget=_P_BUDGET
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "pos", "shard", "pack_id"
+    ).orderBy("pos")
