@@ -235,3 +235,35 @@ def test_retain_versions_rejects_object_store_backend(spark, scratch):
             backend=InMemoryObjectStore(),
             retain_versions=True,
         )
+
+
+def test_time_travel_preserves_pre_evolution_schema(spark, scratch):
+    import os
+
+    import pandas as pd
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    path = os.path.join(scratch, "evo_tt")
+    ds = OrderedDataset(spark, path, retain_versions=True)
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-01", periods=3, freq="h"), "v": [1.0, 2.0, 3.0]}
+    )
+    ds.write(df=spark.createDataFrame(pdf), ordered_on="ts")
+    g1 = ds.versions()[-1]
+    pdf2 = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01 03:00", periods=2, freq="h"),
+            "v": [4.0, 5.0],
+            "extra": [40, 50],
+        }
+    )
+    ds.write(df=spark.createDataFrame(pdf2), evolve_schema=True)
+    # current read carries the evolved schema
+    cur = ds.read().toPandas()
+    assert list(cur.columns) == ["ts", "v", "extra"]
+    # the pinned generation reads back with ITS OWN (pre-evolution)
+    # schema — a snapshot is the dataset as committed, columns included
+    old = ds.read(as_of=g1).toPandas()
+    assert list(old.columns) == ["ts", "v"]
+    assert len(old) == 3
