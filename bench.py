@@ -93,6 +93,7 @@ HEADLINE = [
     "source_quota_twophase",
     "streaming_sliding_hourly",
     "corpus_pipeline_end2end",
+    "jsonl_ingest_roundtrip",
 ]
 
 

@@ -278,3 +278,56 @@ def store_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "ts", "user_id", "event_type", "value"
     ).orderBy("event_id")
+
+
+@register(
+    "jsonl_ingest_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion — the interchange format every LLM corpus
+    actually arrives in: the documents table is exported to
+    newline-delimited JSON (distributed write), read back through a
+    SCHEMA-PINNED ``spark.read.json`` (no inference pass — at 100 TB
+    schema inference is a full extra scan of the corpus), and merged
+    into an ordered-store dataset. The roundtrip must reproduce the
+    parquet source byte-for-byte (text via md5 — JSON escaping of
+    control characters must round-trip exactly).
+
+    Reference parity: the reference is parquet-only (S12); the
+    source-format layer is beyond-reference."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base = _fresh("jsonl_ingest_roundtrip")
+    jdir = os.path.join(base, "docs_jsonl")
+    path = os.path.join(base, "docs_ds")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").json(jdir)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(jdir)
+    ds = OrderedDataset(spark, path)
+    ds.write(df=back.orderBy("doc_id"), ordered_on="doc_id",
+             validate_monotonic=False)
+    out = ds.read()
+    return out.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
