@@ -38,7 +38,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import StructType
 
 from oups_spark.functions.dates import floor_ts, floor_ts_scalar
-from oups_spark.store.manifest import FileEntry, Manifest
+from oups_spark.store.manifest import (
+    FileEntry,
+    Manifest,
+    ManifestConflictError,
+)
 
 # Reference default: 6_345_000 rows ≈ 290 MB for 6 numeric columns
 # (reference: write.py:32,107-111). Same order of magnitude as a
@@ -214,6 +218,52 @@ class OrderedDataset:
         validate_monotonic: bool = True,
         known_stats: tuple | None = None,
         evolve_schema: bool = False,
+        conflict_retries: int = 0,
+    ) -> None:
+        """Ordered merge write with optimistic-concurrency retry.
+
+        ``conflict_retries``: on a manifest CAS conflict (another
+        writer committed between this writer's manifest read and its
+        commit — only the object-store backend detects this), reload
+        the manifest and RE-RUN the whole write that many times. The
+        full re-run is required for correctness, not convenience: the
+        overlap analysis, keep-last dedup and file split were all
+        computed against the superseded manifest. Data files staged
+        by the failed attempt are removed before retrying (they were
+        never referenced). Default 0 = raise, caller decides.
+        """
+        attempt = 0
+        while True:
+            try:
+                return self._write_attempt(
+                    df,
+                    ordered_on=ordered_on,
+                    duplicates_on=duplicates_on,
+                    row_group_target_size=row_group_target_size,
+                    max_n_off_target_rgs=max_n_off_target_rgs,
+                    key_value_metadata=key_value_metadata,
+                    validate_monotonic=validate_monotonic,
+                    known_stats=known_stats,
+                    evolve_schema=evolve_schema,
+                )
+            except ManifestConflictError:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
+                self._manifest = Manifest.load(self.path, self.backend)
+
+    def _write_attempt(
+        self,
+        df: DataFrame | None = None,
+        *,
+        ordered_on: str | None = None,
+        duplicates_on: list[str] | str | None = None,
+        row_group_target_size: int | str = DEFAULT_ROW_GROUP_TARGET_SIZE,
+        max_n_off_target_rgs: int | None = None,
+        key_value_metadata: dict | None = None,
+        validate_monotonic: bool = True,
+        known_stats: tuple | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         """Ordered merge write (see module docstring for the plan).
 
@@ -348,12 +398,37 @@ class OrderedDataset:
             cache=duplicates_on is not None,
         )
 
-        man = self._manifest or Manifest(ordered_on=ordered_on)
+        # build the CANDIDATE manifest as a copy: a failed commit
+        # (e.g. CAS conflict) must not leave this handle's in-memory
+        # manifest referencing files that were cleaned up — the
+        # handle state changes only on successful commit
+        if self._manifest is None:
+            man = Manifest(ordered_on=ordered_on)
+        else:
+            b = self._manifest
+            man = Manifest(
+                ordered_on=ordered_on,
+                files=list(b.files),
+                kv=dict(b.kv),
+                schema_json=b.schema_json,
+                generation=b.generation,
+                token=b.token,
+            )
         man.ordered_on = ordered_on
         man.files = kept + new_entries
         man.schema_json = (target_schema or df.schema).json()
         _merge_kv(man.kv, key_value_metadata)
-        man.save(self.path, self.backend, snapshot=self.retain_versions)
+        try:
+            man.save(self.path, self.backend, snapshot=self.retain_versions)
+        except ManifestConflictError:
+            # the staged files of THIS attempt were moved in but never
+            # referenced by any committed manifest — remove them so a
+            # retry (or abandonment) leaves no orphans
+            for e in new_entries:
+                p = os.path.join(self.path, e.name)
+                if os.path.exists(p):
+                    os.remove(p)
+            raise
         self._manifest = man
         if not self.retain_versions:
             for name in replaced_names:

@@ -267,3 +267,57 @@ def test_time_travel_preserves_pre_evolution_schema(spark, scratch):
     old = ds.read(as_of=g1).toPandas()
     assert list(old.columns) == ["ts", "v"]
     assert len(old) == 3
+
+
+def test_write_conflict_retry_merges_both_writers(spark, scratch):
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import (
+        InMemoryObjectStore,
+        ManifestConflictError,
+    )
+
+    path = os.path.join(scratch, "cas_retry")
+    be = InMemoryObjectStore()
+
+    def frame(h0, vals):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.date_range(f"2024-01-01 {h0}:00", periods=len(vals), freq="h"),
+                "v": vals,
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    w1 = OrderedDataset(spark, path, backend=be)
+    w1.write(df=frame(0, [1.0, 2.0]), ordered_on="ts")
+
+    # two handles read the same manifest generation
+    a = OrderedDataset(spark, path, backend=be)
+    b = OrderedDataset(spark, path, backend=be)
+    b.write(df=frame(2, [3.0]))  # b commits first
+
+    # a's write was planned against the superseded manifest:
+    # without retries it must surface the conflict...
+    with pytest.raises(ManifestConflictError):
+        a.write(df=frame(3, [4.0]))
+    # ...and with a retry budget it re-plans against the fresh
+    # manifest and commits; BOTH writers' rows survive
+    a.write(df=frame(3, [4.0]), conflict_retries=2)
+    got = (
+        OrderedDataset(spark, path, backend=be)
+        .read()
+        .toPandas()
+        .sort_values("ts", ignore_index=True)
+    )
+    assert got["v"].tolist() == [1.0, 2.0, 3.0, 4.0]
+    # no orphaned data files: every parquet in the dir is referenced
+    files_on_disk = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    referenced = {
+        e.name for e in OrderedDataset(spark, path, backend=be).manifest.files
+    }
+    assert files_on_disk == referenced
