@@ -351,3 +351,70 @@ def test_quantize_int8_property(spark, vecs):
         else:
             # mse is rounded to 6dp on output; allow that slack
             assert row["mse"] <= (scale / 2) ** 2 + 1e-6
+
+
+evo_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # minute offset
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.tuples(evo_batch, st.sampled_from(["base", "plus", "minus"])),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_schema_evolution_equivalence_property(
+    spark, tmp_path_factory, batches
+):
+    """A random sequence of evolving appends (adding and omitting
+    columns) == the pandas emulation (outer concat, NaN for absent
+    columns). Ordering column strictly increases across batches so
+    every write is a pure append."""
+    import numpy as np
+
+    root = tmp_path_factory.mktemp("evo_prop")
+    ds = OrderedDataset(spark, str(root / "ds"))
+    pdfs = []
+    base_min = 0
+    for rows, shape in batches:
+        ts = [
+            pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=base_min + i)
+            for i in range(len(rows))
+        ]
+        base_min += len(rows) + 1
+        pdf = pd.DataFrame({"ts": ts, "v": [float(v) for _, v in rows]})
+        if shape == "plus":
+            pdf["extra"] = [int(m) for m, _ in rows]
+        elif shape == "minus" and pdfs:
+            pdf = pdf.drop(columns=["v"])
+        pdfs.append(pdf)
+        ds.write(
+            df=spark.createDataFrame(pdf),
+            ordered_on="ts",
+            row_group_target_size=5,
+            evolve_schema=True,
+        )
+    want = pd.concat(pdfs, ignore_index=True).sort_values(
+        "ts", ignore_index=True
+    )
+    got = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in sorted(want.columns):
+        if c == "ts":
+            assert got["ts"].tolist() == want["ts"].tolist()
+        else:
+            g = got[c].astype("float64").to_numpy()
+            w = want[c].astype("float64").to_numpy()
+            assert np.allclose(g, w, equal_nan=True, atol=1e-6)

@@ -57,6 +57,11 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="subset of query names")
     args = ap.parse_args()
 
+    # corpus-dependent oracle generators (IVF/PQ/k-means centroid
+    # literals) must train on the SAME tables the check queries —
+    # align them with --sf before the registry imports
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = args.sf
+
     import __spark_entry__ as entrymod
     from oups_spark.session import get_spark
 
