@@ -94,6 +94,7 @@ HEADLINE = [
     "streaming_sliding_hourly",
     "corpus_pipeline_end2end",
     "jsonl_ingest_roundtrip",
+    "topic_clusters",
 ]
 
 

@@ -183,6 +183,7 @@ def hashed_feature_vectors(
     id_col: str,
     text_col: str = "text",
     dim: int = 32,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Deterministic text -> vector featurization by the hashing
     trick: every token is hashed into one of ``dim`` buckets
@@ -218,7 +219,36 @@ def hashed_feature_vectors(
     norm = F.sqrt(
         F.aggregate(F.col("__h"), F.lit(0.0), lambda a, x: a + x * x)
     )
-    vec = F.when(
-        norm > 0, F.transform(F.col("__h"), lambda x: F.round(x / norm, 6))
-    ).otherwise(F.col("__h"))
+    if round_to is None:
+        unit = F.transform(F.col("__h"), lambda x: x / norm)
+    else:
+        unit = F.transform(
+            F.col("__h"), lambda x: F.round(x / norm, round_to)
+        )
+    vec = F.when(norm > 0, unit).otherwise(F.col("__h"))
     return base.select(F.col(id_col), vec.alias("features"))
+
+
+def hashed_feature_vectors_np(texts, *, dim: int = 32):
+    """Sequential numpy twin of :func:`hashed_feature_vectors`
+    (round_to=None): same tokenizer (lowercased whitespace split),
+    same md5 bucket hash, float64 normalization. Used by oracle
+    generators that must replay the featurization driver-side."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for r, text in enumerate(texts):
+        toks = [t for t in (text or "").strip().lower().split() if t]
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+            out[r, b] += 1.0
+        # left-to-right accumulation mirrors the Spark fold exactly
+        acc = 0.0
+        for v in out[r]:
+            acc += v * v
+        n = acc ** 0.5
+        if n > 0:
+            out[r] = out[r] / n
+    return out
