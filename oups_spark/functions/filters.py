@@ -88,13 +88,26 @@ def dnf_file_can_match(
         lo, hi = st
         if lo is None or hi is None:
             return False
+        # NaN safety (PARQUET-1246): parquet footer min/max EXCLUDE
+        # NaN, but Spark orders NaN above every double, so a float
+        # file whose non-NaN max is below a '>' / '>=' threshold can
+        # still hold NaN rows the row-level filter would return.
+        # Only those two ops are affected: NaN never satisfies
+        # < / <= / == / IN against non-NaN values, and an == NaN /
+        # IN(NaN) probe falls through (NaN comparisons are False),
+        # keeping the file. Mirrors Delta's NaN-aware skipping.
+        is_float = (
+            isinstance(lo, float)
+            or isinstance(hi, float)
+            or isinstance(value, float)
+        )
         try:
             if op in ("==", "="):
                 return value < lo or value > hi
             if op == ">":
-                return hi <= value
+                return False if is_float else hi <= value
             if op == ">=":
-                return hi < value
+                return False if is_float else hi < value
             if op == "<":
                 return lo >= value
             if op == "<=":

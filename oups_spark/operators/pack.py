@@ -220,9 +220,14 @@ def grouped_topk(
        k x n_partitions rows per group).
 
     Deterministic: ordering is ``(order_col, id_col)`` with the id
-    ascending tiebreak in both phases. Result is IDENTICAL to the
-    single-window form (fuzz-asserted in tests) — only the shuffle
-    volume changes.
+    ascending tiebreak in both phases. NULL order values sort LAST in
+    both directions — pandas ``na_position='last'`` in phase 1 must
+    agree with the window spec in phase 2, and Spark's bare ``asc()``
+    would put nulls FIRST (rows phase 1 already dropped from its
+    local top-k), so the window pins ``asc_nulls_last`` /
+    ``desc_nulls_last`` explicitly. Result is IDENTICAL to a
+    single-window form using the same nulls-last spec (fuzz-asserted
+    in tests) — only the shuffle volume changes.
     """
     import pandas as pd
 
@@ -234,7 +239,9 @@ def grouped_topk(
             for g, grp in pdf.groupby(group_col, sort=False, dropna=False):
                 cur = pd.concat([acc[g], grp]) if g in acc else grp
                 acc[g] = cur.sort_values(
-                    [order_col, id_col], ascending=[ascending, True]
+                    [order_col, id_col],
+                    ascending=[ascending, True],
+                    na_position="last",
                 ).head(k)
         if acc:
             yield pd.concat(acc.values())[
@@ -245,7 +252,9 @@ def grouped_topk(
         local_topk, out_schema
     )
     order = (
-        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+        F.col(order_col).asc_nulls_last()
+        if ascending
+        else F.col(order_col).desc_nulls_last()
     )
     w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
     return (

@@ -715,11 +715,15 @@ def _kmeans_init_ids(ids, k: int, seed: int):
     return sorted(sorted(ids), key=lambda i: (h(i), i))[:k]
 
 
-def kmeans_lloyd_np(X, ids, *, k: int, iters: int, seed: int):
+def kmeans_lloyd_np(
+    X, ids, *, k: int, iters: int, seed: int, center_decimals: int | None = None
+):
     """Numpy twin of :func:`kmeans_lloyd` — same init, same update
-    rule, float64 throughout. Shared by the DuckDB oracle generator
-    (same data + seed => same final centroids up to summation-order
-    ulps, so assignments match wherever margins exceed ~1e-12)."""
+    rule, float64 throughout; used in tests as the sequential
+    reference. With ``center_decimals`` (matching the distributed
+    call) the per-iteration rounding absorbs summation-order ulps, so
+    twin and distributed trajectories agree exactly rather than
+    "up to ulps on near-tie assignments"."""
     import numpy as np
 
     X = np.asarray(X, dtype=np.float64)
@@ -733,6 +737,11 @@ def kmeans_lloyd_np(X, ids, *, k: int, iters: int, seed: int):
             m = X[assign == j]
             if len(m):
                 C[j] = m.mean(axis=0)  # empty cluster keeps its centroid
+                if center_decimals is not None:
+                    # half-away-from-zero to match Spark/DuckDB round
+                    # (np.round is half-to-even)
+                    f = 10.0**center_decimals
+                    C[j] = np.sign(C[j]) * np.floor(np.abs(C[j]) * f + 0.5) / f
     return C
 
 
@@ -780,6 +789,7 @@ def kmeans_lloyd(
     k: int = 8,
     iters: int = 3,
     seed: int = 42,
+    center_decimals: int | None = None,
 ) -> DataFrame:
     """DISTRIBUTED Lloyd's k-means over the full table (unlike the
     IVF quantizer, which trains on a bounded driver sample): each
@@ -794,14 +804,30 @@ def kmeans_lloyd(
 
     Deterministic: init picks the k ids with the lowest
     ``md5(seed:id)`` (engine-portable; one bounded TakeOrdered job),
-    updates are float64 averages. :func:`kmeans_lloyd_np` is the
-    sequential twin used to generate the DuckDB oracle.
+    updates are float64 averages. With ``center_decimals`` set, every
+    averaged centroid cell is rounded to that many decimals before
+    the next assignment pass: float64 averages over shuffled partials
+    are summation-order dependent (both run-to-run within Spark and
+    Spark-vs-another-engine), and an ulp difference on a near-tie
+    assignment in any iteration lets trajectories diverge
+    macroscopically. Per-iteration rounding pins the trajectory so an
+    independent engine replaying the same rounded updates (e.g. a
+    DuckDB SQL oracle) reaches bit-identical centroids.
+    :func:`kmeans_lloyd_np` is the sequential twin used in tests.
 
     Returns the input with a ``cluster`` column from the FINAL
     assignment.
     """
     from oups_spark.operators.text import md5_int
 
+    # Materialize the input ONCE: the loop reads it iters+2 times (init
+    # scan, init-centroid collect, per-iteration agg, final assign), and
+    # callers frequently pass an expensive derivation (topic_clusters'
+    # featurization is an O(dim x n_tok) expression fold per row).
+    # Without this, every pass re-runs that upstream — 5 corpus scans
+    # instead of 1 at 100 TB. localCheckpoint also truncates the
+    # lineage so Catalyst doesn't re-optimize the fold per job.
+    df = df.localCheckpoint(eager=True)
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     init_ids = [
         r[0]
@@ -818,21 +844,37 @@ def kmeans_lloyd(
         for r in base.filter(F.col(id_col).isin(init_ids)).collect()
     }
     C = [cents[i] for i in init_ids]
+    dim = len(C[0])
     for _ in range(iters):
         assigned = kmeans_assign(base, C, vec_col="__v")
+        # (cluster, dim)-cell explode + hash agg: partial-combined
+        # map-side, so the shuffle carries k x dim partials per
+        # partition. A dim-wide column-per-avg agg was measured
+        # SLOWER here — >100 agg buffer fields kicks the plan out of
+        # whole-stage codegen (spark.sql.codegen.maxFields)
+        m_expr = F.avg("x")
+        if center_decimals is not None:
+            # round(x * 10^d) / 10^d rather than F.round(x, d): the
+            # scale-0 round then float64 divide is the SAME sequence
+            # of IEEE ops DuckDB's `round(avg(..) * f) / f` performs,
+            # so oracle and engine produce bit-identical centroids
+            # (F.round(x, d)'s BigDecimal re-parse can differ from a
+            # divide by one ulp)
+            factor = F.lit(float(10**center_decimals))
+            m_expr = F.round(m_expr * factor) / factor
         cells = (
             assigned.select(
                 "cluster", F.posexplode(F.col("__v")).alias("d", "x")
             )
             .groupBy("cluster", "d")
-            .agg(F.avg("x").alias("m"))
+            .agg(m_expr.alias("m"))
             .collect()
         )
         upd: dict[int, dict[int, float]] = {}
         for r in cells:
             upd.setdefault(r["cluster"], {})[r["d"]] = r["m"]
         C = [
-            [upd[j][d] for d in range(len(C[j]))] if j in upd else C[j]
+            [upd[j][d] for d in range(dim)] if j in upd else C[j]
             for j in range(len(C))
         ]
     return kmeans_assign(df, C, vec_col=vec_col)

@@ -643,10 +643,13 @@ def bigram_nll_df(
     hash agg with map-side partial combine, so the shuffle carries at
     most vocab / bigram-vocab partials per partition, NOT one row per
     token; (2) scoring — the doc's bigrams explode and join the count
-    tables, which Spark broadcasts (they are vocabulary-sized; at
-    100 TB cap them to a top-V vocabulary with an OOV bucket and the
-    broadcast stays megabytes — the formula is unchanged). Output per
-    doc: ``n_bigrams``, ``avg_nll`` (rounded 6dp).
+    tables. The count tables are NOT broadcast-hinted: bigram
+    vocabulary grows with the corpus, so a forced broadcast would OOM
+    at scale — AQE broadcasts them when they measure small and falls
+    back to a shuffled hash join on the uniform ``bg``/``w1`` keys
+    when they don't. Only the one-row V aggregate is pinned
+    broadcast. Output per doc: ``n_bigrams``, ``avg_nll`` (rounded
+    6dp).
 
     Docs with fewer than 2 tokens have no bigrams and drop out,
     matching the SQL twin.
@@ -667,8 +670,8 @@ def bigram_nll_df(
     vocab = uni.agg(F.count(F.lit(1)).alias("V"))
     big = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     scored = (
-        bg.join(F.broadcast(big), on="bg")
-        .join(F.broadcast(uni), on="w1")
+        bg.join(big, on="bg")
+        .join(uni, on="w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),

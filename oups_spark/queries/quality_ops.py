@@ -288,72 +288,103 @@ def duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql() -> str | None:
-    """DuckDB twin of ``kmeans_clusters``: the FINAL centroids are
-    deterministic given corpus + seed, so the generator replays the
-    same iterations with the numpy twin (same init ids, same float64
-    update rule) and emits them as literals; the SQL is then one
-    argmin assignment. Returns None (rows-only) when the table is
-    missing or too large to replicate driver-side."""
-    import os
+def kmeans_unrolled_sql(
+    vec_cte: str,
+    *,
+    out_id: str,
+    k: int,
+    iters: int,
+    seed: int,
+    decimals: int = 6,
+) -> str:
+    """Pure-SQL unrolled Lloyd's k-means: a fully INDEPENDENT DuckDB
+    oracle — no repo code executes; the SQL itself recomputes the
+    init (k ids with the lowest ``(md5_int32(f'{seed}:{id}'), id)``),
+    every iteration's argmin assignment (squared-L2, ties to the
+    lowest cluster) and rounded centroid update, and the final
+    assignment. ``vec_cte`` must be CTE text (without the leading
+    WITH) whose last CTE is ``v(id, e DOUBLE[])``.
 
-    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    path = os.path.join(sf, "embeddings.parquet")
-    if not os.path.exists(path):
-        return None
-    import duckdb
-    import numpy as np
+    Cross-engine determinism: the engine rounds each averaged
+    centroid cell via ``round(avg * 10^d) / 10^d`` per iteration
+    (``kmeans_lloyd(center_decimals=d)``); the identical formula here
+    yields bit-identical centroids, so trajectories cannot diverge
+    from summation-order ulps in the averages — the flakiness an
+    emit-literals numpy replay suffered from. Distances use the same
+    left-to-right dim-order float64 fold both engines evaluate.
+    """
+    fac = 10**decimals
+    # squared L2 between v.e and candidate centroid p.c, summed in
+    # dim order — the same fold order as kmeans_assign's aggregate
+    d2 = (
+        "list_sum(list_transform(range(1, len(v.e) + 1), "
+        "i -> (v.e[i] - p.c[i]) * (v.e[i] - p.c[i])))"
+    )
+    parts = [
+        vec_cte,
+        f"""
+    c0 AS (
+      SELECT CAST(rn - 1 AS INT) AS cl, e AS c FROM (
+        SELECT e, row_number() OVER (
+            ORDER BY CAST(('0x' || substr(md5('{seed}:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT),
+                     id) AS rn
+        FROM v) WHERE rn <= {k})""",
+    ]
+    for n in range(1, iters + 1):
+        parts.append(f"""
+    a{n} AS (
+      SELECT id, e, cl FROM (
+        SELECT v.id, v.e, p.cl,
+               row_number() OVER (PARTITION BY v.id ORDER BY {d2}, p.cl) AS rn
+        FROM v CROSS JOIN c{n - 1} p) WHERE rn = 1),
+    u{n} AS (
+      SELECT cl, i, round(avg(e[i]) * {fac}) / {fac} AS m
+      FROM a{n}, LATERAL unnest(range(1, len(e) + 1)) AS r(i)
+      GROUP BY cl, i),
+    c{n} AS (
+      SELECT p.cl, coalesce(g.c, p.c) AS c
+      FROM c{n - 1} p LEFT JOIN (
+        SELECT cl, list(m ORDER BY i) AS c FROM u{n} GROUP BY cl) g
+      USING (cl))""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT id AS {out_id}, cl AS cluster FROM (
+      SELECT v.id, p.cl,
+             row_number() OVER (PARTITION BY v.id ORDER BY {d2}, p.cl) AS rn
+      FROM v CROSS JOIN c{iters} p) WHERE rn = 1
+    ORDER BY {out_id}
+    """
+    )
 
-    from oups_spark.operators.similarity import kmeans_lloyd_np
 
-    con = duckdb.connect()
-    rows = con.sql(
-        f"SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{path}') "
-        f"ORDER BY vec_id"
-    ).fetchall()
-    con.close()
-    if not rows or len(rows) > 100_000:
-        return None
-    C = kmeans_lloyd_np(
-        np.vstack([r[1] for r in rows]),
-        [r[0] for r in rows],
+@register(
+    "kmeans_clusters",
+    oracle=kmeans_unrolled_sql(
+        "v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)",
+        out_id="vec_id",
         k=8,
         iters=3,
         seed=42,
-    )
-    from oups_spark.queries.llm_ops import _vec_sql
-
-    cents = ", ".join(
-        f"({j}, {_vec_sql(C[j])}::DOUBLE[])" for j in range(len(C))
-    )
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cents(cl, c) AS (VALUES {cents})
-    SELECT vec_id, cl::INT AS cluster FROM (
-      SELECT v.vec_id, cents.cl,
-             row_number() OVER (PARTITION BY v.vec_id
-                                ORDER BY list_distance(v.e, cents.c),
-                                         cents.cl) AS rn
-      FROM v CROSS JOIN cents) WHERE rn = 1
-    ORDER BY vec_id
-    """
-
-
-@register("kmeans_clusters", oracle=_kmeans_oracle_sql())
+    ),
+)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 3 iterations) over the full
     embedding table — the canonical iterative algorithm on Spark:
     per iteration, a map-side literal-centroid assignment plus ONE
     partial-combined hash agg whose shuffle is O(k x dim x
     partitions) and whose driver state is k x dim cells; the corpus
-    itself is scanned, never re-shuffled. The oracle replays the
-    same deterministic iterations sequentially (numpy twin) and
-    checks the final assignment of every vector."""
+    itself is scanned once (localCheckpoint), never re-shuffled. The
+    oracle recomputes init + every iteration + final assignment in
+    pure SQL (``kmeans_unrolled_sql``) — nothing driver-side is
+    trusted; per-iteration centroid rounding keeps the two engines'
+    trajectories bit-identical."""
     from oups_spark.operators.similarity import kmeans_lloyd
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return (
-        kmeans_lloyd(emb, k=8, iters=3, seed=42)
+        kmeans_lloyd(emb, k=8, iters=3, seed=42, center_decimals=6)
         .select("vec_id", "cluster")
         .orderBy("vec_id")
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from oups_spark.operators.pack import deterministic_shuffle
 from oups_spark.operators.retrieval import bm25_oracle_sql, bm25_topk, doc_chunks
 from oups_spark.queries import register
+from oups_spark.queries.quality_ops import kmeans_unrolled_sql
 from oups_spark.tables import load
 
 _TOK = (
@@ -352,39 +353,12 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TC_K, _TC_ITERS, _TC_SEED = 6, 2, 7
 
 
-def _topic_oracle_sql() -> str | None:
-    """DuckDB twin of ``topic_clusters``: replay featurization +
-    Lloyd iterations with the numpy twins (same hash, same float64
-    updates), emit the FINAL centroids as literals, assign by argmin
-    in SQL. None (rows-only) if the table is missing/too large."""
-    import os
-
-    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    path = os.path.join(sf, "documents.parquet")
-    if not os.path.exists(path):
-        return None
-    import duckdb
-
-    from oups_spark.operators.retrieval import hashed_feature_vectors_np
-    from oups_spark.operators.similarity import kmeans_lloyd_np
-
-    con = duckdb.connect()
-    rows = con.sql(
-        f"SELECT doc_id, text FROM read_parquet('{path}') ORDER BY doc_id"
-    ).fetchall()
-    con.close()
-    if not rows or len(rows) > 100_000:
-        return None
-    ids = [r[0] for r in rows]
-    X = hashed_feature_vectors_np([r[1] for r in rows], dim=_FDIM)
-    C = kmeans_lloyd_np(X, ids, k=_TC_K, iters=_TC_ITERS, seed=_TC_SEED)
-    from oups_spark.queries.llm_ops import _vec_sql
-
-    cents = ", ".join(
-        f"({j}, {_vec_sql(C[j])}::DOUBLE[])" for j in range(len(C))
-    )
-    return f"""
-    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+# Featurization twin (hashing-trick histogram, L2-normalized) as the
+# vector CTE feeding the pure-SQL unrolled k-means oracle. The
+# histogram counts are exact small integers, so the norm + divide are
+# bit-identical to Spark's fold; nothing driver-side is replayed.
+_TC_VEC_CTE = f"""
+    t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
     b AS (SELECT doc_id,
                  list_transform(tok, x -> {_MD5B} % {_FDIM}) AS bk
           FROM t),
@@ -392,33 +366,34 @@ def _topic_oracle_sql() -> str | None:
                  list_transform(range(0, {_FDIM}),
                    d -> CAST(len(list_filter(bk, v -> v = d)) AS DOUBLE)) AS hv
           FROM b),
-    v AS (SELECT doc_id,
+    v AS (SELECT doc_id AS id,
                  CASE WHEN sqrt(list_sum(list_transform(hv, x -> x*x))) > 0
                       THEN list_transform(hv,
                         x -> x / sqrt(list_sum(list_transform(hv, y -> y*y))))
-                      ELSE hv END AS fv
-          FROM h),
-    cents(cl, c) AS (VALUES {cents})
-    SELECT doc_id, cl::INT AS cluster FROM (
-      SELECT v.doc_id, cents.cl,
-             row_number() OVER (PARTITION BY v.doc_id
-                                ORDER BY list_distance(v.fv, cents.c),
-                                         cents.cl) AS rn
-      FROM v CROSS JOIN cents) WHERE rn = 1
-    ORDER BY doc_id
-    """
+                      ELSE hv END AS e
+          FROM h)"""
 
 
-@register("topic_clusters", oracle=_topic_oracle_sql())
+@register(
+    "topic_clusters",
+    oracle=kmeans_unrolled_sql(
+        _TC_VEC_CTE,
+        out_id="doc_id",
+        k=_TC_K,
+        iters=_TC_ITERS,
+        seed=_TC_SEED,
+    ),
+)
 def topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text clustering END TO END with zero model dependencies:
     hashing-trick featurization (map-side, no UDF) feeding the
     distributed Lloyd's k-means — the document-clustering /
     topic-bucketing pass a curation pipeline runs to balance topical
-    coverage. The oracle replays BOTH stages sequentially (numpy
-    twins of the featurizer and the iterations) and checks every
+    coverage. The oracle recomputes BOTH stages in pure SQL
+    (featurization CTE + ``kmeans_unrolled_sql``) and checks every
     document's final cluster. Scale shape: featurization rides the
-    corpus scan; each k-means iteration is one bounded hash agg."""
+    corpus scan ONCE (k-means localCheckpoints its input); each
+    k-means iteration is one bounded hash agg."""
     from oups_spark.operators.retrieval import hashed_feature_vectors
     from oups_spark.operators.similarity import kmeans_lloyd
 
@@ -438,6 +413,7 @@ def topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_TC_K,
             iters=_TC_ITERS,
             seed=_TC_SEED,
+            center_decimals=6,
         )
         .select("doc_id", "cluster")
         .orderBy("doc_id")

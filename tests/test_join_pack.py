@@ -432,3 +432,55 @@ def test_grouped_topk_matches_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_grouped_topk_null_order_values_match_window(spark):
+    """NULL order values must rank identically in both phases: the
+    contract is nulls-LAST in both directions (pandas na_position=
+    'last' in phase 1, asc_nulls_last/desc_nulls_last window in
+    phase 2) — a bare asc() window would put nulls first, ranking
+    rows phase 1 already dropped."""
+    import random
+
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.pack import grouped_topk
+
+    rng = random.Random(11)
+    rows = [
+        (
+            f"g{rng.randrange(3)}",
+            None if rng.random() < 0.4 else float(rng.randrange(10)),
+            i,
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, score double, id long"
+    ).repartition(5)
+    for asc in (True, False):
+        got = {
+            (r.grp, r.id, r.rk)
+            for r in grouped_topk(
+                df,
+                group_col="grp",
+                order_col="score",
+                id_col="id",
+                k=4,
+                ascending=asc,
+            ).collect()
+        }
+        order = (
+            F.col("score").asc_nulls_last()
+            if asc
+            else F.col("score").desc_nulls_last()
+        )
+        w = Window.partitionBy("grp").orderBy(order, F.col("id"))
+        want = {
+            (r.grp, r.id, r.rk)
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 4)
+            .collect()
+        }
+        assert got == want, f"ascending={asc}"

@@ -378,15 +378,30 @@ def test_column_stats_file_skipping(spark, scratch):
     assert dnf_file_can_match(st, [[("v", "in", [1, 15])]])
     assert dnf_file_can_match(st, [[("v", "!=", 99)]])  # never provable
 
+    # NaN safety (PARQUET-1246): parquet min/max exclude NaN but Spark
+    # orders NaN above every double, so float stats must NOT prune
+    # '>' / '>=' (a NaN row would satisfy them) while '<' / '<=' / '=='
+    # / 'in' stay prunable (NaN never satisfies those)
+    fst = {"f": (10.0, 20.0)}
+    assert dnf_file_can_match(fst, [[("f", ">", 25.0)]])
+    assert dnf_file_can_match(fst, [[("f", ">=", 25.0)]])
+    assert not dnf_file_can_match(fst, [[("f", "<", 5.0)]])
+    assert not dnf_file_can_match(fst, [[("f", "<=", 5.0)]])
+    assert not dnf_file_can_match(fst, [[("f", "==", 25.0)]])
+    assert not dnf_file_can_match(fst, [[("f", "in", [5.0, 25.0])]])
+    # int stats with a float probe value are float-contaminated too
+    assert dnf_file_can_match(st, [[("v", ">", 25.0)]])
+
     # end to end: val correlates with ts, so val filters prune files
+    # ('<' on the float column — the op that stays NaN-safe to prune)
     rows = [(ts(h), float(h), f"s{h:02d}") for h in range(1, 21)]
     ds = OrderedDataset(spark, f"{scratch}/skip")
     ds.write(df=make_df(spark, rows), ordered_on="ts", row_group_target_size=5)
     assert ds.n_files == 4
-    out = ds.read(filters=[("val", ">", 14.5)])
+    out = ds.read(filters=[("val", "<", 6.5)])
     assert len(out.inputFiles()) < 4  # files pruned driver-side
     got = sorted(r.val for r in out.collect())
-    assert got == [15.0, 16.0, 17.0, 18.0, 19.0, 20.0]
+    assert got == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
     # string column stats prune too
     out2 = ds.read(filters=[("sym", "<=", "s03")])
     assert len(out2.inputFiles()) == 1

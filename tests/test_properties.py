@@ -418,3 +418,90 @@ def test_schema_evolution_equivalence_property(
             g = got[c].astype("float64").to_numpy()
             w = want[c].astype("float64").to_numpy()
             assert np.allclose(g, w, equal_nan=True, atol=1e-6)
+
+
+# op alphabet for the retention-invariant property: writes (plain and
+# schema-evolving), compact, vacuum — the four ops whose interaction
+# guards the reproducible-training contract
+_tt_op = st.one_of(
+    st.tuples(
+        st.just("write"),
+        st.integers(min_value=0, max_value=40),   # range start
+        st.integers(min_value=2, max_value=10),   # range width
+    ),
+    st.tuples(st.just("evolve"), st.integers(min_value=0, max_value=40),
+              st.integers(min_value=2, max_value=10)),
+    st.tuples(st.just("compact"), st.just(0), st.just(0)),
+    st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3),
+              st.just(0)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_tt_op, min_size=2, max_size=7))
+def test_time_travel_retention_invariant_property(
+    spark, tmp_path_factory, ops
+):
+    """Any interleaving of write / evolving-write / compact / vacuum
+    preserves the time-travel contract: every RETAINED generation
+    reads back exactly the rows and columns it was committed with
+    (later evolution, overlapping rewrites, and compaction do not
+    leak into pinned snapshots), and every vacuumed generation raises
+    rather than partially reading."""
+    import os
+
+    root = tmp_path_factory.mktemp("tt_prop")
+    ds = OrderedDataset(spark, str(root / "ds"), retain_versions=True)
+
+    committed: list[tuple[int, pd.DataFrame]] = []  # (gen, frame-at-commit)
+    n_evo = 0
+    tag = 0.0
+    for kind, a, b in ops:
+        if kind == "write" or kind == "evolve":
+            tag += 1.0
+            pdf = pd.DataFrame(
+                {"ts": list(range(a, a + b)), "v": [tag] * b}
+            )
+            kw = {}
+            if kind == "evolve":
+                n_evo += 1
+                pdf[f"x{n_evo}"] = list(range(b))
+            if n_evo:
+                # once the dataset has evolved, a (ts, v)-only batch
+                # is a column SUBSET — allowed only in evolve mode
+                # (the engine refuses silent column mismatch otherwise)
+                kw["evolve_schema"] = True
+            ds.write(
+                df=spark.createDataFrame(pdf),
+                ordered_on="ts",
+                duplicates_on=[],
+                row_group_target_size=4,
+                **kw,
+            )
+        elif kind == "compact":
+            if not ds.exists:
+                continue
+            ds.compact(row_group_target_size=8)
+        else:  # vacuum
+            if not ds.exists:
+                continue
+            ds.vacuum(keep_last=a)
+            continue  # no new generation
+        committed.append((ds.versions()[-1], ds.read().toPandas()))
+
+    retained = set(ds.versions())
+    for gen, want in committed:
+        if gen not in retained:
+            with pytest.raises(FileNotFoundError):
+                ds.read(as_of=gen)
+            continue
+        got = ds.read(as_of=gen).toPandas()
+        assert list(got.columns) == list(want.columns), gen
+        key = ["ts", "v"]
+        got = got.sort_values(key, ignore_index=True)
+        want = want.sort_values(key, ignore_index=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
