@@ -95,6 +95,23 @@ HEADLINE = [
     "corpus_pipeline_end2end",
     "jsonl_ingest_roundtrip",
     "topic_clusters",
+    # round 5: complete the list — every registered query is timed
+    "aggstream_edge_bins_restart",
+    "aggstream_snapshots_restart",
+    "streaming_native_hourly",
+    "streaming_native_sessions",
+    "streaming_stateful_ffill",
+    "streaming_dedup_ingest",
+    "snapshot_irregular_edges",
+    "segment_bins_month_right",
+    "segment_bins_explicit_edges",
+    "ffill_bfill_user_values",
+    "calendar_floor_ceil",
+    "simhash_neardup_pairs",
+    "customers_without_orders",
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "semdedup_prune",
 ]
 
 

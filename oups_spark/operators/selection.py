@@ -1,0 +1,219 @@
+"""Data-selection operators for training-corpus assembly:
+importance resampling (DSIR-style) and semantic dedup (SemDeDup-style).
+
+Both are pure-DataFrame plans (no UDFs) designed around bounded
+shuffles: the importance model is a FIXED-width hashed n-gram table
+(B buckets regardless of corpus size — genuinely broadcastable, unlike
+a raw vocabulary), and semantic dedup only ever compares vectors that
+share a k-means cluster, never all pairs.
+
+References (public papers; no reference-repo counterpart — these are
+beyond-reference additions for the LLM-data layer):
+- Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling" (DSIR): hashed n-gram bag-of-words importance weights
+  between a target and a raw distribution, Gumbel-noise top-k.
+- Abbas et al. 2023, "SemDeDup": cluster embeddings, drop
+  near-duplicates within each cluster, keep one representative.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from oups_spark.operators.text import bigrams, md5_int, tokens
+
+
+def _hashed_ngram_buckets(text_col, n_buckets: int):
+    """Unigrams + word-bigrams hashed into ``n_buckets`` (md5 % B,
+    engine-portable) — DSIR's hashed n-gram featurization. Returns an
+    array column of bucket ids WITH multiplicity."""
+    tok = tokens(text_col)
+    grams = F.concat(tok, bigrams(tok))
+    return F.transform(
+        grams, lambda g: F.pmod(md5_int(g), F.lit(n_buckets)).cast("int")
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    is_target,
+    n_buckets: int = 1024,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document importance log-weight ``log p_target(x) -
+    log p_raw(x)`` under bag-of-hashed-ngrams unigram models — the
+    DSIR recipe for selecting raw data that "looks like" a target
+    corpus.
+
+    ``is_target`` is a boolean Column marking the target rows inside
+    ``df`` (e.g. ``F.col("source") == "wiki"``); every row gets a
+    weight, scored against models trained on the two partitions of
+    the SAME input (one corpus scan for training, one for scoring).
+
+    Shape at 100 TB: the model is exactly ``n_buckets`` rows whatever
+    the corpus size (the point of hashing the n-grams), trained by
+    one explode + hash agg with map-side partial combine, then
+    BROADCAST to a map-side scoring join — the corpus itself never
+    shuffles. Add-one smoothing keeps unseen buckets finite.
+
+    Output: ``id_col``, ``n_grams`` (gram count), ``log_weight``
+    (rounded to ``decimals``; 0.0 for gram-less docs).
+    """
+    base = df.select(
+        F.col(id_col),
+        is_target.alias("__tgt"),
+        _hashed_ngram_buckets(F.col(text_col), n_buckets).alias("__bk"),
+    )
+    ex = base.select(id_col, "__tgt", F.explode("__bk").alias("b"))
+    # one hash agg trains BOTH models: per-bucket target/raw counts
+    counts = ex.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("Tt"), F.sum("cr").alias("Tr")
+    )
+    # log p_target(b) - log p_raw(b), add-one smoothed over B buckets
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("Tt") + float(n_buckets)))
+            - F.log((F.col("cr") + 1.0) / (F.col("Tr") + float(n_buckets)))
+        ).alias("llr"),
+    )
+    scored = (
+        ex.join(F.broadcast(model), on="b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("llr"), decimals).alias("log_weight"),
+        )
+    )
+    # gram-less documents (empty text) carry weight 0, not a dropout
+    return (
+        base.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "dsir",
+    decimals: int = 6,
+) -> DataFrame:
+    """Deterministic Gumbel top-k: sampling k rows WITHOUT replacement
+    with probability proportional to ``exp(weight)`` is equivalent to
+    taking the top k of ``weight + Gumbel noise`` (the Gumbel-max
+    trick DSIR uses to avoid a normalization pass). The noise is
+    derived from ``md5(seed:id)`` — deterministic, engine-portable,
+    and free of any global RNG state, so the sample is reproducible
+    across runs, engines and partitionings.
+
+    One bounded TakeOrdered job: no full sort, no collect.
+    Output adds ``gumbel_key`` (the perturbed weight) and is the k
+    selected rows ordered by it descending.
+    """
+    # u in (0, 1): 32-bit md5 prefix scaled into the open interval
+    u = (md5_int(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) + 1.0) / (
+        2.0**32 + 2.0
+    )
+    g = -F.log(-F.log(u))
+    key = F.round(F.col(weight_col) + g, decimals)
+    return (
+        df.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def semdedup_prune(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 42,
+    threshold: float = 0.97,
+    decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup: cluster the embedding space with k-means, then inside
+    each cluster mark semantic near-duplicates (cosine similarity
+    above ``threshold``) and keep one representative per duplicate
+    group — the lowest-id member of each "I duplicate someone"
+    relation, matching the paper's keep-one-per-pair pruning.
+
+    Scale shape: the ONLY pairwise work happens within a cluster —
+    the self-join key is the cluster id, so the comparison volume is
+    sum over clusters of |c|^2, controlled by choosing k so clusters
+    stay bounded (the paper uses k ~ sqrt(n); at 100 TB the cluster
+    id doubles as the partition key and each cluster's block fits one
+    task). Nothing all-pairs, nothing collected.
+
+    Output: ``id_col``, ``cluster``, ``keep`` (false = pruned as a
+    semantic duplicate of an earlier-id member of the same cluster).
+    """
+    from oups_spark.operators.similarity import kmeans_lloyd
+
+    assigned = kmeans_lloyd(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        iters=iters,
+        seed=seed,
+        center_decimals=decimals,
+    ).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.__v"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    cos = dot / (norm("a") * norm("b"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup_of_earlier = (
+        a.join(
+            b,
+            on=[
+                F.col("a.cluster") == F.col("b.cluster"),
+                F.col(f"a.{id_col}") > F.col(f"b.{id_col}"),
+            ],
+        )
+        .filter(F.round(cos, decimals) >= threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_of_earlier.withColumn("__dup", F.lit(True)),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -99,8 +99,12 @@ _WINDOW_PRIORITY = [
     "aggstream_filter_fanout",
     "intersections_bucket_align",
     "rollup_pricing",
-    # R5: rotation picks from the r4-green pool (12) — includes
-    # kmeans_clusters to re-verify after the persist fix
+    # R5: rotation picks (12) — the 3 NEW round-5 selection queries
+    # (never checked by definition), kmeans_clusters to re-verify
+    # after the persist + oracle change, and re-greens from r4
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "semdedup_prune",
     "pricing_summary",
     "kmeans_clusters",
     "asof_click_before_purchase",
@@ -110,9 +114,6 @@ _WINDOW_PRIORITY = [
     "embedding_cosine_topk",
     "ann_ivf_topk",
     "text_stats",
-    "token_pack_assignment",
-    "ffill_bfill_user_values",
-    "calendar_floor_ceil",
 ]
 
 
@@ -131,6 +132,7 @@ def load_all_query_modules() -> None:
         quality_ops,
         retrieval_ops,
         segment_ops,
+        selection_ops,
         store_ops,
         stream_ops,
         window_ops,

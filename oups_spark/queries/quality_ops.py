@@ -296,6 +296,7 @@ def kmeans_unrolled_sql(
     iters: int,
     seed: int,
     decimals: int = 6,
+    suffix_sql: str | None = None,
 ) -> str:
     """Pure-SQL unrolled Lloyd's k-means: a fully INDEPENDENT DuckDB
     oracle — no repo code executes; the SQL itself recomputes the
@@ -312,6 +313,12 @@ def kmeans_unrolled_sql(
     from summation-order ulps in the averages — the flakiness an
     emit-literals numpy replay suffered from. Distances use the same
     left-to-right dim-order float64 fold both engines evaluate.
+
+    ``suffix_sql`` composes downstream SQL over the clustering: when
+    given, the final assignment becomes a CTE ``assign({out_id},
+    cluster)`` (the vectors stay visible as ``v(id, e)``) and
+    ``suffix_sql`` — either additional ``, name AS (...)`` CTEs
+    followed by a SELECT, or a bare SELECT — completes the statement.
     """
     fac = 10**decimals
     # squared L2 between v.e and candidate centroid p.c, summed in
@@ -346,17 +353,17 @@ def kmeans_unrolled_sql(
       FROM c{n - 1} p LEFT JOIN (
         SELECT cl, list(m ORDER BY i) AS c FROM u{n} GROUP BY cl) g
       USING (cl))""")
-    return (
-        "WITH "
-        + ",".join(parts)
-        + f"""
+    final_assign = f"""
     SELECT id AS {out_id}, cl AS cluster FROM (
       SELECT v.id, p.cl,
              row_number() OVER (PARTITION BY v.id ORDER BY {d2}, p.cl) AS rn
-      FROM v CROSS JOIN c{iters} p) WHERE rn = 1
-    ORDER BY {out_id}
-    """
-    )
+      FROM v CROSS JOIN c{iters} p) WHERE rn = 1"""
+    if suffix_sql is None:
+        return (
+            "WITH " + ",".join(parts) + final_assign + f"\n    ORDER BY {out_id}\n    "
+        )
+    parts.append(f"\n    assign AS ({final_assign})")
+    return "WITH " + ",".join(parts) + "\n    " + suffix_sql
 
 
 @register(

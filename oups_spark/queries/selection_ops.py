@@ -1,0 +1,170 @@
+"""Data-selection queries (round 5): DSIR-style importance
+resampling over hashed n-gram models and SemDeDup-style semantic
+dedup inside k-means clusters — the two selection passes a
+training-corpus assembly runs between quality filtering and packing.
+
+Same contract as the other query modules: the oracle SQL is built
+from the SAME Python constants as the Spark plan, and — like the
+round-5 k-means oracles — recomputes everything in pure SQL (no
+driver-side replay, no repo imports inside the SQL).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oups_spark.operators.selection import (
+    dsir_importance_weights,
+    gumbel_topk_sample,
+    semdedup_prune,
+)
+from oups_spark.queries import register
+from oups_spark.queries.quality_ops import kmeans_unrolled_sql
+from oups_spark.tables import load
+
+_TOK = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+_MD5B = "CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)"
+
+_DSIR_B = 1024
+_DSIR_TARGET = ("src0", "src1")  # the "looks like what we want" corpus
+_DSIR_K, _DSIR_SEED = 100, "dsir"
+
+# shared CTE chain: hashed-ngram featurization -> per-bucket two-model
+# counts -> add-one log-likelihood-ratio model -> per-doc log-weight
+_tgt_sql = "source IN ({})".format(
+    ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+)
+_DSIR_CTE = f"""
+    t AS (SELECT doc_id, {_tgt_sql} AS tgt, {_TOK} AS tok FROM documents),
+    g AS (SELECT doc_id, tgt,
+                 list_concat(tok, list_transform(range(1, len(tok)),
+                     i -> tok[i] || ' ' || tok[i+1])) AS grams
+          FROM t),
+    e AS (SELECT doc_id, tgt, CAST({_MD5B} % {_DSIR_B} AS INT) AS b
+          FROM (SELECT doc_id, tgt, unnest(grams) AS x FROM g)),
+    c AS (SELECT b,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                 sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+          FROM e GROUP BY b),
+    tot AS (SELECT sum(ct) AS Tt, sum(cr) AS Tr FROM c),
+    m AS (SELECT b, ln((ct + 1.0) / (Tt + {_DSIR_B}.0))
+                    - ln((cr + 1.0) / (Tr + {_DSIR_B}.0)) AS llr
+          FROM c, tot),
+    s AS (SELECT doc_id, count(*) AS n_grams,
+                 round(sum(llr), 6) AS log_weight
+          FROM e JOIN m USING (b) GROUP BY doc_id),
+    w AS (SELECT g.doc_id,
+                 coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+                 coalesce(s.log_weight, 0.0) AS log_weight
+          FROM g LEFT JOIN s ON g.doc_id = s.doc_id)"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, n_grams, log_weight FROM w ORDER BY doc_id
+    """,
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by ``log p_target - log p_raw`` under bag-of-hashed-ngrams models
+    trained on a target slice (here: two sources standing in for the
+    'high-quality reference corpus') vs the rest. The model is a
+    FIXED 1024-bucket table whatever the corpus size — one explode +
+    hash agg trains both distributions, then a broadcast map-side
+    join scores; the corpus never shuffles."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dsir_importance_weights(
+        docs,
+        id_col="doc_id",
+        is_target=F.col("source").isin(*_DSIR_TARGET),
+        n_buckets=_DSIR_B,
+    ).orderBy("doc_id")
+
+
+@register(
+    "dsir_gumbel_topk",
+    oracle=f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, log_weight,
+           round(log_weight + -ln(-ln(
+             (CAST(('0x' || substr(md5('{_DSIR_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+             / 4294967298.0)), 6) AS gumbel_key
+    FROM w
+    ORDER BY gumbel_key DESC, doc_id LIMIT {_DSIR_K}
+    """,
+)
+def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection step: sample k documents WITHOUT replacement
+    with probability proportional to exp(log_weight) via the
+    Gumbel-top-k trick — deterministic noise from ``md5(seed:id)``
+    (reproducible across runs, engines and partitionings), one
+    bounded TakeOrdered job, no normalization pass and no full
+    sort."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = dsir_importance_weights(
+        docs,
+        id_col="doc_id",
+        is_target=F.col("source").isin(*_DSIR_TARGET),
+        n_buckets=_DSIR_B,
+    )
+    return gumbel_topk_sample(
+        w, id_col="doc_id", weight_col="log_weight", k=_DSIR_K, seed=_DSIR_SEED
+    ).select("doc_id", "log_weight", "gumbel_key")
+
+
+_SD_K, _SD_ITERS, _SD_SEED, _SD_THR = 6, 2, 11, 0.45
+
+_SD_COS = (
+    "round(list_sum(list_transform(range(1, len(va.e) + 1),"
+    " i -> va.e[i] * vb.e[i]))"
+    " / (sqrt(list_sum(list_transform(va.e, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(vb.e, x -> x * x)))), 6)"
+)
+
+
+@register(
+    "semdedup_prune",
+    oracle=kmeans_unrolled_sql(
+        "v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)",
+        out_id="vec_id",
+        k=_SD_K,
+        iters=_SD_ITERS,
+        seed=_SD_SEED,
+        suffix_sql=f""", dup AS (
+      SELECT DISTINCT a.vec_id AS vid
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+      JOIN v va ON va.id = a.vec_id
+      JOIN v vb ON vb.id = b.vec_id
+      WHERE {_SD_COS} >= {_SD_THR})
+    SELECT assign.vec_id, assign.cluster, dup.vid IS NULL AS keep
+    FROM assign LEFT JOIN dup ON assign.vec_id = dup.vid
+    ORDER BY vec_id
+    """,
+    ),
+)
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    prune semantic near-duplicates WITHIN each cluster (cosine above
+    threshold keeps the lowest id). The only pairwise work is
+    cluster-local — the self-join key is the cluster id, so
+    comparison volume is sum of cluster sizes squared, bounded by
+    choosing k; nothing all-pairs. The oracle recomputes clustering
+    (unrolled SQL Lloyd) AND the within-cluster pruning in DuckDB.
+    Threshold tuned to the synthetic table's cosine range (max ~0.51
+    — real embedding spaces would sit at ~0.95+)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup_prune(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_SD_K,
+        iters=_SD_ITERS,
+        seed=_SD_SEED,
+        threshold=_SD_THR,
+    ).orderBy("vec_id")

@@ -1,0 +1,139 @@
+"""Data-selection operators (round 5): DSIR importance weights +
+Gumbel top-k sampling, and SemDeDup cluster-local semantic dedup.
+
+Oracle strategy mirrors the registry: sequential pandas/python twins
+for the unit tests here; the registered queries carry full pure-SQL
+DuckDB oracles (see ``queries/selection_ops.py``)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+
+def _md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _grams(text: str) -> list[str]:
+    tok = [t for t in (text or "").strip().lower().split() if t]
+    return tok + [f"{a} {b}" for a, b in zip(tok, tok[1:])]
+
+
+def test_dsir_importance_weights_matches_sequential(spark):
+    from oups_spark.operators.selection import dsir_importance_weights
+
+    rows = [
+        (0, True, "the quick brown fox jumps"),
+        (1, True, "the quick red fox"),
+        (2, False, "lorem ipsum dolor sit amet"),
+        (3, False, "the quick brown dog sleeps"),
+        (4, False, ""),
+        (5, False, "zzz qqq"),
+    ]
+    B = 64
+    df = spark.createDataFrame(rows, "id long, tgt boolean, text string")
+    got = {
+        r["id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_importance_weights(
+            df, id_col="id", is_target=F.col("tgt"), n_buckets=B
+        ).collect()
+    }
+
+    # sequential twin
+    buckets = {i: [_md5_32(g) % B for g in _grams(t)] for i, _, t in rows}
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for i, tgt, _ in rows:
+        for b in buckets[i]:
+            (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + 1
+    Tt, Tr = sum(ct.values()), sum(cr.values())
+    for i, _, _ in rows:
+        bs = buckets[i]
+        want = sum(
+            math.log((ct.get(b, 0) + 1.0) / (Tt + B))
+            - math.log((cr.get(b, 0) + 1.0) / (Tr + B))
+            for b in bs
+        )
+        n, lw = got[i]
+        assert n == len(bs)
+        assert lw == pytest.approx(round(want, 6), abs=2e-6)
+    assert got[4] == (0, 0.0)  # empty doc: weight 0, not dropped
+
+
+def test_gumbel_topk_deterministic_and_weight_monotone(spark):
+    from oups_spark.operators.selection import gumbel_topk_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(200)], "id long, w double"
+    )
+    a = gumbel_topk_sample(df, id_col="id", weight_col="w", k=20, seed="s1")
+    b = gumbel_topk_sample(df, id_col="id", weight_col="w", k=20, seed="s1")
+    ra = [(r["id"], r["gumbel_key"]) for r in a.collect()]
+    rb = [(r["id"], r["gumbel_key"]) for r in b.collect()]
+    assert ra == rb  # fully deterministic, including order
+    # key really is weight + gumbel(md5(seed:id))
+    for i, key in ra:
+        u = (_md5_32(f"s1:{i}") + 1.0) / (2.0**32 + 2.0)
+        g = -math.log(-math.log(u))
+        assert key == pytest.approx(round(float(i % 7) + g, 6), abs=2e-6)
+    # different seed -> different sample (w.h.p.)
+    c = gumbel_topk_sample(df, id_col="id", weight_col="w", k=20, seed="s2")
+    assert {r["id"] for r in c.collect()} != {i for i, _ in ra}
+
+
+def test_semdedup_prunes_within_cluster_only(spark):
+    from oups_spark.operators.selection import semdedup_prune
+
+    # two tight bundles of near-identical vectors + isolated points;
+    # k=2 separates the bundles, dedup keeps each bundle's lowest id
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+
+    def jitter(v, eps):
+        return [x + eps for x in v]
+
+    rows = [
+        (0, base_a),
+        (1, jitter(base_a, 0.001)),
+        (2, jitter(base_a, 0.002)),
+        (10, base_b),
+        (11, jitter(base_b, 0.001)),
+        (20, [0.5, 0.5, 0.70710678, 0.0]),  # isolated: 45 deg off both
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semdedup_prune(
+            df, id_col="vec_id", k=2, iters=2, seed=3, threshold=0.999
+        ).collect()
+    }
+    assert len(out) == 6
+    # lowest id of each bundle kept, the rest pruned
+    assert out[0][1] is True
+    assert out[1][1] is False
+    assert out[2][1] is False
+    assert out[10][1] is True
+    assert out[11][1] is False
+    # the isolated vector is never a duplicate of anything
+    assert out[20][1] is True
+    # bundle members share their cluster
+    assert out[0][0] == out[1][0] == out[2][0]
+    assert out[10][0] == out[11][0]
+
+
+def test_selection_queries_registered_with_oracles():
+    """The three selection queries are registered with pure-SQL
+    oracles (value-level compare runs in test_queries_oracle.py's
+    parametrized sweep, same as every other registered query)."""
+    from oups_spark.queries import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    for name in ("dsir_importance_weights", "dsir_gumbel_topk", "semdedup_prune"):
+        q = REGISTRY[name]
+        assert q.oracle is not None
+        assert "oups_spark" not in q.oracle  # fully independent SQL
