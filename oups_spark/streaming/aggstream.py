@@ -82,6 +82,42 @@ class KeyConfig:
     offset: Any = None              # fixed bin_by/snap_by frequencies
 
 
+def _config_fingerprint(ordered_on: str, cfg: "KeyConfig") -> str:
+    """Stable description of the state-shaping parts of a key's
+    config. Persisted with the kv state and validated at restart: a
+    fresh AggStream pointed at the same datasets with a DIFFERENT
+    ``bin_by`` / ``agg`` / ordering would otherwise silently fold its
+    output into incompatible carried state (the reference raises on
+    mismatched restart indexes/keys, ``aggstream.py:360``). The
+    ``filter`` is deliberately excluded — refining a key's DNF filter
+    changes which future rows flow in, not the meaning of the state
+    already accumulated."""
+
+    import datetime
+
+    def desc(v) -> str:
+        if v is None or isinstance(v, (str, int, float, bool)):
+            return repr(v)
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(desc(x) for x in v) + "]"
+        if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+            return repr(str(v))  # stable value repr for edge lists
+        # custom binners / callables / anything else: type identity
+        # only — default reprs embed memory addresses, and a binner's
+        # parameters live in binner_state, carried separately
+        return f"<{type(v).__name__}>"
+
+    agg = ",".join(
+        f"{k}:{cfg.agg[k][0]}/{cfg.agg[k][1]}" for k in sorted(cfg.agg)
+    )
+    return (
+        f"ordered_on={ordered_on};bin_by={desc(cfg.bin_by)};"
+        f"snap_by={desc(cfg.snap_by)};agg={agg};bin_col={cfg.bin_col};"
+        f"snap_col={cfg.snap_col};origin={desc(cfg.origin)};"
+        f"offset={desc(cfg.offset)}"
+    )
+
+
 @dataclass
 class _KeyState:
     restart_index: Any = None       # max ordered_on fully processed
@@ -206,11 +242,42 @@ class AggStream:
         self.max_buffered_bins = max_buffered_bins
         self.state: dict[str, _KeyState] = {}
         self.seed_remainder: pd.DataFrame | None = None
+        # two keys writing the same dataset would interleave
+        # incompatible accumulators (reference refuses shared keys,
+        # test_aggstream_init.py "not possible to have key")
+        paths = [cfg.path for cfg in keys.values()] + [
+            cfg.snap_path for cfg in keys.values() if cfg.snap_path
+        ]
+        if len(set(paths)) != len(paths):
+            raise ValueError(
+                f"AggStream keys share a dataset path: {sorted(paths)}"
+            )
         for name, cfg in keys.items():
             st = _KeyState()
             ds = OrderedDataset(spark, cfg.path)
             meta = ds.key_value_metadata.get(_META_KEY)
+            if meta is None and ds.exists and ds.n_rows > 0:
+                # existing data that AggStream did not produce: merging
+                # aggregation output into it would corrupt both
+                # (reference: "provided 'agg_res' not output of a
+                # streamagg", test_exception_not_key_of_streamagg_results)
+                raise ValueError(
+                    f"AggStream key {name!r}: dataset at {cfg.path} exists "
+                    f"but was not written by AggStream (no carried state); "
+                    f"refusing to merge aggregation output into it"
+                )
             if meta:
+                want = _config_fingerprint(ordered_on, cfg)
+                have = meta.get("config")
+                if have is not None and have != want:
+                    raise ValueError(
+                        f"AggStream key {name!r}: restart config does not "
+                        f"match the state recorded at {cfg.path}:\n"
+                        f"  recorded: {have}\n  restart:  {want}\n"
+                        f"Resuming with a different bin/agg layout would "
+                        f"corrupt the carried accumulator; delete the "
+                        f"dataset or restore the original config."
+                    )
                 st.restart_index = meta.get("restart_index")
                 st.bin_acc = meta.get("bin_acc")
                 st.post_buffer = meta.get("post_buffer", {})
@@ -564,6 +631,7 @@ class AggStream:
                 "pre_buffer": self.pre_buffer,
                 "rows_so_far": st.rows_so_far,
                 "binner_state": st.binner_state,
+                "config": _config_fingerprint(self.ordered_on, cfg),
             }
             if bin_out is not None and len(bin_out):
                 ds = OrderedDataset(self.spark, cfg.path)

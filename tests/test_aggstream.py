@@ -550,3 +550,66 @@ def test_edge_bins_chunked_equals_one_shot(spark, scratch):
             assert got[e] == pytest.approx(exp[e])
         else:
             assert e in got.index and pd.isna(got[e])
+
+
+def test_restart_with_changed_config_rejected(spark, scratch):
+    """A fresh AggStream resuming against persisted state must use
+    the SAME bin/agg layout that produced it (reference raises on
+    mismatched restart indexes, aggstream.py:360); a changed bin_by
+    or agg spec would silently corrupt the carried accumulator."""
+    pdf = make_ticks()
+    chunks = np.split(pdf, [50])
+    path = f"{scratch}/cfg_guard"
+    cfg = KeyConfig(path=path, agg=AGG, bin_by="1h", tiebreak=["id"])
+    # discard_last=False: with disjoint chunks across process
+    # restarts, held-back rows would live only in the dead process's
+    # seed_remainder (same protocol as
+    # test_restart_from_metadata_equals_one_shot)
+    AggStream(spark, ordered_on="ts", keys={"k": cfg}).agg(
+        spark.createDataFrame(chunks[0]), discard_last=False
+    )
+
+    # different bin_by -> refused
+    bad_bin = KeyConfig(path=path, agg=AGG, bin_by="4h", tiebreak=["id"])
+    with pytest.raises(ValueError, match="restart config"):
+        AggStream(spark, ordered_on="ts", keys={"k": bad_bin})
+
+    # different agg spec -> refused
+    bad_agg = KeyConfig(
+        path=path, agg={"sum_val": ("val", "sum")}, bin_by="1h", tiebreak=["id"]
+    )
+    with pytest.raises(ValueError, match="restart config"):
+        AggStream(spark, ordered_on="ts", keys={"k": bad_agg})
+
+    # unchanged config resumes and still equals the one-shot run
+    AggStream(spark, ordered_on="ts", keys={"k": cfg}).agg(
+        spark.createDataFrame(chunks[1]), discard_last=False
+    )
+    run_stream(spark, f"{scratch}/cfg_oneshot", [pdf])
+    pd.testing.assert_frame_equal(
+        read_bins(spark, path), read_bins(spark, f"{scratch}/cfg_oneshot")
+    )
+
+
+def test_foreign_dataset_and_shared_path_rejected(spark, scratch):
+    """Reference parity (test_aggstream_init.py): a key must not point
+    at an existing dataset AggStream did not produce, and two keys
+    must not share one dataset path."""
+    import os
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    foreign = os.path.join(scratch, "foreign_ds")
+    pdf = make_ticks(n=10)
+    OrderedDataset(spark, foreign).write(
+        df=spark.createDataFrame(pdf), ordered_on="ts"
+    )
+    cfg = KeyConfig(path=foreign, agg=AGG, bin_by="1h", tiebreak=["id"])
+    with pytest.raises(ValueError, match="not written by AggStream"):
+        AggStream(spark, ordered_on="ts", keys={"k": cfg})
+
+    shared = os.path.join(scratch, "shared_ds")
+    c1 = KeyConfig(path=shared, agg=AGG, bin_by="1h")
+    c2 = KeyConfig(path=shared, agg=AGG, bin_by="4h")
+    with pytest.raises(ValueError, match="share a dataset path"):
+        AggStream(spark, ordered_on="ts", keys={"a": c1, "b": c2})
