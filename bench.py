@@ -112,6 +112,8 @@ HEADLINE = [
     "dsir_importance_weights",
     "dsir_gumbel_topk",
     "semdedup_prune",
+    "duplicate_span_removal",
+    "temperature_source_mix",
 ]
 
 

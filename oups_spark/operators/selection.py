@@ -217,3 +217,133 @@ def semdedup_prune(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal with text reassembly — the
+    C4/RefinedWeb-style pass that deletes boilerplate shared across
+    documents (Lee et al. 2022's exact substring dedup, at
+    non-overlapping ``width``-token segment granularity): a segment
+    whose text appears in MORE than one document is dropped from all
+    of them; the surviving segments are re-concatenated in order.
+
+    Shuffle shape at 100 TB: segments explode to ~n_tok/width rows,
+    counted by an md5 fingerprint hash agg (map-side combined); the
+    count table grows with distinct segments so it is NOT broadcast —
+    the join back is a shuffled hash join on the uniform fp key, then
+    one groupBy(id) rebuilds each document (collect_list + array_sort
+    driver-free, bounded by the document's own segment count).
+
+    Output: ``id_col``, ``n_segments``, ``n_removed``, ``clean_text``
+    (empty string for token-less documents).
+    """
+    tok = tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(tok) / F.lit(float(width))).cast("int")
+    seg_structs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.concat_ws(
+                " ", F.slice(tok, i * width + 1, width)
+            ).alias("s"),
+        ),
+    )
+    # token-less docs: sequence(0, -1) DESCENDS in Spark ([0, -1]),
+    # so null the array out instead — explode drops it, and the final
+    # left join restores the doc with zero counts
+    seg_structs = F.when(n_seg > 0, seg_structs)
+    base = df.select(F.col(id_col), seg_structs.alias("__segs"))
+    segs = base.select(
+        id_col, F.explode("__segs").alias("g")
+    ).select(
+        id_col,
+        F.col("g.i").alias("i"),
+        F.col("g.s").alias("s"),
+        F.md5(F.col("g.s")).alias("fp"),
+    )
+    counts = segs.groupBy("fp").agg(
+        F.countDistinct(F.col(id_col)).alias("nd")
+    )
+    joined = segs.join(counts, on="fp")
+    dup = F.col("nd") > 1
+    rebuilt = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(dup.cast("long")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(~dup, F.struct("i", "s")))
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    by: str,
+    alpha: float,
+    target_total: int,
+    seed: str = "mix",
+    decimals: int = 9,
+) -> DataFrame:
+    """Temperature-controlled source mixing (the T5/LLaMA multinomial
+    recipe): source ``s`` is sampled with probability proportional to
+    ``n_s^alpha`` — ``alpha < 1`` upweights small sources, ``alpha=1``
+    is natural proportions. Realized as deterministic per-row hash
+    sampling: source ``s`` keeps each row with rate ``min(1,
+    target_total * p_s / n_s)`` where ``p_s = n_s^alpha / sum
+    n^alpha``, so expected output is ``target_total`` rows mixed at
+    the tempered proportions, reproducible across runs, engines and
+    partitionings (``md5(seed:id)`` threshold, no RNG state).
+
+    One bounded hash agg (per-source counts, #sources rows), rates
+    broadcast back, map-side filter — the corpus never shuffles.
+    Keep-rate rounded via ``round(q * 10^d) / 10^d`` so an engine
+    replaying the same formula reaches the bit-identical threshold.
+
+    Output: the sampled rows with ``keep_rate`` attached.
+    """
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__z")
+    )
+    factor = F.lit(float(10**decimals))
+    q = F.least(
+        F.lit(1.0),
+        F.lit(float(target_total))
+        * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+        / F.col("__z")
+        / F.col("__n").cast("double"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        by, (F.round(q * factor) / factor).alias("keep_rate")
+    )
+    u = (
+        md5_int(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        / F.lit(2.0**32)
+    )
+    return (
+        df.join(F.broadcast(rates), on=by)
+        .filter(u < F.col("keep_rate"))
+    )

@@ -168,3 +168,93 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_SD_SEED,
         threshold=_SD_THR,
     ).orderBy("vec_id")
+
+
+_SPAN_W = 8
+
+
+@register(
+    "duplicate_span_removal",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
+    seg AS (SELECT doc_id, i,
+                   array_to_string(tok[i*{_SPAN_W}+1 : i*{_SPAN_W}+{_SPAN_W}], ' ') AS s
+            FROM t, LATERAL unnest(range(0,
+                   CAST(ceil(len(tok) / {_SPAN_W}.0) AS BIGINT))) AS u(i)
+            WHERE len(tok) > 0),
+    c AS (SELECT s, count(DISTINCT doc_id) AS nd FROM seg GROUP BY s),
+    r AS (SELECT doc_id,
+                 count(*) AS n_segments,
+                 count(*) FILTER (nd > 1) AS n_removed,
+                 coalesce(string_agg(s, ' ' ORDER BY i) FILTER (nd = 1), '')
+                     AS clean_text
+          FROM seg JOIN c USING (s) GROUP BY doc_id)
+    SELECT t.doc_id AS doc_id,
+           coalesce(r.n_segments, 0)::BIGINT AS n_segments,
+           coalesce(r.n_removed, 0)::BIGINT AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal with reassembly (Lee et al. 2022
+    / C4-style): non-overlapping 8-token segments whose text appears
+    in more than one document are deleted from ALL documents and the
+    survivors re-concatenated in order — boilerplate stripping as one
+    explode + fp hash agg + shuffled join back + per-doc rebuild.
+    The count table scales with distinct segments, so it is joined
+    (uniform fp key), never broadcast."""
+    from oups_spark.operators.selection import remove_duplicate_spans
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return remove_duplicate_spans(
+        docs, id_col="doc_id", width=_SPAN_W
+    ).orderBy("doc_id")
+
+
+_MIX_ALPHA, _MIX_TOTAL, _MIX_SEED = 0.5, 200, "mix1"
+
+
+@register(
+    "temperature_source_mix",
+    oracle=f"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    z AS (SELECT sum(n ** {_MIX_ALPHA}) AS z FROM c),
+    r AS (SELECT source,
+                 round(least(1.0, {_MIX_TOTAL} * (n ** {_MIX_ALPHA}) / z / n) * 1e9) / 1e9
+                     AS keep_rate
+          FROM c, z)
+    SELECT d.doc_id, d.source, r.keep_rate
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5('{_MIX_SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.keep_rate
+    ORDER BY doc_id
+    """,
+)
+def temperature_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-controlled source mixing (T5/LLaMA multinomial
+    recipe, alpha=0.5 upweights small sources): deterministic per-row
+    hash sampling at per-source rates proportional to n^alpha,
+    normalized to an expected total. One #sources-row hash agg,
+    rates broadcast back, map-side filter — the corpus never
+    shuffles and the sample is reproducible across engines."""
+    from oups_spark.operators.selection import temperature_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        temperature_sample(
+            docs,
+            id_col="doc_id",
+            by="source",
+            alpha=_MIX_ALPHA,
+            target_total=_MIX_TOTAL,
+            seed=_MIX_SEED,
+        )
+        .select("doc_id", "source", "keep_rate")
+        .orderBy("doc_id")
+    )

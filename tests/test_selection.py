@@ -137,3 +137,59 @@ def test_selection_queries_registered_with_oracles():
         q = REGISTRY[name]
         assert q.oracle is not None
         assert "oups_spark" not in q.oracle  # fully independent SQL
+
+
+def test_remove_duplicate_spans_sequential_twin(spark):
+    from oups_spark.operators.selection import remove_duplicate_spans
+
+    W = 3
+    rows = [
+        (0, "a b c x y z"),          # 'a b c' shared with doc 1
+        (1, "a b c q r s"),
+        (2, "u v w"),                # unique
+        (3, ""),                     # empty
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["n_segments"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicate_spans(
+            df, id_col="id", width=W
+        ).collect()
+    }
+    assert got[0] == (2, 1, "x y z")
+    assert got[1] == (2, 1, "q r s")
+    assert got[2] == (1, 0, "u v w")
+    assert got[3] == (0, 0, "")
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    import hashlib
+
+    from oups_spark.operators.selection import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = temperature_sample(
+        df, id_col="id", by="src", alpha=0.5, target_total=100, seed="t"
+    )
+    got = {(r["id"], r["src"], r["keep_rate"]) for r in out.collect()}
+    # sequential twin
+    import math
+
+    n = {"big": 900, "small": 100}
+    z = sum(v**0.5 for v in n.values())
+    rates = {
+        s: round(min(1.0, 100 * (v**0.5) / z / v) * 1e9) / 1e9
+        for s, v in n.items()
+    }
+    # alpha=0.5 upweights the small source: its keep rate is higher
+    assert rates["small"] > rates["big"]
+    want = set()
+    for i, s in rows:
+        u = int(hashlib.md5(f"t:{i}".encode()).hexdigest()[:8], 16) / 2.0**32
+        if u < rates[s]:
+            want.add((i, s, rates[s]))
+    assert got == want
+    # deterministic across invocations
+    again = {(r["id"], r["src"], r["keep_rate"]) for r in out.collect()}
+    assert got == again
