@@ -52,6 +52,11 @@ DEFAULT_ROW_GROUP_TARGET_SIZE = 6_345_000
 # n_rows_strategy.py:33,136).
 ON_TARGET_SCALE_FACTOR = 0.8
 
+# batch + overlap row bound under which a known-stats merge write runs
+# driver-side with pyarrow (one Spark collect job) instead of the
+# distributed merge job train — the frequent-small-flush latency path
+_DRIVER_MERGE_MAX_ROWS = 100_000
+
 _SRC = "__oups_src"
 _FIDX = "__oups_fidx"
 _FNAME = "__oups_fname"
@@ -363,8 +368,37 @@ class OrderedDataset:
         replaced_names = {e.name for e in replaced}
         kept = [e for e in old_entries if e.name not in replaced_names]
 
-        merged = new
+        # SMALL-BATCH DRIVER FAST PATH: when the producer already
+        # knows the batch bounds (known_stats — e.g. AggStream's
+        # driver-built bin flushes) and batch + overlapping files are
+        # small, the whole merge runs driver-side with pyarrow — ONE
+        # Spark job (the arrow collect) instead of the merge/sample/
+        # write/cache job train. This is the latency shape frequent
+        # incremental flushes need even at 100 TB: the SEED processing
+        # stays distributed; only the kilobyte-scale bin flush avoids
+        # the ~0.5 s-per-job floor. Semantics are identical (same
+        # overlap selection upstream, same keep-last tiebreak, same
+        # footer-stats manifest entries via _footer_stats); any arrow
+        # incompatibility falls back to the Spark path below.
         n_old = sum(e.n_rows for e in replaced)
+        if (
+            known_stats is not None
+            and not validate_monotonic
+            and isinstance(row_group_target_size, int)
+            and target_schema is None
+            and n_new + n_old <= _DRIVER_MERGE_MAX_ROWS
+        ):
+            new_entries = self._merge_write_driver(
+                df, replaced, ordered_on, duplicates_on, row_group_target_size
+            )
+            if new_entries is not None:
+                self._commit(
+                    ordered_on, df, target_schema, kept, replaced_names,
+                    new_entries, key_value_metadata,
+                )
+                return
+
+        merged = new
         if replaced:
             # Dataset order for the old side comes from the MANIFEST
             # file index (Spark orders scan splits by size, so raw
@@ -398,6 +432,15 @@ class OrderedDataset:
             cache=duplicates_on is not None,
         )
 
+        self._commit(
+            ordered_on, df, target_schema, kept, replaced_names,
+            new_entries, key_value_metadata,
+        )
+
+    def _commit(
+        self, ordered_on, df, target_schema, kept, replaced_names,
+        new_entries, key_value_metadata,
+    ) -> None:
         # build the CANDIDATE manifest as a copy: a failed commit
         # (e.g. CAS conflict) must not leave this handle's in-memory
         # manifest referencing files that were cleaned up — the
@@ -573,6 +616,117 @@ class OrderedDataset:
             .drop("__rn")
         )
 
+    def _merge_write_driver(
+        self, df, replaced, ordered_on, duplicates_on, target: int
+    ) -> list[FileEntry] | None:
+        """Driver-side pyarrow merge for small batches: collect the
+        batch as Arrow (type-exact — pandas would widen nullable ints
+        to float), read the overlapping files with pyarrow, replay the
+        keep-last tiebreak on key columns only (the data itself never
+        round-trips through pandas), and write size-capped chunks into
+        the dataset. File stats come from the SAME ``_footer_stats``
+        reader the Spark path uses, so manifest entries are
+        indistinguishable. Returns None when the files cannot be
+        unified under the batch's Arrow schema (caller falls back to
+        the distributed path)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        new_tbl = df.toArrow()
+        try:
+            tables = []
+            for e in replaced:
+                t = pq.read_table(os.path.join(self.path, e.name))
+                t = t.select(new_tbl.schema.names)
+                tables.append(t.cast(new_tbl.schema))
+            merged = (
+                pa.concat_tables(tables + [new_tbl]) if tables else new_tbl
+            )
+        except (KeyError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None  # schema drift (e.g. pre-evolution files)
+
+        # concat order IS ascending (src, file_rank, pos): old files in
+        # manifest order then the new batch — the same total order the
+        # Spark path encodes in (_SRC, _FIDX, _POS)
+        subset = None
+        if duplicates_on is not None:
+            subset = list(
+                [duplicates_on] if isinstance(duplicates_on, str) else duplicates_on
+            )
+            if ordered_on not in subset:
+                subset.append(ordered_on)
+        import pandas as pd
+
+        keys = merged.select(
+            sorted(set((subset or []) + [ordered_on]))
+        ).to_pandas(types_mapper=pd.ArrowDtype)
+        if subset is not None:
+            idx = np.flatnonzero(
+                ~keys.duplicated(subset=subset, keep="last").to_numpy()
+            )
+        else:
+            idx = np.arange(len(keys))
+        # final layout order: ordered_on, ties in concat order
+        # (= the Spark path's sort by ordered_on, _SRC, _FIDX, _POS)
+        order = idx[
+            np.argsort(keys[ordered_on].take(idx).to_numpy(), kind="stable")
+        ]
+        merged = merged.take(pa.array(order))
+
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:12]}")
+        os.makedirs(staging, exist_ok=True)
+        try:
+            n = merged.num_rows
+            for j, off in enumerate(range(0, n, target)):
+                pq.write_table(
+                    merged.slice(off, target),
+                    os.path.join(staging, f"part-{j:05d}.parquet"),
+                    compression="snappy",
+                )
+            stats = _footer_stats(staging, ordered_on)
+            if stats is None:
+                # untrusted footer stats (e.g. string ordering column):
+                # compute exact bounds from the in-memory chunks
+                import pyarrow.compute as pc
+
+                from datetime import timezone
+
+                def _norm(v):
+                    # align with _footer_stats: naive UTC timestamps
+                    if hasattr(v, "tzinfo") and v.tzinfo is not None:
+                        return v.astimezone(timezone.utc).replace(tzinfo=None)
+                    return v
+
+                stats = []
+                for j, off in enumerate(range(0, n, target)):
+                    chunk = merged.slice(off, target)
+                    col = chunk.column(ordered_on)
+                    stats.append(
+                        (
+                            os.path.join(staging, f"part-{j:05d}.parquet"),
+                            chunk.num_rows,
+                            _norm(pc.min(col).as_py()),
+                            _norm(pc.max(col).as_py()),
+                            None,
+                        )
+                    )
+            return self._finalize_staged(stats)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def _finalize_staged(self, stats) -> list[FileEntry]:
+        """Move staged files into the dataset under fresh opaque names
+        (manifest order = ascending bounds) and build their entries."""
+        entries = []
+        for src, n, mn, mx, cols in sorted(stats, key=lambda t: (t[2], t[3])):
+            name = f"file_{uuid.uuid4().hex}.parquet"
+            os.replace(src, os.path.join(self.path, name))
+            entries.append(
+                FileEntry(name=name, n_rows=n, min=mn, max=mx, cols=cols)
+            )
+        return entries
+
     def _write_files(
         self,
         merged: DataFrame,
@@ -669,14 +823,7 @@ class OrderedDataset:
                     )
                     for r in rows
                 ]
-            entries = []
-            for src, n, mn, mx, cols in sorted(stats, key=lambda t: (t[2], t[3])):
-                name = f"file_{uuid.uuid4().hex}.parquet"
-                os.replace(src, os.path.join(self.path, name))
-                entries.append(
-                    FileEntry(name=name, n_rows=n, min=mn, max=mx, cols=cols)
-                )
-            return entries
+            return self._finalize_staged(stats)
         finally:
             if cache:
                 merged.unpersist()

@@ -409,3 +409,83 @@ def test_column_stats_file_skipping(spark, scratch):
     # fully pruned -> empty frame with the dataset schema
     out3 = ds.read(filters=[("val", ">", 99.0)])
     assert out3.count() == 0 and out3.columns == ["ts", "val", "sym"]
+
+
+def test_driver_merge_fast_path_equals_spark_path(spark, scratch):
+    """The known-stats driver-side pyarrow merge (small-batch fast
+    path) must produce the same readable dataset as the distributed
+    path: same rows after overlapping keep-last merges, same manifest
+    stat quality, same file sizing."""
+    import os
+
+    import pandas as pd
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    def batch(lo, hi, tag):
+        return pd.DataFrame(
+            {
+                "ts": pd.date_range("2024-01-01", periods=hi - lo, freq="h")
+                + pd.Timedelta(hours=lo),
+                "sym": [f"s{i % 3}" for i in range(lo, hi)],
+                "val": [float(tag * 1000 + i) for i in range(lo, hi)],
+            }
+        )
+
+    batches = [batch(0, 40, 1), batch(30, 70, 2), batch(10, 50, 3)]
+
+    fast = OrderedDataset(spark, os.path.join(scratch, "fp_fast"))
+    slow = OrderedDataset(spark, os.path.join(scratch, "fp_slow"))
+    for b in batches:
+        fast.write(
+            df=spark.createDataFrame(b),
+            ordered_on="ts",
+            duplicates_on=["sym"],
+            row_group_target_size=16,
+            validate_monotonic=False,
+            known_stats=(b["ts"].min(), b["ts"].max(), len(b)),
+        )
+        slow.write(
+            df=spark.createDataFrame(b),
+            ordered_on="ts",
+            duplicates_on=["sym"],
+            row_group_target_size=16,
+        )
+    got = fast.read().toPandas().sort_values(["ts", "sym"], ignore_index=True)
+    want = slow.read().toPandas().sort_values(["ts", "sym"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    # manifest parity: bounds agree file-by-file is not required (file
+    # boundaries are an implementation detail) but totals and per-file
+    # stats presence are
+    assert fast.n_rows == slow.n_rows
+    assert all(e.min is not None and e.max is not None for e in fast.manifest.files)
+    assert all(e.cols for e in fast.manifest.files)
+    # a later DISTRIBUTED write on the fast-path dataset still works
+    # (mixed-writer datasets must interoperate)
+    extra = batch(60, 90, 4)
+    fast.write(
+        df=spark.createDataFrame(extra),
+        ordered_on="ts",
+        duplicates_on=["sym"],
+        row_group_target_size=16,
+    )
+    slow.write(
+        df=spark.createDataFrame(extra),
+        ordered_on="ts",
+        duplicates_on=["sym"],
+        row_group_target_size=16,
+    )
+    pd.testing.assert_frame_equal(
+        fast.read().toPandas().sort_values(["ts", "sym"], ignore_index=True),
+        slow.read().toPandas().sort_values(["ts", "sym"], ignore_index=True),
+    )
+    # and range reads prune + filter identically
+    r1 = fast.read(
+        start=pd.Timestamp("2024-01-01 20:00"),
+        end_excl=pd.Timestamp("2024-01-02 10:00"),
+    ).toPandas().sort_values(["ts", "sym"], ignore_index=True)
+    r2 = slow.read(
+        start=pd.Timestamp("2024-01-01 20:00"),
+        end_excl=pd.Timestamp("2024-01-02 10:00"),
+    ).toPandas().sort_values(["ts", "sym"], ignore_index=True)
+    pd.testing.assert_frame_equal(r1, r2)
