@@ -883,11 +883,25 @@ class OrderedDataset:
         if not runs:
             return 0
         ordered_on = self._manifest.ordered_on
+        # read runs through the MANIFEST schema, exactly like read():
+        # a run can mix pre- and post-evolution files, and a bare
+        # parquet read would take ONE file's footer schema — silently
+        # dropping (nulling) evolved columns from the rewrite. The
+        # explicit schema projects every file through the union,
+        # missing columns as NULL, so compact never changes what a
+        # read returns.
+        reader = self.spark.read
+        if self._manifest.schema_json:
+            reader = reader.schema(
+                StructType.fromJson(
+                    __import__("json").loads(self._manifest.schema_json)
+                )
+            )
         rewritten = 0
         for run in runs:
             merged = _with_file_rank(
                 self.spark,
-                self.spark.read.parquet(
+                reader.parquet(
                     *[os.path.join(self.path, e.name) for e in run]
                 )
                 .withColumn(_POS, F.monotonically_increasing_id())

@@ -489,3 +489,37 @@ def test_driver_merge_fast_path_equals_spark_path(spark, scratch):
         end_excl=pd.Timestamp("2024-01-02 10:00"),
     ).toPandas().sort_values(["ts", "sym"], ignore_index=True)
     pd.testing.assert_frame_equal(r1, r2)
+
+
+def test_compact_preserves_evolved_columns(spark, scratch):
+    """Compacting a run that mixes pre- and post-evolution files must
+    not lose evolved-column values: the rewrite reads through the
+    manifest union schema (a bare parquet read would take one file's
+    footer schema and silently null the evolved column)."""
+    import os
+
+    import pandas as pd
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    path = os.path.join(scratch, "evo_compact_guard")
+    ds = OrderedDataset(spark, path)
+    b1 = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-01", periods=3, freq="h"), "v": [1.0, 2.0, 3.0]}
+    )
+    ds.write(df=spark.createDataFrame(b1), ordered_on="ts", row_group_target_size=100)
+    b2 = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01 03:00", periods=3, freq="h"),
+            "v": [4.0, 5.0, 6.0],
+            "extra": [40, 50, 60],
+        }
+    )
+    ds.write(
+        df=spark.createDataFrame(b2), evolve_schema=True, row_group_target_size=100
+    )
+    before = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    assert ds.compact(row_group_target_size=100) == 2
+    after = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    pd.testing.assert_frame_equal(after, before)
+    assert after["extra"].notna().sum() == 3  # the evolved values survived

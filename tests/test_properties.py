@@ -485,7 +485,16 @@ def test_time_travel_retention_invariant_property(
         elif kind == "compact":
             if not ds.exists:
                 continue
+            pre = ds.read().toPandas().sort_values(
+                ["ts", "v"], ignore_index=True
+            )
             ds.compact(row_group_target_size=8)
+            # compact is a LAYOUT op: current-read content must be
+            # untouched (guards the evolved-column-loss class of bug)
+            post = ds.read().toPandas().sort_values(
+                ["ts", "v"], ignore_index=True
+            )
+            pd.testing.assert_frame_equal(post, pre, check_dtype=False)
         else:  # vacuum
             if not ds.exists:
                 continue
