@@ -405,9 +405,20 @@ class OrderedDataset:
             # monotonically_increasing_id would not reflect it): the
             # per-file rank is looked up from input_file_name, and the
             # in-file id only breaks ties within one file.
+            # Read through the MANIFEST schema (like read()): replaced
+            # files can mix pre- and post-evolution schemas, and a
+            # bare parquet read takes ONE file's footer schema —
+            # silently nulling evolved columns out of the rewrite.
+            old_reader = self.spark.read
+            if self._manifest is not None and self._manifest.schema_json:
+                old_reader = old_reader.schema(
+                    StructType.fromJson(
+                        __import__("json").loads(self._manifest.schema_json)
+                    )
+                )
             old = _with_file_rank(
                 self.spark,
-                self.spark.read.parquet(
+                old_reader.parquet(
                     *[os.path.join(self.path, e.name) for e in replaced]
                 )
                 .withColumn(_POS, F.monotonically_increasing_id())

@@ -523,3 +523,50 @@ def test_compact_preserves_evolved_columns(spark, scratch):
     after = ds.read().toPandas().sort_values("ts", ignore_index=True)
     pd.testing.assert_frame_equal(after, before)
     assert after["extra"].notna().sum() == 3  # the evolved values survived
+
+
+def test_overlap_merge_preserves_evolved_columns(spark, scratch):
+    """An overlapping write whose merge touches BOTH pre- and
+    post-evolution files must keep the evolved column's values in the
+    rewritten files (same manifest-schema-read guard as compact)."""
+    import os
+
+    import pandas as pd
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    path = os.path.join(scratch, "evo_overlap_guard")
+    ds = OrderedDataset(spark, path)
+    b1 = pd.DataFrame(
+        {"ts": pd.date_range("2024-01-01", periods=3, freq="h"), "v": [1.0, 2.0, 3.0]}
+    )
+    ds.write(df=spark.createDataFrame(b1), ordered_on="ts", row_group_target_size=100)
+    b2 = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01 03:00", periods=3, freq="h"),
+            "v": [4.0, 5.0, 6.0],
+            "extra": [40, 50, 60],
+        }
+    )
+    ds.write(
+        df=spark.createDataFrame(b2), evolve_schema=True, row_group_target_size=100
+    )
+    b3 = pd.DataFrame(
+        {
+            "ts": [
+                pd.Timestamp("2024-01-01 01:30"),
+                pd.Timestamp("2024-01-01 03:30"),
+            ],
+            "v": [9.9, 8.8],
+            "extra": [99, 88],
+        }
+    )
+    ds.write(
+        df=spark.createDataFrame(b3),
+        evolve_schema=True,
+        duplicates_on=[],
+        row_group_target_size=100,
+    )
+    out = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    assert out["extra"].notna().sum() == 5  # 40/50/60 survive + 99/88
+    assert sorted(out["extra"].dropna()) == [40, 50, 60, 88, 99]
