@@ -168,6 +168,17 @@ def semdedup_prune(
     """
     from oups_spark.operators.similarity import kmeans_lloyd
 
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    # normalize ONCE per vector (O(n) folds): the per-pair cosine then
+    # collapses to a single dot fold instead of dot + two norms — 3x
+    # less O(pairs) array-fold work, the hot loop of this operator.
+    # Zero vectors map to the zero unit (cosine 0, never a duplicate)
+    # rather than NaN, which Spark/DuckDB comparison semantics would
+    # otherwise treat as GREATER than the threshold.
+    unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(
+        F.transform(v, lambda x: x * 0.0)
+    )
     assigned = kmeans_lloyd(
         vectors,
         id_col=id_col,
@@ -176,22 +187,12 @@ def semdedup_prune(
         iters=iters,
         seed=seed,
         center_decimals=decimals,
-    ).select(
-        F.col(id_col),
-        F.col("cluster"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+    ).select(F.col(id_col), F.col("cluster"), unit.alias("__u"))
+    cos = F.aggregate(
+        F.zip_with(F.col("a.__u"), F.col("b.__u"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.col(f"{side}.__v"), F.lit(0.0), lambda acc, x: acc + x * x
-        )
-    )
-    cos = dot / (norm("a") * norm("b"))
     a, b = assigned.alias("a"), assigned.alias("b")
     dup_of_earlier = (
         a.join(

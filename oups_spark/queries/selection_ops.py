@@ -119,11 +119,18 @@ def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SD_K, _SD_ITERS, _SD_SEED, _SD_THR = 6, 2, 11, 0.45
 
+# normalize-first cosine, matching the Spark plan op-for-op (unit
+# vectors computed per row with the same fold order, zero vectors
+# mapped to the zero unit, then one dot fold per pair)
+_SD_UNIT = (
+    "CASE WHEN sqrt(list_sum(list_transform(e, x -> x * x))) > 0"
+    " THEN list_transform(e,"
+    "   x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))"
+    " ELSE list_transform(e, x -> x * 0.0) END"
+)
 _SD_COS = (
-    "round(list_sum(list_transform(range(1, len(va.e) + 1),"
-    " i -> va.e[i] * vb.e[i]))"
-    " / (sqrt(list_sum(list_transform(va.e, x -> x * x)))"
-    " * sqrt(list_sum(list_transform(vb.e, x -> x * x)))), 6)"
+    "round(list_sum(list_transform(range(1, len(va.u) + 1),"
+    " i -> va.u[i] * vb.u[i])), 6)"
 )
 
 
@@ -135,12 +142,14 @@ _SD_COS = (
         k=_SD_K,
         iters=_SD_ITERS,
         seed=_SD_SEED,
-        suffix_sql=f""", dup AS (
+        suffix_sql=f""", vn AS (
+      SELECT id, {_SD_UNIT} AS u FROM v),
+    dup AS (
       SELECT DISTINCT a.vec_id AS vid
       FROM assign a JOIN assign b
         ON a.cluster = b.cluster AND a.vec_id > b.vec_id
-      JOIN v va ON va.id = a.vec_id
-      JOIN v vb ON vb.id = b.vec_id
+      JOIN vn va ON va.id = a.vec_id
+      JOIN vn vb ON vb.id = b.vec_id
       WHERE {_SD_COS} >= {_SD_THR})
     SELECT assign.vec_id, assign.cluster, dup.vid IS NULL AS keep
     FROM assign LEFT JOIN dup ON assign.vec_id = dup.vid

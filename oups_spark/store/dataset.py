@@ -52,7 +52,7 @@ DEFAULT_ROW_GROUP_TARGET_SIZE = 6_345_000
 # n_rows_strategy.py:33,136).
 ON_TARGET_SCALE_FACTOR = 0.8
 
-# batch + overlap row bound under which a known-stats merge write runs
+# batch + overlap row bound under which a merge write runs
 # driver-side with pyarrow (one Spark collect job) instead of the
 # distributed merge job train — the frequent-small-flush latency path
 _DRIVER_MERGE_MAX_ROWS = 100_000
@@ -224,8 +224,15 @@ class OrderedDataset:
         known_stats: tuple | None = None,
         evolve_schema: bool = False,
         conflict_retries: int = 0,
+        use_driver_merge: bool | None = None,
     ) -> None:
         """Ordered merge write with optimistic-concurrency retry.
+
+        ``use_driver_merge``: None (default) = automatic — small
+        row-count-target writes take the driver-side pyarrow merge
+        path; False = force the distributed path (used by tests that
+        must exercise it, and by callers whose batches are wide
+        enough that the row cap is not a byte cap).
 
         ``conflict_retries``: on a manifest CAS conflict (another
         writer committed between this writer's manifest read and its
@@ -250,6 +257,7 @@ class OrderedDataset:
                     validate_monotonic=validate_monotonic,
                     known_stats=known_stats,
                     evolve_schema=evolve_schema,
+                    use_driver_merge=use_driver_merge,
                 )
             except ManifestConflictError:
                 if attempt >= conflict_retries:
@@ -269,6 +277,7 @@ class OrderedDataset:
         validate_monotonic: bool = True,
         known_stats: tuple | None = None,
         evolve_schema: bool = False,
+        use_driver_merge: bool | None = None,
     ) -> None:
         """Ordered merge write (see module docstring for the plan).
 
@@ -368,26 +377,32 @@ class OrderedDataset:
         replaced_names = {e.name for e in replaced}
         kept = [e for e in old_entries if e.name not in replaced_names]
 
-        # SMALL-BATCH DRIVER FAST PATH: when the producer already
-        # knows the batch bounds (known_stats — e.g. AggStream's
-        # driver-built bin flushes) and batch + overlapping files are
-        # small, the whole merge runs driver-side with pyarrow — ONE
-        # Spark job (the arrow collect) instead of the merge/sample/
-        # write/cache job train. This is the latency shape frequent
-        # incremental flushes need even at 100 TB: the SEED processing
-        # stays distributed; only the kilobyte-scale bin flush avoids
-        # the ~0.5 s-per-job floor. Semantics are identical (same
-        # overlap selection upstream, same keep-last tiebreak, same
-        # footer-stats manifest entries via _footer_stats); any arrow
-        # incompatibility falls back to the Spark path below.
+        # SMALL-BATCH DRIVER FAST PATH: batch + overlapping files are
+        # small (row count known by now from known_stats, the
+        # monotonic check, or the bounds job), so the whole merge runs
+        # driver-side with pyarrow — ONE Spark job (the arrow collect)
+        # instead of the merge/sample/write/cache job train. This is
+        # the latency shape frequent incremental flushes need even at
+        # 100 TB: the SEED processing stays distributed; only the
+        # small flush avoids the ~0.5 s-per-job floor. Semantics are
+        # identical (same overlap selection upstream, same keep-last
+        # tiebreak, same footer-stats manifest entries via
+        # _footer_stats); any arrow incompatibility falls back to the
+        # Spark path below. Binary columns opt out: the ROW cap does
+        # not bound multimodal payload bytes, so those writes stay
+        # distributed.
         n_old = sum(e.n_rows for e in replaced)
-        if (
-            known_stats is not None
-            and not validate_monotonic
-            and isinstance(row_group_target_size, int)
-            and target_schema is None
-            and n_new + n_old <= _DRIVER_MERGE_MAX_ROWS
-        ):
+        if use_driver_merge is None:
+            use_driver_merge = (
+                isinstance(row_group_target_size, int)
+                and target_schema is None
+                and n_new + n_old <= _DRIVER_MERGE_MAX_ROWS
+                and not any(
+                    "binary" in f.dataType.simpleString()
+                    for f in df.schema.fields
+                )
+            )
+        if use_driver_merge and isinstance(row_group_target_size, int):
             new_entries = self._merge_write_driver(
                 df, replaced, ordered_on, duplicates_on, row_group_target_size
             )

@@ -450,6 +450,7 @@ def test_driver_merge_fast_path_equals_spark_path(spark, scratch):
             ordered_on="ts",
             duplicates_on=["sym"],
             row_group_target_size=16,
+            use_driver_merge=False,  # force the distributed path
         )
     got = fast.read().toPandas().sort_values(["ts", "sym"], ignore_index=True)
     want = slow.read().toPandas().sort_values(["ts", "sym"], ignore_index=True)
@@ -474,6 +475,7 @@ def test_driver_merge_fast_path_equals_spark_path(spark, scratch):
         ordered_on="ts",
         duplicates_on=["sym"],
         row_group_target_size=16,
+        use_driver_merge=False,
     )
     pd.testing.assert_frame_equal(
         fast.read().toPandas().sort_values(["ts", "sym"], ignore_index=True),

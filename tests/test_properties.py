@@ -42,8 +42,16 @@ batch_strategy = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(batches=st.lists(batch_strategy, min_size=1, max_size=4), target=st.sampled_from([3, 5, 100]))
-def test_merge_equivalence_property(spark, tmp_path_factory, batches, target):
+@given(
+    batches=st.lists(batch_strategy, min_size=1, max_size=4),
+    target=st.sampled_from([3, 5, 100]),
+    # cover BOTH writers: the driver-side pyarrow fast path (auto for
+    # these small batches) and the distributed merge path (forced)
+    driver_merge=st.sampled_from([None, False]),
+)
+def test_merge_equivalence_property(
+    spark, tmp_path_factory, batches, target, driver_merge
+):
     """N successive merge writes == pandas emulation (concat in write
     order, stable sort, keep-last dedup on (sym, ts))."""
     root = tmp_path_factory.mktemp("prop")
@@ -55,6 +63,7 @@ def test_merge_equivalence_property(spark, tmp_path_factory, batches, target):
             ordered_on="ts",
             duplicates_on=["sym"],
             row_group_target_size=target,
+            use_driver_merge=driver_merge,
         )
     got = (
         ds.read().toPandas().sort_values(["ts", "sym"], ignore_index=True)
