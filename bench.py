@@ -114,6 +114,7 @@ HEADLINE = [
     "semdedup_prune",
     "duplicate_span_removal",
     "temperature_source_mix",
+    "packed_training_sequences",
 ]
 
 

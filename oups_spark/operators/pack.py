@@ -261,3 +261,79 @@ def grouped_topk(
         reduced.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    by: str | None = None,
+    budget: int = 2048,
+    vocab_size: int = 32768,
+) -> DataFrame:
+    """MATERIALIZE packed training sequences — the last-mile operator
+    that turns a curated corpus into the rows a trainer reads: per
+    (``by``, pack) one concatenated token-id stream plus the document
+    boundary map.
+
+    Tokenization is the BPE-ish pre-tokenizer with an md5-hash
+    vocabulary (``md5(token) % vocab_size`` — the engine-portable
+    stand-in for a trained BPE vocab; swap the transform for a
+    broadcast vocab join or a pandas-UDF encoder without touching the
+    packing). Pack assignment is :func:`pack_token_budget`'s two-phase
+    prefix sum; a document belongs to the pack where it STARTS, so
+    sequences can run past ``budget`` at the tail — the trainer's
+    slicer decides truncation/carry, the layout is its input.
+
+    Shuffle shape at 100 TB: tokenize+hash ride the corpus scan
+    (Generate-barriered so the regex runs once per row); the ONE
+    shuffle is the groupBy(pack) carrying each document's id array
+    exactly once — the unavoidable materialization shuffle of writing
+    training shards, on the uniform pack key.
+
+    Output: ``by?``, ``pack_id``, ``n_docs``, ``n_tokens``,
+    ``token_ids`` (array<int>, concatenated in layout order),
+    ``doc_ids`` (array, same order — the boundary map together with
+    each doc's token count).
+    """
+    from oups_spark.operators.text import BPE_PATTERN, md5_int, once_per_row
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    ids = F.transform(
+        toks, lambda t: F.pmod(md5_int(t), F.lit(vocab_size)).cast("int")
+    )
+    keep = ([by] if by else []) + [id_col]
+    base = once_per_row(df.select(*keep, text_col), {"__ids": ids}).select(
+        *keep, "__ids", F.size("__ids").alias("__n")
+    )
+    packed = pack_token_budget(
+        base, id_col=id_col, token_col="__n", budget=budget, by=by
+    )
+    layout = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("pack_offset").alias("o"),
+                F.col(id_col).alias("d"),
+                F.col("__ids").alias("t"),
+            )
+        )
+    )
+    return (
+        packed.groupBy(*([by] if by else []), "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+            layout.alias("__lay"),
+        )
+        .select(
+            *([by] if by else []),
+            "pack_id",
+            "n_docs",
+            "n_tokens",
+            F.flatten(F.transform(F.col("__lay"), lambda x: x["t"])).alias(
+                "token_ids"
+            ),
+            F.transform(F.col("__lay"), lambda x: x["d"]).alias("doc_ids"),
+        )
+    )

@@ -267,3 +267,71 @@ def temperature_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "keep_rate")
         .orderBy("doc_id")
     )
+
+
+_SEQ_BUDGET, _SEQ_VOCAB = 2048, 32768
+# the exact engine-portable BPE-ish pre-tokenizer pattern, quoted for
+# SQL (shared constant with the Spark plan via operators.text)
+from oups_spark.operators.text import BPE_PATTERN as _BPE_PATTERN  # noqa: E402
+
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "packed_training_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      regexp_extract_all(text, '{_BPE_SQL}') AS tok
+               FROM documents),
+    i AS (SELECT doc_id, lang,
+                 list_transform(tok, x -> CAST({_MD5B} % {_SEQ_VOCAB} AS INT)) AS ids,
+                 len(tok) AS n_tok
+          FROM t),
+    c AS (SELECT doc_id, lang, ids, n_tok,
+                 coalesce(sum(n_tok) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS off
+          FROM i)
+    SELECT lang,
+           CAST(off // {_SEQ_BUDGET} AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           md5(array_to_string(flatten(list(ids ORDER BY doc_id)), ' '))
+               AS token_digest,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids_csv
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully MATERIALIZED training sequences: per (lang, pack) the
+    concatenated md5-vocab token-id stream and its document boundary
+    map — the last-mile operator that turns the curated corpus into
+    what a trainer reads. The query projects the id stream and
+    boundary map to md5/csv digests so the oracle compares the exact
+    token layout value-for-value without shipping raw arrays through
+    the hash compare. One tokenize pass (Generate-barriered), the
+    two-phase prefix-sum pack assignment, and ONE shuffle on the
+    uniform pack key carrying each document's ids exactly once."""
+    from oups_spark.operators.pack import pack_sequences
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    seq = pack_sequences(
+        docs,
+        id_col="doc_id",
+        by="lang",
+        budget=_SEQ_BUDGET,
+        vocab_size=_SEQ_VOCAB,
+    )
+    return seq.select(
+        "lang",
+        "pack_id",
+        "n_docs",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", F.col("token_ids"))).alias("token_digest"),
+        F.concat_ws(",", F.col("doc_ids")).alias("doc_ids_csv"),
+    ).orderBy("lang", "pack_id")

@@ -484,3 +484,47 @@ def test_grouped_topk_null_order_values_match_window(spark):
             .collect()
         }
         assert got == want, f"ascending={asc}"
+
+
+def test_pack_sequences_layout(spark):
+    """pack_sequences materializes the concat-then-chunk layout: ids
+    concatenated in (by, id) order, a doc owned by the pack where it
+    starts, boundary map in the same order."""
+    import hashlib
+
+    from oups_spark.operators.pack import pack_sequences
+
+    rows = [
+        (0, "g", "aa bb cc"),       # 3 tokens
+        (1, "g", "dd ee"),          # 2 -> pack 0 holds docs 0,1 (budget 4: doc1 starts at off 3? no: 3 >= budget? floor(3/4)=0)
+        (2, "g", "ff gg hh ii jj"), # starts at off 5 -> pack 1
+        (3, "g", ""),               # empty doc, off 10 -> pack 2
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, text string")
+    out = {
+        (r["grp"], r["pack_id"]): (r["n_docs"], r["n_tokens"], r["token_ids"], r["doc_ids"])
+        for r in pack_sequences(
+            df, id_col="id", by="grp", budget=4, vocab_size=64
+        ).collect()
+    }
+
+    def tid(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    # BPE-ish pre-tokenizer: " bb" keeps the leading space token shape;
+    # build expectation with the same md5 vocab on the raw matches
+    import re
+
+    from oups_spark.operators.text import BPE_PATTERN
+
+    def ids_of(text):
+        return [tid(m) for m in re.findall(BPE_PATTERN, text)]
+
+    assert out[("g", 0)][0] == 2  # docs 0,1 (offsets 0 and 3)
+    assert out[("g", 0)][2] == ids_of("aa bb cc") + ids_of("dd ee")
+    assert out[("g", 0)][3] == [0, 1]
+    assert out[("g", 1)][0] == 1  # doc 2 starts at offset 5
+    assert out[("g", 1)][2] == ids_of("ff gg hh ii jj")
+    # empty doc lands in the pack of its offset with zero tokens
+    assert out[("g", 2)][0] == 1 and out[("g", 2)][1] == 0
+    assert out[("g", 2)][2] == [] and out[("g", 2)][3] == [3]
