@@ -418,9 +418,11 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram-LM negative log-likelihood per document —
     the cheap perplexity-style quality filter (atypical word
     transitions => high score). Count tables shuffle at vocabulary
-    size (map-side partial combine), the scoring joins broadcast; at
-    100 TB the LM caps to a top-V vocab + OOV bucket (documented in
-    the operator) and nothing else changes."""
+    size (map-side partial combine). The scoring joins are NOT
+    broadcast-pinned: the bigram vocabulary grows with the corpus, so
+    AQE broadcasts the count tables while they measure small and
+    falls back to shuffled hash joins on the uniform token keys at
+    scale (see ``bigram_nll_df``)."""
     from oups_spark.operators.text import bigram_nll_df
 
     docs = (
