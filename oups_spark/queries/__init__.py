@@ -46,18 +46,25 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Two-round rotation covering all 88 queries:
+# Two-round rotation covering every registered query (94 after the
+# round-5 additions):
 #   round 5 window = A ∪ B ∪ R5   (this list)
 #   round 6 window = C ∪ R6       (swap _WINDOW_PRIORITY for the
 #                                  complement: the 38 r4-green queries
-#                                  not in R5, plus 12 slack re-greens)
+#                                  displaced from this window, plus the
+#                                  3 round-5 additions registered past
+#                                  slot 50 — duplicate_span_removal,
+#                                  temperature_source_mix,
+#                                  packed_training_sequences — plus
+#                                  slack re-greens)
 # where
 #   A = 17 queries that had never had a driver correctness row
 #       through round 4,
 #   B = 21 oups-core queries green in round 3 but pushed out of
 #       round 4's window,
 #   C = the r4-green queries displaced by A ∪ B,
-#   R5/R6 = rotation picks from the previously-green pool.
+#   R5/R6 = rotation picks (R5 includes the first 3 round-5 additions
+#       and kmeans_clusters, re-verified after its oracle change).
 _WINDOW_PRIORITY = [
     # A: never driver-checked through round 4 (17)
     "store_time_travel",
