@@ -108,8 +108,12 @@ def write_stream_to_dataset(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
+            # no pre-sort: the merge write sorts on the ordering
+            # column itself, and within one append-mode micro-batch
+            # bin labels are unique (one row per expired window), so
+            # the keep-last tiebreak never depends on batch row order
             OrderedDataset(spark, path).write(
-                df=batch_df.orderBy(bin_col),
+                df=batch_df,
                 ordered_on=bin_col,
                 duplicates_on=[],
                 row_group_target_size=row_group_target_size,
