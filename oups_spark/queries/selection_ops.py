@@ -117,7 +117,7 @@ def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "log_weight", "gumbel_key")
 
 
-_SD_K, _SD_ITERS, _SD_SEED, _SD_THR = 6, 2, 11, 0.45
+_SD_K, _SD_ITERS, _SD_SEED, _SD_THR = 16, 2, 11, 0.45
 
 # normalize-first cosine, matching the Spark plan op-for-op (unit
 # vectors computed per row with the same fold order, zero vectors
@@ -167,7 +167,11 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unrolled SQL Lloyd) AND the within-cluster pruning in DuckDB.
     Threshold tuned to the synthetic table's cosine range (max ~0.51
     — real embedding spaces would sit at ~0.95+)."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return semdedup_prune(
         emb,
         id_col="vec_id",
