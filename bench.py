@@ -115,6 +115,8 @@ HEADLINE = [
     "duplicate_span_removal",
     "temperature_source_mix",
     "packed_training_sequences",
+    "neardup_keep_best",
+    "ccnet_quality_buckets",
 ]
 
 

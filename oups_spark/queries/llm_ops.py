@@ -280,10 +280,10 @@ def minhash_lsh_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register(
-    "neardup_clusters",
-    oracle=_SIGS_CTE.replace("WITH t", "WITH RECURSIVE t", 1)
-    + f""",
+# shared transitive-closure chain (recursive CTE over LSH-candidate
+# verified pairs) ending in reach(id, comp) — used by neardup_clusters
+# and neardup_keep_best so the closure definition cannot diverge
+_NDC_CTE = _SIGS_CTE.replace("WITH t", "WITH RECURSIVE t", 1) + f""",
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -303,7 +303,13 @@ def minhash_lsh_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT eg.u, r.comp FROM eg JOIN reach r ON r.id = eg.v
-    )
+    )"""
+
+
+@register(
+    "neardup_clusters",
+    oracle=_NDC_CTE
+    + """
     SELECT id AS doc_id, min(comp) AS cluster_id,
            (min(comp) = id) AS is_canonical
     FROM reach GROUP BY id ORDER BY doc_id
@@ -1057,6 +1063,65 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dup_of").isNull(), F.lit(1))
             .otherwise(F.lit(0))
             .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "neardup_keep_best",
+    oracle=_NDC_CTE
+    + """,
+    comp AS (SELECT id AS doc_id, min(comp) AS cluster_id
+             FROM reach GROUP BY id),
+    best AS (SELECT cluster_id, doc_id AS best_id FROM (
+               SELECT cluster_id, doc_id,
+                      row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY n_chars DESC, doc_id) AS rn
+               FROM comp JOIN documents USING (doc_id)) WHERE rn = 1)
+    SELECT comp.doc_id, comp.cluster_id,
+           (comp.doc_id = best.best_id) AS keep
+    FROM comp JOIN best USING (cluster_id)
+    ORDER BY doc_id
+    """,
+)
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup resolution with a KEEP-BEST policy (RefinedWeb-style:
+    retain the longest copy, ties to the lowest id) instead of the
+    min-id canonical — the 'which duplicate do we train on' decision
+    as a first-class operator. Built on the same LSH pairs +
+    transitive closure as ``neardup_clusters``; the representative is
+    picked by ONE ``max_by`` hash aggregation per cluster (map-side
+    partial combine — skew-safe even for a mega-cluster of
+    boilerplate, where a per-cluster window would hotspot) and joined
+    back on the cluster id."""
+    from oups_spark.operators.components import neardup_clusters
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = minhash_lsh_neardup_pairs(
+        docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
+    )
+    comp = neardup_clusters(docs, pairs, id_col="doc_id").select(
+        "doc_id", "cluster_id"
+    )
+    quality = docs.select("doc_id", "n_chars")
+    best = (
+        comp.join(quality, on="doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            ).alias("best_id")
+        )
+    )
+    return (
+        comp.join(best, on="cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("best_id")).alias("keep"),
         )
         .orderBy("doc_id")
     )

@@ -397,9 +397,10 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lm_quality_score",
-    oracle=f"""
+# shared bigram-LM scoring chain ending in nll(doc_id, n_bigrams,
+# avg_nll) — reused by lm_quality_score and ccnet_quality_buckets so
+# the scoring definition cannot diverge between oracles
+_LM_CTE = f"""
     WITH t AS (SELECT doc_id, {_TOK} AS tok FROM documents),
     u AS (SELECT unnest(tok) AS w1 FROM t),
     uni AS (SELECT w1, count(*) AS cu FROM u GROUP BY w1),
@@ -407,11 +408,18 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS bg, tok[i] AS w1
            FROM t, LATERAL unnest(range(1, len(tok))) AS r(i)
            WHERE len(tok) >= 2),
-    big AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg)
-    SELECT doc_id, count(*) AS n_bigrams,
-           round(avg(-ln((cb + 1) / (cu + V))), 6) AS avg_nll
-    FROM bg JOIN big USING (bg) JOIN uni USING (w1), v
-    GROUP BY doc_id ORDER BY doc_id
+    big AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+    nll AS (SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(-ln((cb + 1) / (cu + V))), 6) AS avg_nll
+            FROM bg JOIN big USING (bg) JOIN uni USING (w1), v
+            GROUP BY doc_id)"""
+
+
+@register(
+    "lm_quality_score",
+    oracle=_LM_CTE
+    + """
+    SELECT doc_id, n_bigrams, avg_nll FROM nll ORDER BY doc_id
     """,
 )
 def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,3 +439,55 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     return bigram_nll_df(docs, "doc_id").orderBy("doc_id")
+
+
+@register(
+    "ccnet_quality_buckets",
+    oracle=_LM_CTE
+    + """,
+    cuts AS (SELECT round(quantile_cont(avg_nll, 1.0/3) * 1000000) / 1000000 AS c1,
+                    round(quantile_cont(avg_nll, 2.0/3) * 1000000) / 1000000 AS c2
+             FROM nll)
+    SELECT doc_id, avg_nll,
+           CASE WHEN avg_nll <= c1 THEN 'head'
+                WHEN avg_nll <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM nll, cuts ORDER BY doc_id
+    """,
+)
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: split the corpus into
+    head / middle / tail terciles of the self-trained bigram-LM score
+    (lower NLL = more 'in-distribution' = head) — the classic
+    quality-tiering step before mixing or filtering. The tercile cuts
+    are ONE tiny aggregate broadcast back; bucketing itself is
+    map-side. Cuts are pinned via ``round(q * 1e6) / 1e6`` so both
+    engines compare against the bit-identical thresholds (scores are
+    already 6dp-rounded). At 100 TB swap the exact ``percentile`` for
+    ``approx_percentile`` — the cut shifts by the sketch error and
+    only boundary documents move buckets."""
+    from oups_spark.operators.text import bigram_nll_df
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    nll = bigram_nll_df(docs, "doc_id")
+    pin = lambda c: F.round(c * 1e6) / 1e6  # noqa: E731
+    cuts = nll.agg(
+        pin(F.percentile(F.col("avg_nll"), F.lit(1.0 / 3))).alias("c1"),
+        pin(F.percentile(F.col("avg_nll"), F.lit(2.0 / 3))).alias("c2"),
+    )
+    return (
+        nll.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("c1"), F.lit("head"))
+            .when(F.col("avg_nll") <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
