@@ -46,16 +46,20 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Two-round rotation covering every registered query (94 after the
+# Two-round rotation covering every registered query (96 after the
 # round-5 additions):
 #   round 5 window = A ∪ B ∪ R5   (this list)
 #   round 6 window = C ∪ R6       (swap _WINDOW_PRIORITY for the
-#                                  complement: the 38 r4-green queries
-#                                  displaced from this window, plus the
-#                                  3 round-5 additions registered past
-#                                  slot 50 — duplicate_span_removal,
+#                                  complement — exactly the 46 queries
+#                                  past slot 50 this round: the 38
+#                                  r4-green queries displaced by A ∪ B
+#                                  and the 8 round-5 registrations
+#                                  beyond the window, among them
+#                                  duplicate_span_removal,
 #                                  temperature_source_mix,
-#                                  packed_training_sequences — plus
+#                                  packed_training_sequences,
+#                                  neardup_keep_best,
+#                                  ccnet_quality_buckets — plus 4
 #                                  slack re-greens)
 # where
 #   A = 17 queries that had never had a driver correctness row
