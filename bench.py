@@ -220,10 +220,12 @@ def main() -> int:
             timings[name] = -1.0
             spread[name] = []
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # Per-query [min,max] spread goes to a sidecar file, NOT the stdout
-    # JSON line: the driver captures only the tail of stdout, and a
-    # spread-inflated line overflowed that buffer in round 4
-    # (BENCH_r04.json parsed: null). Keep the parseable line compact.
+    # Per-query medians AND [min,max] spread both go to the sidecar
+    # file, NOT the stdout JSON line: the driver captures only ~2 KB of
+    # stdout tail, and 96 per-query medians total ~2.9 KB — rounds 4
+    # AND 5 both lost their headline to this truncation (the front of
+    # the JSON object, where metric/value sit, is what gets cut). The
+    # final stdout line is now a ~120-byte headline only.
     try:
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -236,6 +238,7 @@ def main() -> int:
                     # per-query constant a long-lived streaming query
                     # pays once, embedded in every streaming_* median
                     "streaming_fixed_overhead_sec": streaming_fixed_overhead,
+                    "queries": timings,
                     "spread": spread,
                 },
                 fh,
@@ -249,9 +252,10 @@ def main() -> int:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "reps": reps,
+                "n_queries": len(timings),
+                "n_failed": len(failed),
             }
         )
     )

@@ -144,7 +144,7 @@ def semdedup_prune(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     seed: int = 42,
     threshold: float = 0.97,
@@ -159,14 +159,24 @@ def semdedup_prune(
     Scale shape: the ONLY pairwise work happens within a cluster —
     the self-join key is the cluster id, so the comparison volume is
     sum over clusters of |c|^2, controlled by choosing k so clusters
-    stay bounded (the paper uses k ~ sqrt(n); at 100 TB the cluster
-    id doubles as the partition key and each cluster's block fits one
-    task). Nothing all-pairs, nothing collected.
+    stay bounded. The default ``k=None`` ENFORCES the paper's
+    ``k ~ sqrt(n)`` with one cheap count, keeping comparison volume
+    ~``n * sqrt(n)`` without caller tuning — a fixed k silently goes
+    quadratic at 100 TB, so scale-safety is the default rather than a
+    docstring footnote; pass an explicit k to pin it (oracle-checked
+    queries do, for deterministic trajectories). At 100 TB the
+    cluster id doubles as the partition key and each cluster's block
+    fits one task. Nothing all-pairs, nothing collected.
 
     Output: ``id_col``, ``cluster``, ``keep`` (false = pruned as a
     semantic duplicate of an earlier-id member of the same cluster).
     """
+    import math
+
     from oups_spark.operators.similarity import kmeans_lloyd
+
+    if k is None:
+        k = max(1, math.ceil(math.sqrt(vectors.count())))
 
     v = F.col(vec_col).cast("array<double>")
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))

@@ -248,31 +248,15 @@ def embedding_neardup_pairs(
     return _verify_pairs(df, pairs, id_col, vec_col, threshold)
 
 
-def train_spherical_centroids(
-    sample, *, n_cells: int, lloyd_iters: int, seed: int
-):
-    """Spherical k-means on the unit sphere over an (n, d) sample
-    matrix — shared by ``ivf_cosine_topk`` and the DuckDB oracle
-    generator (same rows + same seed => bit-identical centroids, so
-    the oracle can emit them as SQL literals)."""
-    import numpy as np
-
-    sample = np.asarray(sample, dtype=np.float64)
-    sample = sample / np.maximum(
-        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
-    )
-    rng = np.random.default_rng(seed)
-    cents = sample[
-        rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
-    ]
-    for _ in range(lloyd_iters):
-        assign = np.argmax(sample @ cents.T, axis=1)
-        for j in range(len(cents)):
-            m = sample[assign == j]
-            if len(m):
-                c = m.mean(axis=0)
-                cents[j] = c / max(np.linalg.norm(c), 1e-12)
-    return cents
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity as a pure Catalyst fold — bit-identical to a
+    DuckDB ``list_dot_product``-based twin (same left-to-right dim
+    order), with the zero-norm guard the oracle tail also states.
+    Interpreted HOF eval, so reserve it for BOUNDED candidate sets
+    (post-probe / post-rerank) where cross-engine determinism of the
+    final ranking matters more than per-row nanoseconds."""
+    na, nb = dot(a, a), dot(b, b)
+    return F.when(na * nb > 0, dot(a, b) / F.sqrt(na * nb)).otherwise(F.lit(0.0))
 
 
 def lsh_planes(
@@ -304,25 +288,31 @@ def ivf_cosine_topk(
 
     Train: a REPRESENTATIVE bounded sample — the ``sample_size`` rows
     with the LOWEST ``xxhash64(id)`` — is pulled to the driver and
-    clustered with a few Lloyd iterations on the unit sphere
-    (spherical k-means; numpy, milliseconds). Ordering by a uniform
-    hash draws uniformly from the whole corpus (a plain
+    clustered with a few L2 Lloyd iterations (``kmeans_lloyd_np``:
+    md5-portable init, per-iteration half-away rounding). Ordering by
+    a uniform hash draws uniformly from the whole corpus (a plain
     ``limit(sample_size)`` prefix would be one time-slice/partition
     of a 100 TB table and skew the quantizer) while staying fully
     deterministic for a given corpus + seed, and it needs NO sizing
     pass: Spark's TakeOrdered keeps a bounded per-task top-K, so this
-    is ONE job instead of round 3's count + stride-filter pair, and a
-    corpus smaller than ``sample_size`` simply yields all its rows.
-    The centroid matrix is a closure constant — no fitting job, no
-    MLlib dependency.
+    is ONE job, and a corpus smaller than ``sample_size`` simply
+    yields all its rows. The centroid matrix is a plan literal — no
+    fitting job, no MLlib dependency.
 
-    Search: one Arrow-batched matmul assigns every corpus vector its
-    nearest cell (this is the partition layout — at scale the cell id
-    becomes the table's partition/bucket column so a probe touches
-    only ``nprobe/n_cells`` of the files); each query probes its
-    ``nprobe`` closest cells; candidates are exact-ranked with
-    ``cosine_pd``. The corpus is never shuffled: cell keys join
+    Search: a literal-centroid Catalyst argmin assigns every corpus
+    vector its nearest cell (this is the partition layout — at scale
+    the cell id becomes the table's partition/bucket column so a
+    probe touches only ``nprobe/n_cells`` of the files); each query
+    probes its ``nprobe`` closest cells (``array_sort`` over the same
+    literal distance structs); candidates are exact-ranked with
+    ``cosine_expr``. The corpus is never shuffled: cell keys join
     against the broadcast (query, cell) probe list.
+
+    FULLY ENGINE-PORTABLE: every distance is a left-to-right fold
+    over plan literals and the training trajectory is the rounded
+    ``kmeans_lloyd_np`` one, so a DuckDB oracle recomputes the whole
+    query — init, iterations, assignment, probing, ranking — in pure
+    SQL with no repo-computed values (``_ivf_oracle_sql``).
     """
     import numpy as np
 
@@ -337,38 +327,47 @@ def ivf_cosine_topk(
     # stable ordering so centroid init doesn't depend on partition
     # scheduling (collect order is only partition-order stable)
     sample_rows.sort(key=lambda r: r[0])
-    C = train_spherical_centroids(
+    C = kmeans_lloyd_np(
         np.vstack([np.asarray(r[1], dtype=np.float64) for r in sample_rows]),
-        n_cells=n_cells,
-        lloyd_iters=lloyd_iters,
+        [r[0] for r in sample_rows],
+        k=n_cells,
+        iters=lloyd_iters,
         seed=seed,
+        center_decimals=6,
     )
+    C = [[float(x) for x in row] for row in C]
 
-    @F.pandas_udf(IntegerType())
-    def cell_of(v: pd.Series) -> pd.Series:
-        M = np.vstack(v.to_numpy()).astype(np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_cells(v: pd.Series) -> pd.Series:
-        M = np.vstack(v.to_numpy()).astype(np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(M @ C.T), axis=1)[:, : min(nprobe, len(C))]
-        return pd.Series(list(order.astype("int32")))
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cell", cell_of(F.col("cv")))
+    c = kmeans_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ),
+        C,
+        vec_col="cv",
+        cluster_col="cell",
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
+    qpairs = F.array(
+        *[
+            F.struct(_sq_dist(F.col("qv"), cent).alias("d"), F.lit(j).alias("j"))
+            for j, cent in enumerate(C)
+        ]
+    )
     probes = q.select(
-        "query_id", "qv", F.explode(probe_cells(F.col("qv"))).alias("cell")
+        "query_id",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(qpairs), 1, min(nprobe, len(C))),
+                lambda s: s["j"].cast("int"),
+            )
+        ).alias("cell"),
     )
     scored = c.join(F.broadcast(probes), on="cell").filter(
         F.col("neighbor_id") != F.col("query_id")
-    ).withColumn("sim", cosine_pd(F.col("qv"), F.col("cv")))
+    ).withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -565,34 +564,45 @@ def label_centroids(
 
 
 def train_pq_codebooks(
-    sample, *, m: int = 8, k_codes: int = 16, iters: int = 5, seed: int = 42
+    sample,
+    ids,
+    *,
+    m: int = 8,
+    k_codes: int = 32,
+    iters: int = 5,
+    seed: int = 42,
+    center_decimals: int = 6,
 ):
     """Per-subspace k-means codebooks for product quantization over an
     (n, D) float64 sample (D must divide into m contiguous subspaces).
-    Plain Lloyd L2 iterations, deterministic given sample + seed —
-    shared with the DuckDB oracle generator exactly like
-    :func:`train_spherical_centroids`."""
+    ENGINE-PORTABLE like :func:`kmeans_lloyd_np`: subspace ``j``'s
+    init is the ``k_codes`` sample ids with the lowest
+    ``(md5_int32(f'{seed}:{j}:{id}'), id)``, distances accumulate
+    dim-by-dim (``_d2_dim_fold``), and every averaged centroid cell is
+    rounded half-away per iteration — so a DuckDB oracle replays the
+    identical trajectory in pure SQL (``_pq_oracle_sql``)."""
     import numpy as np
 
     sample = np.asarray(sample, dtype=np.float64)
+    ids = list(ids)
     n, D = sample.shape
     if D % m:
         raise ValueError(f"dim {D} not divisible into {m} subspaces")
     d = D // m
-    rng = np.random.default_rng(seed)
+    pos = {v: i for i, v in enumerate(ids)}
+    f = 10.0**center_decimals
     books = []
     for j in range(m):
         sub = sample[:, j * d : (j + 1) * d]
-        cents = sub[
-            rng.choice(n, size=min(k_codes, n), replace=False)
-        ].copy()
+        init = _kmeans_init_ids(ids, k_codes, f"{seed}:{j}")
+        cents = sub[[pos[i] for i in init]].copy()
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            assign = np.argmin(d2, axis=1)
+            assign = np.argmin(_d2_dim_fold(sub, cents), axis=1)
             for c in range(len(cents)):
                 msk = assign == c
                 if msk.any():
                     cents[c] = sub[msk].mean(axis=0)
+                    cents[c] = np.sign(cents[c]) * np.floor(np.abs(cents[c]) * f + 0.5) / f
         books.append(cents)
     return books
 
@@ -605,7 +615,7 @@ def pq_cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     m: int = 8,
-    k_codes: int = 16,
+    k_codes: int = 32,
     rerank: int = 64,
     sample_size: int = 4096,
     iters: int = 5,
@@ -616,21 +626,29 @@ def pq_cosine_topk(
     ANN family (vs LSH's bucketing and IVF's partition pruning).
 
     Train: the same deterministic hash-ordered sample as
-    ``ivf_cosine_topk`` feeds per-subspace k-means codebooks (driver
-    numpy, milliseconds; codebooks become closure constants).
+    ``ivf_cosine_topk`` feeds per-subspace k-means codebooks
+    (``train_pq_codebooks``: driver numpy, milliseconds, fully
+    engine-portable trajectory; codebooks become plan literals).
 
     Encode: each corpus vector maps to m uint codes (argmin L2 per
     subspace) — at 100 TB the stored index is m bytes/vector (64×
     smaller than float64), and this map stage runs once at ingest.
+    The argmin and the centroid reconstruction are ONE nested
+    higher-order-function expression over the literal codebook tensor
+    (not m × k_codes unrolled subtrees — that shape made codegen
+    dominate runtime for the LSH buckets).
 
     Search: ADC — the PQ approximation of ``dot(q, v)`` is exactly
     ``dot(q, reconstruct(codes(v)))``, so each corpus row decodes to
-    its centroid reconstruction and one Arrow-batched einsum scores
-    it against every broadcast query; this is a linear scan of the
+    its centroid reconstruction and a left-to-right fold scores it
+    against every broadcast query; this is a linear scan of the
     COMPRESSED index (that is what PQ is), never of the raw vectors.
     The top ``rerank`` by approximate score then get exact cosines
     and the final ``row_number() <= k`` cut, so precision of the
     output scores is exact and only recall depends on quantization.
+    Every arithmetic step is a deterministic fold over plan literals,
+    so the DuckDB oracle replays the whole query — codebook training
+    included — in pure SQL (``_pq_oracle_sql``).
     """
     import numpy as np
 
@@ -645,42 +663,75 @@ def pq_cosine_topk(
     sample_rows.sort(key=lambda r: r[0])
     books = train_pq_codebooks(
         np.vstack([np.asarray(r[1], dtype=np.float64) for r in sample_rows]),
+        [r[0] for r in sample_rows],
         m=m,
         k_codes=k_codes,
         iters=iters,
         seed=seed,
     )
     B = np.stack(books)  # (m, k_codes, d)
-    d = B.shape[2]
+    d = int(B.shape[2])
 
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def reconstruct(v: pd.Series) -> pd.Series:
-        M = np.vstack(v.to_numpy()).astype(np.float64)
-        parts = []
-        for j in range(m):
-            sub = M[:, j * d : (j + 1) * d]
-            dist = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
-            parts.append(B[j][np.argmin(dist, axis=1)])
-        R = np.concatenate(parts, axis=1)
-        return pd.Series(list(R))
+    # literal codebook tensor: BOOKS[j+1][c+1] = centroid (array<double>)
+    books_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in code])
+                    for code in book
+                ]
+            )
+            for book in books
+        ]
+    )
 
-    @F.pandas_udf(DoubleType())
-    def dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.vstack(a.to_numpy())
-        Bm = np.vstack(b.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", A, Bm))
+    def _recon(cv):
+        # per subspace j: argmin_c of the dim-order d2 fold (ties ->
+        # lowest c, via lexicographic struct min), then the chosen
+        # centroid; flatten concatenates the m subspace centroids
+        def best_code(j):
+            def d2(c):
+                return F.aggregate(
+                    F.sequence(F.lit(1), F.lit(d)),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + (
+                        F.element_at(cv, j * d + i)
+                        - F.element_at(F.element_at(F.element_at(books_lit, j + 1), c + 1), i)
+                    )
+                    * (
+                        F.element_at(cv, j * d + i)
+                        - F.element_at(F.element_at(F.element_at(books_lit, j + 1), c + 1), i)
+                    ),
+                )
+
+            return F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k_codes - 1)),
+                    lambda c: F.struct(d2(c).alias("d"), c.alias("c")),
+                )
+            )["c"]
+
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.element_at(
+                    F.element_at(books_lit, j + 1), best_code(j) + 1
+                ),
+            )
+        )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("recon", reconstruct(F.col("cv")))
+    ).withColumn("recon", _recon(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("approx", dot_pd(F.col("qv"), F.col("recon")))
+        .withColumn("approx", dot(F.col("qv"), F.col("recon")))
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.desc("approx"), F.asc("neighbor_id")
@@ -688,7 +739,7 @@ def pq_cosine_topk(
     cand = (
         scored.withColumn("arnk", F.row_number().over(wa))
         .filter(F.col("arnk") <= rerank)
-        .withColumn("sim", cosine_pd(F.col("qv"), F.col("cv")))
+        .withColumn("sim", cosine_expr(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -701,10 +752,12 @@ def pq_cosine_topk(
 
 
 # ------------------------------------------------------------- k-means
-def _kmeans_init_ids(ids, k: int, seed: int):
+def _kmeans_init_ids(ids, k: int, seed):
     """Deterministic engine-portable init: the k ids with the lowest
     ``(md5_int32(f'{seed}:{id}'), id)`` — computable identically in
-    Spark (``md5_int``), Python (hashlib, here) and DuckDB SQL."""
+    Spark (``md5_int``), Python (hashlib, here) and DuckDB SQL.
+    ``seed`` may be an int or a compound string prefix (PQ uses
+    ``f'{seed}:{subspace}'`` for per-subspace inits)."""
     import hashlib
 
     def h(i):
@@ -731,8 +784,7 @@ def kmeans_lloyd_np(
     pos = {v: i for i, v in enumerate(ids)}
     C = np.vstack([X[pos[i]] for i in _kmeans_init_ids(ids, k, seed)])
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = np.argmin(d2, axis=1)  # ties -> lowest cluster idx
+        assign = np.argmin(_d2_dim_fold(X, C), axis=1)  # ties -> lowest cluster
         for j in range(len(C)):
             m = X[assign == j]
             if len(m):
@@ -743,6 +795,24 @@ def kmeans_lloyd_np(
                     f = 10.0**center_decimals
                     C[j] = np.sign(C[j]) * np.floor(np.abs(C[j]) * f + 0.5) / f
     return C
+
+
+def _d2_dim_fold(X, C):
+    """Squared-L2 distance matrix accumulated dim-by-dim, left to
+    right — the SAME IEEE operation sequence per (row, centroid) as a
+    Catalyst ``aggregate(zip_with(...))`` fold or a DuckDB
+    ``list_sum(list_transform(...))``, so near-tie argmins cannot
+    differ across the three engines (a blocked/pairwise numpy sum
+    could disagree by an ulp exactly on the ties that matter)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    C = np.asarray(C, dtype=np.float64)
+    acc = np.zeros((X.shape[0], C.shape[0]))
+    for d in range(X.shape[1]):
+        diff = X[:, d, None] - C[None, :, d]
+        acc += diff * diff
+    return acc
 
 
 def _sq_dist(vec: Column, cent: list[float]) -> Column:
@@ -790,6 +860,7 @@ def kmeans_lloyd(
     iters: int = 3,
     seed: int = 42,
     center_decimals: int | None = None,
+    materialize: str | None = "persist",
 ) -> DataFrame:
     """DISTRIBUTED Lloyd's k-means over the full table (unlike the
     IVF quantizer, which trains on a bounded driver sample): each
@@ -820,30 +891,43 @@ def kmeans_lloyd(
     """
     from oups_spark.operators.text import md5_int
 
-    # Materialize the input ONCE: the loop reads it iters+2 times (init
-    # scan, init-centroid collect, per-iteration agg, final assign), and
-    # callers frequently pass an expensive derivation (topic_clusters'
+    # Materialize the input ONCE: the loop reads it iters+1 times
+    # (init TakeOrdered, per-iteration agg, final assign), and callers
+    # frequently pass an expensive derivation (topic_clusters'
     # featurization is an O(dim x n_tok) expression fold per row).
     # Without this, every pass re-runs that upstream — 5 corpus scans
-    # instead of 1 at 100 TB. localCheckpoint also truncates the
-    # lineage so Catalyst doesn't re-optimize the fold per job.
-    df = df.localCheckpoint(eager=True)
+    # instead of 1 at 100 TB.
+    #   'persist' (default): MEMORY_AND_DISK — keeps lineage, so an
+    #     executor loss mid-run recomputes the lost blocks instead of
+    #     failing the whole job (localCheckpoint's blocks are
+    #     non-reliable and its truncated lineage makes any loss fatal
+    #     on a real cluster).
+    #   'checkpoint': localCheckpoint(eager) — also truncates lineage
+    #     so Catalyst doesn't re-optimize a huge expression fold per
+    #     job; single-process latency path, not fault-tolerant.
+    #   None: caller already cached/materialized the input.
+    if materialize == "persist":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    elif materialize == "checkpoint":
+        df = df.localCheckpoint(eager=True)
+    elif materialize is not None:
+        raise ValueError(f"materialize must be 'persist', 'checkpoint' or None, got {materialize!r}")
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
-    init_ids = [
-        r[0]
-        for r in base.select(id_col)
-        .orderBy(
+    # ONE bounded TakeOrdered job fetches the k init ids AND their
+    # vectors together (the vector payload rides along on k rows —
+    # a separate filter+collect job for the centroids would double the
+    # fixed job overhead for no data-volume reason)
+    init_rows = (
+        base.orderBy(
             md5_int(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
             F.col(id_col),
         )
         .limit(k)
         .collect()
-    ]
-    cents = {
-        r[0]: list(r[1])
-        for r in base.filter(F.col(id_col).isin(init_ids)).collect()
-    }
-    C = [cents[i] for i in init_ids]
+    )
+    C = [list(r["__v"]) for r in init_rows]
     dim = len(C[0])
     for _ in range(iters):
         assigned = kmeans_assign(base, C, vec_col="__v")

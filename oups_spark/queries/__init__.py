@@ -46,85 +46,72 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Two-round rotation covering every registered query (96 after the
-# round-5 additions):
-#   round 5 window = A ∪ B ∪ R5   (this list)
-#   round 6 window = C ∪ R6       (swap _WINDOW_PRIORITY for the
-#                                  complement — exactly the 46 queries
-#                                  past slot 50 this round: the 38
-#                                  r4-green queries displaced by A ∪ B
-#                                  and the 8 round-5 registrations
-#                                  beyond the window, among them
-#                                  duplicate_span_removal,
-#                                  temperature_source_mix,
-#                                  packed_training_sequences,
-#                                  neardup_keep_best,
-#                                  ccnet_quality_buckets — plus 4
-#                                  slack re-greens)
-# where
-#   A = 17 queries that had never had a driver correctness row
-#       through round 4,
-#   B = 21 oups-core queries green in round 3 but pushed out of
-#       round 4's window,
-#   C = the r4-green queries displaced by A ∪ B,
-#   R5/R6 = rotation picks (R5 includes the first 3 round-5 additions
-#       and kmeans_clusters, re-verified after its oracle change).
+# Round-6 window (executed as documented in round 5): the complement
+# of round 5's window — exactly the 46 queries that sat past slot 50
+# in round 5 (the 41 r4-green queries displaced by round 5's A ∪ B
+# rotation plus the 5 round-5 registrations that have never had a
+# driver correctness row: neardup_keep_best, ccnet_quality_buckets,
+# duplicate_span_removal, temperature_source_mix,
+# packed_training_sequences) — plus 4 slack re-greens picked to
+# re-verify code changed this round (kmeans init-collect fold,
+# SemDeDup k default, IVF oracle rewrite, driver-merge byte gate).
+# With this window, every one of the 96 registered queries has a
+# driver-green row within rounds 5–6.
 _WINDOW_PRIORITY = [
-    # A: never driver-checked through round 4 (17)
-    "store_time_travel",
-    "store_schema_evolution",
-    "store_stats_skipping",
-    "jsonl_ingest_roundtrip",
-    "aggstream_edge_bins_restart",
-    "streaming_native_sessions",
-    "streaming_stateful_ffill",
-    "streaming_dedup_ingest",
-    "streaming_interval_join",
-    "streaming_sliding_hourly",
-    "twap_hourly",
-    "snapshot_irregular_edges",
-    "sliding_window_1h_15m",
-    "text_feature_vectors",
-    "source_quota_twophase",
-    "corpus_pipeline_end2end",
-    "topic_clusters",
-    # B: oups-core, green in r3 but outside r4's window (21)
-    "segment_bins_1h",
-    "segment_bins_4h_right",
-    "segment_bins_month_right",
-    "segment_bins_quarter_right",
-    "segment_bins_4h_0930_offset",
-    "segment_bins_explicit_edges",
-    "row_count_bins_500",
-    "snapshot_1d_6h",
-    "snapshot_1y_1ms",
-    "store_merge_keep_last",
-    "store_append_range_read",
-    "store_compact_roundtrip",
-    "dnf_filter_events",
-    "aggstream_hourly_restart",
-    "aggstream_snapshots_restart",
-    "streaming_native_hourly",
-    "session_windows",
-    "volume_bars_10k",
-    "aggstream_filter_fanout",
-    "intersections_bucket_align",
-    "rollup_pricing",
-    # R5: rotation picks (12) — the 3 NEW round-5 selection queries
-    # (never checked by definition), kmeans_clusters to re-verify
-    # after the persist + oracle change, and re-greens from r4
-    "dsir_importance_weights",
-    "dsir_gumbel_topk",
-    "semdedup_prune",
-    "pricing_summary",
+    # Never driver-checked round-5 registrations (5) — first priority
+    "neardup_keep_best",
+    "ccnet_quality_buckets",
+    "duplicate_span_removal",
+    "temperature_source_mix",
+    "packed_training_sequences",
+    # r4-green queries displaced by round 5's window (41), in their
+    # round-5 import order
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority_counts",
+    "shipping_priority",
+    "promo_revenue_monthly",
+    "regional_supplier_volume",
+    "salted_join_order_customer",
+    "lang_id",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "neardup_clusters",
+    "simhash_signatures",
+    "embedding_neardup_pairs",
+    "ann_lsh_topk",
+    "multimodal_features",
+    "corpus_curation",
+    "token_pack_assignment",
+    "stratified_sample_mix",
+    "multimodal_frame_sample",
+    "simhash_neardup_pairs",
+    "ann_pq_topk",
+    "incremental_neardup_ingest",
+    "ffill_bfill_user_values",
+    "customers_without_orders",
+    "calendar_floor_ceil",
+    "moving_avg_per_user",
+    "value_percentiles_by_type",
+    "daily_type_pivot",
+    "trailing_24h_per_user",
+    "repetition_stats",
+    "decontamination_overlap",
+    "pii_scan",
+    "embedding_quantize",
+    "label_centroids",
+    "json_props_extract",
+    "duplicated_windows",
+    "lm_quality_score",
+    "doc_chunk_overlap",
+    "bm25_topk",
+    "deterministic_shuffle",
+    "source_quota_topk",
+    # Slack re-greens (4): queries exercising round-6 code changes
     "kmeans_clusters",
-    "asof_click_before_purchase",
-    "range_join_first_week",
-    "dedup_exact",
-    "minhash_lsh_neardup_pairs",
-    "embedding_cosine_topk",
+    "semdedup_prune",
     "ann_ivf_topk",
-    "text_stats",
+    "store_merge_keep_last",
 ]
 
 

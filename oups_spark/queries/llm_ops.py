@@ -469,68 +469,67 @@ def _lsh_oracle_sql() -> str:
     {_ANN_RANK_TAIL}"""
 
 
-def _ivf_oracle_sql() -> str | None:
-    """Exact DuckDB twin of ``ann_ivf_topk``. The quantizer is
-    deterministic given corpus + seed: at oracle scale the corpus is
-    smaller than ``sample_size``, so the training sample is ALL rows
-    sorted by id — reproduced here by reading the parquet directly
-    and running the SAME ``train_spherical_centroids`` code, then
-    emitting the centroids as SQL literals. Returns None (rows-only
-    check) when the table is missing or too big to replicate the
-    xxhash64-ordered sample engine-side."""
+def _oracle_corpus_fits_sample(sample_size: int = 4096) -> bool:
+    """The IVF/PQ oracles replay quantizer training on the WHOLE
+    table, which equals the engine's xxhash64-ordered sample exactly
+    when the corpus has at most ``sample_size`` rows. Checked from
+    parquet FOOTER metadata only — no DuckDB, no data read, so the
+    registry import stays cheap."""
     import os
 
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     path = os.path.join(sf, "embeddings.parquet")
     if not os.path.exists(path):
-        return None
-    import duckdb
-    import numpy as np
+        return False
+    try:
+        import pyarrow.parquet as pq
 
-    from oups_spark.operators.similarity import train_spherical_centroids
+        return 0 < pq.ParquetFile(path).metadata.num_rows <= sample_size
+    except Exception:  # noqa: BLE001 — unreadable footer -> rows-only check
+        return False
 
-    con = duckdb.connect()
-    rows = con.sql(
-        f"SELECT embedding::DOUBLE[] FROM read_parquet('{path}') "
-        f"ORDER BY vec_id"
-    ).fetchall()
-    con.close()
-    if not rows or len(rows) > 4096:  # sample_size default
+
+def _ivf_oracle_sql() -> str | None:
+    """Fully INDEPENDENT DuckDB twin of ``ann_ivf_topk`` — pure SQL,
+    no repo code executes and no repo-computed values are trusted.
+    The coarse quantizer's whole trajectory (md5-portable init, 5
+    rounded Lloyd iterations) is unrolled via ``kmeans_unrolled_sql``
+    (the same generator behind the green ``kmeans_clusters`` oracle);
+    cell assignment, probe selection and the exact ranking ride on
+    top. Valid exactly when the corpus fits the training sample (the
+    sample is then ALL rows — ``_oracle_corpus_fits_sample``); returns
+    None (rows-only check) otherwise."""
+    if not _oracle_corpus_fits_sample():
         return None
-    C = train_spherical_centroids(
-        np.vstack([r[0] for r in rows]), n_cells=16, lloyd_iters=5, seed=42
+    from oups_spark.queries.quality_ops import kmeans_unrolled_sql
+
+    iters, nprobe = 5, 3
+    d2 = (
+        "list_sum(list_transform(range(1, len(v.e) + 1), "
+        "i -> (v.e[i] - p.c[i]) * (v.e[i] - p.c[i])))"
     )
-    cents = ", ".join(
-        f"({j}, {_vec_sql(C[j])}::DOUBLE[])" for j in range(len(C))
-    )
-    # cell assignment / probe ranking by RAW dot product: the UDFs
-    # normalize the vector first, but argmax/argsort are invariant to
-    # a positive per-row scaling
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cents(cell, c) AS (VALUES {cents}),
+    suffix = f"""
+    , qp AS (
+      SELECT id AS query_id, e AS qe, cl AS cell FROM (
+        SELECT v.id, v.e, p.cl,
+               row_number() OVER (PARTITION BY v.id ORDER BY {d2}, p.cl) AS rn
+        FROM v CROSS JOIN c{iters} p WHERE v.id < 10) WHERE rn <= {nprobe}),
     cc AS (
-      SELECT vec_id, e, cell FROM (
-        SELECT v.vec_id, v.e, cents.cell,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY list_dot_product(v.e, cents.c) DESC,
-                                           cents.cell) AS rn
-        FROM v CROSS JOIN cents) WHERE rn = 1
-    ),
-    qp AS (
-      SELECT vec_id AS query_id, e AS qe, cell FROM (
-        SELECT v.vec_id, v.e, cents.cell,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY list_dot_product(v.e, cents.c) DESC,
-                                           cents.cell) AS rn
-        FROM v CROSS JOIN cents WHERE v.vec_id < 10) WHERE rn <= 3
-    ),
+      SELECT a.vec_id, a.cluster AS cell, v.e AS ce
+      FROM assign a JOIN v ON v.id = a.vec_id),
     cand AS (
-      SELECT qp.query_id, cc.vec_id AS neighbor_id, qp.qe, cc.e AS ce
+      SELECT qp.query_id, cc.vec_id AS neighbor_id, qp.qe, cc.ce
       FROM qp JOIN cc USING (cell)
-      WHERE cc.vec_id != qp.query_id
-    ),
+      WHERE cc.vec_id != qp.query_id),
     {_ANN_RANK_TAIL}"""
+    return kmeans_unrolled_sql(
+        "v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)",
+        out_id="vec_id",
+        k=16,
+        iters=iters,
+        seed=42,
+        suffix_sql=suffix,
+    )
 
 
 @register("ann_lsh_topk", oracle=_lsh_oracle_sql())
@@ -887,74 +886,82 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_oracle_sql() -> str | None:
-    """Exact DuckDB twin of ``ann_pq_topk``: the per-subspace
-    codebooks are deterministic given corpus + seed (same replication
-    contract as ``_ivf_oracle_sql``), so encoding (per-subspace
-    argmin), ADC scoring (sum of subspace dots against the assigned
-    centroid), the rerank cut, and the exact final ranking are all
-    SQL-expressible with the codebooks emitted as literals."""
-    import os
-
-    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    path = os.path.join(sf, "embeddings.parquet")
-    if not os.path.exists(path):
+    """Fully INDEPENDENT DuckDB twin of ``ann_pq_topk`` — pure SQL,
+    nothing repo-computed. Codebook training is unrolled per subspace
+    in ONE CTE chain keyed on (subspace j, code c): init picks the
+    ``k_codes`` ids with the lowest ``md5('{seed}:{j}:{id}')`` per
+    subspace, each iteration re-assigns by the dim-order L2 fold and
+    re-averages with the same ``round(avg*1e6)/1e6`` the engine's
+    ``train_pq_codebooks`` applies. Encoding, the flattened centroid
+    reconstruction, the ADC fold, the rerank cut, and the exact final
+    ranking all follow in SQL. Validity contract =
+    ``_oracle_corpus_fits_sample``."""
+    if not _oracle_corpus_fits_sample():
         return None
-    import duckdb
-    import numpy as np
+    m, k_codes, iters, seed, rerank = 8, 32, 5, 42, 64
 
-    from oups_spark.operators.similarity import train_pq_codebooks
-
-    con = duckdb.connect()
-    rows = con.sql(
-        f"SELECT embedding::DOUBLE[] FROM read_parquet('{path}') "
-        f"ORDER BY vec_id"
-    ).fetchall()
-    con.close()
-    if not rows or len(rows) > 4096:  # sample_size default
-        return None
-    books = train_pq_codebooks(
-        np.vstack([r[0] for r in rows]), m=8, k_codes=16, iters=5, seed=42
+    # squared-L2 between a subvector and a candidate code centroid,
+    # folded in dim order (matches the engine's Catalyst fold)
+    d2 = (
+        "list_sum(list_transform(range(1, len(s.se) + 1), "
+        "i -> (s.se[i] - p.cv[i]) * (s.se[i] - p.cv[i])))"
     )
-    d = books[0].shape[1]
-    cents = ", ".join(
-        f"({j}, {c}, {_vec_sql(books[j][c])}::DOUBLE[])"
-        for j in range(len(books))
-        for c in range(len(books[j]))
-    )
-    return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cents(j, c, cv) AS (VALUES {cents}),
+    parts = [
+        """
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS (
+      SELECT vec_id, CAST(j AS INT) AS j,
+             e[(j * (len(e) // 8) + 1):((j + 1) * (len(e) // 8))] AS se
+      FROM v, LATERAL unnest(range(0, 8)) AS t(j))""",
+        f"""
+    c0 AS (
+      SELECT j, CAST(rn - 1 AS INT) AS c, se AS cv FROM (
+        SELECT j, se, row_number() OVER (PARTITION BY j ORDER BY
+            CAST(('0x' || substr(md5('{seed}:' || CAST(j AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+            vec_id) AS rn
+        FROM sub) WHERE rn <= {k_codes})""",
+    ]
+    for n in range(1, iters + 1):
+        parts.append(f"""
+    a{n} AS (
+      SELECT vec_id, j, se, c FROM (
+        SELECT s.vec_id, s.j, s.se, p.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY {d2}, p.c) AS rn
+        FROM sub s JOIN c{n - 1} p USING (j)) WHERE rn = 1),
+    u{n} AS (
+      SELECT j, c, i, round(avg(se[i]) * 1000000) / 1000000 AS mval
+      FROM a{n}, LATERAL unnest(range(1, len(se) + 1)) AS r(i)
+      GROUP BY j, c, i),
+    c{n} AS (
+      SELECT p.j, p.c, coalesce(g.cv, p.cv) AS cv
+      FROM c{n - 1} p LEFT JOIN (
+        SELECT j, c, list(mval ORDER BY i) AS cv FROM u{n} GROUP BY j, c) g
+      USING (j, c))""")
+    parts.append(f"""
     enc AS (
-      SELECT vec_id, j, c FROM (
-        SELECT v.vec_id, cents.j, cents.c,
-               row_number() OVER (PARTITION BY v.vec_id, cents.j
-                 ORDER BY list_sum(list_transform(range(1, {d + 1}),
-                   i -> (v.e[cents.j*{d}+i] - cents.cv[i])
-                      * (v.e[cents.j*{d}+i] - cents.cv[i]))) ASC,
-                 cents.c ASC) AS rn
-        FROM v CROSS JOIN cents) WHERE rn = 1
-    ),
+      SELECT vec_id, j, cv FROM (
+        SELECT s.vec_id, s.j, p.cv,
+               row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY {d2}, p.c) AS rn
+        FROM sub s JOIN c{iters} p USING (j)) WHERE rn = 1),
+    rec AS (
+      SELECT vec_id, flatten(list(cv ORDER BY j)) AS re FROM enc GROUP BY vec_id),
     qs AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
     approx AS (
-      SELECT qs.query_id, enc.vec_id AS neighbor_id,
-             sum(list_sum(list_transform(range(1, {d + 1}),
-               i -> qs.qe[enc.j*{d}+i] * cents.cv[i]))) AS a
-      FROM qs CROSS JOIN enc
-      JOIN cents ON cents.j = enc.j AND cents.c = enc.c
-      WHERE enc.vec_id != qs.query_id
-      GROUP BY qs.query_id, enc.vec_id
-    ),
+      SELECT qs.query_id, r.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(r.re) + 1),
+                      i -> qs.qe[i] * r.re[i])) AS a
+      FROM qs CROSS JOIN rec r WHERE r.vec_id != qs.query_id),
     cand AS (
-      SELECT r.query_id, r.neighbor_id, qs.qe AS qe, cv2.e AS ce
+      SELECT x.query_id, x.neighbor_id, qs.qe AS qe, cv2.e AS ce
       FROM (SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY a DESC, neighbor_id) AS rn
-            FROM approx) r
-      JOIN qs ON qs.query_id = r.query_id
-      JOIN v cv2 ON cv2.vec_id = r.neighbor_id
-      WHERE r.rn <= 64
-    ),
-    {_ANN_RANK_TAIL}"""
+            FROM approx) x
+      JOIN qs ON qs.query_id = x.query_id
+      JOIN v cv2 ON cv2.vec_id = x.neighbor_id
+      WHERE x.rn <= {rerank}),
+    {_ANN_RANK_TAIL}""")
+    return "WITH " + ",".join(parts)
 
 
 @register("ann_pq_topk", oracle=_pq_oracle_sql())

@@ -8,26 +8,17 @@ plain SQL over the input table."""
 from __future__ import annotations
 
 import os
-import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from oups_spark.queries import register
+from oups_spark.queries._scratch import fresh as _fresh
 from oups_spark.store.dataset import OrderedDataset
 from oups_spark.tables import load
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
-
 T1 = "2024-01-10 00:00:00"
 T2 = "2024-01-20 00:00:00"
-
-
-def _fresh(name: str) -> str:
-    d = os.path.join(_SCRATCH, f"query_{name}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    return d
 
 
 @register(

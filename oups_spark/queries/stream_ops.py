@@ -7,20 +7,15 @@ gate (``test_segmentby_restart.py`` model) run cross-engine."""
 from __future__ import annotations
 
 import os
-import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from oups_spark.queries import register
+from oups_spark.queries._scratch import fresh as _fresh
 from oups_spark.store.dataset import OrderedDataset
 from oups_spark.streaming.aggstream import AggStream, KeyConfig
 from oups_spark.tables import load
-
-_SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".scratch",
-)
 
 _CUTS = ["2024-01-08", "2024-01-15", "2024-01-23"]
 
@@ -31,13 +26,6 @@ _AGG = {
     "max_val": ("value", "max"),
     "sum_val": ("value", "sum"),
 }
-
-
-def _fresh(name: str) -> str:
-    d = os.path.join(_SCRATCH, f"query_{name}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    return d
 
 
 def _run_chunked(spark, sf_dir, base, *, bin_by, snap_by=None):

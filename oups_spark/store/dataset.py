@@ -56,6 +56,15 @@ ON_TARGET_SCALE_FACTOR = 0.8
 # driver-side with pyarrow (one Spark collect job) instead of the
 # distributed merge job train — the frequent-small-flush latency path
 _DRIVER_MERGE_MAX_ROWS = 100_000
+# ...and the BYTE bound on the collected Arrow table: the row cap does
+# not bound bytes when the payload is wide text (100k multi-KB
+# documents is multi-GB), so the auto gate also estimates bytes —
+# fixed-width from the schema, string columns measured with one cheap
+# octet_length agg, old files from their on-disk size — and only takes
+# the driver path under this budget.
+_DRIVER_MERGE_MAX_BYTES = 128 << 20
+# snappy-parquet -> in-memory Arrow inflation assumed for old files
+_PARQUET_INFLATION = 4
 
 _SRC = "__oups_src"
 _FIDX = "__oups_fidx"
@@ -388,9 +397,10 @@ class OrderedDataset:
         # identical (same overlap selection upstream, same keep-last
         # tiebreak, same footer-stats manifest entries via
         # _footer_stats); any arrow incompatibility falls back to the
-        # Spark path below. Binary columns opt out: the ROW cap does
-        # not bound multimodal payload bytes, so those writes stay
-        # distributed.
+        # Spark path below. Binary/array/map/struct columns opt out
+        # (the ROW cap does not bound their bytes); string columns are
+        # allowed but measured — the estimated collected size must fit
+        # _DRIVER_MERGE_MAX_BYTES.
         n_old = sum(e.n_rows for e in replaced)
         if use_driver_merge is None:
             use_driver_merge = (
@@ -398,9 +408,14 @@ class OrderedDataset:
                 and target_schema is None
                 and n_new + n_old <= _DRIVER_MERGE_MAX_ROWS
                 and not any(
-                    "binary" in f.dataType.simpleString()
+                    any(
+                        t in f.dataType.simpleString()
+                        for t in ("binary", "array", "map", "struct")
+                    )
                     for f in df.schema.fields
                 )
+                and self._estimate_merge_bytes(df, n_new, replaced)
+                <= _DRIVER_MERGE_MAX_BYTES
             )
         if use_driver_merge and isinstance(row_group_target_size, int):
             new_entries = self._merge_write_driver(
@@ -512,6 +527,48 @@ class OrderedDataset:
         os.makedirs(self.path, exist_ok=True)
         man.save(self.path, self.backend)
         self._manifest = man
+
+    _FIXED_WIDTHS = {
+        "boolean": 1, "byte": 1, "short": 2, "int": 4, "date": 4,
+        "float": 4, "long": 8, "double": 8, "timestamp": 8,
+        "timestamp_ntz": 8,
+    }
+
+    def _estimate_merge_bytes(self, df: DataFrame, n_new: int, replaced) -> int:
+        """Estimated in-memory Arrow bytes of the driver-side merge.
+
+        New batch: fixed-width columns priced from the schema; string
+        columns measured exactly with ONE cheap ``octet_length`` agg
+        job (only issued when strings are present — the common
+        numeric/timestamp flush pays nothing extra; the agg is bounded
+        because the row-count gate already passed). Old files: on-disk
+        size × ``_PARQUET_INFLATION``, free to read locally; if the
+        backend cannot stat them the estimate is ∞ (stay distributed).
+        """
+        fixed = 0
+        str_cols = []
+        for f in df.schema.fields:
+            s = f.dataType.simpleString()
+            if s == "string":
+                str_cols.append(f.name)
+            else:
+                fixed += self._FIXED_WIDTHS.get(s.split("(")[0], 16)
+        new_bytes = fixed * n_new
+        if str_cols:
+            row = df.agg(
+                *[
+                    F.sum(F.octet_length(F.coalesce(F.col(c), F.lit("")))).alias(c)
+                    for c in str_cols
+                ]
+            ).collect()[0]
+            new_bytes += sum(int(v or 0) for v in row)
+        old_bytes = 0
+        for e in replaced:
+            try:
+                old_bytes += os.path.getsize(os.path.join(self.path, e.name))
+            except OSError:
+                return 1 << 62
+        return new_bytes + old_bytes * _PARQUET_INFLATION
 
     def _check_monotonic(self, new: DataFrame, ordered_on: str):
         """Reject unsorted input (reference: ``write.py:182-185``) and
@@ -704,9 +761,21 @@ class OrderedDataset:
         os.makedirs(staging, exist_ok=True)
         try:
             n = merged.num_rows
-            for j, off in enumerate(range(0, n, target)):
+            # BALANCED chunk sizes, mirroring the distributed path's
+            # repartitionByRange(ceil(n/target)): fixed target-row
+            # slices would leave a 1-row tail file on target*k+1 rows,
+            # and repeated small flushes accumulate off-target
+            # fragments that later force coalescing rewrites.
+            n_files = max(1, -(-n // target))
+            base_rows, extra = divmod(n, n_files)
+            slices, off = [], 0
+            for j in range(n_files):
+                ln = base_rows + (1 if j < extra else 0)
+                slices.append((j, off, ln))
+                off += ln
+            for j, off, ln in slices:
                 pq.write_table(
-                    merged.slice(off, target),
+                    merged.slice(off, ln),
                     os.path.join(staging, f"part-{j:05d}.parquet"),
                     compression="snappy",
                 )
@@ -725,8 +794,8 @@ class OrderedDataset:
                     return v
 
                 stats = []
-                for j, off in enumerate(range(0, n, target)):
-                    chunk = merged.slice(off, target)
+                for j, off, ln in slices:
+                    chunk = merged.slice(off, ln)
                     col = chunk.column(ordered_on)
                     stats.append(
                         (

@@ -19,7 +19,13 @@ SF_DIR = os.environ.get("OUPS_TEST_SF_DIR", "/root/testdata/sf0.001")
 # the tests query. Set before any oups_spark.queries import — the
 # registry is populated, and oracles frozen, at module-import time.
 os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", SF_DIR)
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+# pid-scoped so a concurrent driver-check/bench run can never clobber
+# a dataset a test is mid-scan on (round-5 flake)
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    f"pid{os.getpid()}",
+)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"

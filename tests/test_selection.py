@@ -193,3 +193,30 @@ def test_temperature_sample_rates_and_determinism(spark):
     # deterministic across invocations
     again = {(r["id"], r["src"], r["keep_rate"]) for r in out.collect()}
     assert got == again
+
+
+def test_semdedup_default_k_scales_with_sqrt_n(spark, monkeypatch):
+    """k=None (the default) must choose k ~ ceil(sqrt(n)) so the
+    cluster-local pair volume stays ~n*sqrt(n) at any corpus size —
+    the scale-safe behavior is the default, not a docstring note."""
+    import oups_spark.operators.selection as sel
+
+    captured = {}
+    real = sel.semdedup_prune.__globals__  # noqa: F841 — keep linters calm
+
+    def fake_kmeans(df, **kw):
+        captured["k"] = kw["k"]
+        raise RuntimeError("stop after k choice")
+
+    import oups_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "kmeans_lloyd", fake_kmeans)
+    for n, want in [(9, 3), (100, 10), (1000, 32)]:
+        df = spark.range(n).selectExpr(
+            "id AS vec_id", "array(cast(id as double)) AS embedding"
+        )
+        try:
+            sel.semdedup_prune(df)
+        except RuntimeError:
+            pass
+        assert captured["k"] == want, (n, captured["k"], want)
