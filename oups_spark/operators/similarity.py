@@ -18,9 +18,14 @@ Execution note on dot products: Spark's higher-order functions
 whole-stage codegen and box every element. For dense fixed-dim
 vectors the fast path is an Arrow-batched Pandas UDF doing one numpy
 matmul per batch (measured ~10× over the HOF form even at 2k
-vectors). The HOF forms (``dot``/``cosine``) are kept for plan
-literals and generic use; the hot operators below use the vectorized
-``cosine_pd`` / plane-matrix bucket UDF.
+vectors); ``cosine_topk`` / the LSH bucket matmul use it. The ANN
+quantizer paths (IVF cells/probes, PQ encode/ADC/rerank) instead use
+HOF folds over literal centroid tensors ON BOUNDED candidate sets:
+there the per-row arithmetic is small and the deterministic
+left-to-right fold order is what lets a DuckDB oracle replay the
+whole query bit-exactly. Literal tensors are built with single
+``F.expr`` parses (``lit_vec``/``lit_matrix``/``lit_tensor3``) — a
+py4j round-trip per element was seconds of driver time per plan.
 """
 
 from __future__ import annotations
@@ -33,6 +38,40 @@ from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _vec_sql_lit(v) -> str:
+    """A float vector as ONE Spark-SQL array literal. ``repr(float)``
+    is the shortest round-tripping decimal, so the JVM parses back the
+    bit-identical double."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")"
+
+
+def lit_vec(v) -> Column:
+    """Literal array<double> built with a SINGLE ``F.expr`` parse.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per element
+    — a 16×64 centroid matrix is ~1k RPCs ≈ seconds of DRIVER time
+    before any job runs (this dominated ann_ivf_topk/kmeans plan
+    build). One expr string parses JVM-side in microseconds."""
+    return F.expr(_vec_sql_lit(v))
+
+
+def lit_matrix(rows) -> Column:
+    """Literal array<array<double>> via a single expression parse."""
+    return F.expr("array(" + ",".join(_vec_sql_lit(r) for r in rows) + ")")
+
+
+def lit_tensor3(books) -> Column:
+    """Literal array<array<array<double>>> via a single parse."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_vec_sql_lit(r) for r in book) + ")"
+            for book in books
+        )
+        + ")"
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -385,9 +424,7 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     previous form's codegen dominate runtime on small data). Planes
     are plan literals (seeded driver-side): deterministic,
     shuffle-free."""
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
-    )
+    planes_lit = lit_matrix(planes)
     weights = F.array(*[F.lit(1 << i) for i in range(len(planes))])
     signed = F.zip_with(
         planes_lit,
@@ -673,17 +710,7 @@ def pq_cosine_topk(
     d = int(B.shape[2])
 
     # literal codebook tensor: BOOKS[j+1][c+1] = centroid (array<double>)
-    books_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in code])
-                    for code in book
-                ]
-            )
-            for book in books
-        ]
-    )
+    books_lit = lit_tensor3(books)
 
     def _recon(cv):
         # per subspace j: argmin_c of the dim-order d2 fold (ties ->
@@ -818,9 +845,8 @@ def _d2_dim_fold(X, C):
 def _sq_dist(vec: Column, cent: list[float]) -> Column:
     """Squared L2 distance to a literal centroid — pure JVM fold,
     whole-stage-codegen friendly."""
-    lit = F.array(*[F.lit(float(x)) for x in cent])
     return F.aggregate(
-        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(vec, lit_vec(cent), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -357,10 +357,21 @@ class OrderedDataset:
             .withColumn(_SRC, F.lit(1))
             .withColumn(_FIDX, F.lit(0))
         )
+        # string-payload bytes of the new batch ride along in the SAME
+        # job as the bounds/monotonic pass (zero extra jobs) — the
+        # driver-merge byte gate needs them and a separate agg would
+        # re-scan the batch. None = not measured (known_stats path).
+        str_cols = [
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() == "string"
+        ]
+        str_bytes: int | None = None
         if validate_monotonic:
             # one distributed pass yields the order check AND the
             # batch bounds — no second scan of the new data
-            df_min, df_max, n_new = self._check_monotonic(new, ordered_on)
+            df_min, df_max, n_new, str_bytes = self._check_monotonic(
+                new, ordered_on, str_cols
+            )
         elif known_stats is not None:
             df_min, df_max, n_new = known_stats
         else:
@@ -368,8 +379,17 @@ class OrderedDataset:
                 F.min(ordered_on).alias("mn"),
                 F.max(ordered_on).alias("mx"),
                 F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.octet_length(F.coalesce(F.col(c), F.lit("")))
+                    ).alias(f"__sb{i}")
+                    for i, c in enumerate(str_cols)
+                ],
             ).collect()[0]
             df_min, df_max, n_new = stats["mn"], stats["mx"], stats["n"]
+            str_bytes = sum(
+                int(stats[f"__sb{i}"] or 0) for i in range(len(str_cols))
+            )
         if n_new == 0:
             self._update_kv_only(ordered_on, key_value_metadata)
             return
@@ -414,7 +434,7 @@ class OrderedDataset:
                     )
                     for f in df.schema.fields
                 )
-                and self._estimate_merge_bytes(df, n_new, replaced)
+                and self._estimate_merge_bytes(df, n_new, replaced, str_bytes)
                 <= _DRIVER_MERGE_MAX_BYTES
             )
         if use_driver_merge and isinstance(row_group_target_size, int):
@@ -534,16 +554,21 @@ class OrderedDataset:
         "timestamp_ntz": 8,
     }
 
-    def _estimate_merge_bytes(self, df: DataFrame, n_new: int, replaced) -> int:
+    def _estimate_merge_bytes(
+        self, df: DataFrame, n_new: int, replaced, str_bytes: int | None
+    ) -> int:
         """Estimated in-memory Arrow bytes of the driver-side merge.
 
         New batch: fixed-width columns priced from the schema; string
-        columns measured exactly with ONE cheap ``octet_length`` agg
-        job (only issued when strings are present — the common
-        numeric/timestamp flush pays nothing extra; the agg is bounded
-        because the row-count gate already passed). Old files: on-disk
-        size × ``_PARQUET_INFLATION``, free to read locally; if the
-        backend cannot stat them the estimate is ∞ (stay distributed).
+        columns use ``str_bytes`` — measured for free inside the
+        bounds/monotonic pass (``_check_monotonic`` / the stats agg),
+        never with an extra job. When strings are present but were NOT
+        measured (``known_stats`` writes, where the producer skipped
+        the bounds job entirely), one bounded agg job measures them
+        here — the only path that pays an extra job, and only for
+        string-bearing known-stats batches. Old files: on-disk size ×
+        ``_PARQUET_INFLATION``, free to read locally; if the backend
+        cannot stat them the estimate is ∞ (stay distributed).
         """
         fixed = 0
         str_cols = []
@@ -555,13 +580,15 @@ class OrderedDataset:
                 fixed += self._FIXED_WIDTHS.get(s.split("(")[0], 16)
         new_bytes = fixed * n_new
         if str_cols:
-            row = df.agg(
-                *[
-                    F.sum(F.octet_length(F.coalesce(F.col(c), F.lit("")))).alias(c)
-                    for c in str_cols
-                ]
-            ).collect()[0]
-            new_bytes += sum(int(v or 0) for v in row)
+            if str_bytes is None:
+                row = df.agg(
+                    *[
+                        F.sum(F.octet_length(F.coalesce(F.col(c), F.lit("")))).alias(c)
+                        for c in str_cols
+                    ]
+                ).collect()[0]
+                str_bytes = sum(int(v or 0) for v in row)
+            new_bytes += str_bytes
         old_bytes = 0
         for e in replaced:
             try:
@@ -570,23 +597,32 @@ class OrderedDataset:
                 return 1 << 62
         return new_bytes + old_bytes * _PARQUET_INFLATION
 
-    def _check_monotonic(self, new: DataFrame, ordered_on: str):
+    def _check_monotonic(self, new: DataFrame, ordered_on: str, str_cols=()):
         """Reject unsorted input (reference: ``write.py:182-185``) and
-        return the batch bounds ``(min, max, n_rows)``.
+        return the batch bounds ``(min, max, n_rows, str_bytes)``.
 
         Fully distributed: each Arrow batch of the narrow
-        (ordered_on, position) projection reports (first/last
-        position, first/last value, row count, locally-sorted flag);
-        the driver stitches the tiny summaries in position order and
-        checks the boundaries — no global sort, no single-partition
-        window — and the same summaries yield min/max/count, so the
-        write path never scans the new data a second time for stats.
-        Disable with ``validate_monotonic=False`` when the producer
-        guarantees order.
+        (ordered_on, position[, per-row string bytes]) projection
+        reports (first/last position, first/last value, row count,
+        locally-sorted flag, summed string bytes); the driver stitches
+        the tiny summaries in position order and checks the boundaries
+        — no global sort, no single-partition window — and the same
+        summaries yield min/max/count plus the string payload size the
+        driver-merge byte gate needs, so the write path never scans
+        the new data a second time for stats. Disable with
+        ``validate_monotonic=False`` when the producer guarantees
+        order.
         """
         from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
-        proj = new.select(F.col(ordered_on).alias("v"), F.col(_POS).alias("p"))
+        sb = sum(
+            (F.octet_length(F.coalesce(F.col(c), F.lit(""))).cast("long")
+             for c in str_cols),
+            F.lit(0).cast("long"),
+        )
+        proj = new.select(
+            F.col(ordered_on).alias("v"), F.col(_POS).alias("p"), sb.alias("sb")
+        )
         val_type = proj.schema["v"].dataType
         out_schema = StructType(
             [
@@ -596,6 +632,7 @@ class OrderedDataset:
                 StructField("last_v", val_type),
                 StructField("n", LongType()),
                 StructField("ok", BooleanType()),
+                StructField("sb", LongType()),
             ]
         )
 
@@ -614,6 +651,7 @@ class OrderedDataset:
                         "last_v": [pdf["v"].iloc[-1]],
                         "n": [len(pdf)],
                         "ok": [bool(pdf["v"].is_monotonic_increasing)],
+                        "sb": [int(pdf["sb"].sum())],
                     }
                 )
 
@@ -622,13 +660,18 @@ class OrderedDataset:
             key=lambda r: r["first_p"],
         )
         if not parts:
-            return None, None, 0
+            return None, None, 0, 0
         for prev, cur in zip(parts, parts[1:]):
             if prev["last_v"] > cur["first_v"]:
                 raise ValueError(f"column {ordered_on!r} is not ordered")
         if any(not r["ok"] for r in parts):
             raise ValueError(f"column {ordered_on!r} is not ordered")
-        return parts[0]["first_v"], parts[-1]["last_v"], sum(r["n"] for r in parts)
+        return (
+            parts[0]["first_v"],
+            parts[-1]["last_v"],
+            sum(r["n"] for r in parts),
+            sum(r["sb"] for r in parts),
+        )
 
     def _select_overlap(
         self,
