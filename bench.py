@@ -117,6 +117,8 @@ HEADLINE = [
     "packed_training_sequences",
     "neardup_keep_best",
     "ccnet_quality_buckets",
+    # round 6
+    "leakage_safe_splits",
 ]
 
 

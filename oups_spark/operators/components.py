@@ -225,3 +225,53 @@ def neardup_clusters(
         F.col("comp").alias("cluster_id"),
         (F.col("id") == F.col("comp")).alias("is_canonical"),
     )
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    fractions: tuple = (0.8, 0.1, 0.1),
+    names: tuple = ("train", "valid", "test"),
+    seed="split",
+) -> DataFrame:
+    """Train/valid/test assignment that near-duplicates cannot
+    straddle: the split is hashed from the document's near-dup
+    CLUSTER id (min-id of its connected component), not from the
+    document id — so two near-identical documents can never land one
+    in train and one in test, the classic eval-contamination failure
+    mode of naive per-document hashing.
+
+    Hash-based, not ``randomSplit``: ``md5_int(f'{seed}:{cluster}')``
+    is reproducible across runs, engines and partitionings (the same
+    portable trick as Gumbel selection / k-means init), so the split
+    is stable as the corpus grows — a document's assignment can only
+    change if its CLUSTER changes (it gained a near-dup that merged
+    two components), which is exactly when it must. At 100 TB: one
+    distributed connected-components pass (O(log d) rounds) plus a
+    map-side hash — no extra shuffle beyond the cluster join.
+
+    Returns ``(id_col, cluster_id, split)``.
+    """
+    from oups_spark.operators.text import md5_int
+
+    clustered = neardup_clusters(
+        docs, pairs, id_col=id_col, src_col=src_col, dst_col=dst_col
+    )
+    u = md5_int(
+        F.concat(F.lit(f"{seed}:"), F.col("cluster_id").cast("string"))
+    ) / F.lit(4294967296.0)
+    split = F.lit(names[-1])
+    acc = 0.0
+    # build the CASE from the last boundary backwards so the first
+    # matching WHEN is the lowest bracket (matches SQL CASE order)
+    cases = []
+    for frac, name in zip(fractions[:-1], names[:-1]):
+        acc += frac
+        cases.append((acc, name))
+    for bound, name in reversed(cases):
+        split = F.when(u < F.lit(bound), F.lit(name)).otherwise(split)
+    return clustered.select(id_col, "cluster_id", split.alias("split"))

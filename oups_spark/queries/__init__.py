@@ -107,9 +107,15 @@ _WINDOW_PRIORITY = [
     "bm25_topk",
     "deterministic_shuffle",
     "source_quota_topk",
-    # Slack re-greens (4): queries exercising round-6 code changes
+    # New round-6 registration — never checked, so it takes a window
+    # slot in its landing round (the round-5 lesson)
+    "leakage_safe_splits",
+    # Slack re-greens (3): queries exercising round-6 code changes
+    # (kmeans init fold + lit_vec literals; pure-SQL IVF oracle;
+    # driver-merge byte gate + balanced chunks). semdedup_prune also
+    # changed internals but shares every changed path with
+    # kmeans_clusters and stays locally verified.
     "kmeans_clusters",
-    "semdedup_prune",
     "ann_ivf_topk",
     "store_merge_keep_last",
 ]

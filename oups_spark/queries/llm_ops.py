@@ -1132,3 +1132,39 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "leakage_safe_splits",
+    oracle=_NDC_CTE
+    + """,
+    comp AS (SELECT id AS doc_id, min(comp) AS cluster_id
+             FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 CAST(('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS u
+          FROM comp)
+    ORDER BY doc_id
+    """,
+)
+def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split hashed from the near-dup CLUSTER id, so
+    near-duplicate documents can never straddle splits (the classic
+    eval-contamination failure of per-document hashing). 80/10/10 by
+    the portable md5 unit hash; one connected-components pass + a
+    map-side CASE — reproducible across runs, engines and
+    partitionings, and stable as the corpus grows (assignment changes
+    only when a document's cluster merges)."""
+    from oups_spark.operators.components import leakage_safe_splits
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = minhash_lsh_neardup_pairs(
+        docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
+    )
+    return leakage_safe_splits(docs, pairs, id_col="doc_id").orderBy("doc_id")

@@ -146,3 +146,38 @@ def test_distributed_components_match_union_find(spark, n, edge_idx):
     edges = [(a % n, b % n) for a, b in edge_idx]
     got = _run(spark, range(n), edges, driver_edge_threshold=0)
     assert got == _union_find(n, edges)
+
+
+def test_leakage_safe_splits_no_straddle_and_fractions(spark):
+    """Near-dup pairs must land whole-cluster in ONE split; the hash
+    split must be deterministic and roughly respect 80/10/10."""
+    import hashlib
+
+    from oups_spark.operators.components import leakage_safe_splits
+
+    n = 400
+    docs = spark.range(n).selectExpr("id AS doc_id")
+    # chain pairs (i, i+1) for i % 10 == 0 -> clusters of size 2
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, n - 1, 10)], "id_a long, id_b long"
+    )
+    out = leakage_safe_splits(docs, pairs, id_col="doc_id").collect()
+    assert len(out) == n
+    by_id = {r["doc_id"]: r for r in out}
+    # paired docs share cluster AND split
+    for i in range(0, n - 1, 10):
+        assert by_id[i]["cluster_id"] == by_id[i + 1]["cluster_id"]
+        assert by_id[i]["split"] == by_id[i + 1]["split"]
+    # split is the documented portable hash of the cluster id
+    for r in out:
+        u = int(
+            hashlib.md5(f"split:{r['cluster_id']}".encode()).hexdigest()[:8], 16
+        ) / 2.0**32
+        want = "train" if u < 0.8 else ("valid" if u < 0.9 else "test")
+        assert r["split"] == want
+    # fractions roughly 80/10/10 over distinct clusters
+    from collections import Counter
+
+    c = Counter(r["split"] for r in out)
+    assert 0.7 < c["train"] / n < 0.9
+    assert c["valid"] > 0 and c["test"] > 0
