@@ -566,9 +566,12 @@ class OrderedDataset:
         measured (``known_stats`` writes, where the producer skipped
         the bounds job entirely), one bounded agg job measures them
         here — the only path that pays an extra job, and only for
-        string-bearing known-stats batches. Old files: on-disk size ×
-        ``_PARQUET_INFLATION``, free to read locally; if the backend
-        cannot stat them the estimate is ∞ (stay distributed).
+        string-bearing known-stats batches. Old files: the parquet
+        FOOTER's total_uncompressed_size (a local metadata read —
+        exact even for highly compressible text, where on-disk size ×
+        a fixed inflation factor underestimates by 10-50×), falling
+        back to on-disk size × ``_PARQUET_INFLATION``; if neither
+        works the estimate is ∞ (stay distributed).
         """
         fixed = 0
         str_cols = []
@@ -591,11 +594,24 @@ class OrderedDataset:
             new_bytes += str_bytes
         old_bytes = 0
         for e in replaced:
+            p = os.path.join(self.path, e.name)
             try:
-                old_bytes += os.path.getsize(os.path.join(self.path, e.name))
-            except OSError:
-                return 1 << 62
-        return new_bytes + old_bytes * _PARQUET_INFLATION
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(p).metadata
+                old_bytes += sum(
+                    md.row_group(g).column(c).total_uncompressed_size
+                    for g in range(md.num_row_groups)
+                    for c in range(md.num_columns)
+                )
+            except Exception:  # noqa: BLE001 — unreadable footer
+                try:
+                    old_bytes += (
+                        os.path.getsize(p) * _PARQUET_INFLATION
+                    )
+                except OSError:
+                    return 1 << 62
+        return new_bytes + old_bytes
 
     def _check_monotonic(self, new: DataFrame, ordered_on: str, str_cols=()):
         """Reject unsorted input (reference: ``write.py:182-185``) and
@@ -754,16 +770,36 @@ class OrderedDataset:
         reader the Spark path uses, so manifest entries are
         indistinguishable. Returns None when the files cannot be
         unified under the batch's Arrow schema (caller falls back to
-        the distributed path)."""
+        the distributed path).
+
+        HARD byte cap, independent of the auto gate's estimate: old
+        files are decoded batch-at-a-time and ACTUAL in-memory bytes
+        accumulate against 2× the gate budget — bail to the
+        distributed path the moment they exceed it. The estimate can
+        be fooled (parquet's footer "uncompressed" size is
+        post-dictionary-encoding, so heavily repeated strings decode
+        far larger); the cap cannot, and it bounds peak driver memory
+        to budget + one record batch."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         new_tbl = df.toArrow()
+        hard_cap = 2 * _DRIVER_MERGE_MAX_BYTES
+        actual = new_tbl.nbytes
+        if actual > hard_cap:
+            return None
         try:
             tables = []
             for e in replaced:
-                t = pq.read_table(os.path.join(self.path, e.name))
+                pf = pq.ParquetFile(os.path.join(self.path, e.name))
+                batches = []
+                for rb in pf.iter_batches(batch_size=16384):
+                    actual += rb.nbytes
+                    if actual > hard_cap:
+                        return None  # decoded larger than estimated
+                    batches.append(rb)
+                t = pa.Table.from_batches(batches, schema=pf.schema_arrow)
                 t = t.select(new_tbl.schema.names)
                 tables.append(t.cast(new_tbl.schema))
             merged = (

@@ -572,3 +572,65 @@ def test_overlap_merge_preserves_evolved_columns(spark, scratch):
     out = ds.read().toPandas().sort_values("ts", ignore_index=True)
     assert out["extra"].notna().sum() == 5  # 40/50/60 survive + 99/88
     assert sorted(out["extra"].dropna()) == [40, 50, 60, 88, 99]
+
+
+def test_byte_gate_forces_distributed_for_wide_strings(spark, scratch, monkeypatch):
+    """The driver-merge auto gate must refuse batches whose STRING
+    payload would blow the collected-Arrow budget even when the row
+    count is tiny (100k multi-KB docs is multi-GB), and must also
+    price in replaced files' on-disk bytes on a follow-up merge."""
+    import oups_spark.store.dataset as dsmod
+
+    calls = []
+    real = dsmod.OrderedDataset._merge_write_driver
+
+    def spy(self, *a, **k):
+        r = real(self, *a, **k)
+        calls.append(r is not None)  # True = driver path actually used
+        return r
+
+    monkeypatch.setattr(dsmod.OrderedDataset, "_merge_write_driver", spy)
+    # shrink the budget so the test stays fast: 1 MB
+    monkeypatch.setattr(dsmod, "_DRIVER_MERGE_MAX_BYTES", 1 << 20)
+
+    wide = spark.range(200).selectExpr(
+        "id AS ts", "repeat('x', 20000) AS doc"  # 200 x 20 KB = 4 MB
+    )
+    ds = OrderedDataset(spark, f"{scratch}/wide")
+    ds.write(wide, ordered_on="ts", row_group_target_size=1000)
+    assert not calls, (
+        "wide-string batch: the measured-bytes gate must refuse "
+        "BEFORE any collect"
+    )
+
+    narrow = spark.range(200).selectExpr("id AS ts", "'ab' AS doc")
+    ds2 = OrderedDataset(spark, f"{scratch}/narrow")
+    ds2.write(narrow, ordered_on="ts", row_group_target_size=1000)
+    assert calls == [True], "small-string batch should take the driver fast path"
+
+    # overlap merge against the existing WIDE files: those files
+    # dictionary-encode (repeated strings) so the footer-based
+    # estimate can undercount — the HARD actual-bytes cap inside
+    # _merge_write_driver must then bail to the distributed path
+    calls.clear()
+    wide2 = spark.range(100).selectExpr(
+        "id AS ts", "'tiny' AS doc"
+    )
+    ds.write(wide2, ordered_on="ts", duplicates_on=["ts"], row_group_target_size=1000)
+    assert True not in calls, (
+        "decoding multi-MB old files must trip the hard cap and fall "
+        "back to the distributed merge"
+    )
+    # both datasets still read back correctly
+    assert ds.read().count() == 200
+    assert ds2.read().count() == 200
+
+
+def test_driver_merge_chunks_balanced(spark, scratch):
+    """target*k+1 rows must split into near-equal files, not k full
+    files plus a 1-row tail (the fragment-accumulation failure)."""
+    df = spark.range(2001).selectExpr("id AS ts", "id * 2 AS val")
+    ds = OrderedDataset(spark, f"{scratch}/bal")
+    ds.write(df, ordered_on="ts", row_group_target_size=1000)
+    sizes = sorted(e.n_rows for e in ds._manifest.files)
+    assert sizes == [667, 667, 667], sizes
