@@ -55,8 +55,14 @@ def register(name: str, oracle: str | None = None):
 # packed_training_sequences) — plus 4 slack re-greens picked to
 # re-verify code changed this round (kmeans init-collect fold,
 # SemDeDup k default, IVF oracle rewrite, driver-merge byte gate).
-# With this window, every one of the 96 registered queries has a
-# driver-green row within rounds 5–6.
+# With this window, every registered query has a driver-green row
+# within rounds 5–6 (97th = leakage_safe_splits, landing this round
+# with a slot per the round-5 lesson: never-checked first).
+#
+# Round-7 plan: swap back to (approximately) the round-5 window — the
+# 47 queries outside this one — so no query's last driver row is ever
+# more than two rounds old; any round-7 registrations take the first
+# slots.
 _WINDOW_PRIORITY = [
     # Never driver-checked round-5 registrations (5) — first priority
     "neardup_keep_best",
