@@ -280,7 +280,10 @@ def simhash_neardup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with banded-LSH
-    candidate generation (bit-sampling LSH over the 32-bit hash).
+    candidate generation (bit-sampling LSH over the 60-bit hash —
+    15-bit band keys at the default 4 bands keep bucket sizes, and
+    hence candidate volume, 128× below what a 32-bit hash's 8-bit
+    keys allow; see :func:`simhash60`).
 
     Recall is EXACT for ``max_hamming <= bands - 1`` by pigeonhole:
     two hashes within distance d differ in at most d of the ``bands``
@@ -289,10 +292,12 @@ def simhash_neardup_pairs(
     on the true distance). One equality self-join on (band, key) —
     never an all-pairs comparison.
     """
-    if 32 % bands:
-        raise ValueError(f"bands must divide 32, got {bands}")
+    from oups_spark.operators.text import SIMHASH_BITS
+
+    if SIMHASH_BITS % bands:
+        raise ValueError(f"bands must divide {SIMHASH_BITS}, got {bands}")
     sigs = simhash_signatures(df, id_col, text_col).persist()
-    width = 32 // bands
+    width = SIMHASH_BITS // bands
     entries = [
         F.struct(
             F.lit(b).alias("band"),

@@ -50,15 +50,16 @@ _BPE_SQL = BPE_PATTERN.replace("'", "''")
 # one shared SimHash oracle CTE (ends in a CTE named `s` holding
 # (doc_id, simhash)) — both simhash queries derive from it so the
 # signature definition cannot silently diverge between oracles
+_MD5INT60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 _SIMHASH_CTE = f"""
     WITH t AS (SELECT doc_id, list_distinct({_TOK}) AS tok FROM documents),
-    h AS (SELECT doc_id, {_MD5INT.format(x='u.s')} AS hv
+    h AS (SELECT doc_id, {_MD5INT60.format(x='u.s')} AS hv
           FROM (SELECT doc_id, unnest(tok) AS s FROM t) u),
     bits AS (
       SELECT doc_id, j,
              sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
              count(*) AS n
-      FROM h, (SELECT unnest(range(0, 32)) AS j)
+      FROM h, (SELECT unnest(range(0, 60)) AS j)
       GROUP BY doc_id, j
     ),
     s AS (

@@ -10,7 +10,7 @@ import pytest
 from oups_spark.operators.dedup import minhash_signatures
 from oups_spark.operators.multimodal import extract_features, pack_documents_as_media
 from oups_spark.operators.similarity import cosine_topk, lsh_cosine_topk
-from oups_spark.operators.text import shingles, simhash32, tokens
+from oups_spark.operators.text import shingles, simhash60, tokens
 from oups_spark.tables import load
 from tests.conftest import SF_DIR
 
@@ -56,7 +56,7 @@ def test_simhash_similar_texts_close(spark):
             }
         )
     )
-    got = df.select("doc_id", simhash32(F.col("text")).alias("h")).toPandas()
+    got = df.select("doc_id", simhash60(F.col("text")).alias("h")).toPandas()
     h = dict(zip(got["doc_id"], got["h"]))
     d12 = bin(h[1] ^ h[2]).count("1")
     d13 = bin(h[1] ^ h[3]).count("1")
