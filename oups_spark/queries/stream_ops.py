@@ -28,6 +28,20 @@ _AGG = {
 }
 
 
+def _events_stream_reader(spark, sf_dir, raw_schema):
+    """File-source reader for the events table that works for BOTH
+    layouts: a single file named ``events.parquet`` (the driver
+    testdata) and a directory ``events.parquet/`` of part files (any
+    Spark-written copy, e.g. the scale probe's). FileStreamSource
+    needs a directory base path, so the single-file case streams the
+    parent dir narrowed by a glob filter."""
+    src = os.path.join(sf_dir, "events.parquet")
+    rs = spark.readStream.schema(raw_schema)
+    if os.path.isdir(src):
+        return rs.parquet(src)
+    return rs.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+
+
 def _run_chunked(spark, sf_dir, base, *, bin_by, snap_by=None):
     """Feed events in 4 cumulative chunks, each through a FRESH
     AggStream (state restored from dataset metadata every time);
@@ -168,13 +182,7 @@ def streaming_native_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "bins_ds")
     src = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(src).schema
-    # FileStreamSource needs a directory base path; the glob filter
-    # narrows it to the one events file
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream_reader(spark, sf_dir, raw_schema)
     for c in _ns_timestamp_cols(src):
         stream = stream.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
@@ -305,11 +313,7 @@ def streaming_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "sessions_ds")
     src = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream_reader(spark, sf_dir, raw_schema)
     for c in _ns_timestamp_cols(src):
         stream = stream.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
@@ -370,11 +374,7 @@ def streaming_stateful_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "ffill_ds")
     src = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream_reader(spark, sf_dir, raw_schema)
     for c in _ns_timestamp_cols(src):
         stream = stream.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
@@ -431,11 +431,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "ingest_ds")
     src = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream_reader(spark, sf_dir, raw_schema)
     for c in _ns_timestamp_cols(src):
         stream = stream.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
@@ -499,11 +495,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(src).schema
 
     def _stream():
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        s = _events_stream_reader(spark, sf_dir, raw_schema)
         for c in _ns_timestamp_cols(src):
             s = s.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         return s.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -621,11 +613,7 @@ def streaming_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "wins_ds")
     src = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream_reader(spark, sf_dir, raw_schema)
     for c in _ns_timestamp_cols(src):
         stream = stream.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
