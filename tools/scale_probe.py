@@ -144,7 +144,20 @@ def main() -> int:
             rdd.unpersist()
         return dt
 
-    print(f"{'query':34s} {'1x':>7s} {'%dx' % k:>8s} {'ratio':>6s}")
+    def out_rows(name, sf_dir):
+        n = REGISTRY[name].fn(spark, sf_dir).count()
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+        return n
+
+    # A dup-heavy k× corpus (k identical copies per doc) has
+    # quadratically more TRUE pairs per group — wall ratio alone
+    # cannot separate candidate waste from contractual output growth,
+    # so report the output-row ratio next to it: wall <= output
+    # growth means the operator is output-bound, not wasteful.
+    hdr_rows = f"rows@1x rows@{k}x o-ratio"
+    print(f"{'query':34s} {'1x':>7s} {'%dx' % k:>8s} {'ratio':>6s}  {hdr_rows}")
     for name in names:
         if name not in REGISTRY:
             continue
@@ -152,7 +165,14 @@ def main() -> int:
             run(name, BASE)  # warm plan shape
             t1 = min(run(name, BASE), run(name, BASE))
             tk = min(run(name, root), run(name, root))
-            print(f"{name:34s} {t1:7.2f} {tk:8.2f} {tk / t1:6.2f}", flush=True)
+            r1 = out_rows(name, BASE)
+            rk = out_rows(name, root)
+            orat = (rk / r1) if r1 else float("inf")
+            print(
+                f"{name:34s} {t1:7.2f} {tk:8.2f} {tk / t1:6.2f}"
+                f"  {r1} {rk} {orat:.1f}",
+                flush=True,
+            )
         except Exception as exc:  # noqa: BLE001
             print(f"{name:34s} FAILED: {type(exc).__name__}: {exc}", flush=True)
     return 0
