@@ -119,6 +119,7 @@ HEADLINE = [
     "ccnet_quality_buckets",
     # round 6
     "leakage_safe_splits",
+    "quality_classifier_scores",
 ]
 
 

@@ -184,6 +184,7 @@ def hashed_feature_vectors(
     text_col: str = "text",
     dim: int = 32,
     round_to: int | None = 6,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic text -> vector featurization by the hashing
     trick: every token is hashed into one of ``dim`` buckets
@@ -199,7 +200,9 @@ def hashed_feature_vectors(
     ``aggregate`` fold that rebuilds the dim-array per token —
     O(dim x n_tok) arithmetic, but dim is a small constant and the
     whole fold stays inside whole-stage codegen; no shuffle, no UDF,
-    no Python. Empty documents yield the zero vector.
+    no Python. Empty documents yield the zero vector. ``keep`` names
+    extra input columns to carry through (e.g. a label for classifier
+    training) — a passthrough projection, NOT a post-hoc self-join.
     """
     from oups_spark.operators.text import md5_int, tokens
 
@@ -215,7 +218,9 @@ def hashed_feature_vectors(
             lambda v, i: F.when(i == b, v + F.lit(1.0)).otherwise(v),
         ),
     )
-    base = df.select(F.col(id_col), hist.alias("__h"))
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in keep], hist.alias("__h")
+    )
     norm = F.sqrt(
         F.aggregate(F.col("__h"), F.lit(0.0), lambda a, x: a + x * x)
     )
@@ -226,7 +231,9 @@ def hashed_feature_vectors(
             F.col("__h"), lambda x: F.round(x / norm, round_to)
         )
     vec = F.when(norm > 0, unit).otherwise(F.col("__h"))
-    return base.select(F.col(id_col), vec.alias("features"))
+    return base.select(
+        F.col(id_col), *[F.col(c) for c in keep], vec.alias("features")
+    )
 
 
 def hashed_feature_vectors_np(texts, *, dim: int = 32):

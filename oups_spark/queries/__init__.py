@@ -113,15 +113,17 @@ _WINDOW_PRIORITY = [
     "bm25_topk",
     "deterministic_shuffle",
     "source_quota_topk",
-    # New round-6 registration — never checked, so it takes a window
-    # slot in its landing round (the round-5 lesson)
+    # New round-6 registrations — never checked, so they take window
+    # slots in their landing round (the round-5 lesson)
     "leakage_safe_splits",
-    # Slack re-greens (3): queries exercising round-6 code changes
-    # (kmeans init fold + lit_vec literals; pure-SQL IVF oracle;
-    # driver-merge byte gate + balanced chunks). semdedup_prune also
-    # changed internals but shares every changed path with
-    # kmeans_clusters and stays locally verified.
-    "kmeans_clusters",
+    "quality_classifier_scores",
+    # Slack re-greens (2): queries exercising round-6 code changes
+    # (pure-SQL IVF oracle + lit_vec/lit_tensor literal parse;
+    # driver-merge byte gate + balanced chunks). kmeans_clusters also
+    # changed (init-collect fold) but its changed paths are covered by
+    # ann_ivf_topk (literal parse) and quality_classifier_scores (the
+    # same bounded-agg iterative loop shape) and it stays locally
+    # verified; semdedup_prune likewise shares every changed path.
     "ann_ivf_topk",
     "store_merge_keep_last",
 ]

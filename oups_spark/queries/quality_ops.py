@@ -491,3 +491,129 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- #
+# Quality classifier: full-batch logistic regression (GPT-3 /      #
+# CCNet wiki-vs-crawl filter shape), trained distributed, oracle   #
+# replays init + every epoch + scoring in pure SQL.                #
+# ---------------------------------------------------------------- #
+
+_QC_DIM = 32
+_QC_LR = 0.5  # exactly binary-representable: lr * g is one IEEE multiply
+_QC_EPOCHS = 3
+_QC_MD5B = "CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)"
+
+# featurization twin of hashed_feature_vectors(round_to=None) with the
+# binary label riding along; last CTE is vx(doc_id, y DOUBLE,
+# xa DOUBLE[dim+1]) — the bias-augmented unit vector
+_QC_VEC_CTE = f"""
+    t AS (SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 {_TOK} AS tok
+          FROM documents),
+    b AS (SELECT doc_id, y,
+                 list_transform(tok, x -> {_QC_MD5B} % {_QC_DIM}) AS bk
+          FROM t),
+    h AS (SELECT doc_id, y,
+                 list_transform(range(0, {_QC_DIM}),
+                   d -> CAST(len(list_filter(bk, v -> v = d)) AS DOUBLE)) AS hv
+          FROM b),
+    vx AS (SELECT doc_id, CAST(y AS DOUBLE) AS y,
+                  list_append(
+                    CASE WHEN sqrt(list_sum(list_transform(hv, x -> x*x))) > 0
+                         THEN list_transform(hv,
+                           x -> x / sqrt(list_sum(list_transform(hv, z -> z*z))))
+                         ELSE hv END,
+                    1.0::DOUBLE) AS xa
+           FROM h)"""
+
+
+def logreg_unrolled_sql() -> str:
+    """Pure-SQL unrolled full-batch logistic regression — a fully
+    INDEPENDENT DuckDB oracle (no repo code executes): w0 = zeros,
+    then per epoch the rounded residual ``r = round(sigmoid(w·xa) -
+    y, 6)``, the per-dimension gradient ``avg(r * xa[i])``, and the
+    rounded update ``round((w_i - lr·g_i)·1e6)/1e6`` — the exact
+    IEEE sequence ``logreg_train_gd`` evaluates (Spark's scale-0
+    ``F.round`` and DuckDB's ``round`` are both half-away-from-zero;
+    dots fold in index order in both engines). Final SELECT scores
+    every document with the trained weights."""
+    fac = 10**6
+    dimp1 = _QC_DIM + 1
+
+    def dot(wcol: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dimp1 + 1}), "
+            f"i -> xa[i] * {wcol}[i]))"
+        )
+
+    parts = [
+        _QC_VEC_CTE,
+        f"""
+    w0 AS (SELECT list_transform(range(0, {dimp1}), i -> 0.0::DOUBLE) AS w)""",
+    ]
+    for n in range(1, _QC_EPOCHS + 1):
+        parts.append(f"""
+    r{n} AS (SELECT doc_id, y, xa,
+                    round((1.0/(1.0 + exp(-({dot('w')}))) - y) * {fac}) / {fac} AS r
+             FROM vx, w{n - 1}),
+    g{n} AS (SELECT i, avg(r * xa[i]) AS g
+             FROM r{n}, LATERAL unnest(range(1, {dimp1 + 1})) AS u(i)
+             GROUP BY i),
+    w{n} AS (SELECT list(round((p.w[g.i] - {_QC_LR!r}::DOUBLE * g.g) * {fac}) / {fac}
+                         ORDER BY g.i) AS w
+             FROM g{n} g, w{n - 1} p)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT doc_id, CAST(y AS INT) AS label,
+           round((1.0/(1.0 + exp(-({dot('w')})))) * {fac}) / {fac} AS score
+    FROM vx, w{_QC_EPOCHS} ORDER BY doc_id
+    """
+    )
+
+
+@register("quality_classifier_scores", oracle=logreg_unrolled_sql())
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-deploy a quality classifier END TO END with zero
+    model dependencies: hashing-trick featurization feeds full-batch
+    logistic regression (``logreg_train_gd``) labeled wiki-vs-crawl
+    style (here: ``lang = 'en'`` as the reference domain), then every
+    document is scored map-side with the trained literal weights —
+    the linear quality-filter pass of GPT-3/CCNet-style curation.
+    Scale shape: the featurized corpus persists ONCE; each epoch is
+    one map-side residual pass plus ONE partial-combined hash agg
+    whose shuffle is (dim+1) x n_partitions cells; scoring is pure
+    map-side (zero shuffle). Driver state = dim+1 floats. The oracle
+    (``logreg_unrolled_sql``) replays featurization, all epochs, and
+    scoring in pure SQL and checks every document's score."""
+    from oups_spark.operators.classifier import logreg_score, logreg_train_gd
+    from oups_spark.operators.retrieval import hashed_feature_vectors
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    labeled = hashed_feature_vectors(
+        docs.withColumn("label", (F.col("lang") == "en").cast("int")),
+        id_col="doc_id",
+        dim=_QC_DIM,
+        round_to=None,
+        keep=("label",),
+    )
+    w = logreg_train_gd(
+        labeled,
+        vec_col="features",
+        label_col="label",
+        lr=_QC_LR,
+        epochs=_QC_EPOCHS,
+        decimals=6,
+    )
+    return (
+        logreg_score(labeled, w, vec_col="features", out_col="score")
+        .select("doc_id", "label", "score")
+        .orderBy("doc_id")
+    )
