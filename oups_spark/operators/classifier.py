@@ -65,6 +65,7 @@ def logreg_train_gd(
     lr: float = 0.5,
     epochs: int = 4,
     decimals: int = 6,
+    dim: int | None = None,
     materialize: str | None = "persist",
 ) -> list[float]:
     """Train logistic regression ``P(y=1 | x) = sigmoid(w·x + b)`` by
@@ -104,9 +105,12 @@ def logreg_train_gd(
         raise ValueError(
             f"materialize must be 'persist' or None, got {materialize!r}"
         )
-    dim = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()[0][
-        "n"
-    ]
+    if dim is None:
+        # one limit(1) probe job; callers that know the feature width
+        # pass dim= to skip it
+        dim = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()[
+            0
+        ]["n"]
     w = [0.0] * (dim + 1)
     xa = F.concat(
         F.col(vec_col).cast("array<double>"), F.array(F.lit(1.0))

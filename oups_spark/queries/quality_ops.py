@@ -611,6 +611,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr=_QC_LR,
         epochs=_QC_EPOCHS,
         decimals=6,
+        dim=_QC_DIM,
     )
     return (
         logreg_score(labeled, w, vec_col="features", out_col="score")
