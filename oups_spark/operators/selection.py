@@ -63,11 +63,19 @@ def dsir_importance_weights(
     Output: ``id_col``, ``n_grams`` (gram count), ``log_weight``
     (rounded to ``decimals``; 0.0 for gram-less docs).
     """
+    from pyspark import StorageLevel
+
     base = df.select(
         F.col(id_col),
         is_target.alias("__tgt"),
         _hashed_ngram_buckets(F.col(text_col), n_buckets).alias("__bk"),
     )
+    # the plan references the featurization THREE times (model counts,
+    # scoring join probe, and the gram-less left join's id spine);
+    # without materializing it the tokenize + ngram-hash fold — the
+    # expensive part of the whole operator — re-runs per reference.
+    # MEMORY_AND_DISK keeps lineage for executor-loss recovery.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     ex = base.select(id_col, "__tgt", F.explode("__bk").alias("b"))
     # one hash agg trains BOTH models: per-bucket target/raw counts
     counts = ex.groupBy("b").agg(
