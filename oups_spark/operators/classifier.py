@@ -135,8 +135,14 @@ def logreg_train_gd(
             )
             / factor
         )
+        # residual in its OWN projection below the explode: fusing it
+        # into the posexplode select makes Catalyst emit the sigmoid
+        # fold in the Project ABOVE the Generate — i.e. once per
+        # exploded element, (dim+1)x the work (caught by
+        # tests/test_plans.py::test_classifier_epoch_agg_is_partial_combined)
+        pre = df.select(r.alias("__r"), xa.alias("__xa"))
         rows = (
-            df.select(r.alias("__r"), F.posexplode(xa).alias("d", "x"))
+            pre.select("__r", F.posexplode(F.col("__xa")).alias("d", "x"))
             .groupBy("d")
             .agg(F.avg(F.col("__r") * F.col("x")).alias("g"))
             .select(F.col("d"), upd.alias("w"))

@@ -87,3 +87,40 @@ def test_exact_dedup_stays_jvm_side(spark):
     plan = plan_of(REGISTRY["dedup_exact"].fn(spark, SF_DIR))
     for marker in ("BatchEvalPython", "MapInPandas", "ArrowEvalPython"):
         assert marker not in plan
+
+
+def test_classifier_epoch_agg_is_partial_combined(spark):
+    """The per-epoch gradient aggregation must partial-combine
+    map-side (the shuffle then carries (dim+1) x n_partitions cells,
+    not one row per exploded element) and compute the residual ONCE
+    per row, before the posexplode Generate — both load-bearing for
+    the 100 TB shape claimed in operators/classifier.py."""
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.classifier import _logit, _round_fixed
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], 1), ([0.0, 1.0], 0)], "features array<double>, label int"
+    )
+    w = [0.0, 0.0, 0.0]
+    xa = F.concat(F.col("features"), F.array(F.lit(1.0)))
+    r = _round_fixed(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit(F.col("features"), w)))
+        - F.col("label").cast("double"),
+        6,
+    )
+    # the operator's two-step shape: residual projected BELOW the
+    # explode (fusing both into one select makes Catalyst evaluate
+    # the sigmoid fold per exploded element — (dim+1)x the work)
+    pre = df.select(r.alias("__r"), xa.alias("__xa"))
+    g = (
+        pre.select("__r", F.posexplode(F.col("__xa")).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.avg(F.col("__r") * F.col("x")).alias("g"))
+    )
+    plan = plan_of(g)
+    assert "partial_avg" in plan
+    # the Project computing the sigmoid (EXP) must sit BELOW the
+    # Generate line, i.e. run once per input row
+    gen_pos = plan.index("Generate posexplode")
+    assert "EXP" in plan[gen_pos:], "residual must be computed under Generate, once per row"
