@@ -172,3 +172,46 @@ def logreg_score(
             decimals,
         ),
     )
+
+
+def logreg_train_np(
+    X,
+    y,
+    *,
+    lr: float = 0.5,
+    epochs: int = 4,
+    decimals: int = 6,
+) -> list[float]:
+    """Sequential numpy twin of :func:`logreg_train_gd`: same
+    zero-init, same index-order dot with trailing bias, same rounded
+    residual, same half-away-from-zero rounded weight update (Spark's
+    scale-0 ``F.round``; ``np.round``/Python ``round`` are
+    half-to-even and would diverge on exact ties). Used by tests to
+    pin the distributed trajectory bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, dim = X.shape
+    xa = np.concatenate([X, np.ones((n, 1))], axis=1)
+    fac = 10.0**decimals
+
+    def rnd(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * fac + 0.5), v) / fac
+
+    w = [0.0] * (dim + 1)
+    for _ in range(epochs):
+        r = np.empty(n)
+        for i in range(n):
+            # left-to-right fold, matching F.aggregate / list_sum
+            acc = 0.0
+            for d in range(dim + 1):
+                acc += xa[i, d] * w[d]
+            r[i] = rnd(1.0 / (1.0 + math.exp(-acc)) - y[i])
+        w = [
+            rnd(w[d] - lr * float(np.mean(r * xa[:, d])))
+            for d in range(dim + 1)
+        ]
+    return w

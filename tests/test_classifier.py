@@ -98,3 +98,62 @@ def test_hashed_features_keep_passthrough(spark):
     # non-empty doc -> unit vector
     nrm = sum(v * v for v in got.features[0]) ** 0.5
     assert abs(nrm - 1.0) < 1e-9
+
+
+def test_logreg_matches_numpy_twin(spark):
+    from oups_spark.operators.classifier import logreg_train_np
+
+    df = _toy(spark).repartition(3)
+    w_spark = logreg_train_gd(df, lr=0.5, epochs=5, materialize=None)
+    rows = _toy(spark).toPandas()
+    w_np = logreg_train_np(
+        list(rows.features), list(rows.label), lr=0.5, epochs=5
+    )
+    assert w_spark == w_np
+
+
+def test_logreg_twin_property(spark):
+    """Random small datasets: the distributed trajectory equals the
+    sequential twin bit-for-bit (rounded updates pin it)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from oups_spark.operators.classifier import logreg_train_np
+
+    floats = st.floats(
+        min_value=-4, max_value=4, allow_nan=False, width=32
+    )
+    data = st.lists(
+        st.tuples(st.tuples(floats, floats, floats), st.integers(0, 1)),
+        min_size=1,
+        max_size=10,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=data)
+    def check(rows):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "features": [list(r[0]) for r in rows],
+                "label": [r[1] for r in rows],
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(2)
+        w_spark = logreg_train_gd(
+            df, lr=0.25, epochs=3, dim=3, materialize=None
+        )
+        w_np = logreg_train_np(
+            [list(r[0]) for r in rows],
+            [r[1] for r in rows],
+            lr=0.25,
+            epochs=3,
+        )
+        assert w_spark == w_np
+
+    check()
