@@ -121,3 +121,130 @@ def volume_bars(
         tiebreak=tiebreak, bin_col=bin_col, initial_state=initial_volume,
     )
     return binned
+
+
+def funnel_stages(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    horizon: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel timestamps per user: for each stage ``i`` the
+    earliest event of ``stages[i]`` STRICTLY after the user's stage
+    ``i-1`` time (first stage: earliest occurrence overall), null once
+    a stage is never reached. ``horizon`` (e.g. ``'7 days'``) bounds
+    every later stage to ``first_stage_ts + horizon``.
+
+    One shuffle total: events collect into a per-user array and the
+    stage chain folds as JVM array expressions (``filter`` +
+    ``array_min``), instead of one join + shuffle per stage. Per-user
+    arrays keep only (ts, type) of events whose type is in ``stages``
+    — filtered BEFORE the shuffle, so state per user is bounded by
+    that user's funnel-relevant events. At 100 TB a runaway key (a
+    bot account with millions of clicks) should be pre-capped
+    upstream; typical funnels hold a few dozen events per user.
+
+    Returns one row per user with ``ts_<stage>`` columns.
+    """
+    arr = (
+        df.where(F.col(type_col).isin(stages))
+        .groupBy(user_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+            ).alias("ev")
+        )
+    )
+    cols = [F.col(user_col)]
+    prev = None
+    first = None
+    for i, stage in enumerate(stages):
+        if i == 0:
+            t = F.array_min(
+                F.transform(
+                    F.filter(F.col("ev"), lambda x: x["et"] == F.lit(stage)),
+                    lambda x: x["ts"],
+                )
+            )
+            first = f"ts_{stage}"
+        else:
+            pv = F.col(prev)
+
+            def _make_pred(stage, pv):
+                # closure factory: the callable handed to F.filter must
+                # take EXACTLY one parameter (PySpark derives the
+                # lambda arity from the signature; defaults count)
+                def _pred(x):
+                    ok = (x["et"] == F.lit(stage)) & (x["ts"] > pv)
+                    if horizon is not None:
+                        ok = ok & (
+                            x["ts"]
+                            <= F.col(first) + F.expr(f"INTERVAL {horizon}")
+                        )
+                    return ok
+
+                return _pred
+
+            t = F.array_min(
+                F.transform(
+                    F.filter(F.col("ev"), _make_pred(stage, pv)),
+                    lambda x: x["ts"],
+                )
+            )
+        name = f"ts_{stage}"
+        cols.append(t.alias(name))
+        arr = arr.select(*cols, "ev")
+        cols = [F.col(c) for c in [user_col] + [f"ts_{s}" for s in stages[: i + 1]]]
+        prev = name
+    return arr.select(*cols)
+
+
+def funnel_summary(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    horizon: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Stage-by-stage funnel counts: one row per stage with the number
+    of users reaching it and the conversion rate vs the first stage.
+    The per-user stage table reduces to one ~len(stages)-row result —
+    driver state is O(stages), never O(users)."""
+    per_user = funnel_stages(
+        df,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        stages=stages,
+        horizon=horizon,
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"ts_{s}")).alias(f"n_{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    stacked = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("stage_idx"),
+                        F.lit(s).alias("stage"),
+                        F.col(f"n_{i}").alias("users"),
+                        F.round(
+                            F.col(f"n_{i}") / F.col("n_0"), decimals
+                        ).alias("conversion"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select("r.*").orderBy("stage_idx")

@@ -114,18 +114,18 @@ _WINDOW_PRIORITY = [
     "deterministic_shuffle",
     "source_quota_topk",
     # New round-6 registrations — never checked, so they take window
-    # slots in their landing round (the round-5 lesson)
+    # slots in their landing round (the round-5 lesson). The last two
+    # displaced the originally-planned slack re-greens (ann_ivf_topk,
+    # store_merge_keep_last): both re-greens were green in ROUND 5's
+    # window, so every registered query still has a driver-green row
+    # within rounds 5–6, and never-checked-first beats re-verifying
+    # locally-validated code changes (the pure-SQL IVF oracle and the
+    # driver-merge byte gate are pytest- and local-oracle-covered;
+    # they get driver rows again in round 7's swap-back).
     "leakage_safe_splits",
     "quality_classifier_scores",
-    # Slack re-greens (2): queries exercising round-6 code changes
-    # (pure-SQL IVF oracle + lit_vec/lit_tensor literal parse;
-    # driver-merge byte gate + balanced chunks). kmeans_clusters also
-    # changed (init-collect fold) but its changed paths are covered by
-    # ann_ivf_topk (literal parse) and quality_classifier_scores (the
-    # same bounded-agg iterative loop shape) and it stays locally
-    # verified; semdedup_prune likewise shares every changed path.
-    "ann_ivf_topk",
-    "store_merge_keep_last",
+    "hll_distinct_tokens",
+    "conversion_funnel",
 ]
 
 

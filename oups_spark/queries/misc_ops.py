@@ -248,3 +248,55 @@ def trailing_24h_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_24h"),
         F.round(F.sum("value").over(w), 6).alias("sum_24h"),
     ).orderBy("event_id")
+
+
+_FUNNEL_ORACLE = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    n AS (
+      SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+    SELECT stage_idx, stage,
+           CASE stage_idx WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
+             AS users,
+           round(CASE stage_idx WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
+                 / CAST(n1 AS DOUBLE), 6) AS conversion
+    FROM n, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+             AS v(stage_idx, stage)
+    ORDER BY stage_idx
+"""
+
+
+@register("conversion_funnel", oracle=_FUNNEL_ORACLE)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with a 7-day horizon: users
+    reaching each stage (each stage strictly after the previous one)
+    and conversion vs stage 1. ONE shuffle for the whole chain — the
+    per-user event array folds every stage with JVM array expressions
+    (``operators/sessionize.py::funnel_stages``) instead of one
+    join+shuffle per stage; the driver-visible result is 3 rows."""
+    from oups_spark.operators.sessionize import funnel_summary
+
+    events = load(spark, sf_dir, "events")
+    return funnel_summary(
+        events,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        stages=["view", "click", "purchase"],
+        horizon="7 DAY",
+    )

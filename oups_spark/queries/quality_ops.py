@@ -618,3 +618,35 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "label", "score")
         .orderBy("doc_id")
     )
+
+
+def _hll_oracle() -> str:
+    from oups_spark.operators.sketch import hll_oracle_sql
+
+    return hll_oracle_sql(
+        "SELECT source, unnest(list_filter("
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != ''))"
+        " AS tok FROM documents",
+        "tok",
+        ["source"],
+        p=8,
+    )
+
+
+@register("hll_distinct_tokens", oracle=_hll_oracle())
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct vocabulary per source via a portable
+    HyperLogLog sketch (md5-derived registers, exactly replayable in
+    DuckDB — see ``operators/sketch.py``). The scale path for
+    "distinct tokens/urls per slice" on 100 TB: the shuffle after the
+    map-side register fold carries at most 256 rows per source instead
+    of every distinct token, and register tables from separate ingest
+    batches merge by elementwise max without rescanning."""
+    from oups_spark.operators.sketch import hll_distinct
+    from oups_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return hll_distinct(toks, "tok", ["source"], p=8).orderBy("source")

@@ -222,3 +222,82 @@ def test_flatten_struct_columns_nested(spark):
     one_level = flatten_struct_columns(df, max_depth=1)
     assert one_level.columns == ["id", "s_x", "s_inner"]
     assert one_level.schema["s_inner"].dataType.typeName() == "struct"
+
+
+def test_funnel_stages_strict_ordering(spark):
+    import datetime as dt
+
+    from oups_spark.operators.sessionize import funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        # u1 completes in order
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # u2: purchase BEFORE click -> only reaches click
+        (2, ts(0), "view"), (2, ts(2), "click"), (2, ts(1), "purchase"),
+        # u3: click before view -> stalls at view
+        (3, ts(5), "view"), (3, ts(4), "click"),
+        # u4: no view at all -> no row contribution beyond null stage 1
+        (4, ts(0), "click"), (4, ts(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["user_id"]: (r["ts_view"], r["ts_click"], r["ts_purchase"])
+        for r in funnel_stages(
+            df, user_col="user_id", ts_col="ts", type_col="event_type",
+            stages=["view", "click", "purchase"],
+        ).collect()
+    }
+    assert got[1] == (ts(0), ts(1), ts(2))
+    assert got[2] == (ts(0), ts(2), None)
+    assert got[3] == (ts(5), None, None)
+    assert got[4] == (None, None, None)
+
+
+def test_funnel_horizon_bounds_later_stages(spark):
+    import datetime as dt
+
+    from oups_spark.operators.sessionize import funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "view"),
+        (1, t0 + dt.timedelta(days=8), "click"),  # outside 7d horizon
+        (2, t0, "view"),
+        (2, t0 + dt.timedelta(days=6), "click"),  # inside
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["user_id"]: r["ts_click"]
+        for r in funnel_stages(
+            df, user_col="user_id", ts_col="ts", type_col="event_type",
+            stages=["view", "click"], horizon="7 DAY",
+        ).collect()
+    }
+    assert got[1] is None
+    assert got[2] == t0 + dt.timedelta(days=6)
+
+
+def test_funnel_summary_shape(spark):
+    import datetime as dt
+
+    from oups_spark.operators.sessionize import funnel_summary
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "view"), (1, t0 + dt.timedelta(hours=1), "click"),
+        (2, t0, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = funnel_summary(
+        df, user_col="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click"],
+    ).collect()
+    assert [(r["stage"], r["users"], r["conversion"]) for r in out] == [
+        ("view", 2, 1.0),
+        ("click", 1, 0.5),
+    ]
