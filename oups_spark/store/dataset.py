@@ -835,6 +835,17 @@ class OrderedDataset:
             np.argsort(keys[ordered_on].take(idx).to_numpy(), kind="stable")
         ]
         merged = merged.take(pa.array(order))
+        return self._stage_arrow_chunks(merged, ordered_on, target)
+
+    def _stage_arrow_chunks(
+        self, merged, ordered_on: str, target: int
+    ) -> list[FileEntry]:
+        """Write an already-ordered Arrow table into balanced
+        size-capped dataset files and return their manifest entries
+        (same ``_footer_stats`` reader as the distributed path, so the
+        entries are indistinguishable). Shared tail of the driver-side
+        merge and compact fast paths."""
+        import pyarrow.parquet as pq
 
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:12]}")
         os.makedirs(staging, exist_ok=True)
@@ -888,6 +899,47 @@ class OrderedDataset:
             return self._finalize_staged(stats)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+
+    def _compact_run_driver(
+        self, run: list[FileEntry], ordered_on: str, target: int
+    ) -> list[FileEntry] | None:
+        """Driver-side pyarrow coalesce of one off-target run.
+
+        Files in a run are already globally ordered (manifest order =
+        ascending bounds; rows within a file sorted by ``ordered_on``
+        — equal boundary values never split across files thanks to the
+        inclusive overlap selection on write), so the rewrite is a
+        plain ordered concat + rechunk: no sort, no dedup. Requires
+        every file to carry the IDENTICAL Arrow schema (compact must
+        not silently null evolved columns — mixed-schema runs take the
+        distributed path, which projects through the manifest schema);
+        bails to the distributed path when decoded bytes exceed the
+        same hard cap as the driver merge."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        hard_cap = 2 * _DRIVER_MERGE_MAX_BYTES
+        actual = 0
+        tables = []
+        schema = None
+        try:
+            for e in run:
+                pf = pq.ParquetFile(os.path.join(self.path, e.name))
+                if schema is None:
+                    schema = pf.schema_arrow
+                elif not pf.schema_arrow.equals(schema):
+                    return None  # mixed pre/post-evolution schemas
+                batches = []
+                for rb in pf.iter_batches(batch_size=16384):
+                    actual += rb.nbytes
+                    if actual > hard_cap:
+                        return None
+                    batches.append(rb)
+                tables.append(pa.Table.from_batches(batches, schema=schema))
+            merged = pa.concat_tables(tables)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OSError):
+            return None
+        return self._stage_arrow_chunks(merged, ordered_on, target)
 
     def _finalize_staged(self, stats) -> list[FileEntry]:
         """Move staged files into the dataset under fresh opaque names
@@ -1073,19 +1125,32 @@ class OrderedDataset:
             )
         rewritten = 0
         for run in runs:
-            merged = _with_file_rank(
-                self.spark,
-                reader.parquet(
-                    *[os.path.join(self.path, e.name) for e in run]
+            # DRIVER FAST PATH: a small homogeneous-schema run
+            # coalesces driver-side with pyarrow — zero Spark jobs for
+            # the exact workload compact exists for (many tiny flush
+            # files). Same gates as the driver merge write (row cap +
+            # actual-bytes hard cap); mixed-schema or big runs fall
+            # through to the distributed rewrite below.
+            new_entries = (
+                self._compact_run_driver(run, ordered_on, row_group_target_size)
+                if isinstance(row_group_target_size, int)
+                and sum(e.n_rows for e in run) <= _DRIVER_MERGE_MAX_ROWS
+                else None
+            )
+            if new_entries is None:
+                merged = _with_file_rank(
+                    self.spark,
+                    reader.parquet(
+                        *[os.path.join(self.path, e.name) for e in run]
+                    )
+                    .withColumn(_POS, F.monotonically_increasing_id())
+                    .withColumn(_SRC, F.lit(0)),
+                    run,
                 )
-                .withColumn(_POS, F.monotonically_increasing_id())
-                .withColumn(_SRC, F.lit(0)),
-                run,
-            )
-            new_entries = self._write_files(
-                merged, ordered_on, row_group_target_size,
-                sum(e.n_rows for e in run),
-            )
+                new_entries = self._write_files(
+                    merged, ordered_on, row_group_target_size,
+                    sum(e.n_rows for e in run),
+                )
             names = {e.name for e in run}
             self._manifest.files = [
                 e for e in self._manifest.files if e.name not in names

@@ -634,3 +634,43 @@ def test_driver_merge_chunks_balanced(spark, scratch):
     ds.write(df, ordered_on="ts", row_group_target_size=1000)
     sizes = sorted(e.n_rows for e in ds._manifest.files)
     assert sizes == [667, 667, 667], sizes
+
+
+def test_compact_driver_and_distributed_paths_agree(spark, scratch, monkeypatch):
+    """The driver-side pyarrow compact fast path and the distributed
+    rewrite must produce identical reads and equivalent manifests."""
+    import os
+
+    import pandas as pd
+
+    from oups_spark.store import dataset as dsmod
+    from oups_spark.store.dataset import OrderedDataset
+
+    def build(path):
+        ds = OrderedDataset(spark, path)
+        for lo in (0, 30, 60):
+            b = pd.DataFrame(
+                {
+                    "ts": pd.date_range(
+                        "2024-01-01", periods=90, freq="min"
+                    )[lo : lo + 30],
+                    "v": list(range(lo, lo + 30)),
+                }
+            )
+            ds.write(df=spark.createDataFrame(b), ordered_on="ts",
+                     row_group_target_size=10)
+        return ds
+
+    d1 = build(os.path.join(scratch, "cmp_drv"))
+    assert d1.compact(row_group_target_size=60) > 0
+    out_driver = d1.read().toPandas().sort_values("ts", ignore_index=True)
+    files_driver = [e.n_rows for e in d1._manifest.files]
+
+    d2 = build(os.path.join(scratch, "cmp_dist"))
+    monkeypatch.setattr(dsmod, "_DRIVER_MERGE_MAX_ROWS", 0)
+    assert d2.compact(row_group_target_size=60) > 0
+    out_dist = d2.read().toPandas().sort_values("ts", ignore_index=True)
+    files_dist = [e.n_rows for e in d2._manifest.files]
+
+    pd.testing.assert_frame_equal(out_driver, out_dist)
+    assert files_driver == files_dist
