@@ -38,7 +38,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def _alpha(m: int) -> float:
@@ -193,4 +193,278 @@ def hll_oracle_sql(
       FROM folded)
     SELECT {gpre} round(e, {decimals}) AS approx_distinct FROM est
     ORDER BY {gsel if gsel else "1"}
+    """
+
+
+# --------------------------------------------------------- count-min
+
+
+def countmin_register_table(
+    df: DataFrame,
+    item: Column | str,
+    group_cols: list[str] | None = None,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-Min register table: one row per ``(*group_cols, row i,
+    bucket b)`` with the summed count. The frequency twin of the HLL
+    register table — after the map-side partial sum the shuffle
+    carries at most ``depth * width`` rows per group, the table is
+    mergeable by elementwise ``sum``, and a persisted table answers
+    point frequency queries over history without rescanning it.
+
+    Bucket for row ``i``: ``int(md5(i || ':' || item)[:8], 16) %
+    width`` — engine-portable, replayed verbatim by
+    :func:`countmin_oracle_sql`. Counters are exact integer sums, so
+    cross-engine comparison is hash-stable with no rounding.
+    """
+    group_cols = list(group_cols or [])
+    c = F.col(item) if isinstance(item, str) else item
+    w = weight if weight is not None else F.lit(1).cast("long")
+    rows = df.select(
+        *group_cols,
+        c.alias("__it"),
+        w.alias("__w"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("i"),
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("i"), F.col("__it"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).cast("int")
+    return (
+        rows.select(*group_cols, "i", b.alias("b"), "__w")
+        .groupBy(*group_cols, "i", "b")
+        .agg(F.sum("__w").alias("c"))
+    )
+
+
+def countmin_estimate(
+    registers: DataFrame,
+    candidates: DataFrame,
+    item_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates: for each candidate item, the min
+    over the ``depth`` counters its hashes land in (the classic CM
+    upper bound — never an undercount). ``registers`` is broadcast
+    when small (≤ depth×width rows per group makes it a natural
+    broadcast side); candidates stream map-side through the join.
+    """
+    cand = candidates.select(F.col(item_col).alias("__it")).distinct()
+    cand = cand.select(
+        "__it",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("i"), F.col("__it"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).cast("int")
+    cand = cand.select("__it", "i", b.alias("b"))
+    joined = cand.join(F.broadcast(registers), ["i", "b"], "left").na.fill(
+        {"c": 0}
+    )
+    return (
+        joined.groupBy("__it")
+        .agg(F.min("c").alias("cm_count"))
+        .withColumnRenamed("__it", item_col)
+    )
+
+
+def countmin_oracle_sql(
+    source_cte: str,
+    item_expr: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int | None = None,
+) -> str:
+    """DuckDB replay of register build + estimation over the SAME
+    items used as their own candidate set; ``top_k`` adds the
+    heavy-hitter cut (count desc, item asc)."""
+    tail = (
+        f"ORDER BY cm_count DESC, tok LIMIT {top_k}"
+        if top_k
+        else "ORDER BY tok"
+    )
+    return f"""
+    WITH items AS ({source_cte}),
+    rows_ AS (
+      SELECT {item_expr} AS it, i
+      FROM items, LATERAL unnest(range(0, {depth})) AS t(i)),
+    regs AS (
+      SELECT i,
+             CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || it), 1, 8))
+                  AS BIGINT) % {width} AS INT) AS b,
+             count(*) AS c
+      FROM rows_ GROUP BY i, b),
+    cand AS (
+      SELECT DISTINCT {item_expr} AS it FROM items),
+    lookups AS (
+      SELECT c2.it, r.c
+      FROM (SELECT it, i,
+                   CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || it), 1, 8))
+                        AS BIGINT) % {width} AS INT) AS b
+            FROM cand, LATERAL unnest(range(0, {depth})) AS t(i)) c2
+      LEFT JOIN regs r USING (i, b)),
+    est AS (
+      SELECT it AS tok, min(coalesce(c, 0)) AS cm_count
+      FROM lookups GROUP BY it)
+    SELECT tok, cm_count FROM est {tail}
+    """
+
+
+# ------------------------------------------------- histogram quantile
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+    *,
+    n_bins: int = 128,
+    decimals: int = 6,
+) -> DataFrame:
+    """Approximate grouped quantiles from a fixed-grid histogram —
+    the sortless scale path next to the exact ``percentile`` query:
+    one bounds agg + one bucket-count agg (both map-side partial), a
+    shuffle bounded by ``n_bins`` rows per group, and bucket counts
+    that merge across batches by elementwise sum. Error is bounded by
+    the bucket width ``(max-min)/n_bins``.
+
+    Estimator: continuous rank ``r = q * (n - 1)`` (0-based, matching
+    ``quantile_cont``'s rank definition) falls in the bucket where the
+    running count first exceeds it; the value interpolates linearly
+    inside that bucket by the rank's position between the bucket's
+    cumulative bounds. Every step is IEEE ``-``/``/``/``*``/``floor``
+    on both engines, so results are hash-exact against the DuckDB
+    replay after rounding.
+    """
+    group_cols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+        F.count(v).alias("__n"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    b = F.least(
+        F.floor((v - F.col("__lo")) / width).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    # degenerate group (all values equal): width 0 -> bucket 0
+    b = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(b)
+    counts = (
+        joined.select(*group_cols, "__lo", "__hi", "__n", b.alias("b"))
+        .groupBy(*group_cols, "__lo", "__hi", "__n", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(*(group_cols or [F.lit(1)])).orderBy("b")
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "cum_prev", F.col("cum") - F.col("c")
+    )
+    out = []
+    for q in quantiles:
+        r = F.lit(q) * (F.col("__n") - 1).cast("double")
+        # the target bucket: first with cum > r (cum_prev <= r < cum)
+        hit = cum.where(
+            (F.col("cum_prev").cast("double") <= r)
+            & (r < F.col("cum").cast("double"))
+        )
+        width_ = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+        frac = (r - F.col("cum_prev").cast("double")) / F.col("c").cast(
+            "double"
+        )
+        val = F.when(
+            F.col("__hi") == F.col("__lo"), F.col("__lo")
+        ).otherwise(
+            F.col("__lo") + width_ * (F.col("b").cast("double") + frac)
+        )
+        out.append(
+            hit.select(
+                *group_cols,
+                F.lit(q).alias("q"),
+                F.round(val, decimals).alias("approx_value"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def histogram_quantile_oracle_sql(
+    source_cte: str,
+    value_expr: str,
+    quantiles: list[float],
+    group_cols: list[str],
+    *,
+    n_bins: int = 128,
+    decimals: int = 6,
+) -> str:
+    """DuckDB replay of :func:`histogram_quantiles`: same grid, same
+    bucket assignment, same rank interpolation, same rounding."""
+    gsel = ", ".join(group_cols)
+    gpre = gsel + ", " if gsel else ""
+    gby = gsel if gsel else "()"
+    qvals = ", ".join(f"({q!r})" for q in quantiles)
+    part = f"PARTITION BY {gsel} " if gsel else ""
+    join_on = f"USING ({gsel})" if gsel else "ON true"
+    return f"""
+    WITH items AS ({source_cte}),
+    bounds AS (
+      SELECT {gpre} min(CAST({value_expr} AS DOUBLE)) AS lo,
+             max(CAST({value_expr} AS DOUBLE)) AS hi,
+             count({value_expr}) AS n
+      FROM items GROUP BY {gby}),
+    bucketed AS (
+      SELECT {gpre}
+             lo, hi, n,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((CAST({value_expr} AS DOUBLE) - lo)
+                       / ((hi - lo) / CAST({n_bins} AS DOUBLE))) AS INT),
+                       {n_bins - 1})
+             END AS b
+      FROM items JOIN bounds {join_on}),
+    counts AS (
+      SELECT {gpre} lo, hi, n, b, count(*) AS c
+      FROM bucketed GROUP BY {gpre} lo, hi, n, b),
+    cum AS (
+      SELECT *, sum(c) OVER ({part}ORDER BY b) AS cum,
+             sum(c) OVER ({part}ORDER BY b) - c AS cum_prev
+      FROM counts),
+    qs(q) AS (VALUES {qvals})
+    SELECT {gpre} CAST(q AS DOUBLE) AS q,
+           round(CASE WHEN hi = lo THEN lo
+                 ELSE lo + ((hi - lo) / CAST({n_bins} AS DOUBLE))
+                      * (CAST(b AS DOUBLE)
+                         + (CAST(q AS DOUBLE) * (n - 1) - cum_prev) / c)
+                 END, {decimals}) AS approx_value
+    FROM cum, qs
+    WHERE CAST(cum_prev AS DOUBLE) <= CAST(q AS DOUBLE) * (n - 1)
+      AND CAST(q AS DOUBLE) * (n - 1) < CAST(cum AS DOUBLE)
+    ORDER BY {gpre} q
     """

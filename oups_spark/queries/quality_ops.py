@@ -650,3 +650,65 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens(F.col("text"))).alias("tok")
     )
     return hll_distinct(toks, "tok", ["source"], p=8).orderBy("source")
+
+
+def _countmin_oracle() -> str:
+    from oups_spark.operators.sketch import countmin_oracle_sql
+
+    return countmin_oracle_sql(
+        "SELECT unnest(list_filter("
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != ''))"
+        " AS tok FROM documents",
+        "tok",
+        top_k=25,
+    )
+
+
+@register("countmin_heavy_hitters", oracle=_countmin_oracle())
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 corpus tokens by Count-Min estimated frequency — the
+    frequency-sketch twin of ``hll_distinct_tokens``. The register
+    table (4×1024 exact integer counters) is what scales: mergeable
+    by elementwise sum across ingest batches, broadcastable for
+    point-frequency lookups, and the shuffle after the map-side
+    partial sum is bounded by depth×width rows regardless of corpus
+    size. Ties at the cut break on token, so the result is total-
+    ordered and hash-exact against the DuckDB replay."""
+    from oups_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_register_table,
+    )
+    from oups_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    regs = countmin_register_table(toks, "tok")
+    est = countmin_estimate(regs, toks, "tok")
+    return est.orderBy(F.desc("cm_count"), "tok").limit(25)
+
+
+def _histq_oracle() -> str:
+    from oups_spark.operators.sketch import histogram_quantile_oracle_sql
+
+    return histogram_quantile_oracle_sql(
+        "SELECT event_type, value FROM events",
+        "value",
+        [0.5, 0.9, 0.99],
+        ["event_type"],
+    )
+
+
+@register("histogram_quantiles_by_type", oracle=_histq_oracle())
+def histogram_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of event value per type from a
+    fixed-grid histogram sketch — the sortless, mergeable complement
+    to the exact ``value_percentiles_by_type``: two bounded aggs, a
+    shuffle of ≤128 rows per type, bucket counts summable across
+    batches. Error ≤ one bucket width; hash-exact vs the DuckDB
+    replay of the same grid."""
+    from oups_spark.operators.sketch import histogram_quantiles
+
+    events = load(spark, sf_dir, "events")
+    return histogram_quantiles(
+        events, "value", [0.5, 0.9, 0.99], ["event_type"]
+    ).orderBy("event_type", "q")

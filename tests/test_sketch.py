@@ -89,3 +89,89 @@ def test_hll_duckdb_twin_matches(spark, duck, p):
     )
     want = duck.sql(sql).fetchall()[0][1]
     assert got == want
+
+
+def test_countmin_never_undercounts(spark):
+    from oups_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_register_table,
+    )
+
+    # zipf-ish: token k appears 400//k times
+    rows = [(f"t{k}",) for k in range(1, 40) for _ in range(400 // k)]
+    df = spark.createDataFrame(rows, ["tok"])
+    regs = countmin_register_table(df, "tok")
+    est = {
+        r["tok"]: r["cm_count"]
+        for r in countmin_estimate(regs, df, "tok").collect()
+    }
+    exact = {f"t{k}": 400 // k for k in range(1, 40)}
+    for t, n in exact.items():
+        assert est[t] >= n  # CM is an upper bound
+    # with depth 4 x width 1024 and ~2k items, estimates are tight
+    assert sum(est[t] - exact[t] for t in exact) == 0
+
+
+def test_countmin_registers_merge_by_sum(spark):
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_register_table,
+    )
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, ["tok"])
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 7, ["tok"])
+    ra = countmin_register_table(a, "tok")
+    rb = countmin_register_table(b, "tok")
+    merged = ra.union(rb).groupBy("i", "b").agg(F.sum("c").alias("c"))
+    direct = countmin_register_table(a.union(b), "tok")
+    cand = spark.createDataFrame([("x",), ("y",), ("z",)], ["tok"])
+    e1 = {
+        r["tok"]: r["cm_count"]
+        for r in countmin_estimate(merged, cand, "tok").collect()
+    }
+    e2 = {
+        r["tok"]: r["cm_count"]
+        for r in countmin_estimate(direct, cand, "tok").collect()
+    }
+    assert e1 == e2 == {"x": 8, "y": 2, "z": 7}
+
+
+def test_countmin_register_table_is_bounded(spark):
+    from oups_spark.operators.sketch import countmin_register_table
+
+    df = spark.range(5000).selectExpr("CAST(id AS STRING) AS tok")
+    regs = countmin_register_table(df, "tok", depth=2, width=64)
+    assert regs.count() <= 2 * 64
+
+
+def test_histogram_quantiles_close_to_exact(spark):
+    import numpy as np
+
+    from oups_spark.operators.sketch import histogram_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = rng.gamma(2.0, 10.0, 4000).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {
+        r["q"]: r["approx_value"]
+        for r in histogram_quantiles(df, "v", [0.1, 0.5, 0.9]).collect()
+    }
+    width = (max(vals) - min(vals)) / 128
+    for q in (0.1, 0.5, 0.9):
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= width + 1e-9, (q, got[q], exact)
+
+
+def test_histogram_quantiles_degenerate_group(spark):
+    from oups_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame([("a", 5.0)] * 10 + [("b", 1.0), ("b", 2.0)],
+                               ["g", "v"])
+    got = {
+        (r["g"], r["q"]): r["approx_value"]
+        for r in histogram_quantiles(df, "v", [0.5], ["g"]).collect()
+    }
+    assert got[("a", 0.5)] == 5.0
+    assert 1.0 <= got[("b", 0.5)] <= 2.0
