@@ -322,3 +322,69 @@ def jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars",
         F.md5(F.col("text")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+def _incr_hll_oracle() -> str:
+    from oups_spark.operators.sketch import hll_oracle_sql
+
+    # the merge property makes the incremental two-batch sketch equal
+    # the one-shot sketch over the WHOLE corpus — so the oracle is
+    # simply the full-corpus replay, and the hash check proves the
+    # store-roundtripped merge is lossless.
+    return hll_oracle_sql(
+        "SELECT source, unnest(list_filter("
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != ''))"
+        " AS tok FROM documents",
+        "tok",
+        ["source"],
+        p=8,
+    )
+
+
+@register("incremental_hll_ingest", oracle=_incr_hll_oracle())
+def incremental_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance: batch A's HLL register
+    table persists to an ordered store dataset; when batch B arrives,
+    only B is scanned — its registers merge with the PERSISTED table
+    by elementwise max and the merged sketch lands back in the store.
+    The returned estimates must hash-equal the one-shot sketch over
+    A ∪ B (the mergeability contract). This is the ingest shape that
+    matters at 100 TB: per-batch cost is O(batch) + O(sketch), and
+    history is never rescanned — the same pattern as
+    ``incremental_neardup_ingest`` for near-dup signatures."""
+    from oups_spark.operators.sketch import hll_estimate, hll_register_table
+    from oups_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+
+    def regs_of(batch):
+        t = batch.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        return hll_register_table(t, "tok", ["source"], p=8)
+
+    path = os.path.join(_fresh("incremental_hll_ingest"), "hll_registers")
+    ds = OrderedDataset(spark, path)
+    # batch A: even doc ids — registers written ordered on (source, j)
+    ds.write(
+        df=regs_of(docs.filter(F.col("doc_id") % 2 == 0)).orderBy(
+            "source", "j"
+        ),
+        ordered_on="source",
+        row_group_target_size=100_000,
+    )
+    # batch B: odd doc ids — merge B's registers with the persisted
+    # table (union + max per register), rewrite via keep-last dedup
+    merged = (
+        ds.read()
+        .unionByName(regs_of(docs.filter(F.col("doc_id") % 2 == 1)))
+        .groupBy("source", "j")
+        .agg(F.max("M").alias("M"))
+    )
+    ds.write(
+        df=merged.orderBy("source", "j"),
+        ordered_on="source",
+        duplicates_on=["source", "j"],
+        row_group_target_size=100_000,
+    )
+    return hll_estimate(ds.read(), ["source"], p=8).orderBy("source")
