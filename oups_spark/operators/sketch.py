@@ -468,3 +468,150 @@ def histogram_quantile_oracle_sql(
       AND CAST(q AS DOUBLE) * (n - 1) < CAST(cum AS DOUBLE)
     ORDER BY {gpre} q
     """
+
+
+# ------------------------------------------------------- bloom filter
+
+
+def bloom_word_table(
+    df: DataFrame,
+    item: Column | str,
+    *,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom filter as a word table: rows ``(w, bits)`` where ``bits``
+    ORs together the filter bits falling in 32-bit word ``w`` (words
+    stored in BIGINT so the shift never overflows on either engine —
+    DuckDB raises on ``1 << 63``). The membership twin of the other
+    sketch register tables: ≤ ``m_bits/32`` rows after the map-side
+    partial ``bit_or``, mergeable across batches by elementwise OR,
+    and small enough to broadcast for map-side probing.
+
+    Bit positions for hash ``i``: ``int(md5(i || ':' || item)[:8], 16)
+    % m_bits`` — same portable derivation as Count-Min's buckets.
+    """
+    c = F.col(item) if isinstance(item, str) else item
+    rows = df.select(
+        c.alias("__it"),
+        F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("i"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("i"), F.col("__it"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    # Python F.shiftleft takes an int literal, so the variable shift
+    # goes through the SQL function (column-typed there)
+    return (
+        rows.select(
+            (h / 32).cast("int").alias("w"),
+            (h % 32).cast("int").alias("__b"),
+        )
+        .select(
+            "w",
+            F.expr("shiftleft(CAST(1 AS BIGINT), __b)").alias("__bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    words: DataFrame,
+    candidates: DataFrame,
+    item_col: str,
+    carry_cols: list[str] | None = None,
+    *,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Membership probe: an item tests positive iff ALL ``k_hashes``
+    of its bits are set (no false negatives; false-positive rate
+    ``(1 - e^{-kn/m})^k``). The word table broadcasts; candidates
+    stream map-side. Returns ``(*carry_cols, item_col, bloom_hit)``
+    — one row per distinct ``(*carry_cols, item)``."""
+    carry = list(carry_cols or [])
+    cand = candidates.select(
+        *carry, F.col(item_col).alias("__it")
+    ).distinct()
+    cand = cand.select(
+        *carry,
+        "__it",
+        F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("i"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("i"), F.col("__it"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    probes = cand.select(
+        *carry,
+        "__it",
+        (h / 32).cast("int").alias("w"),
+        (h % 32).cast("int").alias("__b"),
+    ).select(
+        *carry,
+        "__it",
+        "w",
+        F.expr("shiftleft(CAST(1 AS BIGINT), __b)").alias("__bit"),
+    )
+    joined = probes.join(F.broadcast(words), ["w"], "left")
+    hit = (F.col("bits").isNotNull()) & (
+        F.col("bits").bitwiseAND(F.col("__bit")) != 0
+    )
+    return (
+        joined.groupBy(*carry, "__it")
+        .agg((F.count(F.lit(1)) == F.sum(hit.cast("int"))).alias("bloom_hit"))
+        .withColumnRenamed("__it", item_col)
+    )
+
+
+def bloom_oracle_cte(
+    build_cte: str,
+    probe_cte: str,
+    *,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> str:
+    """CTE chain replaying build + probe: ``build`` / ``probe`` are
+    CTE bodies exposing an ``it`` column; the chain ends in
+    ``bloomed(it, bloom_hit)`` for the caller's final SELECT."""
+    pos = (
+        "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || it), 1, 8)) "
+        f"AS BIGINT) % {m_bits}"
+    )
+    return f"""
+    bf_build AS ({build_cte}),
+    bf_probe AS ({probe_cte}),
+    bf_words AS (
+      SELECT CAST(h // 32 AS INT) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
+      FROM (SELECT {pos} AS h
+            FROM bf_build, LATERAL unnest(range(0, {k_hashes})) AS t(i))
+      GROUP BY w),
+    bf_lookups AS (
+      SELECT p.it, wt.bits, p.bit
+      FROM (SELECT it, CAST(h // 32 AS INT) AS w,
+                   CAST(1 AS BIGINT) << CAST(h % 32 AS INT) AS bit
+            FROM (SELECT DISTINCT it FROM bf_probe) d,
+                 LATERAL unnest(range(0, {k_hashes})) AS t(i),
+                 LATERAL (SELECT {pos} AS h) hh) p
+      LEFT JOIN bf_words wt USING (w)),
+    bloomed AS (
+      SELECT it,
+             count(*) = sum(CASE WHEN bits IS NOT NULL
+                                  AND (bits & bit) != 0
+                            THEN 1 ELSE 0 END) AS bloom_hit
+      FROM bf_lookups GROUP BY it)
+    """

@@ -712,3 +712,76 @@ def histogram_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         events, "value", [0.5, 0.9, 0.99], ["event_type"]
     ).orderBy("event_type", "q")
+
+
+def _bloom_oracle() -> str:
+    from oups_spark.operators.sketch import bloom_oracle_cte
+
+    chain = bloom_oracle_cte(
+        f"""SELECT DISTINCT unnest(sh) AS it FROM (
+              SELECT {_SH3} AS sh FROM (
+                SELECT {_TOK} AS tok FROM documents WHERE source = 'src0'))""",
+        f"""SELECT doc_id, unnest(sh) AS it FROM (
+              SELECT doc_id, {_SH3} AS sh FROM (
+                SELECT doc_id, {_TOK} AS tok FROM documents
+                WHERE source != 'src0'))""",
+    )
+    return f"""
+    WITH {chain},
+    tg AS (SELECT doc_id, it FROM bf_probe),
+    hits AS (
+      SELECT tg.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN b.bloom_hit THEN 1 ELSE 0 END)::BIGINT
+               AS n_bloom_hits
+      FROM tg JOIN bloomed b USING (it) GROUP BY tg.doc_id)
+    SELECT doc_id, n_grams, n_bloom_hits,
+           round(n_bloom_hits / n_grams::DOUBLE, 6) AS hit_frac
+    FROM hits ORDER BY doc_id
+    """
+
+
+@register("bloom_decontamination", oracle=_bloom_oracle())
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter — the scale
+    path next to the exact ``decontamination_overlap`` join: the
+    benchmark's shingle set compresses to ≤2048 BIGINT words
+    (mergeable across benchmark shards by elementwise OR), the corpus
+    probes it MAP-SIDE via broadcast instead of shuffling every
+    shingle, and no false negatives means nothing contaminated slips
+    through; the bounded false-positive rate only ever over-flags.
+    Deterministic (md5 bit placement), so hash-exact vs the replay."""
+    from oups_spark.operators.sketch import bloom_probe, bloom_word_table
+    from oups_spark.operators.text import shingles, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        shingles(tokens(F.col("text")), 3).alias("sh"),
+    )
+    bench = (
+        t.filter(F.col("source") == "src0")
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    words = bloom_word_table(bench, "g")
+    tg = t.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    probed = bloom_probe(words, tg, "g", ["doc_id"])
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            F.round(
+                F.col("n_bloom_hits") / F.col("n_grams").cast("double"), 6
+            ).alias("hit_frac"),
+        )
+        .orderBy("doc_id")
+    )

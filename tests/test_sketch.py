@@ -175,3 +175,49 @@ def test_histogram_quantiles_degenerate_group(spark):
     }
     assert got[("a", 0.5)] == 5.0
     assert 1.0 <= got[("b", 0.5)] <= 2.0
+
+
+def test_bloom_no_false_negatives(spark):
+    from oups_spark.operators.sketch import bloom_probe, bloom_word_table
+
+    members = spark.range(500).selectExpr("'m' || CAST(id AS STRING) AS g")
+    words = bloom_word_table(members, "g")
+    got = {
+        r["g"]: r["bloom_hit"]
+        for r in bloom_probe(words, members, "g").collect()
+    }
+    assert all(got.values())  # every member must test positive
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    from oups_spark.operators.sketch import bloom_probe, bloom_word_table
+
+    members = spark.range(2000).selectExpr("'m' || CAST(id AS STRING) AS g")
+    others = spark.range(2000).selectExpr("'x' || CAST(id AS STRING) AS g")
+    words = bloom_word_table(members, "g")
+    hits = (
+        bloom_probe(words, others, "g")
+        .where("bloom_hit")
+        .count()
+    )
+    # k=3, n=2000, m=65536 -> fp ~ (1-exp(-3*2000/65536))^3 ~ 6e-4
+    assert hits <= 20
+
+
+def test_bloom_words_merge_by_or(spark):
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.sketch import bloom_probe, bloom_word_table
+
+    a = spark.range(100).selectExpr("'a' || CAST(id AS STRING) AS g")
+    b = spark.range(100).selectExpr("'b' || CAST(id AS STRING) AS g")
+    merged = (
+        bloom_word_table(a, "g")
+        .union(bloom_word_table(b, "g"))
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = bloom_word_table(a.union(b), "g")
+    mm = {r["w"]: r["bits"] for r in merged.collect()}
+    dd = {r["w"]: r["bits"] for r in direct.collect()}
+    assert mm == dd
