@@ -35,7 +35,6 @@ operators.
 
 from __future__ import annotations
 
-import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
