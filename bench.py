@@ -190,10 +190,15 @@ def main() -> int:
     # instants. Per-query median (plus min/max spread) is what
     # round-over-round comparison should use.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    samples: dict[str, list[float]] = {n: [] for n in HEADLINE if n in REGISTRY}
+    # HEADLINE pins a stable measurement order; any registration it
+    # does not know about yet is appended automatically so a new query
+    # can never silently fall out of the bench (round-6 lesson: the
+    # hand-kept list quietly missed 6 registrations).
+    bench_list = list(HEADLINE) + [n for n in REGISTRY if n not in HEADLINE]
+    samples: dict[str, list[float]] = {n: [] for n in bench_list if n in REGISTRY}
     failed: set[str] = set()
     for _ in range(reps):
-        for name in HEADLINE:
+        for name in bench_list:
             q = REGISTRY.get(name)
             if q is None or name in failed:
                 continue

@@ -300,3 +300,64 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         stages=["view", "click", "purchase"],
         horizon="7 DAY",
     )
+
+
+_COHORT_ORACLE = """
+    WITH fu AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw,
+             list(DISTINCT date_trunc('week', ts)) AS weeks
+      FROM events GROUP BY user_id),
+    offs AS (
+      SELECT cw, datediff('day', cw, unnest(weeks)) // 7 AS week_offset,
+             user_id
+      FROM fu),
+    coh AS (SELECT cw, count(*) AS cohort_size FROM fu GROUP BY cw)
+    SELECT CAST(o.cw AS TIMESTAMP) AS cohort_week,
+           CAST(o.week_offset AS INT) AS week_offset,
+           count(*) AS active_users,
+           round(count(*) / c.cohort_size::DOUBLE, 6) AS retention
+    FROM offs o JOIN coh c USING (cw)
+    GROUP BY o.cw, o.week_offset, c.cohort_size
+    ORDER BY cohort_week, week_offset
+"""
+
+
+@register("cohort_retention_weekly", oracle=_COHORT_ORACLE)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    activity tracked as week offsets from the cohort week. ONE keyed
+    shuffle — each user's distinct activity weeks collapse to a
+    per-user set in the same agg that finds the cohort week, so
+    offsets explode from a per-user row instead of re-joining the
+    raw events (the funnel/sessionize single-shuffle pattern); the
+    cohort-size side is one tiny agg over the per-user table."""
+    fu = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("week", F.min("ts")).alias("cw"),
+            F.collect_set(F.date_trunc("week", F.col("ts"))).alias("weeks"),
+        )
+    )
+    coh = fu.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    offs = fu.select(
+        "user_id", "cw", F.explode("weeks").alias("w")
+    ).withColumn(
+        "week_offset",
+        F.floor(F.datediff(F.col("w"), F.col("cw")) / 7).cast("int"),
+    )
+    return (
+        offs.join(F.broadcast(coh), "cw")
+        .groupBy("cw", "week_offset", "cohort_size")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            F.round(
+                F.col("active_users") / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
