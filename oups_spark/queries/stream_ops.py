@@ -641,3 +641,72 @@ def streaming_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_val", 6).alias("sum_val"),
     ).orderBy("win_start")
+
+
+def _streaming_hll_oracle() -> str:
+    # max-merge is commutative and associative, so any micro-batch
+    # arrival order produces the SAME register table as one shot over
+    # the whole corpus — the oracle is that one shot (the same
+    # mergeability contract incremental_hll_ingest pins batch-wise).
+    from oups_spark.queries.store_ops import _incr_hll_oracle
+
+    return _incr_hll_oracle()
+
+
+@register("streaming_hll_ingest", oracle=_streaming_hll_oracle())
+def streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch maintenance under Structured Streaming: documents
+    arrive in 3 micro-batches (file source, ``maxFilesPerTrigger=1``,
+    availableNow) and each batch's HLL registers fold into the
+    persisted store table inside ``foreachBatch`` — per-batch cost is
+    O(batch) + O(sketch); the corpus is never rescanned. The final
+    per-source estimates must hash-equal the one-shot sketch over all
+    documents, whatever order the batches committed in."""
+    from oups_spark.operators.sketch import hll_estimate, hll_register_table
+    from oups_spark.operators.text import tokens
+
+    base = _fresh("streaming_hll_ingest")
+    src_dir = os.path.join(base, "src")
+    load(spark, sf_dir, "documents").repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    path = os.path.join(base, "hll_registers")
+
+    def merge_batch(batch_df, _batch_id):
+        regs = hll_register_table(
+            batch_df.select(
+                "source", F.explode(tokens(F.col("text"))).alias("tok")
+            ),
+            "tok",
+            ["source"],
+            p=8,
+        )
+        ds = OrderedDataset(spark, path)
+        if ds.exists:
+            regs = (
+                ds.read()
+                .unionByName(regs)
+                .groupBy("source", "j")
+                .agg(F.max("M").alias("M"))
+            )
+        ds.write(
+            df=regs.orderBy("source", "j"),
+            ordered_on="source",
+            duplicates_on=["source", "j"],
+            row_group_target_size=100_000,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hll_estimate(
+        OrderedDataset(spark, path).read(), ["source"], p=8
+    ).orderBy("source")
