@@ -614,3 +614,134 @@ def bloom_oracle_cte(
                             THEN 1 ELSE 0 END) AS bloom_hit
       FROM bf_lookups GROUP BY it)
     """
+
+
+def hll_pairwise_overlap(
+    registers: DataFrame,
+    group_col: str,
+    p: int = 8,
+    decimals: int = 4,
+) -> DataFrame:
+    """Pairwise distinct-overlap estimates between groups, computed
+    from the register table ALONE — sketch algebra, no rescan of the
+    items: the union sketch of two groups is the elementwise max of
+    their registers, and inclusion–exclusion gives the intersection
+    (``|A∩B| ≈ E_A + E_B − E_{A∪B}``, the standard HLL overlap
+    estimator; its relative error grows as the true intersection
+    shrinks vs the union — a caveat, not a scale problem).
+
+    One self-free pass: every register row fans out to the pairs its
+    group participates in (groups × groups join on a tiny distinct
+    list), then the per-pair max-merge and estimate run exactly like
+    any other sketch fold. With G groups and m registers the working
+    set is ``G² m / 2`` rows — registers, not items.
+
+    M=0 padding note: a register row with ``M = 0`` contributes
+    ``2^0 = 1`` to the harmonic sum — identical to the term an absent
+    register adds via the ``V`` correction — so the estimator is
+    invariant to whether empty registers are materialized.
+    """
+    a = registers.select(
+        F.col(group_col).alias("ga"), F.col("j"), F.col("M").alias("Ma")
+    )
+    b = registers.select(
+        F.col(group_col).alias("gb"), F.col("j"), F.col("M").alias("Mb")
+    )
+    pairs = (
+        a.select("ga")
+        .distinct()
+        .crossJoin(b.select("gb").distinct())
+        .where(F.col("ga") < F.col("gb"))
+    )
+    # union registers per pair: rows from either side, max-merged
+    ua = pairs.join(a, "ga").select("ga", "gb", "j", F.col("Ma").alias("M"))
+    ub = pairs.join(b, "gb").select("ga", "gb", "j", F.col("Mb").alias("M"))
+    union_regs = (
+        ua.unionByName(ub).groupBy("ga", "gb", "j").agg(F.max("M").alias("M"))
+    )
+    e_union = hll_estimate(union_regs, ["ga", "gb"], p, decimals=10).select(
+        "ga", "gb", F.col("approx_distinct").alias("e_u")
+    )
+    singles = hll_estimate(registers, [group_col], p, decimals=10)
+    e_a = singles.select(
+        F.col(group_col).alias("ga"), F.col("approx_distinct").alias("e_a")
+    )
+    e_b = singles.select(
+        F.col(group_col).alias("gb"), F.col("approx_distinct").alias("e_b")
+    )
+    return (
+        e_union.join(F.broadcast(e_a), "ga")
+        .join(F.broadcast(e_b), "gb")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            F.round(F.col("e_u"), decimals).alias("approx_union"),
+            F.round(
+                F.col("e_a") + F.col("e_b") - F.col("e_u"), decimals
+            ).alias("approx_intersection"),
+        )
+    )
+
+
+def hll_overlap_oracle_sql(
+    source_cte: str,
+    item_expr: str,
+    group_col: str,
+    p: int = 8,
+    decimals: int = 4,
+) -> str:
+    """DuckDB replay of :func:`hll_pairwise_overlap` over a fresh
+    sketch of ``source_cte`` — same registers, same per-pair
+    max-merge, same estimator with the same intermediate rounding
+    (10 decimals before the inclusion–exclusion, ``decimals`` after,
+    mirroring the Spark plan exactly)."""
+    m = 1 << p
+    wbits = 32 - p
+    alpha = _alpha(m)
+
+    def est(expr_s, expr_n):
+        a = f"CAST({alpha!r} AS DOUBLE) * {m} * {m}"
+        raw = f"({a}) / ({expr_s} + ({m} - {expr_n}))"
+        lin = f"CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / ({m} - {expr_n}))"
+        return (
+            f"round(CASE WHEN {raw} <= {2.5 * m} AND {m} - {expr_n} > 0 "
+            f"THEN {lin} ELSE {raw} END, 10)"
+        )
+
+    return f"""
+    WITH items AS ({source_cte}),
+    hashed AS (
+      SELECT {group_col} AS g,
+             CAST(('0x' || substr(md5({item_expr}), 1, 8)) AS BIGINT) AS h
+      FROM items),
+    regs AS (
+      SELECT g, CAST(h % {m} AS INT) AS j,
+             max(CASE WHEN h // {m} = 0 THEN {wbits + 1}
+                 ELSE {wbits + 1} - length(format('{{:b}}', h // {m}))
+                 END) AS M
+      FROM hashed GROUP BY g, j),
+    singles AS (
+      SELECT g, {est("sum(1.0 / (1 << M))", "count(*)")} AS e
+      FROM regs GROUP BY g),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb
+      FROM (SELECT DISTINCT g FROM regs) a,
+           (SELECT DISTINCT g FROM regs) b
+      WHERE a.g < b.g),
+    uregs AS (
+      SELECT ga, gb, j, max(M) AS M FROM (
+        SELECT p.ga, p.gb, r.j, r.M FROM pairs p JOIN regs r ON r.g = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, r.j, r.M FROM pairs p JOIN regs r ON r.g = p.gb)
+      GROUP BY ga, gb, j),
+    uest AS (
+      SELECT ga, gb, {est("sum(1.0 / (1 << M))", "count(*)")} AS e_u
+      FROM uregs GROUP BY ga, gb)
+    SELECT u.ga AS group_a, u.gb AS group_b,
+           round(u.e_u, {decimals}) AS approx_union,
+           round(sa.e + sb.e - u.e_u, {decimals}) AS approx_intersection
+    FROM uest u
+    JOIN singles sa ON sa.g = u.ga
+    JOIN singles sb ON sb.g = u.gb
+    ORDER BY group_a, group_b
+    """

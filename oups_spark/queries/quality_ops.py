@@ -785,3 +785,39 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _hll_overlap_oracle() -> str:
+    from oups_spark.operators.sketch import hll_overlap_oracle_sql
+
+    return hll_overlap_oracle_sql(
+        "SELECT source, unnest(list_filter("
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != ''))"
+        " AS tok FROM documents",
+        "tok",
+        "source",
+        p=8,
+    )
+
+
+@register("hll_source_overlap", oracle=_hll_overlap_oracle())
+def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources estimated from the
+    HLL register table ALONE (union = elementwise max, intersection
+    by inclusion–exclusion) — the sketch-algebra payoff: a G×G source
+    similarity matrix whose cost is G²·256 register rows, with the
+    corpus scanned once no matter how many pairs are compared."""
+    from oups_spark.operators.sketch import (
+        hll_pairwise_overlap,
+        hll_register_table,
+    )
+    from oups_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    regs = hll_register_table(toks, "tok", ["source"], p=8)
+    return hll_pairwise_overlap(regs, "source", p=8).orderBy(
+        "group_a", "group_b"
+    )

@@ -221,3 +221,23 @@ def test_bloom_words_merge_by_or(spark):
     mm = {r["w"]: r["bits"] for r in merged.collect()}
     dd = {r["w"]: r["bits"] for r in direct.collect()}
     assert mm == dd
+
+
+def test_hll_pairwise_overlap_accuracy(spark):
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.sketch import (
+        hll_pairwise_overlap,
+        hll_register_table,
+    )
+
+    # groups A and B share 300 of 500 items each
+    a = spark.range(500).selectExpr("'A' AS g", "'i' || CAST(id AS STRING) AS x")
+    b = spark.range(200, 700).selectExpr(
+        "'B' AS g", "'i' || CAST(id AS STRING) AS x"
+    )
+    regs = hll_register_table(a.union(b), "x", ["g"], p=10)
+    row = hll_pairwise_overlap(regs, "g", p=10).collect()[0]
+    assert row["group_a"] == "A" and row["group_b"] == "B"
+    assert abs(row["approx_union"] - 700) / 700 < 0.15
+    assert abs(row["approx_intersection"] - 300) / 300 < 0.35
