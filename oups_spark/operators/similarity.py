@@ -988,3 +988,100 @@ def kmeans_lloyd(
             for j in range(len(C))
         ]
     return kmeans_assign(df, C, vec_col=vec_col)
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking: per query, greedily pick
+    ``k`` of the top-``n_candidates`` most relevant vectors, each step
+    maximizing ``lam * rel(c) - (1 - lam) * max_sim(c, selected)`` —
+    the classic diversity-aware cut for retrieval-based curation
+    (Carbonell & Goldstein 1998).
+
+    Distribution shape: candidate generation is the scalable part
+    (exact cosine here; swap the ANN family in at scale) and runs
+    corpus-wide; the greedy loop unrolls as ``k`` DataFrame stages
+    over the (queries × n_candidates) table — parallel ACROSS
+    queries, constant rows per query. That table is persisted once,
+    so each unrolled step's recursive branches re-read a tiny cached
+    relation instead of re-running the scoring join. Deterministic:
+    ranks break ties on candidate id; all similarity math is the
+    dim-order JVM fold (portable to the SQL replay).
+
+    Output: (query_id, vec_id, mmr_rank, rel_sim).
+    """
+    from pyspark import StorageLevel
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "cv", cosine(F.col("qv"), F.col("cv")).alias("rel"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    top = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_candidates)
+        .drop("__rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rem = top.withColumn("maxsim", F.lit(-1.0))
+    picks = []
+    for t in range(1, k + 1):
+        score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim")
+        ws = Window.partitionBy("qid").orderBy(F.desc(score), F.asc("cid"))
+        pick = (
+            rem.withColumn("__rn", F.row_number().over(ws))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "qid",
+                F.col("cid").alias("pick_cid"),
+                F.col("cv").alias("pick_cv"),
+                F.col("rel").alias("pick_rel"),
+            )
+        )
+        picks.append(
+            pick.select(
+                "qid",
+                F.col("pick_cid").alias("cid"),
+                F.lit(t).alias("mmr_rank"),
+                F.col("pick_rel").alias("rel"),
+            )
+        )
+        if t < k:
+            rem = (
+                rem.join(pick, "qid")
+                .filter(F.col("cid") != F.col("pick_cid"))
+                .select(
+                    "qid",
+                    "cid",
+                    "cv",
+                    "rel",
+                    F.greatest(
+                        F.col("maxsim"),
+                        cosine(F.col("cv"), F.col("pick_cv")),
+                    ).alias("maxsim"),
+                )
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("vec_id"),
+        "mmr_rank",
+        F.round("rel", 6).alias("rel_sim"),
+    )

@@ -65,8 +65,8 @@ def register(name: str, oracle: str | None = None):
 # slots, followed by the round-6 registrations that landed after the
 # window filled (countmin_heavy_hitters, histogram_quantiles_by_type,
 # incremental_hll_ingest, bloom_decontamination,
-# cohort_retention_weekly, streaming_hll_ingest, hll_source_overlap —
-# locally green at
+# cohort_retention_weekly, streaming_hll_ingest, hll_source_overlap,
+# mmr_diverse_topk — locally green at
 # sf0.001/0.01/0.1 but never
 # driver-checked) and the
 # two displaced re-greens (ann_ivf_topk, store_merge_keep_last).

@@ -1169,3 +1169,79 @@ def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
     )
     return leakage_safe_splits(docs, pairs, id_col="doc_id").orderBy("doc_id")
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy MMR replay (the kmeans-unrolling pattern):
+    candidate scoring, then one (pick, filter+penalty-update) CTE pair
+    per selection step, all in dim-order list arithmetic matching the
+    engine's JVM fold."""
+    lam, k, n_cand = 0.7, 5, 20
+
+    def cos(a, b):
+        return (
+            f"CASE WHEN list_dot_product({a}, {a}) * list_dot_product({b}, {b}) > 0 "
+            f"THEN list_dot_product({a}, {b}) / "
+            f"sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})) "
+            f"ELSE 0 END"
+        )
+
+    parts = [
+        f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+    sc AS (
+      SELECT q.qid, c.vec_id AS cid, c.e AS ce, {cos("q.qe", "c.e")} AS rel
+      FROM q JOIN v c ON c.vec_id != q.qid),
+    r1 AS (
+      SELECT qid, cid, ce, rel, -1.0 AS maxsim FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY rel DESC, cid) AS rn
+        FROM sc) WHERE rn <= {n_cand})"""
+    ]
+    for t in range(1, k + 1):
+        parts.append(f"""
+    p{t} AS (
+      SELECT qid, cid, ce, rel FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid
+          ORDER BY {lam!r} * rel - {1.0 - lam!r} * maxsim DESC, cid) AS rn
+        FROM r{t}) WHERE rn = 1)""")
+        if t < k:
+            parts.append(f"""
+    r{t + 1} AS (
+      SELECT r.qid, r.cid, r.ce, r.rel,
+             greatest(r.maxsim, {cos("r.ce", "p.ce")}) AS maxsim
+      FROM r{t} r JOIN p{t} p USING (qid) WHERE r.cid != p.cid)""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT qid, cid, {t} AS mmr_rank, rel FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT qid AS query_id, cid AS vec_id,
+           CAST(mmr_rank AS INT) AS mmr_rank,
+           round(rel, 6) AS rel_sim
+    FROM ({union})
+    ORDER BY query_id, mmr_rank"""
+    )
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle_sql())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval cut: top-20 cosine candidates per
+    query reranked by Maximal Marginal Relevance (lambda=0.7, k=5) —
+    the standard answer to near-duplicate results in retrieval-based
+    curation. Candidate generation is the distributed part; the
+    greedy loop unrolls as 5 window+join stages over a persisted
+    (queries x 20)-row table, parallel across queries
+    (``operators/similarity.py::mmr_rerank``)."""
+    from oups_spark.operators.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return mmr_rerank(emb, queries, n_candidates=20, k=5, lam=0.7).orderBy(
+        "query_id", "mmr_rank"
+    )

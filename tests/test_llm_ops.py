@@ -308,3 +308,30 @@ def test_pq_topk_recall_and_determinism(spark):
     )
     for _, g in approx.groupby("query_id"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_mmr_prefers_diverse_picks(spark):
+    """Crafted set: 3 near-identical highly-relevant vectors + one
+    slightly-less-relevant orthogonal vector. Plain top-3 takes the
+    redundant trio; MMR's step-2+ diversity penalty must pull in the
+    orthogonal one."""
+    from oups_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # the query
+        (1, [0.99, 0.1, 0.0]),       # redundant cluster
+        (2, [0.99, 0.11, 0.0]),
+        (3, [0.99, 0.12, 0.0]),
+        (4, [0.5, 0.0, 0.8]),        # less relevant, diverse
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = mmr_rerank(
+        df,
+        df.filter("vec_id = 0"),
+        n_candidates=4,
+        k=3,
+        lam=0.5,
+    ).collect()
+    picked = [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    assert 4 in picked, picked           # the diverse vector is selected
+    assert picked[0] in (1, 2, 3)        # step 1 is pure relevance
