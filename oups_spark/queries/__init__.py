@@ -66,7 +66,7 @@ def register(name: str, oracle: str | None = None):
 # window filled (countmin_heavy_hitters, histogram_quantiles_by_type,
 # incremental_hll_ingest, bloom_decontamination,
 # cohort_retention_weekly, streaming_hll_ingest, hll_source_overlap,
-# mmr_diverse_topk — locally green at
+# mmr_diverse_topk, ewma_user_values — locally green at
 # sf0.001/0.01/0.1 but never
 # driver-checked) and the
 # two displaced re-greens (ann_ivf_topk, store_merge_keep_last).

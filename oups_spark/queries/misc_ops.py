@@ -361,3 +361,52 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_EW_ORACLE = """
+    WITH t AS (SELECT max(ts) AS T FROM events),
+    w AS (
+      SELECT user_id, value,
+             exp(-(epoch_us(t.T) - epoch_us(ts)) / 604800000000.0) AS wt
+      FROM events, t)
+    SELECT user_id, count(*) AS n,
+           round(sum(value * wt), 6) AS ew_sum,
+           round(sum(value * wt) / sum(wt), 6) AS ew_mean
+    FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("ewma_user_values", oracle=_EW_ORACLE)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed aggregates per user (tau = 7 days,
+    anchored at the corpus max timestamp) — the feature-store recency
+    weighting that replaces 'last N days' cliffs. Pure map-side
+    weight computation feeding one partial-combined hash agg; the
+    anchor is a broadcast scalar, so nothing synchronizes beyond the
+    usual keyed shuffle. Decayed sums are order-independent up to
+    double noise (~1e-13 relative), absorbed by the 6dp rounding on
+    both engines."""
+    events = load(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("T"))
+    w = events.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "value",
+        F.exp(
+            -(
+                F.unix_micros(F.col("T").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).cast("double")
+            / F.lit(604800000000.0)
+        ).alias("wt"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("wt")), 6).alias("ew_sum"),
+            F.round(
+                F.sum(F.col("value") * F.col("wt")) / F.sum("wt"), 6
+            ).alias("ew_mean"),
+        )
+        .orderBy("user_id")
+    )
