@@ -59,17 +59,19 @@ def register(name: str, oracle: str | None = None):
 # within rounds 5–6 (97th = leakage_safe_splits, landing this round
 # with a slot per the round-5 lesson: never-checked first).
 #
-# Round-7 plan: swap back to (approximately) the round-5 window — the
-# queries outside this one — so no query's last driver row is ever
-# more than two rounds old; any round-7 registrations take the first
-# slots, followed by the round-6 registrations that landed after the
-# window filled (countmin_heavy_hitters, histogram_quantiles_by_type,
-# incremental_hll_ingest, bloom_decontamination,
-# cohort_retention_weekly, streaming_hll_ingest, hll_source_overlap,
-# mmr_diverse_topk, ewma_user_values — locally green at
-# sf0.001/0.01/0.1 but never
-# driver-checked) and the
-# two displaced re-greens (ann_ivf_topk, store_merge_keep_last).
+# Round-7 window plan, in priority order:
+#   1. any round-7 registrations (never-checked first — the rule);
+#   2. the 9 round-6 registrations that landed after this window
+#      filled — countmin_heavy_hitters, histogram_quantiles_by_type,
+#      incremental_hll_ingest, bloom_decontamination,
+#      cohort_retention_weekly, streaming_hll_ingest,
+#      hll_source_overlap, mmr_diverse_topk, ewma_user_values —
+#      locally green at sf0.001/0.01/0.1 but never driver-checked;
+#   3. the two displaced re-greens (ann_ivf_topk,
+#      store_merge_keep_last);
+#   4. the remaining round-5-window queries (oldest driver row
+#      first), so no query's last green row ages past two rounds
+#      where slots allow.
 _WINDOW_PRIORITY = [
     # Never driver-checked round-5 registrations (5) — first priority
     "neardup_keep_best",
