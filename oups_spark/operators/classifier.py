@@ -105,6 +105,27 @@ def logreg_train_gd(
         raise ValueError(
             f"materialize must be 'persist' or None, got {materialize!r}"
         )
+    try:
+        return _train_loop(
+            df, vec_col, label_col, lr, epochs, decimals, dim
+        )
+    finally:
+        # the final epoch's collect is the last job touching df —
+        # release the cache here or every training run in a long
+        # session leaks a CacheManager entry
+        if materialize == "persist":
+            df.unpersist()
+
+
+def _train_loop(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    lr: float,
+    epochs: int,
+    decimals: int,
+    dim: int | None,
+) -> list[float]:
     if dim is None:
         # one limit(1) probe job; callers that know the feature width
         # pass dim= to skip it

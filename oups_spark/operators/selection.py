@@ -63,8 +63,6 @@ def dsir_importance_weights(
     Output: ``id_col``, ``n_grams`` (gram count), ``log_weight``
     (rounded to ``decimals``; 0.0 for gram-less docs).
     """
-    from pyspark import StorageLevel
-
     base = df.select(
         F.col(id_col),
         is_target.alias("__tgt"),
@@ -74,8 +72,14 @@ def dsir_importance_weights(
     # scoring join probe, and the gram-less left join's id spine);
     # without materializing it the tokenize + ngram-hash fold — the
     # expensive part of the whole operator — re-runs per reference.
-    # MEMORY_AND_DISK keeps lineage for executor-loss recovery.
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager localCheckpoint rather than DataFrame.persist: the caller
+    # never gets a handle to unpersist, and a persist here would leak
+    # a CacheManager entry per invocation for the life of the session;
+    # checkpoint blocks are ContextCleaner-reclaimed once the result
+    # goes out of scope (tradeoff: truncated lineage, so an executor
+    # loss mid-run recomputes from the checkpoint replicas or fails
+    # rather than replaying lineage).
+    base = base.localCheckpoint(eager=True)
     ex = base.select(id_col, "__tgt", F.explode("__bk").alias("b"))
     # one hash agg trains BOTH models: per-bucket target/raw counts
     counts = ex.groupBy("b").agg(

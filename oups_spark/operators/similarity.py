@@ -987,6 +987,14 @@ def kmeans_lloyd(
             [upd[j][d] for d in range(dim)] if j in upd else C[j]
             for j in range(len(C))
         ]
+    if materialize == "persist":
+        # training (init TakeOrdered + iters aggregations) was the
+        # multi-read phase the cache existed for; release the
+        # CacheManager entry here rather than leaking it for the
+        # session. The returned final-assignment plan recomputes its
+        # upstream once at action time — one extra scan, bounded, vs
+        # an unbounded accumulation of cached corpora across runs.
+        df.unpersist()
     return kmeans_assign(df, C, vec_col=vec_col)
 
 
@@ -1010,33 +1018,45 @@ def mmr_rerank(
     (exact cosine here; swap the ANN family in at scale) and runs
     corpus-wide; the greedy loop unrolls as ``k`` DataFrame stages
     over the (queries × n_candidates) table — parallel ACROSS
-    queries, constant rows per query. That table is persisted once,
-    so each unrolled step's recursive branches re-read a tiny cached
-    relation instead of re-running the scoring join. Deterministic:
+    queries, constant rows per query. That table is materialized once
+    (eager localCheckpoint), so each unrolled step's recursive
+    branches re-read a tiny cached relation instead of re-running the
+    scoring join. Deterministic:
     ranks break ties on candidate id; all similarity math is the
     dim-order JVM fold (portable to the SQL replay).
 
     Output: (query_id, vec_id, mmr_rank, rel_sim).
     """
-    from pyspark import StorageLevel
-
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     )
     c = corpus.select(
         F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
     )
+    # cosine_expr (zero-norm-guarded, sqrt(na*nb) form) rather than the
+    # unguarded cosine(): the DuckDB replay states the guarded form, so
+    # both the NULL-on-zero-vector divergence and the IEEE
+    # multiply/sqrt sequencing of near-tie candidate picks stay
+    # engine-identical (the docstring's portability claim).
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cid") != F.col("qid"))
-        .select("qid", "cid", "cv", cosine(F.col("qv"), F.col("cv")).alias("rel"))
+        .select(
+            "qid", "cid", "cv", cosine_expr(F.col("qv"), F.col("cv")).alias("rel")
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    # localCheckpoint (eager), not persist: the k unrolled stages each
+    # re-read this tiny (queries x n_candidates) relation, and the
+    # truncated lineage keeps Catalyst from re-optimizing the scoring
+    # join k times. Unlike DataFrame.persist there is no CacheManager
+    # entry to leak across a long session — the blocks are
+    # ContextCleaner-reclaimed once the result goes out of scope.
     top = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_candidates)
         .drop("__rn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     rem = top.withColumn("maxsim", F.lit(-1.0))
     picks = []
@@ -1072,7 +1092,7 @@ def mmr_rerank(
                     "rel",
                     F.greatest(
                         F.col("maxsim"),
-                        cosine(F.col("cv"), F.col("pick_cv")),
+                        cosine_expr(F.col("cv"), F.col("pick_cv")),
                     ).alias("maxsim"),
                 )
             )

@@ -251,6 +251,7 @@ def countmin_estimate(
     registers: DataFrame,
     candidates: DataFrame,
     item_col: str,
+    group_cols: list[str] | None = None,
     *,
     depth: int = 4,
     width: int = 1024,
@@ -260,9 +261,28 @@ def countmin_estimate(
     upper bound — never an undercount). ``registers`` is broadcast
     when small (≤ depth×width rows per group makes it a natural
     broadcast side); candidates stream map-side through the join.
+
+    ``group_cols`` must name the SAME grouping the register table was
+    built with (:func:`countmin_register_table`'s ``group_cols``) and
+    the candidate table must carry those columns: the probe joins on
+    ``group_cols + [i, b]``, so a grouped register table never sums
+    counters across groups. When ``group_cols`` is empty, the register
+    schema is required to be exactly ``(i, b, c)`` — probing a grouped
+    table ungrouped would silently inflate every estimate.
     """
-    cand = candidates.select(F.col(item_col).alias("__it")).distinct()
+    group_cols = list(group_cols or [])
+    extra = set(registers.columns) - {"i", "b", "c"} - set(group_cols)
+    if extra:
+        raise ValueError(
+            "register table carries grouping columns not named in "
+            f"group_cols: {sorted(extra)} — probing would sum "
+            "counters across groups"
+        )
+    cand = candidates.select(
+        *group_cols, F.col(item_col).alias("__it")
+    ).distinct()
     cand = cand.select(
+        *group_cols,
         "__it",
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
     )
@@ -276,12 +296,12 @@ def countmin_estimate(
         ).cast("long")
         % width
     ).cast("int")
-    cand = cand.select("__it", "i", b.alias("b"))
-    joined = cand.join(F.broadcast(registers), ["i", "b"], "left").na.fill(
-        {"c": 0}
-    )
+    cand = cand.select(*group_cols, "__it", "i", b.alias("b"))
+    joined = cand.join(
+        F.broadcast(registers), group_cols + ["i", "b"], "left"
+    ).na.fill({"c": 0})
     return (
-        joined.groupBy("__it")
+        joined.groupBy(*group_cols, "__it")
         .agg(F.min("c").alias("cm_count"))
         .withColumnRenamed("__it", item_col)
     )
@@ -359,6 +379,13 @@ def histogram_quantiles(
     """
     group_cols = list(group_cols or [])
     v = F.col(value_col).cast("double")
+    # NULL values must not reach the bucketing: they would land in a
+    # NULL bucket that Spark's ASC window default (NULLS FIRST) sorts
+    # BEFORE bucket 0, inflating every cumulative count — while __n
+    # (count(v)) already excludes them, so the rank math assumes they
+    # are absent. Filter up front; the oracle mirrors this with an
+    # IS NOT NULL in its bucketing CTE.
+    df = df.where(v.isNotNull())
     bounds = df.groupBy(*group_cols).agg(
         F.min(v).alias("__lo"),
         F.max(v).alias("__hi"),
@@ -447,7 +474,8 @@ def histogram_quantile_oracle_sql(
                        / ((hi - lo) / CAST({n_bins} AS DOUBLE))) AS INT),
                        {n_bins - 1})
              END AS b
-      FROM items JOIN bounds {join_on}),
+      FROM items JOIN bounds {join_on}
+      WHERE {value_expr} IS NOT NULL),
     counts AS (
       SELECT {gpre} lo, hi, n, b, count(*) AS c
       FROM bucketed GROUP BY {gpre} lo, hi, n, b),

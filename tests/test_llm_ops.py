@@ -335,3 +335,24 @@ def test_mmr_prefers_diverse_picks(spark):
     picked = [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
     assert 4 in picked, picked           # the diverse vector is selected
     assert picked[0] in (1, 2, 3)        # step 1 is pure relevance
+
+def test_mmr_zero_norm_vector_scores_zero_not_null(spark):
+    """A zero-norm candidate must get rel = 0.0 (the guarded
+    cosine_expr), matching the DuckDB replay's sqrt(na*nb) guard —
+    the unguarded dot/(|a||b|) form yields NULL and silently drops
+    the candidate from the ranking."""
+    from oups_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0]),   # the query
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),   # zero-norm candidate
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = mmr_rerank(
+        df, df.filter("vec_id = 0"), n_candidates=3, k=3, lam=0.5
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert set(by_id) == {1, 2, 3}          # zero-norm row is ranked
+    assert by_id[2]["rel_sim"] == 0.0       # guarded cosine, not NULL

@@ -241,3 +241,78 @@ def test_hll_pairwise_overlap_accuracy(spark):
     assert row["group_a"] == "A" and row["group_b"] == "B"
     assert abs(row["approx_union"] - 700) / 700 < 0.15
     assert abs(row["approx_intersection"] - 300) / 300 < 0.35
+
+def test_histogram_quantiles_ignore_nulls(spark):
+    """NULL values must not shift the rank math: a NULL bucket sorts
+    NULLS FIRST in Spark's ASC window, which used to inflate every
+    cumulative count while __n already excluded the null rows."""
+    from oups_spark.operators.sketch import histogram_quantiles
+
+    clean = [(float(v),) for v in range(1, 101)]
+    dirty = clean + [(None,)] * 37
+    df_c = spark.createDataFrame(clean, "v double")
+    df_d = spark.createDataFrame(dirty, "v double")
+    qs = [0.1, 0.5, 0.9]
+    got_c = {
+        r["q"]: r["approx_value"]
+        for r in histogram_quantiles(df_c, "v", qs).collect()
+    }
+    got_d = {
+        r["q"]: r["approx_value"]
+        for r in histogram_quantiles(df_d, "v", qs).collect()
+    }
+    assert got_c == got_d
+
+
+def test_histogram_quantiles_nulls_match_oracle(duck, spark):
+    """Cross-engine: with NULLs present, Spark and the DuckDB replay
+    still agree (the oracle filters them in its bucketing CTE)."""
+    from oups_spark.operators.sketch import (
+        histogram_quantile_oracle_sql,
+        histogram_quantiles,
+    )
+
+    rows = [(("g%d" % (i % 2)), float(i)) for i in range(200)]
+    rows += [("g0", None), ("g1", None), ("g1", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = sorted(
+        (r["g"], r["q"], r["approx_value"])
+        for r in histogram_quantiles(df, "v", [0.25, 0.75], ["g"]).collect()
+    )
+    src = " UNION ALL ".join(
+        f"SELECT '{g}' AS g, {'NULL' if v is None else v} AS v"
+        for g, v in rows
+    )
+    sql = histogram_quantile_oracle_sql(src, "v", [0.25, 0.75], ["g"])
+    want = sorted((g, q, v) for g, q, v in duck.sql(sql).fetchall())
+    assert got == want
+
+
+def test_countmin_grouped_probe_respects_groups(spark):
+    """A register table built per group must be probed per group —
+    joining on (i, b) alone would sum counters across groups."""
+    from oups_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_register_table,
+    )
+
+    rows = [("a", "x")] * 5 + [("a", "y")] * 2 + [("b", "x")] * 9
+    df = spark.createDataFrame(rows, ["g", "tok"])
+    regs = countmin_register_table(df, "tok", ["g"])
+    est = {
+        (r["g"], r["tok"]): r["cm_count"]
+        for r in countmin_estimate(regs, df, "tok", ["g"]).collect()
+    }
+    assert est == {("a", "x"): 5, ("a", "y"): 2, ("b", "x"): 9}
+
+
+def test_countmin_grouped_register_rejects_ungrouped_probe(spark):
+    from oups_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_register_table,
+    )
+
+    df = spark.createDataFrame([("a", "x"), ("b", "x")], ["g", "tok"])
+    regs = countmin_register_table(df, "tok", ["g"])
+    with pytest.raises(ValueError, match="grouping columns"):
+        countmin_estimate(regs, df, "tok")
