@@ -46,95 +46,102 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Round-6 window (executed as documented in round 5): the complement
-# of round 5's window — exactly the 46 queries that sat past slot 50
-# in round 5 (the 41 r4-green queries displaced by round 5's A ∪ B
-# rotation plus the 5 round-5 registrations that have never had a
-# driver correctness row: neardup_keep_best, ccnet_quality_buckets,
-# duplicate_span_removal, temperature_source_mix,
-# packed_training_sequences) — plus 4 slack re-greens picked to
-# re-verify code changed this round (kmeans init-collect fold,
-# SemDeDup k default, IVF oracle rewrite, driver-merge byte gate).
-# With this window, every registered query has a driver-green row
-# within rounds 5–6 (97th = leakage_safe_splits, landing this round
-# with a slot per the round-5 lesson: never-checked first).
-#
-# Round-7 window plan, in priority order:
-#   1. any round-7 registrations (never-checked first — the rule);
-#   2. the 9 round-6 registrations that landed after this window
-#      filled — countmin_heavy_hitters, histogram_quantiles_by_type,
-#      incremental_hll_ingest, bloom_decontamination,
-#      cohort_retention_weekly, streaming_hll_ingest,
-#      hll_source_overlap, mmr_diverse_topk, ewma_user_values —
-#      locally green at sf0.001/0.01/0.1 but never driver-checked;
-#   3. the two displaced re-greens (ann_ivf_topk,
-#      store_merge_keep_last);
-#   4. the remaining round-5-window queries (oldest driver row
-#      first), so no query's last green row ages past two rounds
-#      where slots allow.
+# Round-7 window (executing the plan documented in round 6), in
+# priority order:
+#   1. round-7 registrations — never-checked first, the standing
+#      rule: new queries take slots in their landing round (they are
+#      PREPENDED to this list as they land);
+#   2. the 9 round-6 registrations that landed after round 6's
+#      window filled (locally green at sf0.001/0.01/0.1, never
+#      driver-checked) — the whole sketch layer, made more urgent by
+#      the round-6 advisor's histogram NULL finding (fixed this
+#      round: nulls filtered before bucketing on both engines);
+#   3. the two round-6-displaced re-greens (ann_ivf_topk,
+#      store_merge_keep_last — last green r5, and the pure-SQL IVF
+#      oracle / driver-merge byte gate changed since);
+#   4. the round-5-green queries whose CODE changed this round
+#      (dsir cache → localCheckpoint, kmeans_lloyd unpersist,
+#      topic_clusters/semdedup share those paths);
+#   5. remaining round-5-green queries, oldest-evidence-first, one
+#      representative per shared code path ahead of its siblings
+#      (e.g. segment_bins_1h before the other calendar-bin variants)
+#      so a truncated window still touches every operator family.
+# With 109+ registered queries and a 50-slot window the full rotation
+# cadence is ~2.2 rounds; whatever falls past slot 50 here is the
+# head of round 8's window.
 _WINDOW_PRIORITY = [
-    # Never driver-checked round-5 registrations (5) — first priority
-    "neardup_keep_best",
-    "ccnet_quality_buckets",
-    "duplicate_span_removal",
-    "temperature_source_mix",
-    "packed_training_sequences",
-    # r4-green queries displaced by round 5's window (41), in their
-    # round-5 import order
-    "revenue_by_nation",
-    "top_customers",
-    "order_priority_counts",
-    "shipping_priority",
-    "promo_revenue_monthly",
-    "regional_supplier_volume",
-    "salted_join_order_customer",
-    "lang_id",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "neardup_clusters",
-    "simhash_signatures",
-    "embedding_neardup_pairs",
-    "ann_lsh_topk",
-    "multimodal_features",
-    "corpus_curation",
-    "token_pack_assignment",
-    "stratified_sample_mix",
-    "multimodal_frame_sample",
-    "simhash_neardup_pairs",
-    "ann_pq_topk",
-    "incremental_neardup_ingest",
-    "ffill_bfill_user_values",
-    "customers_without_orders",
-    "calendar_floor_ceil",
-    "moving_avg_per_user",
-    "value_percentiles_by_type",
-    "daily_type_pivot",
-    "trailing_24h_per_user",
-    "repetition_stats",
-    "decontamination_overlap",
-    "pii_scan",
-    "embedding_quantize",
-    "label_centroids",
-    "json_props_extract",
-    "duplicated_windows",
-    "lm_quality_score",
-    "doc_chunk_overlap",
-    "bm25_topk",
-    "deterministic_shuffle",
-    "source_quota_topk",
-    # New round-6 registrations — never checked, so they take window
-    # slots in their landing round (the round-5 lesson). The last two
-    # displaced the originally-planned slack re-greens (ann_ivf_topk,
-    # store_merge_keep_last): both re-greens were green in ROUND 5's
-    # window, so every registered query still has a driver-green row
-    # within rounds 5–6, and never-checked-first beats re-verifying
-    # locally-validated code changes (the pure-SQL IVF oracle and the
-    # driver-merge byte gate are pytest- and local-oracle-covered;
-    # they get driver rows again in round 7's swap-back).
-    "leakage_safe_splits",
-    "quality_classifier_scores",
-    "hll_distinct_tokens",
-    "conversion_funnel",
+    # (1) round-7 registrations land here, newest first
+    # (2) never driver-checked round-6 sketch/stream registrations (9)
+    "countmin_heavy_hitters",
+    "histogram_quantiles_by_type",
+    "incremental_hll_ingest",
+    "bloom_decontamination",
+    "cohort_retention_weekly",
+    "streaming_hll_ingest",
+    "hll_source_overlap",
+    "mmr_diverse_topk",
+    "ewma_user_values",
+    # (3) displaced re-greens, last green r5, code changed in r6
+    "ann_ivf_topk",
+    "store_merge_keep_last",
+    # (4) r5-green queries over code changed THIS round
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "kmeans_clusters",
+    "topic_clusters",
+    "semdedup_prune",
+    # (5) remaining r5-greens, family representatives first
+    "pricing_summary",
+    "segment_bins_1h",
+    "segment_bins_explicit_edges",
+    "snapshot_1d_6h",
+    "aggstream_hourly_restart",
+    "aggstream_snapshots_restart",
+    "store_append_range_read",
+    "store_stats_skipping",
+    "store_compact_roundtrip",
+    "intersections_bucket_align",
+    "dedup_exact",
+    "minhash_lsh_neardup_pairs",
+    "embedding_cosine_topk",
+    "text_stats",
+    "text_feature_vectors",
+    "session_windows",
+    "row_count_bins_500",
+    "volume_bars_10k",
+    "rollup_pricing",
+    "dnf_filter_events",
+    "asof_click_before_purchase",
+    "range_join_first_week",
+    "twap_hourly",
+    "sliding_window_1h_15m",
+    "streaming_native_hourly",
+    "streaming_dedup_ingest",
+    "streaming_interval_join",
+    "jsonl_ingest_roundtrip",
+    "corpus_pipeline_end2end",
+    "source_quota_twophase",
+    "store_schema_evolution",
+    "store_time_travel",
+    "aggstream_filter_fanout",
+    "aggstream_edge_bins_restart",
+    # --- slot-50 boundary lands near here; below this line = head of
+    # round 8's window (all r5-green, siblings of families already
+    # re-checked above): segment_bins_4h_right,
+    # segment_bins_4h_0930_offset, segment_bins_month_right,
+    # segment_bins_quarter_right, snapshot_1y_1ms,
+    # snapshot_irregular_edges, streaming_native_sessions,
+    # streaming_sliding_hourly, streaming_stateful_ffill — plus the 50
+    # r6-green queries.
+    "segment_bins_4h_right",
+    "segment_bins_4h_0930_offset",
+    "segment_bins_month_right",
+    "segment_bins_quarter_right",
+    "snapshot_1y_1ms",
+    "snapshot_irregular_edges",
+    "streaming_native_sessions",
+    "streaming_sliding_hourly",
+    "streaming_stateful_ffill",
 ]
 
 
