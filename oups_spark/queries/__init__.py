@@ -46,93 +46,38 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Round-7 window (executing the plan documented in round 6), in
-# priority order:
-#   1. round-7 registrations — never-checked first, the standing
+# Round-8 window (executing the plan documented in round 7's
+# boundary note below slot 50), in priority order:
+#   1. round-8 registrations — never-checked first, the standing
 #      rule: new queries take slots in their landing round (they are
 #      PREPENDED to this list as they land);
-#   2. the 9 round-6 registrations that landed after round 6's
-#      window filled (locally green at sf0.001/0.01/0.1, never
-#      driver-checked) — the whole sketch layer, made more urgent by
-#      the round-6 advisor's histogram NULL finding (fixed this
-#      round: nulls filtered before bucketing on both engines);
-#   3. the two round-6-displaced re-greens (ann_ivf_topk,
-#      store_merge_keep_last — last green r5, and the pure-SQL IVF
-#      oracle / driver-merge byte gate changed since);
-#   4. the round-5-green queries whose CODE changed this round
-#      (dsir cache → localCheckpoint, kmeans_lloyd unpersist,
-#      topic_clusters/semdedup share those paths);
-#   5. remaining round-5-green queries, oldest-evidence-first, one
-#      representative per shared code path ahead of its siblings
-#      (e.g. segment_bins_1h before the other calendar-bin variants)
-#      so a truncated window still touches every operator family.
+#   2. the 9 queries whose last driver-green row is round 5 (three
+#      rounds stale — the oldest evidence anywhere): the calendar-bin
+#      / snapshot siblings and the three native-streaming variants
+#      that sat just past round 7's slot-50 boundary;
+#   3. round-6-green queries over code CHANGED in round 7
+#      (classifier.py, selection.py, similarity.py, sketch.py —
+#      commit 80ed790): the classifier/curation pair, the
+#      selection-layer queries, the ANN/embedding family, and the
+#      two sketch queries round 7's window did not already re-check;
+#   4. remaining round-6-greens, oldest-evidence-first with family
+#      representatives ahead of siblings; the cheap stable TPC-H
+#      shapes (core.py, untouched since round 4) sit at the BOTTOM so
+#      new round-8 registrations displace those first — they spill to
+#      round 9's window head.
 # With 109+ registered queries and a 50-slot window the full rotation
 # cadence is ~2.2 rounds; whatever falls past slot 50 here is the
-# head of round 8's window.
+# head of round 9's window.
 _WINDOW_PRIORITY = [
-    # (1) round-7 registrations land here, newest first
-    # (2) never driver-checked round-6 sketch/stream registrations (9)
-    "countmin_heavy_hitters",
-    "histogram_quantiles_by_type",
-    "incremental_hll_ingest",
-    "bloom_decontamination",
-    "cohort_retention_weekly",
-    "streaming_hll_ingest",
-    "hll_source_overlap",
-    "mmr_diverse_topk",
-    "ewma_user_values",
-    # (3) displaced re-greens, last green r5, code changed in r6
-    "ann_ivf_topk",
-    "store_merge_keep_last",
-    # (4) r5-green queries over code changed THIS round
-    "dsir_importance_weights",
-    "dsir_gumbel_topk",
-    "kmeans_clusters",
-    "topic_clusters",
-    "semdedup_prune",
-    # (5) remaining r5-greens, family representatives first
-    "pricing_summary",
-    "segment_bins_1h",
-    "segment_bins_explicit_edges",
-    "snapshot_1d_6h",
-    "aggstream_hourly_restart",
-    "aggstream_snapshots_restart",
-    "store_append_range_read",
-    "store_stats_skipping",
-    "store_compact_roundtrip",
-    "intersections_bucket_align",
-    "dedup_exact",
-    "minhash_lsh_neardup_pairs",
-    "embedding_cosine_topk",
-    "text_stats",
-    "text_feature_vectors",
-    "session_windows",
-    "row_count_bins_500",
-    "volume_bars_10k",
-    "rollup_pricing",
-    "dnf_filter_events",
-    "asof_click_before_purchase",
-    "range_join_first_week",
-    "twap_hourly",
-    "sliding_window_1h_15m",
-    "streaming_native_hourly",
-    "streaming_dedup_ingest",
-    "streaming_interval_join",
-    "jsonl_ingest_roundtrip",
-    "corpus_pipeline_end2end",
-    "source_quota_twophase",
-    "store_schema_evolution",
-    "store_time_travel",
-    "aggstream_filter_fanout",
-    "aggstream_edge_bins_restart",
-    # --- slot-50 boundary lands near here; below this line = head of
-    # round 8's window (all r5-green, siblings of families already
-    # re-checked above): segment_bins_4h_right,
-    # segment_bins_4h_0930_offset, segment_bins_month_right,
-    # segment_bins_quarter_right, snapshot_1y_1ms,
-    # snapshot_irregular_edges, streaming_native_sessions,
-    # streaming_sliding_hourly, streaming_stateful_ffill — plus the 50
-    # r6-green queries.
+    # (1) round-8 registrations land here, newest first
+    "cdc_upsert_stream",
+    "weighted_sample_wor",
+    "gopher_quality_rules",
+    "asof_nearest_tolerance",
+    "crossencoder_rerank_topk",
+    "domain_url_stats",
+    "bucketed_colocated_join",
+    # (2) last green r5 — three rounds stale
     "segment_bins_4h_right",
     "segment_bins_4h_0930_offset",
     "segment_bins_month_right",
@@ -142,6 +87,61 @@ _WINDOW_PRIORITY = [
     "streaming_native_sessions",
     "streaming_sliding_hourly",
     "streaming_stateful_ffill",
+    # (3) r6-greens over code changed in round 7 (80ed790)
+    "quality_classifier_scores",
+    "corpus_curation",
+    "duplicate_span_removal",
+    "temperature_source_mix",
+    "neardup_keep_best",
+    "leakage_safe_splits",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "embedding_neardup_pairs",
+    "embedding_quantize",
+    "label_centroids",
+    "incremental_neardup_ingest",
+    "hll_distinct_tokens",
+    "decontamination_overlap",
+    # (4) remaining r6-greens, family reps first, stable TPC-H last
+    "packed_training_sequences",
+    "ccnet_quality_buckets",
+    "token_pack_assignment",
+    "source_quota_topk",
+    "stratified_sample_mix",
+    "deterministic_shuffle",
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "simhash_neardup_pairs",
+    "lang_id",
+    "pii_scan",
+    "repetition_stats",
+    "lm_quality_score",
+    "bm25_topk",
+    "doc_chunk_overlap",
+    "json_props_extract",
+    "multimodal_features",
+    "conversion_funnel",
+    "duplicated_windows",
+    "trailing_24h_per_user",
+    "moving_avg_per_user",
+    "ffill_bfill_user_values",
+    "calendar_floor_ceil",
+    "value_percentiles_by_type",
+    "salted_join_order_customer",
+    # --- slot-50 boundary lands near here; below this line = head of
+    # round 9's window (r6-green siblings of families re-checked
+    # above, plus the stable core.py TPC-H shapes):
+    "minhash_signatures",
+    "simhash_signatures",
+    "multimodal_frame_sample",
+    "top_customers",
+    "revenue_by_nation",
+    "daily_type_pivot",
+    "promo_revenue_monthly",
+    "regional_supplier_volume",
+    "customers_without_orders",
+    "order_priority_counts",
+    "shipping_priority",
 ]
 
 
