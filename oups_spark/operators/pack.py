@@ -198,6 +198,71 @@ def stratified_sample(
     return df.filter(bucket < rate_expr * denom)
 
 
+def priority_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k``
+    rows by priority sampling (Duffield–Lund–Thorup, "Priority
+    sampling for estimation of arbitrary subset sums", JACM 2007):
+    each row gets priority ``w / u`` with ``u ~ U(0,1]``, and the k
+    highest-priority rows form the sample — heavier rows are
+    proportionally more likely to be drawn, no row twice.
+
+    ``u`` is the engine-portable md5 hash (``(md5_int(seed:id)+1) /
+    2^32``), so the "randomness" is a pure function of (seed, id):
+    reruns, retries, and the DuckDB oracle all draw the identical
+    sample. The priority is computed as ``w * 2^32 / (h+1)`` — the
+    numerator is integer-exact in a double (w·2³² < 2⁵³ for any
+    weight < 2²⁰) and a single IEEE division is correctly rounded,
+    so the value is bit-identical across engines; no transcendental
+    (ln/pow) whose last-ulp could differ between libms.
+
+    Scale shape: the hash and division are map-side expressions; the
+    cut is one TakeOrderedAndProject (no global sort, no shuffle of
+    the corpus). Ties are broken by ``id_col`` ascending.
+    """
+    h = md5_int(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    pr = (
+        F.col(weight_col).cast("double")
+        * F.lit(4294967296.0)
+        / (h + F.lit(1)).cast("double")
+    )
+    out = df.withColumn(priority_col, F.round(pr, 6))
+    return out.orderBy(F.col(priority_col).desc(), F.col(id_col)).limit(k)
+
+
+def priority_sample_oracle_sql(
+    *,
+    table: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str,
+    select_cols: str,
+    priority_col: str = "priority",
+) -> str:
+    """DuckDB twin of :func:`priority_sample`, generated from the
+    same constants (seed, k, weight) so the drawn sample matches
+    row-for-row."""
+    h = (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR))"
+        f", 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    SELECT {select_cols},
+           round({weight_col}::DOUBLE * 4294967296.0
+                 / ({h} + 1)::DOUBLE, 6) AS {priority_col}
+    FROM {table}
+    ORDER BY {priority_col} DESC, {id_col} LIMIT {k}
+    """
+
+
 def grouped_topk(
     df: DataFrame,
     *,

@@ -443,6 +443,94 @@ def repetition_stats_df(
     )
 
 
+# ------------------------------------------- Gopher rule-based filter
+# Thresholds from the Gopher corpus-filtering heuristics (Rae et al.
+# 2021, "Scaling Language Models: ...", Appendix A — public paper),
+# shared between the Spark plan and the DuckDB oracle.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORDLEN = 3.0
+GOPHER_MAX_WORDLEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+# '#' or '...' — the two "symbol" markers the paper counts.
+GOPHER_SYMBOL_RE = r"#|\.\.\."
+
+
+def gopher_quality_flags_df(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Gopher rule-based document filter: per-document quality
+    signals, one boolean per rule, and the conjunctive ``keep``
+    decision. Complements :func:`repetition_stats_df` (the paper's
+    repetition rules) with the length/lexical rules:
+
+    - word count within [50, 100k];
+    - mean word length within [3, 10];
+    - symbol-to-word ratio ('#' / '...') at most 0.1;
+    - at least 80% of words contain an alphabetic character;
+    - at least 2 distinct stopwords present.
+
+    All signals are array expressions over one tokenize pass — fully
+    map-side, zero shuffle, no UDF; every arithmetic step is a single
+    integer-exact division so the DuckDB oracle matches bit-for-bit.
+    """
+    base = once_per_row(
+        df.select(F.col(id_col), F.col(text_col).alias("__text")),
+        {"__tok": tokens(F.col("__text"))},
+    )
+    mids = once_per_row(
+        base,
+        {
+            "__n": F.size(F.col("__tok")),
+            "__sumlen": F.aggregate(
+                F.col("__tok"),
+                F.lit(0),
+                lambda a, x: a + F.length(x),
+            ),
+            "__nalpha": F.size(
+                F.filter(F.col("__tok"), lambda x: x.rlike("[a-z]"))
+            ),
+            "__nstop": F.size(
+                F.array_intersect(
+                    F.array_distinct(F.col("__tok")),
+                    F.array(*[F.lit(s) for s in STOPWORDS]),
+                )
+            ),
+            "__nsym": F.size(
+                F.regexp_extract_all(
+                    F.col("__text"), F.lit(GOPHER_SYMBOL_RE), F.lit(0)
+                )
+            ),
+        },
+    )
+    n = F.col("__n")
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    mwl = F.round(F.col("__sumlen").cast("double") / safe_n, 6)
+    alpha = F.round(F.col("__nalpha").cast("double") / safe_n, 6)
+    symr = F.round(F.col("__nsym").cast("double") / safe_n, 6)
+    p_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    p_wordlen = (mwl >= GOPHER_MIN_WORDLEN) & (mwl <= GOPHER_MAX_WORDLEN)
+    p_alpha = alpha >= GOPHER_MIN_ALPHA_FRAC
+    p_stop = F.col("__nstop") >= GOPHER_MIN_STOPWORDS
+    p_sym = symr <= GOPHER_MAX_SYMBOL_RATIO
+    return mids.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha.alias("alpha_frac"),
+        F.col("__nstop").cast("int").alias("n_stopwords"),
+        symr.alias("symbol_ratio"),
+        p_words.alias("pass_words"),
+        p_wordlen.alias("pass_wordlen"),
+        p_alpha.alias("pass_alpha"),
+        p_stop.alias("pass_stopwords"),
+        p_sym.alias("pass_symbols"),
+        (p_words & p_wordlen & p_alpha & p_stop & p_sym).alias("keep"),
+    )
+
+
 # ------------------------------------------------------------------ PII
 # Patterns restricted to constructs with identical semantics in Java
 # regex (Spark) and RE2 (DuckDB): explicit ASCII classes, bounded

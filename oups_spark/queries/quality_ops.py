@@ -821,3 +821,142 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_pairwise_overlap(regs, "source", p=8).orderBy(
         "group_a", "group_b"
     )
+
+
+_GOPHER_SQL_TOK = _TOK  # shared tokenizer twin
+
+
+def _gopher_oracle_sql() -> str:
+    from oups_spark.operators.text import (
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDLEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDLEN,
+        GOPHER_MIN_WORDS,
+        STOPWORDS,
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {_GOPHER_SQL_TOK} AS tok FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(tok) AS n,
+             coalesce(list_sum(list_transform(tok, x -> len(x))), 0)
+               AS sumlen,
+             len(list_filter(tok, x -> regexp_matches(x, '[a-z]')))
+               AS nalpha,
+             len(list_intersect(list_distinct(tok), [{stop_list}]))
+               AS nstop,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) AS nsym
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, n, nstop,
+             round(sumlen / greatest(n, 1)::DOUBLE, 6) AS mwl,
+             round(nalpha / greatest(n, 1)::DOUBLE, 6) AS alpha,
+             round(nsym / greatest(n, 1)::DOUBLE, 6) AS symr
+      FROM m
+    )
+    SELECT doc_id,
+           n::BIGINT AS n_words,
+           mwl AS mean_word_len,
+           alpha AS alpha_frac,
+           nstop::INT AS n_stopwords,
+           symr AS symbol_ratio,
+           (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+             AS pass_words,
+           (mwl >= {GOPHER_MIN_WORDLEN!r} AND mwl <= {GOPHER_MAX_WORDLEN!r})
+             AS pass_wordlen,
+           (alpha >= {GOPHER_MIN_ALPHA_FRAC!r}) AS pass_alpha,
+           (nstop >= {GOPHER_MIN_STOPWORDS}) AS pass_stopwords,
+           (symr <= {GOPHER_MAX_SYMBOL_RATIO!r}) AS pass_symbols,
+           ((n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+            AND (mwl >= {GOPHER_MIN_WORDLEN!r} AND mwl <= {GOPHER_MAX_WORDLEN!r})
+            AND (alpha >= {GOPHER_MIN_ALPHA_FRAC!r})
+            AND (nstop >= {GOPHER_MIN_STOPWORDS})
+            AND (symr <= {GOPHER_MAX_SYMBOL_RATIO!r})) AS keep
+    FROM s ORDER BY doc_id
+    """
+
+
+@register("gopher_quality_rules", oracle=_gopher_oracle_sql())
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based corpus filter (Rae et al. 2021 App. A): the
+    length/lexical rules as per-document flags plus the conjunctive
+    keep decision — the standard first curation pass before dedup and
+    model-based selection. Fully map-side (one tokenize behind a
+    Generate barrier, no shuffle, no UDF); at 100 TB this runs inside
+    the scan stage and the keep flag predicate-pushes into downstream
+    reads when materialized as a partition or file-level column."""
+    from oups_spark.operators.text import gopher_quality_flags_df
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_flags_df(docs, "doc_id").orderBy("doc_id")
+
+
+@register(
+    "domain_url_stats",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(n_chars) AS total_chars,
+             round(avg(n_chars), 6) AS avg_chars,
+             count(DISTINCT md5(text)) AS n_distinct_texts
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs)::DOUBLE AS corpus_docs FROM per)
+    SELECT source,
+           n_docs::BIGINT AS n_docs,
+           total_chars::BIGINT AS total_chars,
+           avg_chars,
+           n_distinct_texts::BIGINT AS n_distinct_texts,
+           round(1.0 - n_distinct_texts / n_docs::DOUBLE, 6) AS dup_rate,
+           round(n_docs / corpus_docs, 6) AS corpus_share
+    FROM per, tot ORDER BY source
+    """,
+)
+def domain_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain (source) corpus profile: volume, average document
+    size, exact-duplicate rate (distinct md5 digests vs rows), and
+    corpus share — the aggregate a crawl-curation pass uses to decide
+    per-domain caps (RefinedWeb-style). One hash-partitioned agg over
+    #domains keys; the corpus total is a single broadcast row joined
+    back map-side. Text itself never shuffles: the md5 digest (16
+    bytes) stands in for it in the distinct count; at 100 TB swap
+    count_distinct for approx_count_distinct if exactness can yield."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("corpus_docs")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "total_chars",
+            "avg_chars",
+            F.col("n_distinct_texts").cast("long").alias("n_distinct_texts"),
+            F.round(
+                1.0
+                - F.col("n_distinct_texts").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("corpus_docs"), 6
+            ).alias("corpus_share"),
+        )
+        .orderBy("source")
+    )

@@ -14,6 +14,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from oups_spark.operators.pack import (
+    priority_sample,
+    priority_sample_oracle_sql,
+)
 from oups_spark.operators.selection import (
     dsir_importance_weights,
     gumbel_topk_sample,
@@ -339,3 +343,37 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.col("token_ids"))).alias("token_digest"),
         F.concat_ws(",", F.col("doc_ids")).alias("doc_ids_csv"),
     ).orderBy("lang", "pack_id")
+
+
+_WSAMPLE_K, _WSAMPLE_SEED = 100, "wsample-r8"
+
+
+@register(
+    "weighted_sample_wor",
+    oracle=priority_sample_oracle_sql(
+        table="documents",
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=_WSAMPLE_K,
+        seed=_WSAMPLE_SEED,
+        select_cols="doc_id, source, n_chars",
+    ),
+)
+def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (priority
+    sampling, Duffield–Lund–Thorup JACM 2007): draw 100 documents
+    with probability proportional to size (n_chars), reproducibly —
+    the sampling primitive for data-mixing ablations where a rerun
+    (or another engine) must draw the identical subset. Map-side
+    hash + one exact IEEE division per row, TakeOrdered cut: the
+    corpus never shuffles and no RNG state exists anywhere."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return priority_sample(
+        docs,
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=_WSAMPLE_K,
+        seed=_WSAMPLE_SEED,
+    )

@@ -1,0 +1,144 @@
+"""Round-8 operator tests: priority sampling (weighted WOR), Gopher
+rule-based filtering, and the domain-profile aggregation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+class TestPrioritySample:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id string, w long")
+
+    def test_matches_numpy_twin(self, spark):
+        from oups_spark.operators.pack import priority_sample
+
+        rows = [(f"d{i}", (i % 7) + 1) for i in range(200)]
+        got = priority_sample(
+            self._df(spark, rows), id_col="id", weight_col="w", k=20,
+            seed="s1",
+        ).collect()
+        # twin: same hash arithmetic in plain Python
+        pri = {
+            i: round(w * 4294967296.0 / (_md5_int(f"s1:{i}") + 1.0), 6)
+            for i, w in rows
+        }
+        expect = sorted(pri, key=lambda i: (-pri[i], i))[:20]
+        assert [r["id"] for r in got] == expect
+        assert all(abs(r["priority"] - pri[r["id"]]) < 1e-9 for r in got)
+
+    def test_without_replacement_and_deterministic(self, spark):
+        from oups_spark.operators.pack import priority_sample
+
+        df = self._df(spark, [(f"d{i}", 1 + i) for i in range(50)])
+        a = priority_sample(df, id_col="id", weight_col="w", k=10, seed="x")
+        b = priority_sample(df, id_col="id", weight_col="w", k=10, seed="x")
+        ids_a = [r["id"] for r in a.collect()]
+        ids_b = [r["id"] for r in b.collect()]
+        assert ids_a == ids_b
+        assert len(set(ids_a)) == 10
+
+    def test_weight_bias(self, spark):
+        from oups_spark.operators.pack import priority_sample
+
+        # one row with overwhelming weight is effectively always drawn
+        rows = [("heavy", 10_000_000)] + [(f"d{i}", 1) for i in range(100)]
+        got = priority_sample(
+            self._df(spark, rows), id_col="id", weight_col="w", k=5,
+            seed="bias",
+        ).collect()
+        assert "heavy" in {r["id"] for r in got}
+
+    def test_seed_changes_sample(self, spark):
+        from oups_spark.operators.pack import priority_sample
+
+        df = self._df(spark, [(f"d{i}", 1) for i in range(200)])
+        a = {r["id"] for r in priority_sample(
+            df, id_col="id", weight_col="w", k=20, seed="s-a").collect()}
+        b = {r["id"] for r in priority_sample(
+            df, id_col="id", weight_col="w", k=20, seed="s-b").collect()}
+        assert a != b
+
+
+class TestGopherRules:
+    def _flags(self, spark, text):
+        from oups_spark.operators.text import gopher_quality_flags_df
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return gopher_quality_flags_df(df, "doc_id").collect()[0]
+
+    def test_passing_document(self, spark):
+        text = " ".join(["the", "and"] + ["word"] * 60)
+        r = self._flags(spark, text)
+        assert r["keep"] and r["n_words"] == 62
+        assert r["pass_words"] and r["pass_wordlen"] and r["pass_alpha"]
+        assert r["pass_stopwords"] and r["pass_symbols"]
+
+    def test_too_short(self, spark):
+        r = self._flags(spark, "the and " + " ".join(["word"] * 10))
+        assert not r["pass_words"] and not r["keep"]
+
+    def test_stopword_rule(self, spark):
+        # 60 words, zero distinct stopwords
+        r = self._flags(spark, " ".join(["word"] * 60))
+        assert not r["pass_stopwords"]
+        # one distinct stopword is still below the >=2 threshold
+        r1 = self._flags(spark, "the " + " ".join(["word"] * 60))
+        assert not r1["pass_stopwords"]
+
+    def test_mean_word_length_bounds(self, spark):
+        # mean word length < 3 fails
+        r = self._flags(spark, "the a " + " ".join(["ab"] * 60))
+        assert not r["pass_wordlen"]
+        long_word = "x" * 30
+        r2 = self._flags(spark, "the and " + " ".join([long_word] * 60))
+        assert not r2["pass_wordlen"]
+
+    def test_symbol_ratio(self, spark):
+        # 60 words + 20 '#' markers -> ratio > 0.1
+        text = "the and " + " ".join(["word"] * 58) + " " + "# " * 20
+        r = self._flags(spark, text)
+        assert not r["pass_symbols"] and not r["keep"]
+
+    def test_alpha_fraction(self, spark):
+        # majority pure-number tokens fail the 80% alphabetic rule
+        text = "the and " + " ".join(["123"] * 60) + " word"
+        r = self._flags(spark, text)
+        assert not r["pass_alpha"]
+
+    def test_empty_document(self, spark):
+        r = self._flags(spark, "   ")
+        assert r["n_words"] == 0 and not r["keep"]
+        assert r["mean_word_len"] == 0.0 and r["symbol_ratio"] == 0.0
+
+
+class TestDomainStats:
+    def test_dup_rate_counts_exact_duplicates(self, spark, tmp_path):
+        rows = [
+            (1, "same text", "a", 9),
+            (2, "same text", "a", 9),
+            (3, "other", "a", 5),
+            (4, "unique", "b", 6),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long"
+        )
+        p = str(tmp_path / "documents.parquet")
+        df.coalesce(1).write.parquet(p)
+        from oups_spark.queries.quality_ops import domain_url_stats
+
+        out = {
+            r["source"]: r
+            for r in domain_url_stats(spark, str(tmp_path)).collect()
+        }
+        assert out["a"]["n_docs"] == 3
+        assert out["a"]["n_distinct_texts"] == 2
+        assert abs(out["a"]["dup_rate"] - round(1 - 2 / 3, 6)) < 1e-9
+        assert out["b"]["dup_rate"] == 0.0
+        assert abs(out["a"]["corpus_share"] - 0.75) < 1e-9
