@@ -59,7 +59,9 @@ def asof_join(
     """Left as-of join: every left row gains the payload of the
     latest (direction='backward') or earliest ('forward') right row
     within the same ``by`` group whose ``on`` does not pass the left
-    row's; unmatched rows keep nulls (left-join semantics).
+    row's; 'nearest' (pandas ``merge_asof`` parity) takes whichever
+    side is closer in ``on``, ties resolving backward. Unmatched rows
+    keep nulls (left-join semantics).
 
     Parameters
     ----------
@@ -81,8 +83,10 @@ def asof_join(
     """
     if isinstance(by, str):
         by = [by]
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*by, on)]
     out_names = {
@@ -109,24 +113,68 @@ def asof_join(
     # rows ascending, so the running `last` picks the LARGEST
     # tiebreak; tag sorts right before left at equal instants
     tb = [F.col(c).asc() for c in (tiebreak or [])]
-    if direction == "backward":
-        order = [F.col(on).asc(), F.col(_TAG).asc(), *tb]
+
+    def _carry(desc: bool):
+        order = [
+            F.col(on).desc() if desc else F.col(on).asc(),
+            F.col(_TAG).asc(),
+            *tb,
+        ]
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            F.last(F.col(_VALS), ignorenulls=True).over(w),
+            F.last(
+                F.when(F.col(_TAG) == 0, F.col(on)), ignorenulls=True
+            ).over(w),
+        )
+
+    if direction == "nearest":
+        # backward and forward carries share the partitioning (one
+        # Exchange, two in-partition Sorts); the closer match wins,
+        # ties (including exact-instant matches, distance 0 on both
+        # sides) resolve BACKWARD so results are deterministic
+        dtype = dict(left.dtypes)[on]
+        is_ts = dtype.startswith("timestamp")
+
+        def _as_num(c):
+            # unix_micros requires TIMESTAMP; NTZ casts losslessly
+            # under the session's UTC timezone
+            return F.unix_micros(c.cast("timestamp")) if is_ts else c
+
+        vb, mb = _carry(desc=False)
+        vf, mf = _carry(desc=True)
+        both = (
+            both.withColumn("__vb", vb)
+            .withColumn("__mb", mb)
+            .withColumn("__vf", vf)
+            .withColumn("__mf", mf)
+        )
+        db = F.abs(_as_num(F.col(on)) - _as_num(F.col("__mb")))
+        df_ = F.abs(_as_num(F.col(on)) - _as_num(F.col("__mf")))
+        pick_b = F.col("__mf").isNull() | (
+            F.col("__mb").isNotNull() & (db <= df_)
+        )
+        out = (
+            both.withColumn(
+                _VALS, F.when(pick_b, F.col("__vb")).otherwise(F.col("__vf"))
+            )
+            .withColumn(
+                _MTS, F.when(pick_b, F.col("__mb")).otherwise(F.col("__mf"))
+            )
+            .filter(F.col(_TAG) == 1)
+            .drop("__vb", "__mb", "__vf", "__mf")
+        )
     else:
-        order = [F.col(on).desc(), F.col(_TAG).asc(), *tb]
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last(F.col(_VALS), ignorenulls=True).over(w)
-    matched_on = F.last(
-        F.when(F.col(_TAG) == 0, F.col(on)), ignorenulls=True
-    ).over(w)
-    out = (
-        both.withColumn(_VALS, matched)
-        .withColumn(_MTS, matched_on)
-        .filter(F.col(_TAG) == 1)
-    )
+        matched, matched_on = _carry(desc=direction == "forward")
+        out = (
+            both.withColumn(_VALS, matched)
+            .withColumn(_MTS, matched_on)
+            .filter(F.col(_TAG) == 1)
+        )
     if tolerance is not None:
         import pandas as pd
 
@@ -134,7 +182,8 @@ def asof_join(
         if dtype.startswith("timestamp"):
             tol_us = int(pd.Timedelta(tolerance).value // 1000)
             dist = F.abs(
-                F.unix_micros(F.col(on)) - F.unix_micros(F.col(_MTS))
+                F.unix_micros(F.col(on).cast("timestamp"))
+                - F.unix_micros(F.col(_MTS).cast("timestamp"))
             )
             in_tol = dist <= F.lit(tol_us)
         else:

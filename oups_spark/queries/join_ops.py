@@ -54,6 +54,69 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_nearest_tolerance",
+    oracle="""
+    WITH v AS (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts, max(value) AS pval
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         b AS (SELECT v.event_id, p.ts AS bts, p.pval AS bval
+               FROM v ASOF LEFT JOIN p
+                 ON v.user_id = p.user_id AND v.ts >= p.ts),
+         f AS (SELECT v.event_id, p.ts AS fts, p.pval AS fval
+               FROM v ASOF LEFT JOIN p
+                 ON v.user_id = p.user_id AND v.ts <= p.ts),
+         n AS (
+           SELECT v.event_id, v.ts, v.user_id,
+                  CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+                         abs(epoch_us(v.ts) - epoch_us(bts))
+                           <= abs(epoch_us(v.ts) - epoch_us(fts)))
+                       THEN bts ELSE fts END AS mts,
+                  CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+                         abs(epoch_us(v.ts) - epoch_us(bts))
+                           <= abs(epoch_us(v.ts) - epoch_us(fts)))
+                       THEN bval ELSE fval END AS mval
+           FROM v LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+         )
+    SELECT event_id, ts, user_id,
+           CASE WHEN abs(epoch_us(ts) - epoch_us(mts)) <= 1800000000
+                THEN mts END AS purchase_ts,
+           CASE WHEN abs(epoch_us(ts) - epoch_us(mts)) <= 1800000000
+                THEN round(mval, 6) END AS purchase_value
+    FROM n ORDER BY event_id
+    """,
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' with a 30-minute tolerance
+    (pandas ``merge_asof`` parity): every view event gains the
+    CLOSEST same-user purchase in time — before or after — nulled
+    when the nearest one is farther than the tolerance; ties resolve
+    backward. Backward and forward carries share one keyed shuffle
+    (same partitioning, two in-partition sorts). The oracle states
+    the semantics independently via two DuckDB NATIVE ASOF joins and
+    a distance pick."""
+    events = load(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(
+        views, purchases, on="ts", by="user_id",
+        value_cols=["pval"], direction="nearest",
+        tolerance="30 minutes",
+    )
+    return out.select(
+        "event_id", "ts", "user_id",
+        F.col("ts_right").alias("purchase_ts"),
+        F.round("pval", 6).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+@register(
     "range_join_first_week",
     oracle="""
     WITH iv AS (SELECT user_id,

@@ -142,3 +142,75 @@ class TestDomainStats:
         assert abs(out["a"]["dup_rate"] - round(1 - 2 / 3, 6)) < 1e-9
         assert out["b"]["dup_rate"] == 0.0
         assert abs(out["a"]["corpus_share"] - 0.75) < 1e-9
+
+
+class TestAsofNearest:
+    def test_matches_pandas_merge_asof(self, spark):
+        import pandas as pd
+
+        from oups_spark.operators.asof import asof_join
+
+        left = pd.DataFrame(
+            {
+                "k": ["a"] * 5 + ["b"] * 3,
+                "t": [1.0, 3.0, 5.0, 9.0, 20.0, 2.0, 4.0, 100.0],
+                "lid": list(range(8)),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": ["a"] * 4 + ["b"] * 2,
+                "t": [0.0, 4.0, 10.0, 11.0, 3.0, 50.0],
+                "rv": [10.0, 40.0, 100.0, 110.0, 30.0, 500.0],
+            }
+        )
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="t",
+                by="k",
+                value_cols=["rv"],
+                direction="nearest",
+            )
+            .orderBy("lid")
+            .toPandas()
+        )
+        expect = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t"),
+            on="t",
+            by="k",
+            direction="nearest",
+        ).sort_values("lid")
+        assert list(got["rv"]) == list(expect["rv"])
+
+    def test_nearest_tolerance_and_tie(self, spark):
+        from oups_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [("a", 5.0, 0), ("a", 7.0, 1)], "k string, t double, lid long"
+        )
+        # right at 3 and 7: left t=5 is distance 2 from both -> tie,
+        # backward (3) wins; tolerance 1 nulls it out
+        right = spark.createDataFrame(
+            [("a", 3.0, 30.0), ("a", 7.0, 70.0)], "k string, t double, rv double"
+        )
+        rows = {
+            r["lid"]: r
+            for r in asof_join(
+                left, right, on="t", by="k", value_cols=["rv"],
+                direction="nearest",
+            ).collect()
+        }
+        assert rows[0]["rv"] == 30.0  # tie resolves backward
+        assert rows[1]["rv"] == 70.0
+        rows_tol = {
+            r["lid"]: r
+            for r in asof_join(
+                left, right, on="t", by="k", value_cols=["rv"],
+                direction="nearest", tolerance=1.0,
+            ).collect()
+        }
+        assert rows_tol[0]["rv"] is None
+        assert rows_tol[1]["rv"] == 70.0
