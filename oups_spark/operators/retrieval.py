@@ -177,6 +177,137 @@ def bm25_oracle_sql(
     """
 
 
+def rerank_topk(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    terms: list[str],
+    candidates: int = 50,
+    k: int = 10,
+    phrase: str | None = None,
+    w_bm25: float = 0.1,
+    w_coverage: float = 2.0,
+    w_phrase: float = 1.5,
+    w_position: float = 1.0,
+) -> DataFrame:
+    """Two-stage retrieval: BM25 candidate generation then a rerank
+    pass over the (small) candidate set — the classic recall-then-
+    precision cascade. Stage 1 is :func:`bm25_topk` (one corpus scan,
+    broadcast stats, take-ordered cut to ``candidates`` rows); stage 2
+    re-fetches candidate payloads by id via a BROADCAST semi-join
+    (candidates are tiny by construction, the corpus is not) and
+    scores them with a deterministic feature combination:
+
+      rerank = w_bm25·bm25 + w_coverage·(terms present / |terms|)
+             + w_phrase·[phrase in text] + w_position·1/first_pos
+
+    In production the stage-2 scorer is a cross-encoder model over
+    ``mapInPandas`` with exactly this plumbing (broadcast-join the
+    candidate ids, batch the texts through the model, take-ordered
+    cut); the arithmetic proxy keeps the query oracle-checkable while
+    exercising the identical plan shape. Every feature is an integer
+    count or a single IEEE division, so DuckDB matches bit-for-bit.
+    """
+    cand = bm25_topk(
+        docs, id_col=id_col, text_col=text_col, terms=terms, k=candidates
+    ).select(id_col, "bm25")
+    joined = docs.select(id_col, text_col).join(
+        F.broadcast(cand), on=id_col, how="inner"
+    )
+    tok = tokens(F.col(text_col))
+    n_terms = float(len(terms))
+    coverage = (
+        sum(F.array_contains(tok, t).cast("int") for t in terms).cast(
+            "double"
+        )
+        / F.lit(n_terms)
+    )
+    first_pos = F.array_position(tok, terms[0])  # 0 when absent
+    pos_bonus = F.when(
+        first_pos > 0, F.lit(1.0) / first_pos.cast("double")
+    ).otherwise(F.lit(0.0))
+    phrase_hit = (
+        F.lower(F.col(text_col)).contains(phrase.lower()).cast("int")
+        if phrase
+        else F.lit(0)
+    )
+    score = F.round(
+        F.lit(w_bm25) * F.col("bm25")
+        + F.lit(w_coverage) * coverage
+        + F.lit(w_phrase) * phrase_hit.cast("double")
+        + F.lit(w_position) * pos_bonus,
+        6,
+    )
+    out = joined.select(
+        F.col(id_col),
+        F.col("bm25"),
+        F.round(coverage, 6).alias("coverage"),
+        phrase_hit.alias("phrase_hit"),
+        F.round(pos_bonus, 6).alias("pos_bonus"),
+        score.alias("rerank"),
+    )
+    return out.orderBy(F.col("rerank").desc(), F.col(id_col)).limit(k)
+
+
+def rerank_oracle_sql(
+    *,
+    table: str,
+    id_col: str,
+    tok_sql: str,
+    terms: list[str],
+    candidates: int,
+    k: int,
+    phrase: str | None,
+    w_bm25: float = 0.1,
+    w_coverage: float = 2.0,
+    w_phrase: float = 1.5,
+    w_position: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`rerank_topk`, generated from the SAME
+    constants; the stage-1 CTE is the bm25 oracle verbatim."""
+    bm25_sql = bm25_oracle_sql(
+        table=table, id_col=id_col, tok_sql=tok_sql, terms=terms,
+        k=candidates, k1=k1, b=b,
+    )
+    n_terms = float(len(terms))
+    cov = " + ".join(
+        f"list_contains(tok, '{t}')::INT" for t in terms
+    )
+    ph = (
+        f"contains(lower(text), '{phrase.lower()}')::INT"
+        if phrase
+        else "0"
+    )
+    return f"""
+    WITH cand AS ({bm25_sql}),
+    feat AS (
+      SELECT c.{id_col}, c.bm25, d.text, {tok_sql} AS tok
+      FROM cand c JOIN {table} d USING ({id_col})
+    ),
+    scored AS (
+      SELECT {id_col}, bm25,
+             ({cov})::DOUBLE / {n_terms!r} AS coverage,
+             {ph} AS phrase_hit,
+             CASE WHEN coalesce(list_position(tok, '{terms[0]}'), 0) > 0
+                  THEN 1.0 / coalesce(list_position(tok, '{terms[0]}'), 0)
+                  ELSE 0.0 END AS pos_bonus
+      FROM feat
+    )
+    SELECT {id_col}, bm25,
+           round(coverage, 6) AS coverage,
+           phrase_hit,
+           round(pos_bonus, 6) AS pos_bonus,
+           round({w_bm25!r} * bm25 + {w_coverage!r} * coverage
+                 + {w_phrase!r} * phrase_hit::DOUBLE
+                 + {w_position!r} * pos_bonus, 6) AS rerank
+    FROM scored
+    ORDER BY rerank DESC, {id_col} LIMIT {k}
+    """
+
+
 def hashed_feature_vectors(
     df: DataFrame,
     *,

@@ -15,7 +15,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from oups_spark.operators.pack import deterministic_shuffle
-from oups_spark.operators.retrieval import bm25_oracle_sql, bm25_topk, doc_chunks
+from oups_spark.operators.retrieval import (
+    bm25_oracle_sql,
+    bm25_topk,
+    doc_chunks,
+    rerank_oracle_sql,
+    rerank_topk,
+)
 from oups_spark.queries import register
 from oups_spark.queries.quality_ops import kmeans_unrolled_sql
 from oups_spark.tables import load
@@ -59,6 +65,47 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ["vector", "merge", "window"]
 _BM25_K = 25
+
+
+_RERANK_CAND, _RERANK_K = 50, 10
+_RERANK_PHRASE = "vector merge"
+
+
+@register(
+    "crossencoder_rerank_topk",
+    oracle=rerank_oracle_sql(
+        table="documents",
+        id_col="doc_id",
+        tok_sql=_TOK,
+        terms=_BM25_TERMS,
+        candidates=_RERANK_CAND,
+        k=_RERANK_K,
+        phrase=_RERANK_PHRASE,
+    ),
+)
+def crossencoder_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval cascade: BM25 recall (top-50 candidates,
+    one corpus scan + broadcast stats) then a precision rerank over
+    the candidate set only — candidate payloads re-fetched via a
+    BROADCAST join, scored by a deterministic cross-feature proxy
+    (term coverage, exact-phrase hit, first-match position, BM25
+    prior). The production swap-in is a cross-encoder model behind
+    ``mapInPandas`` with the identical plan shape; the proxy keeps
+    the query oracle-checkable. Stage-2 cost is O(candidates), never
+    O(corpus)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return rerank_topk(
+        docs,
+        id_col="doc_id",
+        terms=_BM25_TERMS,
+        candidates=_RERANK_CAND,
+        k=_RERANK_K,
+        phrase=_RERANK_PHRASE,
+    )
 
 
 @register(
