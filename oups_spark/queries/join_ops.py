@@ -157,6 +157,63 @@ def range_join_first_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact join via BUCKETED tables: orders and
+    customer are each written hash-bucketed (8 buckets) and
+    per-bucket sorted on custkey, then joined — the bucketed scans
+    expose their partitioning to the planner, so the SortMergeJoin
+    runs with NO Exchange on either side (asserted in
+    tests/test_round8_ops.py). This is the pay-the-shuffle-once
+    pattern for 100 TB fact-to-fact joins that repeat on the same
+    key; the write cost amortizes over every subsequent join. The
+    oracle states the plain-join result, proving co-location changes
+    the plan and not the answer."""
+    import os
+
+    from oups_spark.operators.bucketed import (
+        colocated_join,
+        write_bucketed_table,
+    )
+    from oups_spark.queries._scratch import fresh as _fresh
+
+    base = _fresh("bucketed_colocated_join")
+    pid = os.getpid()
+    ln, rn = f"b_orders_{pid}", f"b_customer_{pid}"
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    write_bucketed_table(
+        orders, name=ln, path=os.path.join(base, "orders_b"),
+        bucket_col="custkey", n_buckets=8,
+    )
+    write_bucketed_table(
+        customer, name=rn, path=os.path.join(base, "customer_b"),
+        bucket_col="custkey", n_buckets=8,
+    )
+    j = colocated_join(spark, ln, rn, on="custkey")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "salted_join_order_customer",
     oracle="""
     SELECT c.c_custkey, c.c_name,

@@ -214,3 +214,33 @@ class TestAsofNearest:
         }
         assert rows_tol[0]["rv"] is None
         assert rows_tol[1]["rv"] == 70.0
+
+
+class TestBucketedJoin:
+    def test_join_has_no_exchange(self, spark, tmp_path):
+        from oups_spark.operators.bucketed import (
+            colocated_join,
+            write_bucketed_table,
+        )
+
+        left = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("lv")
+        )
+        right = spark.range(0, 500).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("rv")
+        )
+        write_bucketed_table(
+            left, name="t_bleft", path=str(tmp_path / "l"),
+            bucket_col="k", n_buckets=4,
+        )
+        write_bucketed_table(
+            right, name="t_bright", path=str(tmp_path / "r"),
+            bucket_col="k", n_buckets=4,
+        )
+        j = colocated_join(spark, "t_bleft", "t_bright", on="k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 500
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
