@@ -710,3 +710,79 @@ def streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(
         OrderedDataset(spark, path).read(), ["source"], p=8
     ).orderBy("source")
+
+
+@register(
+    "cdc_upsert_stream",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           round(value, 6) AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (MERGE-shaped sink): events replayed as a
+    keyed changelog — user_id is the key, 'error' rows are DELETE
+    tombstones, everything else upserts — in THREE micro-batches
+    (maxFilesPerTrigger=1 over a time-chunked copy), each merged into
+    a bucket-partitioned current-state table that rewrites ONLY the
+    buckets the batch touches (dynamic partition overwrite). The
+    oracle is the one-shot statement: latest row per key, keys whose
+    latest op is a delete absent. Work per batch is O(batch +
+    touched buckets), never O(table) — the lakehouse MERGE shape."""
+    from oups_spark.streaming.cdc import cdc_upsert_sink, read_current
+    from oups_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("cdc_upsert_stream")
+    src_dir = os.path.join(base, "changelog_src")
+    table = os.path.join(base, "state")
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    # three time-ordered chunk files -> three real merge rounds
+    # (users recur across chunks, so later batches genuinely update
+    # keys written by earlier ones)
+    cuts = events.select(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.34)"),
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.67)"),
+    ).first()
+    c1, c2 = int(cuts[0]), int(cuts[1])
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    chunks = [us <= c1, (us > c1) & (us <= c2), us > c2]
+    for i, cond in enumerate(chunks):
+        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, f"chunk{i}")
+        )
+    schema = spark.read.parquet(os.path.join(src_dir, "chunk0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withColumn("is_delete", F.col("event_type") == "error")
+        .drop("event_type")
+    )
+    cdc_upsert_sink(
+        stream,
+        table,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        n_buckets=16,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    cur = read_current(spark, table, delete_col="is_delete")
+    return cur.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 6).alias("last_value"),
+    ).orderBy("user_id")

@@ -1,0 +1,120 @@
+"""Streaming CDC upsert sink: materialize a keyed changelog into a
+bucket-partitioned current-state table, rewriting only the buckets a
+micro-batch touches.
+
+The MERGE problem at 100 TB: a changelog stream carries
+insert/update/delete ops per key, and the materialized view must
+always hold each key's latest row. A naive sink rewrites the whole
+table per batch; a per-key random-access store doesn't exist in
+plain parquet. The scalable middle is the bucketed-merge shape used
+by every production lakehouse MERGE (Delta/Iceberg/Hudi, public
+docs): hash keys into a fixed number of bucket partitions, and per
+micro-batch (1) find the buckets the batch touches, (2) read ONLY
+those buckets back, (3) keep-last per key over existing ∪ batch,
+(4) dynamic-partition-overwrite exactly those buckets. Work per
+batch is O(batch + touched-bucket bytes), never O(table); untouched
+buckets are neither read nor written.
+
+Deletes persist as TOMBSTONES (``is_delete`` row wins keep-last and
+stays in the table) so a late-arriving older update cannot resurrect
+a deleted key; readers filter tombstones via :func:`read_current`.
+
+Exactly-once: after a checkpoint-recovery replay the same batch
+re-merges idempotently — keep-last by the (order, tiebreak) VALUE is
+insensitive to redelivery.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_BUCKET = "__bucket"
+
+
+def _bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        _BUCKET,
+        F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def cdc_merge_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    *,
+    key: str,
+    order_cols: list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Merge one changelog micro-batch into the state table at
+    ``path`` (see module docstring for the bucket-rewrite shape)."""
+    b = _bucketed(batch_df, key, n_buckets)
+    touched = [r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()]
+    if os.path.exists(path):
+        # partition pruning keeps this read to the touched buckets
+        cur = spark.read.parquet(path).filter(F.col(_BUCKET).isin(touched))
+        merged = cur.unionByName(b)
+    else:
+        merged = b
+    payload = [c for c in merged.columns if c != key]
+    latest = merged.groupBy(key).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(c) for c in order_cols]),
+        ).alias("__row")
+    )
+    flat = latest.select(F.col(key), "__row.*")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        flat.write.mode("overwrite").partitionBy(_BUCKET).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def cdc_upsert_sink(
+    changelog: DataFrame,
+    path: str,
+    *,
+    key: str,
+    order_cols: list[str],
+    n_buckets: int = 32,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Run a streaming changelog into the bucketed upsert table via
+    ``foreachBatch``; blocks until the available data is processed
+    when ``available_now`` (the test/batch-replay mode)."""
+    spark = changelog.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            cdc_merge_batch(
+                spark, batch_df, path,
+                key=key, order_cols=order_cols, n_buckets=n_buckets,
+            )
+
+    writer = changelog.writeStream.outputMode("append").foreachBatch(sink)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def read_current(
+    spark: SparkSession, path: str, *, delete_col: str | None = None
+) -> DataFrame:
+    """Current state of the upsert table: latest row per key,
+    tombstones filtered when ``delete_col`` is given."""
+    df = spark.read.parquet(path).drop(_BUCKET)
+    if delete_col is not None:
+        df = df.filter(~F.col(delete_col)).drop(delete_col)
+    return df

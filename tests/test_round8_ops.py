@@ -244,3 +244,77 @@ class TestBucketedJoin:
         assert j.count() == 500
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+class TestCdcUpsert:
+    def test_merge_semantics_and_tombstones(self, spark, tmp_path):
+        from oups_spark.streaming.cdc import cdc_merge_batch, read_current
+
+        path = str(tmp_path / "state")
+        schema = "k long, ord long, v string, is_delete boolean"
+        b1 = spark.createDataFrame(
+            [(1, 10, "a", False), (2, 10, "b", False), (3, 10, "c", False)],
+            schema,
+        )
+        cdc_merge_batch(
+            spark, b1, path, key="k", order_cols=["ord"], n_buckets=4
+        )
+        # batch 2: update k=1, delete k=2, and a LATE update for k=2
+        # that is OLDER than the delete -> must not resurrect it
+        b2 = spark.createDataFrame(
+            [(1, 20, "a2", False), (2, 30, None, True), (2, 25, "late", False)],
+            schema,
+        )
+        cdc_merge_batch(
+            spark, b2, path, key="k", order_cols=["ord"], n_buckets=4
+        )
+        cur = {
+            r["k"]: r
+            for r in read_current(
+                spark, path, delete_col="is_delete"
+            ).collect()
+        }
+        assert set(cur) == {1, 3}
+        assert cur[1]["v"] == "a2" and cur[1]["ord"] == 20
+        assert cur[3]["v"] == "c"
+
+    def test_untouched_buckets_not_rewritten(self, spark, tmp_path):
+        import glob
+        import os
+
+        from oups_spark.streaming.cdc import cdc_merge_batch
+
+        path = str(tmp_path / "state")
+        schema = "k long, ord long, v string, is_delete boolean"
+        b1 = spark.createDataFrame(
+            [(i, 1, f"v{i}", False) for i in range(64)], schema
+        )
+        cdc_merge_batch(
+            spark, b1, path, key="k", order_cols=["ord"], n_buckets=8
+        )
+        before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(path, "__bucket=*/*.parquet"))
+        }
+        # single-key batch -> exactly one bucket partition rewritten
+        b2 = spark.createDataFrame([(5, 2, "v5b", False)], schema)
+        cdc_merge_batch(
+            spark, b2, path, key="k", order_cols=["ord"], n_buckets=8
+        )
+        after = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(path, "__bucket=*/*.parquet"))
+        }
+        surviving = set(before) & set(after)
+        unchanged = [f for f in surviving if before[f] == after[f]]
+        # 7 of 8 bucket dirs keep their original files untouched
+        changed_dirs = {
+            os.path.dirname(f)
+            for f in set(before) ^ set(after)
+        } | {
+            os.path.dirname(f)
+            for f in surviving
+            if before[f] != after[f]
+        }
+        assert len(changed_dirs) == 1
+        assert len(unchanged) >= 7
