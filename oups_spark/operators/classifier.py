@@ -79,10 +79,14 @@ def logreg_train_gd(
 
     1. map-side: ``r = round(sigmoid(w·[x,1]) - y, decimals)`` — a
        literal-weight expression inside whole-stage codegen;
-    2. ``posexplode`` the bias-augmented vector and take
-       ``avg(r * x_d)`` per dimension — partial-combined map-side, so
-       the shuffle is ``(dim+1) × n_partitions`` cells and exactly
-       ``dim + 1`` updated weights reach the driver;
+    2. ``posexplode`` the bias-augmented vector and per dimension
+       take ``sum(round(r·x_d·10^d)) / (10^d·n)`` — the gradient as
+       an integer-grid sum, exactly order-independent (integer-valued
+       doubles add exactly up to 2^53 ≈ 10^(15-d) unit-scale rows),
+       where a plain ``avg`` would depend on partial-merge order;
+       partial-combined map-side, so the shuffle is
+       ``(dim+1) × n_partitions`` cells and exactly ``dim + 1``
+       updated weights reach the driver;
     3. still JVM-side, on the agg output: ``w_d <- round((w_d -
        lr * g_d) * 10^d) / 10^d`` with the current ``w_d`` looked up
        from a literal weight vector — Spark's half-away ``round``
@@ -162,10 +166,27 @@ def _train_loop(
         # exploded element, (dim+1)x the work (caught by
         # tests/test_plans.py::test_classifier_epoch_agg_is_partial_combined)
         pre = df.select(r.alias("__r"), xa.alias("__xa"))
+        # gradient as an EXACTLY order-independent aggregate: each
+        # product is quantized to an integer grid (round(r·x·10^d) —
+        # integer-valued doubles sum exactly in any order up to 2^53,
+        # i.e. ~10^(15-d) rows of unit-scale features), then one
+        # correctly-rounded division by (10^d · n). A plain avg() of
+        # doubles depends on partial-merge order, and the 6-dp update
+        # rounding cannot pin values that land on a rounding boundary
+        # (hypothesis found such a case — test_logreg_twin_property).
         rows = (
             pre.select("__r", F.posexplode(F.col("__xa")).alias("d", "x"))
             .groupBy("d")
-            .agg(F.avg(F.col("__r") * F.col("x")).alias("g"))
+            .agg(
+                F.sum(
+                    F.round(F.col("__r") * F.col("x") * factor)
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                F.col("d"),
+                (F.col("s") / (factor * F.col("n"))).alias("g"),
+            )
             .select(F.col("d"), upd.alias("w"))
             .collect()
         )
@@ -231,8 +252,15 @@ def logreg_train_np(
             for d in range(dim + 1):
                 acc += xa[i, d] * w[d]
             r[i] = rnd(1.0 / (1.0 + math.exp(-acc)) - y[i])
-        w = [
-            rnd(w[d] - lr * float(np.mean(r * xa[:, d])))
-            for d in range(dim + 1)
-        ]
+        # same order-independent integer-grid gradient as the Spark
+        # path: sum of round(r·x·10^d) is exact, one final division
+        w_new = []
+        for d in range(dim + 1):
+            s = 0.0
+            for i in range(n):
+                v = r[i] * xa[i, d] * fac
+                s += math.copysign(math.floor(abs(v) + 0.5), v)
+            g = s / (fac * n)
+            w_new.append(rnd(w[d] - lr * g))
+        w = w_new
     return w

@@ -533,7 +533,8 @@ def logreg_unrolled_sql() -> str:
     """Pure-SQL unrolled full-batch logistic regression — a fully
     INDEPENDENT DuckDB oracle (no repo code executes): w0 = zeros,
     then per epoch the rounded residual ``r = round(sigmoid(w·xa) -
-    y, 6)``, the per-dimension gradient ``avg(r * xa[i])``, and the
+    y, 6)``, the per-dimension gradient as the order-independent
+    integer-grid sum ``sum(round(r·xa[i]·1e6)) / (1e6·n)``, and the
     rounded update ``round((w_i - lr·g_i)·1e6)/1e6`` — the exact
     IEEE sequence ``logreg_train_gd`` evaluates (Spark's scale-0
     ``F.round`` and DuckDB's ``round`` are both half-away-from-zero;
@@ -558,7 +559,8 @@ def logreg_unrolled_sql() -> str:
     r{n} AS (SELECT doc_id, y, xa,
                     round((1.0/(1.0 + exp(-({dot('w')}))) - y) * {fac}) / {fac} AS r
              FROM vx, w{n - 1}),
-    g{n} AS (SELECT i, avg(r * xa[i]) AS g
+    g{n} AS (SELECT i,
+                    sum(round(r * xa[i] * {fac})) / ({fac} * count(*)) AS g
              FROM r{n}, LATERAL unnest(range(1, {dimp1 + 1})) AS u(i)
              GROUP BY i),
     w{n} AS (SELECT list(round((p.w[g.i] - {_QC_LR!r}::DOUBLE * g.g) * {fac}) / {fac}
