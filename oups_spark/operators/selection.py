@@ -19,7 +19,7 @@ beyond-reference additions for the LLM-data layer):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from oups_spark.operators.text import bigrams, md5_int, tokens
 
@@ -290,10 +290,21 @@ def remove_duplicate_spans(
         F.col("g.s").alias("s"),
         F.md5(F.col("g.s")).alias("fp"),
     )
-    counts = segs.groupBy("fp").agg(
-        F.countDistinct(F.col(id_col)).alias("nd")
+    # distinct-doc count per fingerprint via a WINDOW over fp rather
+    # than groupBy + join-back: the exploded segment table shuffles
+    # ONCE (the join-back formulation exchanged it a second time and
+    # hashed it against the count table). Distinct count inside the
+    # window is the sorted-run trick: order by id, flag first
+    # occurrence, sum flags over the whole partition.
+    w_ord = Window.partitionBy("fp").orderBy(F.col(id_col))
+    w_all = Window.partitionBy("fp")
+    first_occ = (
+        F.col(id_col) != F.lag(F.col(id_col)).over(w_ord)
+    ).cast("long")
+    new_flag = F.coalesce(first_occ, F.lit(1))
+    joined = segs.withColumn(
+        "nd", F.sum(new_flag).over(w_all)
     )
-    joined = segs.join(counts, on="fp")
     dup = F.col("nd") > 1
     rebuilt = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_segments"),

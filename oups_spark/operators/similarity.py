@@ -1095,6 +1095,12 @@ def mmr_rerank(
                         cosine_expr(F.col("cv"), F.col("pick_cv")),
                     ).alias("maxsim"),
                 )
+                # truncate per-step lineage: without this each rem_t
+                # stacks t joins+windows on rem_{t-1}, and the final
+                # union re-plans O(k²) stages; with it every step is
+                # one small job over a cached (queries × ≤n_cand)
+                # relation and pick_t reads a checkpoint, not a chain
+                .localCheckpoint(eager=True)
             )
     out = picks[0]
     for p in picks[1:]:
