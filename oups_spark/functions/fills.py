@@ -61,3 +61,101 @@ def flatten_struct_columns(
     for field in df.schema.fields:
         cols.extend(expand(f"`{field.name}`", field.name, field.dataType, 0))
     return df.select(*cols)
+
+
+def interpolate_resample(
+    df: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    freq: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key linear interpolation onto a regular time grid — the
+    classic time-series ``resample().interpolate()`` (gap fill with
+    straight lines between surrounding observations; the TimescaleDB
+    / InfluxDB ``interpolate`` shape). Grid points outside a key's
+    observation range stay NULL (strict interior interpolation);
+    observations landing exactly on a grid point pass through.
+
+    One keyed shuffle, same union-carry plan as the nearest as-of
+    join: observations (tag 0) and grid rows (tag 1) union, the
+    previous observation carries forward and the next carries
+    backward over ONE hash partitioning (two in-partition sorts, no
+    second Exchange), then the lerp is pure arithmetic:
+
+      v = pv + (nv - pv) * (t - pt) / (nt - pt)
+
+    All timestamps fold to microsecond longs first, so the fraction
+    is a single correctly-rounded IEEE division — the whole thing
+    replays bit-identically in the DuckDB oracle. Observations are
+    pre-deduplicated per (key, ts) with ``max`` — an order-sensitive
+    mean would not be engine-portable.
+
+    At scale: grid density is the cost dial (rows ≈ keys x
+    span/freq); the grid generates map-side from each key's [min,
+    max] bounds (one small pre-agg), never from a global calendar.
+    """
+    from oups_spark.functions.dates import floor_ts, step_interval_sql
+
+    obs = (
+        df.groupBy(F.col(key), F.col(ts_col))
+        .agg(F.max(F.col(value_col)).alias("__v"))
+        .withColumn("__tag", F.lit(0))
+    )
+    bounds = df.groupBy(key).agg(
+        F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
+    )
+    grid = bounds.select(
+        F.col(key),
+        F.explode(
+            F.sequence(
+                floor_ts(F.col("__mn"), freq),
+                floor_ts(F.col("__mx"), freq),
+                F.expr(step_interval_sql(freq)),
+            )
+        ).alias(ts_col),
+    ).withColumn("__tag", F.lit(1))
+    both = obs.unionByName(grid, allowMissingColumns=True)
+
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).desc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_obs = F.col("__tag") == 0
+    pv = F.last(F.when(is_obs, F.col("__v")), ignorenulls=True).over(wb)
+    pt = F.last(F.when(is_obs, t_us), ignorenulls=True).over(wb)
+    nv = F.last(F.when(is_obs, F.col("__v")), ignorenulls=True).over(wf)
+    nt = F.last(F.when(is_obs, t_us), ignorenulls=True).over(wf)
+    return (
+        both.withColumn("__pv", pv)
+        .withColumn("__pt", pt)
+        .withColumn("__nv", nv)
+        .withColumn("__nt", nt)
+        .filter(~is_obs)
+        .select(
+            F.col(key),
+            F.col(ts_col),
+            F.round(
+                F.when(
+                    F.col("__pt") == F.col("__nt"), F.col("__pv")
+                ).otherwise(
+                    F.col("__pv")
+                    + (F.col("__nv") - F.col("__pv"))
+                    * (
+                        (t_us - F.col("__pt")).cast("double")
+                        / (F.col("__nt") - F.col("__pt")).cast("double")
+                    )
+                ),
+                decimals,
+            ).alias("v_interp"),
+        )
+    )

@@ -410,3 +410,52 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "interpolate_resample_6h",
+    oracle="""
+    WITH o AS (SELECT user_id, ts, max(value) AS v
+               FROM events GROUP BY 1, 2),
+         b AS (SELECT user_id,
+                      make_timestamp(epoch_us(min(ts))
+                        - epoch_us(min(ts)) % 21600000000) AS mn,
+                      make_timestamp(epoch_us(max(ts))
+                        - epoch_us(max(ts)) % 21600000000) AS mx
+               FROM o GROUP BY user_id),
+         g AS (SELECT user_id,
+                      unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS gt
+               FROM b),
+         p AS (SELECT g.user_id, g.gt, o.ts AS pt, o.v AS pv
+               FROM g ASOF LEFT JOIN o
+                 ON g.user_id = o.user_id AND g.gt >= o.ts),
+         n AS (SELECT g.user_id, g.gt, o.ts AS nt, o.v AS nv
+               FROM g ASOF LEFT JOIN o
+                 ON g.user_id = o.user_id AND g.gt <= o.ts)
+    SELECT p.user_id, p.gt AS ts,
+           round(CASE WHEN epoch_us(pt) = epoch_us(nt) THEN pv
+                      ELSE pv + (nv - pv)
+                           * ((epoch_us(p.gt) - epoch_us(pt))
+                              / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+                 END, 6) AS v_interp
+    FROM p JOIN n ON p.user_id = n.user_id AND p.gt = n.gt
+    ORDER BY p.user_id, ts
+    """,
+)
+def interpolate_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear interpolation of event values onto a 6-hour
+    grid (time-series resample + gap fill): grid rows generate
+    map-side from each key's [min, max] bounds, observations and grid
+    union through ONE keyed shuffle with forward/backward carries
+    (the nearest-as-of plan shape), and the lerp is a single IEEE
+    division + multiply — bit-identical to the DuckDB replay (two
+    native ASOF joins). Edges outside a user's observation range are
+    NULL by construction (none exist here: the grid is clamped to
+    [floor(min), floor(max)])."""
+    from oups_spark.functions.fills import interpolate_resample
+
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = interpolate_resample(
+        events, key="user_id", ts_col="ts", value_col="value", freq="6h"
+    )
+    return out.orderBy("user_id", "ts")

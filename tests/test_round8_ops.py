@@ -318,3 +318,56 @@ class TestCdcUpsert:
         }
         assert len(changed_dirs) == 1
         assert len(unchanged) >= 7
+
+
+class TestInterpolateResample:
+    def test_linear_interpolation_values(self, spark):
+        import datetime as dt
+
+        from oups_spark.functions.fills import interpolate_resample
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def at(h, m=0):
+            return t0 + dt.timedelta(hours=h, minutes=m)
+
+        # observations at 00:30 (v=10) and 03:30 (v=40): grid hours
+        # 01:00/02:00/03:00 interpolate linearly; 00:00 precedes the
+        # first observation -> NULL
+        df = spark.createDataFrame(
+            [("a", at(0, 30), 10.0), ("a", at(3, 30), 40.0)],
+            "k string, ts timestamp, v double",
+        )
+        out = {
+            r["ts"]: r["v_interp"]
+            for r in interpolate_resample(
+                df, key="k", ts_col="ts", value_col="v", freq="1h"
+            ).collect()
+        }
+        assert out[at(0)] is None
+        assert abs(out[at(1)] - 15.0) < 1e-9
+        assert abs(out[at(2)] - 25.0) < 1e-9
+        assert abs(out[at(3)] - 35.0) < 1e-9
+
+    def test_observation_on_grid_point_passes_through(self, spark):
+        import datetime as dt
+
+        from oups_spark.functions.fills import interpolate_resample
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                ("a", t0, 5.0),
+                ("a", t0 + dt.timedelta(hours=2), 7.0),
+            ],
+            "k string, ts timestamp, v double",
+        )
+        out = {
+            r["ts"]: r["v_interp"]
+            for r in interpolate_resample(
+                df, key="k", ts_col="ts", value_col="v", freq="1h"
+            ).collect()
+        }
+        assert out[t0] == 5.0
+        assert out[t0 + dt.timedelta(hours=2)] == 7.0
+        assert abs(out[t0 + dt.timedelta(hours=1)] - 6.0) < 1e-9
