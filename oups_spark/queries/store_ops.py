@@ -388,3 +388,40 @@ def incremental_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_group_target_size=100_000,
     )
     return hll_estimate(ds.read(), ["source"], p=8).orderBy("source")
+
+
+@register(
+    "zorder_box_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_val,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id BETWEEN 100 AND 220 AND value BETWEEN 10.0 AND 60.0
+    """,
+)
+def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered rewrite + box-predicate scan: events are
+    laid out along a Morton curve over (user_id, value) — equi-depth
+    rank buckets bit-interleaved, range-partitioned, one file per
+    range — so parquet footer min/max stay TIGHT on BOTH columns and
+    a conjunctive range predicate prunes most files regardless of
+    which column it leads with (a single-column sort prunes only its
+    own column; pruning factor asserted against footer stats in
+    tests/test_round8_ops.py). The oracle states the layout changes
+    the scan, never the answer."""
+    from oups_spark.store.zorder import zorder_write
+
+    base = _fresh("zorder_box_scan")
+    path = os.path.join(base, "events_z")
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    zorder_write(events, path, cols=["user_id", "value"], n_files=16)
+    z = spark.read.parquet(path).filter(
+        (F.col("user_id").between(100, 220))
+        & (F.col("value").between(10.0, 60.0))
+    )
+    return z.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_val"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
