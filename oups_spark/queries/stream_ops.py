@@ -786,3 +786,64 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.round("value", 6).alias("last_value"),
     ).orderBy("user_id")
+
+
+@register(
+    "cdc_incremental_agg",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type AS g,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS sum_val
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY event_type ORDER BY g
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate over a CDC upsert table
+    (the delta rule): per-event-type count and value sum of each
+    user's LATEST state, updated across three changelog batches by
+    retracting old contributions and adding new ones — updates move
+    a key between groups, deletes retract without adding, and
+    history is never rescanned. The value sum rides an integer grid
+    so the incremental total is bit-EQUAL to the one-shot oracle —
+    the equality IS the retraction-correctness proof."""
+    from oups_spark.streaming.ivm import cdc_merge_batch_with_agg, read_agg
+    from oups_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("cdc_incremental_agg")
+    state = os.path.join(base, "state")
+    aggp = os.path.join(base, "agg")
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cuts = events.select(
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.34)"),
+        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.67)"),
+    ).first()
+    c1, c2 = int(cuts[0]), int(cuts[1])
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    chunk = events.withColumn(
+        "is_delete", F.col("event_type") == "error"
+    )
+    for cond in [us <= c1, (us > c1) & (us <= c2), us > c2]:
+        cdc_merge_batch_with_agg(
+            spark,
+            chunk.filter(cond),
+            state,
+            aggp,
+            key="user_id",
+            order_cols=["ts", "event_id"],
+            group_col="event_type",
+            value_col="value",
+            delete_col="is_delete",
+            n_buckets=16,
+        )
+    return read_agg(spark, aggp).orderBy("g")

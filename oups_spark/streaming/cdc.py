@@ -67,7 +67,12 @@ def cdc_merge_batch(
             F.struct(*[F.col(c) for c in order_cols]),
         ).alias("__row")
     )
-    flat = latest.select(F.col(key), "__row.*")
+    # one output partition per bucket: without this, every shuffle
+    # partition writes a sliver into every bucket dir it touches
+    # (partitions × buckets tiny files per batch)
+    flat = latest.select(F.col(key), "__row.*").repartition(
+        len(touched) or 1, F.col(_BUCKET)
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -426,3 +426,66 @@ class TestZorder:
         back = spark.read.parquet(p)
         assert back.count() == 5000
         assert back.groupBy().sum("a").first()[0] == df.groupBy().sum("a").first()[0]
+
+
+class TestIncrementalViewMaintenance:
+    def test_delta_rule_retracts_on_update_and_delete(self, spark, tmp_path):
+        from oups_spark.streaming.ivm import (
+            cdc_merge_batch_with_agg,
+            read_agg,
+        )
+
+        state = str(tmp_path / "state")
+        aggp = str(tmp_path / "agg")
+        schema = "k long, ord long, grp string, v double, is_delete boolean"
+
+        def merge(rows):
+            cdc_merge_batch_with_agg(
+                spark,
+                spark.createDataFrame(rows, schema),
+                state,
+                aggp,
+                key="k",
+                order_cols=["ord"],
+                group_col="grp",
+                value_col="v",
+                delete_col="is_delete",
+                n_buckets=4,
+            )
+
+        merge([
+            (1, 1, "a", 10.0, False),
+            (2, 1, "a", 20.0, False),
+            (3, 1, "b", 5.0, False),
+        ])
+        # k=1 moves group a -> b with a new value (retract 10 from a,
+        # add 11 to b); k=3 is deleted (retract 5 from b)
+        merge([
+            (1, 2, "b", 11.0, False),
+            (3, 2, None, None, True),
+        ])
+        out = {r["g"]: r for r in read_agg(spark, aggp).collect()}
+        assert out["a"]["n"] == 1 and out["a"]["sum_val"] == 20.0
+        assert out["b"]["n"] == 1 and out["b"]["sum_val"] == 11.0
+        assert set(out) == {"a", "b"}
+
+    def test_group_vanishes_when_count_hits_zero(self, spark, tmp_path):
+        from oups_spark.streaming.ivm import (
+            cdc_merge_batch_with_agg,
+            read_agg,
+        )
+
+        state = str(tmp_path / "s2")
+        aggp = str(tmp_path / "a2")
+        schema = "k long, ord long, grp string, v double, is_delete boolean"
+        cdc_merge_batch_with_agg(
+            spark, spark.createDataFrame([(1, 1, "x", 2.0, False)], schema),
+            state, aggp, key="k", order_cols=["ord"], group_col="grp",
+            value_col="v", delete_col="is_delete", n_buckets=4,
+        )
+        cdc_merge_batch_with_agg(
+            spark, spark.createDataFrame([(1, 2, None, None, True)], schema),
+            state, aggp, key="k", order_cols=["ord"], group_col="grp",
+            value_col="v", delete_col="is_delete", n_buckets=4,
+        )
+        assert read_agg(spark, aggp).count() == 0
