@@ -275,3 +275,90 @@ def leakage_safe_splits(
     for bound, name in reversed(cases):
         split = F.when(u < F.lit(bound), F.lit(name)).otherwise(split)
     return clustered.select(id_col, "cluster_id", split.alias("split"))
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 3,
+    damping: float = 0.85,
+    decimals: int = 6,
+    grid: int = 9,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED pair graph (edges symmetrized),
+    fixed iteration count — the centrality pass that picks canonical
+    representatives inside near-duplicate families (most-connected
+    document wins, rather than arbitrary min-id).
+
+    Determinism contract (the ``kmeans_lloyd`` / classifier recipe):
+    ranks are rounded to ``decimals`` each iteration, and the
+    neighbor-contribution sum rides an INTEGER grid —
+    ``round((r/deg)·10^grid)`` summed as longs is exact under any
+    partial-merge order (contributions are ≤ 10^grid; 2^63 headroom
+    covers any real edge count) — so the trajectory replays
+    bit-identically in the unrolled DuckDB oracle.
+
+    Shape per iteration: one join of the rank table onto edges (both
+    sides hash-partitioned on node id) + one partial-combined sum by
+    destination; ranks localCheckpoint each round so lineage stays
+    O(1). Driver state: the node count, one scalar. Nodes outside
+    the edge set hold the teleport rank by definition and are out of
+    scope here (the caller already restricted to the pair graph).
+    """
+    # materialize the symmetrized edges ONCE: every action below
+    # (node count, init checkpoint, one per iteration) walks sym —
+    # without this the caller's edge-generation pipeline (e.g. a
+    # full MinHash+LSH pass) re-executes per action
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node long, deg long, rank double"
+        )
+    teleport = (1.0 - damping) / n
+    gfac = float(10**grid)
+    ranks = deg.select(
+        F.col("s").alias("node"),
+        "deg",
+        F.round(F.lit(1.0) / F.lit(float(n)), decimals).alias("r"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            sym.join(
+                ranks.select(
+                    F.col("node").alias("s"),
+                    F.round(
+                        (F.col("r") / F.col("deg")) * gfac
+                    ).cast("long").alias("c"),
+                ),
+                on="s",
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            ranks.drop("r")
+            .join(contrib, on="node", how="left")
+            .select(
+                "node",
+                "deg",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("csum"), F.lit(0)) / F.lit(gfac)),
+                    decimals,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "deg", F.col("r").alias("rank"))

@@ -1245,3 +1245,81 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(emb, queries, n_candidates=20, k=5, lam=0.7).orderBy(
         "query_id", "mmr_rank"
     )
+
+
+def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PageRank twin over the LSH-verified pair graph —
+    same integer-grid contribution sum and per-iteration rounding as
+    ``operators.components.pagerank``, so ranks match bit-for-bit."""
+    parts = [f"""
+    e0 AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE {_band_condition()}
+      ) c
+      JOIN (SELECT doc_id, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOK} AS tok FROM documents)) sa
+        ON sa.doc_id = c.id_a
+      JOIN (SELECT doc_id, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOK} AS tok FROM documents)) sb
+        ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.sh, sb.sh)) /
+            len(list_distinct(list_cat(sa.sh, sb.sh))) >= 0.5
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM e0
+            UNION
+            SELECT id_b AS s, id_a AS d FROM e0),
+    deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+    r0 AS (SELECT s AS node, deg, round(1.0 / n, 6) AS r
+           FROM deg, nn)"""]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+    c{k} AS (
+      SELECT sym.d AS node,
+             sum(CAST(round((p.r / p.deg) * 1000000000.0) AS BIGINT))
+               AS csum
+      FROM sym JOIN r{k - 1} p ON p.node = sym.s
+      GROUP BY sym.d),
+    r{k} AS (
+      SELECT p.node, p.deg,
+             round((1.0 - {damping!r}) / nn.n
+                   + {damping!r}
+                   * (coalesce(c.csum, 0) / 1000000000.0), 6) AS r
+      FROM r{k - 1} p LEFT JOIN c{k} c USING (node), nn)""")
+    return (
+        _SIGS_CTE
+        + ","
+        + ",".join(parts)
+        + f"""
+    SELECT node AS doc_id, deg::BIGINT AS deg, r AS rank
+    FROM r{iters} ORDER BY doc_id
+    """
+    )
+
+
+@register("neardup_pagerank", oracle=_pagerank_oracle_sql())
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the LSH-verified near-duplicate
+    graph (3 damped iterations) — ranks pick CANONICAL documents
+    inside duplicate families by connectivity rather than arbitrary
+    min-id. Per iteration: one node-keyed join of the rank table
+    onto the symmetrized edges + one partial-combined sum by
+    destination; ranks are rounded each round and the contribution
+    sum rides an integer grid, so the distributed trajectory equals
+    the unrolled DuckDB replay bit-for-bit (the classifier/k-means
+    determinism recipe applied to an iterative graph algorithm).
+    Driver state: one scalar (the node count)."""
+    from oups_spark.operators.components import pagerank
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = minhash_lsh_neardup_pairs(
+        docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
+    ).select("id_a", "id_b")
+    pr = pagerank(pairs, src="id_a", dst="id_b", iters=3)
+    return pr.select(
+        F.col("node").alias("doc_id"), "deg", "rank"
+    ).orderBy("doc_id")

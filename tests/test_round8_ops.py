@@ -489,3 +489,50 @@ class TestIncrementalViewMaintenance:
             value_col="v", delete_col="is_delete", n_buckets=4,
         )
         assert read_agg(spark, aggp).count() == 0
+
+
+class TestPagerank:
+    def test_matches_sequential_twin(self, spark):
+        from oups_spark.operators.components import pagerank
+
+        # path graph 1-2-3 plus isolated edge 4-5
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        got = {
+            r["node"]: r
+            for r in pagerank(edges, iters=3, decimals=6).collect()
+        }
+
+        def rnd(v, d=6):
+            import math
+            return math.copysign(
+                math.floor(abs(v) * 10**d + 0.5), v
+            ) / 10**d
+
+        import math
+
+        sym = {(1, 2), (2, 1), (2, 3), (3, 2), (4, 5), (5, 4)}
+        deg = {1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
+        n = 5
+        r = {v: rnd(1.0 / n) for v in deg}
+        for _ in range(3):
+            c = {v: 0 for v in deg}
+            for s, d in sym:
+                v = r[s] / deg[s] * 1e9
+                c[d] += int(math.copysign(math.floor(abs(v) + 0.5), v))
+            r = {
+                v: rnd((1.0 - 0.85) / n + 0.85 * (c[v] / 1e9))
+                for v in deg
+            }
+        for v in deg:
+            assert got[v]["deg"] == deg[v]
+            assert abs(got[v]["rank"] - r[v]) < 1e-12, (v, got[v]["rank"], r[v])
+        # the middle of the path is the most central node
+        assert got[2]["rank"] == max(x["rank"] for x in got.values())
+
+    def test_empty_graph(self, spark):
+        from oups_spark.operators.components import pagerank
+
+        edges = spark.createDataFrame([], "id_a long, id_b long")
+        assert pagerank(edges).count() == 0
