@@ -536,3 +536,86 @@ class TestPagerank:
 
         edges = spark.createDataFrame([], "id_a long, id_b long")
         assert pagerank(edges).count() == 0
+
+
+def test_interpolate_property_matches_python_twin(spark):
+    """Random observation sets: the distributed lerp equals a
+    sequential Python twin computed with the same IEEE sequence."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from oups_spark.functions.fills import interpolate_resample
+
+    obs = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500_000),  # seconds
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, width=32,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(points=obs)
+    def check(points):
+        import datetime as dt
+        import math
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("k", t0 + dt.timedelta(seconds=s), float(v))
+            for s, v in points
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp, v double"
+        )
+        got = {
+            r["ts"]: r["v_interp"]
+            for r in interpolate_resample(
+                df, key="k", ts_col="ts", value_col="v", freq="1h"
+            ).collect()
+        }
+        # twin: dedupe per ts with max, then lerp on the hour grid
+        by_ts: dict = {}
+        for _, ts, v in rows:
+            by_ts[ts] = max(by_ts.get(ts, float("-inf")), v)
+        pts = sorted(by_ts.items())
+
+        def rnd6(x):
+            return math.copysign(
+                math.floor(abs(x) * 1e6 + 0.5), x
+            ) / 1e6
+
+        lo = pts[0][0].replace(minute=0, second=0, microsecond=0)
+        hi = pts[-1][0].replace(minute=0, second=0, microsecond=0)
+        cur = lo
+        expect = {}
+        while cur <= hi:
+            prev = max((p for p in pts if p[0] <= cur), default=None)
+            nxt = min((p for p in pts if p[0] >= cur), default=None)
+            if prev is None or nxt is None:
+                expect[cur] = None
+            elif prev[0] == nxt[0]:
+                expect[cur] = rnd6(prev[1])
+            else:
+                tus = int(cur.timestamp() * 1e6)
+                pt = int(prev[0].timestamp() * 1e6)
+                nt = int(nxt[0].timestamp() * 1e6)
+                frac = float(tus - pt) / float(nt - pt)
+                expect[cur] = rnd6(prev[1] + (nxt[1] - prev[1]) * frac)
+            cur += dt.timedelta(hours=1)
+        assert set(got) == set(expect)
+        for k in expect:
+            if expect[k] is None:
+                assert got[k] is None
+            else:
+                assert got[k] == expect[k], (k, got[k], expect[k])
+
+    check()
