@@ -752,8 +752,10 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (users recur across chunks, so later batches genuinely update
     # keys written by earlier ones)
     cuts = events.select(
-        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.34)"),
-        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.67)"),
+        # approx is fine: the cuts only SPLIT the replay into batches,
+        # any split is equally correct (keep-last is order-insensitive)
+        F.expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.34)"),
+        F.expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.67)"),
     ).first()
     c1, c2 = int(cuts[0]), int(cuts[1])
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -825,8 +827,10 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type", "value"
     )
     cuts = events.select(
-        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.34)"),
-        F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.67)"),
+        # approx is fine: the cuts only SPLIT the replay into batches,
+        # any split is equally correct (keep-last is order-insensitive)
+        F.expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.34)"),
+        F.expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.67)"),
     ).first()
     c1, c2 = int(cuts[0]), int(cuts[1])
     us = F.unix_micros(F.col("ts").cast("timestamp"))
