@@ -619,3 +619,55 @@ def test_interpolate_property_matches_python_twin(spark):
                 assert got[k] == expect[k], (k, got[k], expect[k])
 
     check()
+
+
+class TestRound8Plans:
+    def test_interpolate_carries_share_one_exchange(self, spark):
+        import datetime as dt
+        import re
+
+        from oups_spark.functions.fills import interpolate_resample
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("a", t0 + dt.timedelta(hours=h), float(h)) for h in range(5)],
+            "k string, ts timestamp, v double",
+        )
+        out = interpolate_resample(
+            df, key="k", ts_col="ts", value_col="v", freq="1h"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # four carry windows (pv/pt forward, nv/nt backward) but the
+        # forward pass reuses the backward pass's hash partitioning —
+        # obs pre-agg + bounds agg + ONE union-window exchange
+        assert len(re.findall(r"\bWindow\b", plan)) >= 2
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+    def test_rerank_refetch_is_broadcast(self, spark, tmp_path):
+        from oups_spark.operators.retrieval import rerank_topk
+
+        df = spark.createDataFrame(
+            [(i, f"vector merge window doc {i}") for i in range(200)],
+            "doc_id long, text string",
+        )
+        out = rerank_topk(
+            df, id_col="doc_id", terms=["vector", "merge"],
+            candidates=20, k=5, phrase="vector merge",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_priority_sample_is_take_ordered(self, spark):
+        from oups_spark.operators.pack import priority_sample
+
+        df = spark.range(0, 1000).select(
+            F.col("id").cast("string").alias("id"),
+            (F.col("id") % 9 + 1).alias("w"),
+        )
+        out = priority_sample(
+            df, id_col="id", weight_col="w", k=10, seed="p"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the cut must be TakeOrdered, never a global Sort + Limit
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
