@@ -1323,3 +1323,89 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("doc_id"), "deg", "rank"
     ).orderBy("doc_id")
+
+
+def _lsh_recall_oracle_sql() -> str:
+    """Measured banding S-curve: exact lang-blocked Jaccard pairs
+    (ground truth) vs the MinHash+LSH verified pairs, recall per
+    0.1-wide Jaccard bucket."""
+    return (
+        _SIGS_CTE
+        + f""",
+    lshp AS (
+      SELECT c.id_a, c.id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE {_band_condition()}
+      ) c
+      JOIN (SELECT doc_id, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOK} AS tok FROM documents)) sa
+        ON sa.doc_id = c.id_a
+      JOIN (SELECT doc_id, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOK} AS tok FROM documents)) sb
+        ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.sh, sb.sh)) /
+            len(list_distinct(list_cat(sa.sh, sb.sh))) >= 0.5
+    ),
+    tt AS (SELECT doc_id, lang, {_SH} AS sh
+           FROM (SELECT doc_id, lang, {_TOK} AS tok FROM documents)),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh)) /
+                   len(list_distinct(list_cat(a.sh, b.sh))), 6) AS j
+      FROM tt a JOIN tt b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) /
+            len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5
+    )
+    SELECT least(floor(j * 10), 9) / 10 AS jac_bucket,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           round(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS recall
+    FROM truth t LEFT JOIN lshp l USING (id_a, id_b)
+    GROUP BY jac_bucket ORDER BY jac_bucket
+    """
+    )
+
+
+@register("lsh_recall_eval", oracle=_lsh_recall_oracle_sql())
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the MinHash+LSH banding scheme against
+    exact n-gram-Jaccard ground truth, per 0.1-wide similarity
+    bucket — the empirical banding S-curve (theory: P(caught) =
+    1-(1-s^r)^b) on the actual corpus. This is the evaluation
+    harness a production dedup pipeline runs before trusting its
+    banding parameters: ground truth from the inverted-index exact
+    pass (equality-shuffled, never all-pairs), caught-set from the
+    banded pipeline, one broadcast-scale join between two pair
+    tables. Recall only — precision is 1.0 by construction since
+    LSH candidates are verified on true Jaccard."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5
+    ).withColumnRenamed("jaccard", "j")
+    lsh = minhash_lsh_neardup_pairs(
+        docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    joined = truth.join(lsh, on=["id_a", "id_b"], how="left")
+    bucket = (
+        F.least(F.floor(F.col("j") * 10), F.lit(9)) / 10
+    ).alias("jac_bucket")
+    return (
+        joined.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_caught"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("jac_bucket")
+    )
