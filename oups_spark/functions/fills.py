@@ -102,6 +102,12 @@ def interpolate_resample(
     obs = (
         df.groupBy(F.col(key), F.col(ts_col))
         .agg(F.max(F.col(value_col)).alias("__v"))
+        # a null-valued observation carries no information — drop it
+        # HERE so the prev/next VALUE and TIMESTAMP carries stay in
+        # sync (pv skips nulls via ignorenulls, but pt would advance
+        # on every observation row and anchor a surviving older
+        # value to the null row's timestamp)
+        .filter(F.col("__v").isNotNull())
         .withColumn("__tag", F.lit(0))
     )
     bounds = df.groupBy(key).agg(

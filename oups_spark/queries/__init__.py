@@ -133,12 +133,14 @@ _WINDOW_PRIORITY = [
     "calendar_floor_ceil",
     "value_percentiles_by_type",
     "salted_join_order_customer",
-    # --- slot-50 boundary: with 11 round-8 registrations at the
-    # head, the window holds exactly through json_props_extract.
-    # Head of round 9's window = the 9 displaced section-4 r6-greens
-    # (multimodal_features .. salted_join_order_customer), then the
-    # names below (r6-green siblings + stable core.py TPC-H shapes),
-    # then the r7-green queries oldest-first:
+    # --- slot-50 boundary: with 12 round-8 registrations at the
+    # head, the window ends at doc_chunk_overlap (slot 50);
+    # json_props_extract sits at slot 51, unchecked this round.
+    # Head of round 9's window = json_props_extract + the 9 displaced
+    # section-4 r6-greens (multimodal_features ..
+    # salted_join_order_customer), then the names below (r6-green
+    # siblings + stable core.py TPC-H shapes), then the r7-green
+    # queries oldest-first:
     "minhash_signatures",
     "simhash_signatures",
     "multimodal_frame_sample",

@@ -1247,13 +1247,14 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
-    """Unrolled PageRank twin over the LSH-verified pair graph —
-    same integer-grid contribution sum and per-iteration rounding as
-    ``operators.components.pagerank``, so ranks match bit-for-bit."""
-    parts = [f"""
-    e0 AS (
-      SELECT id_a, id_b FROM (
+def _lsh_verified_pairs_sql() -> str:
+    """CTE body (no name) for the MinHash+LSH VERIFIED pair set —
+    band candidates re-checked on true shingle Jaccard >= 0.5. The
+    single source for every oracle that consumes the pair GRAPH
+    (pagerank, recall eval), so the graph definition cannot drift
+    from the banding/threshold constants."""
+    return f"""
+      SELECT c.id_a, c.id_b FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE {_band_condition()}
@@ -1266,7 +1267,15 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
         ON sb.doc_id = c.id_b
       WHERE len(list_intersect(sa.sh, sb.sh)) /
             len(list_distinct(list_cat(sa.sh, sb.sh))) >= 0.5
-    ),
+    """
+
+
+def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PageRank twin over the LSH-verified pair graph —
+    same integer-grid contribution sum and per-iteration rounding as
+    ``operators.components.pagerank``, so ranks match bit-for-bit."""
+    parts = [f"""
+    e0 AS ({_lsh_verified_pairs_sql()}),
     sym AS (SELECT id_a AS s, id_b AS d FROM e0
             UNION
             SELECT id_b AS s, id_a AS d FROM e0),
@@ -1284,8 +1293,8 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
       GROUP BY sym.d),
     r{k} AS (
       SELECT p.node, p.deg,
-             round((1.0 - {damping!r}) / nn.n
-                   + {damping!r}
+             round({(1.0 - damping)!r}::DOUBLE / nn.n
+                   + {damping!r}::DOUBLE
                    * (coalesce(c.csum, 0) / 1000000000.0), 6) AS r
       FROM r{k - 1} p LEFT JOIN c{k} c USING (node), nn)""")
     return (
@@ -1332,21 +1341,7 @@ def _lsh_recall_oracle_sql() -> str:
     return (
         _SIGS_CTE
         + f""",
-    lshp AS (
-      SELECT c.id_a, c.id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        WHERE {_band_condition()}
-      ) c
-      JOIN (SELECT doc_id, {_SH} AS sh
-            FROM (SELECT doc_id, {_TOK} AS tok FROM documents)) sa
-        ON sa.doc_id = c.id_a
-      JOIN (SELECT doc_id, {_SH} AS sh
-            FROM (SELECT doc_id, {_TOK} AS tok FROM documents)) sb
-        ON sb.doc_id = c.id_b
-      WHERE len(list_intersect(sa.sh, sb.sh)) /
-            len(list_distinct(list_cat(sa.sh, sb.sh))) >= 0.5
-    ),
+    lshp AS ({_lsh_verified_pairs_sql()}),
     tt AS (SELECT doc_id, lang, {_SH} AS sh
            FROM (SELECT doc_id, lang, {_TOK} AS tok FROM documents)),
     truth AS (

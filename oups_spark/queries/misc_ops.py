@@ -416,7 +416,8 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolate_resample_6h",
     oracle="""
     WITH o AS (SELECT user_id, ts, max(value) AS v
-               FROM events GROUP BY 1, 2),
+               FROM events GROUP BY 1, 2
+               HAVING max(value) IS NOT NULL),
          b AS (SELECT user_id,
                       make_timestamp(epoch_us(min(ts))
                         - epoch_us(min(ts)) % 21600000000) AS mn,

@@ -712,6 +712,20 @@ def streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _replay_cuts(events):
+    """Three time-ordered chunk predicates for replaying events as a
+    changelog. Approx percentiles are fine: the cuts only SPLIT the
+    replay into batches, and any split is equally correct because
+    the keep-last merge is order-insensitive."""
+    cuts = events.select(
+        F.expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.34)"),
+        F.expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.67)"),
+    ).first()
+    c1, c2 = int(cuts[0]), int(cuts[1])
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return [us <= c1, (us > c1) & (us <= c2), us > c2]
+
+
 @register(
     "cdc_upsert_stream",
     oracle="""
@@ -751,15 +765,7 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three time-ordered chunk files -> three real merge rounds
     # (users recur across chunks, so later batches genuinely update
     # keys written by earlier ones)
-    cuts = events.select(
-        # approx is fine: the cuts only SPLIT the replay into batches,
-        # any split is equally correct (keep-last is order-insensitive)
-        F.expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.34)"),
-        F.expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.67)"),
-    ).first()
-    c1, c2 = int(cuts[0]), int(cuts[1])
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    chunks = [us <= c1, (us > c1) & (us <= c2), us > c2]
+    chunks = _replay_cuts(events)
     for i, cond in enumerate(chunks):
         events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(src_dir, f"chunk{i}")
@@ -826,18 +832,10 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
-    cuts = events.select(
-        # approx is fine: the cuts only SPLIT the replay into batches,
-        # any split is equally correct (keep-last is order-insensitive)
-        F.expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.34)"),
-        F.expr("approx_percentile(unix_micros(cast(ts as timestamp)), 0.67)"),
-    ).first()
-    c1, c2 = int(cuts[0]), int(cuts[1])
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
     chunk = events.withColumn(
         "is_delete", F.col("event_type") == "error"
     )
-    for cond in [us <= c1, (us > c1) & (us <= c2), us > c2]:
+    for cond in _replay_cuts(events):
         cdc_merge_batch_with_agg(
             spark,
             chunk.filter(cond),

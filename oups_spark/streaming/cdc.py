@@ -41,21 +41,29 @@ def _bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     )
 
 
-def cdc_merge_batch(
+def merge_latest(
     spark: SparkSession,
     batch_df: DataFrame,
     path: str,
     *,
     key: str,
     order_cols: list[str],
-    n_buckets: int = 32,
-) -> None:
-    """Merge one changelog micro-batch into the state table at
-    ``path`` (see module docstring for the bucket-rewrite shape)."""
+    n_buckets: int,
+) -> tuple[DataFrame | None, DataFrame, list[int]]:
+    """The merge core shared by the plain CDC sink and the
+    IVM-maintaining variant: bucketize the batch, read back ONLY the
+    buckets it touches (partition pruning), keep the latest row per
+    key over existing ∪ batch. Returns ``(cur, flat, touched)``:
+    ``cur`` is the pre-merge state of the touched buckets (None on
+    first batch), ``flat`` the merged latest rows — EAGERLY
+    checkpointed, so overwriting the state files it was derived from
+    can never race a lazy re-read (stage retry, speculative task) —
+    and partitioned one-per-bucket so the write emits one file per
+    touched bucket dir, not partitions × buckets slivers."""
     b = _bucketed(batch_df, key, n_buckets)
     touched = [r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()]
+    cur = None
     if os.path.exists(path):
-        # partition pruning keeps this read to the touched buckets
         cur = spark.read.parquet(path).filter(F.col(_BUCKET).isin(touched))
         merged = cur.unionByName(b)
     else:
@@ -67,18 +75,41 @@ def cdc_merge_batch(
             F.struct(*[F.col(c) for c in order_cols]),
         ).alias("__row")
     )
-    # one output partition per bucket: without this, every shuffle
-    # partition writes a sliver into every bucket dir it touches
-    # (partitions × buckets tiny files per batch)
-    flat = latest.select(F.col(key), "__row.*").repartition(
-        len(touched) or 1, F.col(_BUCKET)
+    flat = (
+        latest.select(F.col(key), "__row.*")
+        .repartition(len(touched) or 1, F.col(_BUCKET))
+        .localCheckpoint(eager=True)
     )
+    return cur, flat, touched
+
+
+def write_state(spark: SparkSession, flat: DataFrame, path: str) -> None:
+    """Dynamic-partition-overwrite exactly the bucket dirs present
+    in ``flat`` (which must be checkpointed — see merge_latest)."""
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         flat.write.mode("overwrite").partitionBy(_BUCKET).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def cdc_merge_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    *,
+    key: str,
+    order_cols: list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Merge one changelog micro-batch into the state table at
+    ``path`` (see module docstring for the bucket-rewrite shape)."""
+    _, flat, _ = merge_latest(
+        spark, batch_df, path,
+        key=key, order_cols=order_cols, n_buckets=n_buckets,
+    )
+    write_state(spark, flat, path)
 
 
 def cdc_upsert_sink(

@@ -36,7 +36,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from oups_spark.streaming.cdc import _BUCKET, _bucketed
+from oups_spark.streaming.cdc import merge_latest, write_state
 
 _GRID = 6  # value quantization decimals for the exact integer sum
 
@@ -65,46 +65,24 @@ def cdc_merge_batch_with_agg(
     delete_col: str,
     n_buckets: int = 32,
 ) -> None:
-    """CDC merge (see ``cdc.cdc_merge_batch``) that also maintains
-    the grouped (count, integer-grid sum) aggregate of the current
-    state via the delta rule."""
-    b = _bucketed(batch_df, key, n_buckets)
-    touched = [r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()]
+    """CDC merge (shared core: ``cdc.merge_latest``) that also
+    maintains the grouped (count, integer-grid sum) aggregate of the
+    current state via the delta rule."""
+    cur, flat, _touched = merge_latest(
+        spark, batch_df, state_path,
+        key=key, order_cols=order_cols, n_buckets=n_buckets,
+    )
     live = ~F.col(delete_col)
-    if os.path.exists(state_path):
-        cur = spark.read.parquet(state_path).filter(
-            F.col(_BUCKET).isin(touched)
-        )
-        merged = cur.unionByName(b)
-        old_contrib = _contrib(cur.filter(live), group_col, value_col, -1)
-    else:
-        cur = None
-        merged = b
-        old_contrib = None
-    payload = [c for c in merged.columns if c != key]
-    latest = merged.groupBy(key).agg(
-        F.max_by(
-            F.struct(*[F.col(c) for c in payload]),
-            F.struct(*[F.col(c) for c in order_cols]),
-        ).alias("__row")
-    )
-    # checkpoint: the merged state feeds BOTH the new-contribution
-    # delta and the bucket rewrite — without it the keep-last agg
-    # runs twice; bucket-aligned partitions double as the write
-    # layout (one file per bucket dir instead of partitions × buckets)
-    flat = (
-        latest.select(F.col(key), "__row.*")
-        .repartition(len(touched) or 1, F.col(_BUCKET))
-        .localCheckpoint(eager=False)
-    )
     new_contrib = _contrib(flat.filter(live), group_col, value_col, +1)
     delta = (
         new_contrib
-        if old_contrib is None
-        else new_contrib.unionByName(old_contrib)
+        if cur is None
+        else new_contrib.unionByName(
+            _contrib(cur.filter(live), group_col, value_col, -1)
+        )
     )
-    # materialize the delta BEFORE the state overwrite below clobbers
-    # the files `cur` lazily reads; it is O(#groups) rows by design
+    # materialize the delta BEFORE write_state clobbers the files
+    # `cur` lazily reads; it is O(#groups) rows by design
     delta_rows = (
         delta.groupBy("g")
         .agg(F.sum("dn").alias("dn"), F.sum("dsum").alias("dsum"))
@@ -126,13 +104,7 @@ def cdc_merge_batch_with_agg(
     # multi-second pathological path in this Spark build; the table
     # is O(#groups) rows, a couple of part files is fine
     agg_df.write.mode("overwrite").parquet(agg_path)
-
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        flat.write.mode("overwrite").partitionBy(_BUCKET).parquet(state_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    write_state(spark, flat, state_path)
 
 
 def read_agg(spark: SparkSession, agg_path: str) -> DataFrame:

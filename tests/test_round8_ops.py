@@ -671,3 +671,31 @@ class TestRound8Plans:
         # the cut must be TakeOrdered, never a global Sort + Limit
         assert "TakeOrderedAndProject" in plan
         assert "Exchange rangepartitioning" not in plan
+
+
+def test_interpolate_ignores_null_observations(spark):
+    """A null-valued observation must not desynchronize the value
+    and timestamp carries (review finding): obs (0h, 1.0), (2h,
+    NULL), (4h, 5.0) -> grid 3h interpolates 0h..4h = 4.0, and the
+    grid point at 2h is a plain interior point, not a pass-through
+    of the stale value."""
+    import datetime as dt
+
+    from oups_spark.functions.fills import interpolate_resample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0, 1.0),
+        ("k", t0 + dt.timedelta(hours=2), None),
+        ("k", t0 + dt.timedelta(hours=4), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        r["ts"]: r["v_interp"]
+        for r in interpolate_resample(
+            df, key="k", ts_col="ts", value_col="v", freq="1h"
+        ).collect()
+    }
+    assert out[t0 + dt.timedelta(hours=3)] == 4.0
+    assert out[t0 + dt.timedelta(hours=2)] == 3.0
+    assert out[t0] == 1.0
