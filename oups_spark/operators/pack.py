@@ -263,6 +263,40 @@ def priority_sample_oracle_sql(
     """
 
 
+def priority_sample_by(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    by: str,
+    k_per_group: int,
+    seed: str,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Per-stratum :func:`priority_sample`: draw ``k_per_group``
+    rows WITHOUT replacement inside every ``by`` group, probability
+    proportional to weight — the balanced-per-domain sampler a
+    mixing pipeline runs where a single global cut would let one
+    mega-source crowd out the tail. Same engine-portable priority
+    arithmetic; the cut is :func:`grouped_topk` (skew-safe two-phase
+    per-group top-k), so a mega-group's rows never all travel."""
+    h = md5_int(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    pr = (
+        F.col(weight_col).cast("double")
+        * F.lit(4294967296.0)
+        / (h + F.lit(1)).cast("double")
+    )
+    out = df.withColumn(priority_col, F.round(pr, 6))
+    return grouped_topk(
+        out,
+        group_col=by,
+        order_col=priority_col,
+        id_col=id_col,
+        k=k_per_group,
+        ascending=False,
+    )
+
+
 def grouped_topk(
     df: DataFrame,
     *,

@@ -70,6 +70,7 @@ def register(name: str, oracle: str | None = None):
 # head of round 9's window.
 _WINDOW_PRIORITY = [
     # (1) round-8 registrations land here, newest first
+    "weighted_sample_by_source",
     "lsh_recall_eval",
     "neardup_pagerank",
     "cdc_incremental_agg",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from oups_spark.operators.pack import (
     priority_sample,
+    priority_sample_by,
     priority_sample_oracle_sql,
 )
 from oups_spark.operators.selection import (
@@ -377,3 +378,61 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_WSAMPLE_K,
         seed=_WSAMPLE_SEED,
     )
+
+
+_WSB_K, _WSB_SEED = 10, "wsample-by-r8"
+_WSB_H = (
+    f"CAST(('0x' || substr(md5('{_WSB_SEED}:' || CAST(doc_id AS VARCHAR))"
+    f", 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "weighted_sample_by_source",
+    oracle=f"""
+    WITH p AS (
+      SELECT source, doc_id, n_chars,
+             round(n_chars::DOUBLE * 4294967296.0
+                   / ({_WSB_H} + 1)::DOUBLE, 6) AS priority
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars, priority,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority DESC, doc_id) AS rk
+      FROM p
+    )
+    SELECT source, doc_id, n_chars, priority, rk::INT AS rk
+    FROM r WHERE rk <= {_WSB_K}
+    ORDER BY source, rk
+    """,
+)
+def weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain balanced weighted sampling: 10 documents WITHOUT
+    replacement per source, probability proportional to size — the
+    stratified counterpart of ``weighted_sample_wor`` for mixes
+    where one mega-source must not crowd out the tail. The cut is
+    the skew-safe two-phase grouped top-k (local per-partition
+    top-k bounds the hot group's shuffle at k rows per partition),
+    oracle-stated as the equivalent single window."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    out = priority_sample_by(
+        docs,
+        id_col="doc_id",
+        weight_col="n_chars",
+        by="source",
+        k_per_group=_WSB_K,
+        seed=_WSB_SEED,
+    )
+    # the skew-safe cut keeps only (group, priority, id); re-attach
+    # the weight by id — the sampled side is k x #groups rows, so it
+    # broadcasts
+    picked = docs.join(
+        F.broadcast(out.select("doc_id", "priority", "rk")), on="doc_id"
+    )
+    return picked.select(
+        "source", "doc_id", "n_chars", "priority",
+        F.col("rk").cast("int").alias("rk"),
+    ).orderBy("source", "rk")

@@ -154,3 +154,62 @@ def read_current(
     if delete_col is not None:
         df = df.filter(~F.col(delete_col)).drop(delete_col)
     return df
+
+
+def cdc_vacuum(
+    spark: SparkSession,
+    path: str,
+    *,
+    delete_col: str,
+    safe_to_drop,
+    n_buckets_hint: int | None = None,
+) -> int:
+    """Garbage-collect tombstones from the upsert table: drop delete
+    rows for which ``safe_to_drop`` (a boolean Column over the row)
+    holds — typically "older than the ingest watermark", the point
+    past which no out-of-order update the tombstone still guards
+    against can arrive. Rewrites ONLY buckets that contain droppable
+    tombstones (same dynamic-partition-overwrite shape as the merge;
+    untouched buckets keep their files byte-for-byte). Returns the
+    number of tombstones dropped.
+
+    At 100 TB this is the periodic maintenance pass that keeps
+    delete-heavy tables from accreting dead keys; cost is
+    proportional to the buckets holding droppable tombstones, not
+    the table.
+    """
+    cur = spark.read.parquet(path)
+    droppable = F.col(delete_col) & safe_to_drop
+    victims = (
+        cur.filter(droppable)
+        .groupBy(_BUCKET)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    if not victims:
+        return 0
+    touched = [r[_BUCKET] for r in victims]
+    n_dropped = int(sum(r["c"] for r in victims))
+    kept = (
+        cur.filter(F.col(_BUCKET).isin(touched))
+        .filter(~droppable)
+        .repartition(len(touched), F.col(_BUCKET))
+        # the rewrite reads the files it replaces — same stage-retry
+        # hazard as the merge, same checkpoint guard
+        .localCheckpoint(eager=True)
+    )
+    # dynamic overwrite can only replace partitions it WRITES — a
+    # bucket whose every row dropped is absent from `kept`, so its
+    # dir must be removed explicitly (an fs/object-store delete; the
+    # lakehouse-log equivalent is a remove-file action)
+    still = {r[_BUCKET] for r in kept.select(_BUCKET).distinct().collect()}
+    emptied = [b for b in touched if b not in still]
+    if len(still) > 0:
+        write_state(spark, kept, path)
+    import shutil
+
+    for b in emptied:
+        shutil.rmtree(
+            os.path.join(path, f"{_BUCKET}={b}"), ignore_errors=True
+        )
+    return n_dropped

@@ -699,3 +699,60 @@ def test_interpolate_ignores_null_observations(spark):
     assert out[t0 + dt.timedelta(hours=3)] == 4.0
     assert out[t0 + dt.timedelta(hours=2)] == 3.0
     assert out[t0] == 1.0
+
+
+class TestCdcVacuum:
+    def test_drops_only_safe_tombstones(self, spark, tmp_path):
+        from oups_spark.streaming.cdc import (
+            cdc_merge_batch,
+            cdc_vacuum,
+            read_current,
+        )
+
+        path = str(tmp_path / "state")
+        schema = "k long, ord long, v string, is_delete boolean"
+        rows = [(1, 10, "a", False), (2, 10, None, True),
+                (3, 50, None, True), (4, 10, "d", False)]
+        cdc_merge_batch(
+            spark, spark.createDataFrame(rows, schema), path,
+            key="k", order_cols=["ord"], n_buckets=4,
+        )
+        # watermark at ord=30: only k=2's tombstone (ord 10) is safe
+        n = cdc_vacuum(
+            spark, path, delete_col="is_delete",
+            safe_to_drop=F.col("ord") < 30,
+        )
+        assert n == 1
+        full = spark.read.parquet(path)
+        ks = {r["k"] for r in full.collect()}
+        assert ks == {1, 3, 4}  # k=2 tombstone gone, k=3's kept
+        live = {r["k"] for r in read_current(
+            spark, path, delete_col="is_delete").collect()}
+        assert live == {1, 4}
+
+    def test_noop_when_nothing_droppable(self, spark, tmp_path):
+        import glob
+        import os
+
+        from oups_spark.streaming.cdc import cdc_merge_batch, cdc_vacuum
+
+        path = str(tmp_path / "s")
+        schema = "k long, ord long, v string, is_delete boolean"
+        cdc_merge_batch(
+            spark,
+            spark.createDataFrame([(1, 10, "a", False)], schema),
+            path, key="k", order_cols=["ord"], n_buckets=4,
+        )
+        before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(path, "**/*.parquet"))
+        }
+        assert cdc_vacuum(
+            spark, path, delete_col="is_delete",
+            safe_to_drop=F.lit(True),
+        ) == 0
+        after = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(path, "**/*.parquet"))
+        }
+        assert before == after
