@@ -756,3 +756,51 @@ class TestCdcVacuum:
             for f in glob.glob(os.path.join(path, "**/*.parquet"))
         }
         assert before == after
+
+
+def test_cdc_sink_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume: the sink processes chunks 1-2, stops, a new
+    chunk arrives, and a SECOND sink run with the same checkpoint dir
+    must fold in only the new file — the final state equals the
+    one-shot keep-last over all three chunks."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from oups_spark.streaming.cdc import cdc_upsert_sink, read_current
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, ord long, v string, is_delete boolean"
+
+    def write_chunk(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"chunk{i}"))
+
+    write_chunk(0, [(1, 10, "a", False), (2, 10, "b", False)])
+    write_chunk(1, [(1, 20, "a2", False), (3, 20, "c", False)])
+
+    def run_sink():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        cdc_upsert_sink(
+            stream, state, key="k", order_cols=["ord"],
+            n_buckets=4, checkpoint_dir=ckpt,
+        )
+
+    run_sink()
+    cur1 = {r["k"]: r["v"] for r in read_current(
+        spark, state, delete_col="is_delete").collect()}
+    assert cur1 == {1: "a2", 2: "b", 3: "c"}
+    # new chunk after the "crash": update k=3, delete k=2
+    write_chunk(2, [(3, 30, "c2", False), (2, 30, None, True)])
+    run_sink()
+    cur2 = {r["k"]: r["v"] for r in read_current(
+        spark, state, delete_col="is_delete").collect()}
+    assert cur2 == {1: "a2", 3: "c2"}
