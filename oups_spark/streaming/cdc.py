@@ -162,7 +162,6 @@ def cdc_vacuum(
     *,
     delete_col: str,
     safe_to_drop,
-    n_buckets_hint: int | None = None,
 ) -> int:
     """Garbage-collect tombstones from the upsert table: drop delete
     rows for which ``safe_to_drop`` (a boolean Column over the row)
