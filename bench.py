@@ -238,6 +238,18 @@ def main() -> int:
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
+        # noise context for the reader: ambient load (1/5/15 min) at
+        # the end of the run, and the min-of-reps total — the noise
+        # floor. Same-code totals have swung 169 -> 214 s purely on
+        # ambient host load; when total_min_reps sits far below the
+        # headline, the gap is noise, not regression.
+        try:
+            load_avg = list(os.getloadavg())
+        except OSError:
+            load_avg = []
+        total_min = round(
+            sum(s[0] for s in spread.values() if s), 3
+        )
         with open(detail_path, "w") as fh:
             json.dump(
                 {
@@ -246,6 +258,8 @@ def main() -> int:
                     # per-query constant a long-lived streaming query
                     # pays once, embedded in every streaming_* median
                     "streaming_fixed_overhead_sec": streaming_fixed_overhead,
+                    "load_avg_end": load_avg,
+                    "total_min_reps": total_min,
                     "queries": timings,
                     "spread": spread,
                 },
