@@ -804,3 +804,24 @@ def test_cdc_sink_resumes_from_checkpoint(spark, tmp_path):
     cur2 = {r["k"]: r["v"] for r in read_current(
         spark, state, delete_col="is_delete").collect()}
     assert cur2 == {1: "a2", 3: "c2"}
+
+
+def test_driver_window_queries_all_have_oracles():
+    """The first 50 registered queries are the driver's correctness
+    window this round — every one must carry a DuckDB oracle (a
+    rows-only entry in the window would silently weaken the gate),
+    and every _WINDOW_PRIORITY name must actually be registered
+    (a typo would quietly reshuffle the window)."""
+    from oups_spark.queries import (
+        _WINDOW_PRIORITY,
+        REGISTRY,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    names = list(REGISTRY)
+    assert len(names) >= 50
+    for n in names[:50]:
+        assert REGISTRY[n].oracle is not None, n
+    missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]
+    assert missing == [], missing
