@@ -134,6 +134,24 @@ def main() -> int:
     from oups_spark.queries import REGISTRY, load_all_query_modules
     from oups_spark.session import get_spark
 
+    # Load-avg gate: same-code totals have swung 169 -> 239 s purely on
+    # ambient host load, so a headline taken under load is not
+    # interpretable. Wait (bounded) for a quiet window, then stamp
+    # load_avg at start AND end into the stdout headline so every
+    # BENCH_r{N}.json records the conditions it was taken under.
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0"))
+    wait_s = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "120"))
+    deadline = time.time() + wait_s
+    while True:
+        try:
+            load_start = list(os.getloadavg())
+        except OSError:
+            load_start = []
+            break
+        if load_start[0] <= gate or time.time() >= deadline:
+            break
+        time.sleep(10)
+
     load_all_query_modules()
     spark = get_spark("oups-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -234,19 +252,19 @@ def main() -> int:
     # AND 5 both lost their headline to this truncation (the front of
     # the JSON object, where metric/value sit, is what gets cut). The
     # final stdout line is now a ~120-byte headline only.
+    # noise context for the reader: ambient load (1/5/15 min) at
+    # the end of the run, and the min-of-reps total — the noise
+    # floor. Same-code totals have swung 169 -> 214 s purely on
+    # ambient host load; when total_min_reps sits far below the
+    # headline, the gap is noise, not regression.
+    try:
+        load_avg = list(os.getloadavg())
+    except OSError:
+        load_avg = []
     try:
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
-        # noise context for the reader: ambient load (1/5/15 min) at
-        # the end of the run, and the min-of-reps total — the noise
-        # floor. Same-code totals have swung 169 -> 214 s purely on
-        # ambient host load; when total_min_reps sits far below the
-        # headline, the gap is noise, not regression.
-        try:
-            load_avg = list(os.getloadavg())
-        except OSError:
-            load_avg = []
         total_min = round(
             sum(s[0] for s in spread.values() if s), 3
         )
@@ -258,6 +276,7 @@ def main() -> int:
                     # per-query constant a long-lived streaming query
                     # pays once, embedded in every streaming_* median
                     "streaming_fixed_overhead_sec": streaming_fixed_overhead,
+                    "load_avg_start": load_start,
                     "load_avg_end": load_avg,
                     "total_min_reps": total_min,
                     "queries": timings,
@@ -278,6 +297,12 @@ def main() -> int:
                 "reps": reps,
                 "n_queries": len(timings),
                 "n_failed": len(failed),
+                "load_1m_start": round(load_start[0], 2) if load_start else None,
+                "load_1m_end": round(load_avg[0], 2) if load_avg else None,
+                "load_gate_ok": bool(
+                    load_start and load_avg
+                    and load_start[0] <= gate and load_avg[0] <= gate * 2
+                ),
             }
         )
     )

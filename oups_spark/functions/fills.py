@@ -110,7 +110,13 @@ def interpolate_resample(
         .filter(F.col("__v").isNotNull())
         .withColumn("__tag", F.lit(0))
     )
-    bounds = df.groupBy(key).agg(
+    # grid bounds come from the null-FILTERED observations: a key
+    # whose boundary rows carry NULL values must not widen its grid
+    # (and an all-NULL key gets no grid at all) — the same universe
+    # the SQL twin derives its bounds from. Filtering df directly
+    # (rather than aggregating obs) keeps this a single exchange
+    # instead of stacking on obs's (key, ts) pre-agg.
+    bounds = df.filter(F.col(value_col).isNotNull()).groupBy(key).agg(
         F.min(ts_col).alias("__mn"), F.max(ts_col).alias("__mx")
     )
     grid = bounds.select(

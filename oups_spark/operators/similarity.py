@@ -256,7 +256,11 @@ def embedding_neardup_pairs(
     expensive dot products are NOT evaluated inside the block join
     (≤ #blocks partitions): bare id-pairs are built first,
     repartitioned wide, and vectors attached by id joins
-    (:func:`_verify_pairs`).
+    (:func:`_verify_pairs`). The wide repartition is load-bearing —
+    the verify side is broadcast-sized, so without it the dot-product
+    stage inherits the block join's ≤ #blocks partitions (measured at
+    sf0.1, 10 labels: 1.9 s vs 0.45 s median over 5 reps at load<0.3;
+    the round-8 bench flag on this line was ambient host load).
     """
     if method == "auto":
         method = "lsh" if threshold >= 0.7 else "exact"

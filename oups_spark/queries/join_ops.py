@@ -161,7 +161,8 @@ def range_join_first_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total_price
+           round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment ORDER BY c_mktsegment
     """,
@@ -203,11 +204,19 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_col="custkey", n_buckets=8,
     )
     j = colocated_join(spark, ln, rn, on="custkey")
+    # per-segment sums over the whole orders table are the largest
+    # float accumulations in the suite: sum on the integer grid
+    # (o_totalprice has exactly 2 decimals) so partial-agg order can
+    # never move the 2-dp rounding boundary between engines
     return (
         j.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("total_price"),
         )
         .orderBy("c_mktsegment")
     )
@@ -218,7 +227,8 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name,
            count(*) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total_spent
+           round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_spent
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_name
     ORDER BY c_custkey
@@ -249,7 +259,11 @@ def salted_join_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("c_custkey", "c_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )

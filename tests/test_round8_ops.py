@@ -701,6 +701,37 @@ def test_interpolate_ignores_null_observations(spark):
     assert out[t0] == 1.0
 
 
+def test_interpolate_null_boundary_shrinks_grid(spark):
+    """Grid bounds derive from the null-FILTERED observations (advice
+    finding): a NULL boundary row must not widen the grid, and a key
+    whose values are all NULL gets no grid rows at all — matching the
+    SQL twin, which builds bounds from the filtered set."""
+    import datetime as dt
+
+    from oups_spark.functions.fills import interpolate_resample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # key a: NULL at 0h and 6h; real observations span 2h..4h
+        ("a", t0, None),
+        ("a", t0 + dt.timedelta(hours=2), 2.0),
+        ("a", t0 + dt.timedelta(hours=4), 4.0),
+        ("a", t0 + dt.timedelta(hours=6), None),
+        # key b: only NULLs -> contributes nothing
+        ("b", t0, None),
+        ("b", t0 + dt.timedelta(hours=3), None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = interpolate_resample(
+        df, key="k", ts_col="ts", value_col="v", freq="1h"
+    ).collect()
+    assert {r["k"] for r in got} == {"a"}
+    by_ts = {r["ts"]: r["v_interp"] for r in got}
+    assert min(by_ts) == t0 + dt.timedelta(hours=2)
+    assert max(by_ts) == t0 + dt.timedelta(hours=4)
+    assert by_ts[t0 + dt.timedelta(hours=3)] == 3.0
+
+
 class TestCdcVacuum:
     def test_drops_only_safe_tombstones(self, spark, tmp_path):
         from oups_spark.streaming.cdc import (
