@@ -20,7 +20,10 @@ proves correctness here.
 Cost per batch: the touched-bucket read the CDC merge already does,
 two tiny group-aggs over those rows, and a rewrite of the aggregate
 table (O(#groups) — the point of a materialized aggregate is that
-#groups ≪ #keys ≪ #rows).
+#groups ≪ #keys ≪ #rows). The delta applies to the stored aggregate
+via a distributed FULL OUTER join — no driver-side state, so a
+high-cardinality ``group_col`` costs one small shuffle instead of a
+driver OOM.
 
 Replay caveat: the state merge is idempotent under redelivery, but
 the delta-apply is not — re-applying a batch's delta would double
@@ -47,7 +50,13 @@ def _contrib(df: DataFrame, group_col: str, value_col: str, sign: int):
         (F.lit(sign) * F.count(F.lit(1))).alias("dn"),
         (
             F.lit(sign)
-            * F.sum(F.round(F.col(value_col) * fac).cast("long"))
+            # a group whose live rows are all NULL-valued still counts
+            # rows but contributes 0 to the sum (sum over all-nulls is
+            # NULL, which would poison the merge arithmetic)
+            * F.coalesce(
+                F.sum(F.round(F.col(value_col) * fac).cast("long")),
+                F.lit(0).cast("long"),
+            )
         ).alias("dsum"),
     )
 
@@ -81,29 +90,37 @@ def cdc_merge_batch_with_agg(
             _contrib(cur.filter(live), group_col, value_col, -1)
         )
     )
-    # materialize the delta BEFORE write_state clobbers the files
-    # `cur` lazily reads; it is O(#groups) rows by design
-    delta_rows = (
-        delta.groupBy("g")
-        .agg(F.sum("dn").alias("dn"), F.sum("dsum").alias("dsum"))
-        .collect()
+    delta_agg = delta.groupBy("g").agg(
+        F.sum("dn").alias("dn"), F.sum("dsum").alias("dsum")
     )
-    acc: dict = {}
     if os.path.exists(agg_path):
-        for r in spark.read.parquet(agg_path).collect():
-            acc[r["g"]] = [r["n"], r["isum"]]
-    for r in delta_rows:
-        e = acc.setdefault(r["g"], [0, 0])
-        e[0] += r["dn"]
-        e[1] += r["dsum"]
-    rows = [
-        (g, int(n), int(isum)) for g, (n, isum) in acc.items() if n > 0
-    ]
-    agg_df = spark.createDataFrame(rows, "g string, n long, isum long")
-    # NB: no coalesce(1) — a LocalTableScan behind coalesce takes a
-    # multi-second pathological path in this Spark build; the table
-    # is O(#groups) rows, a couple of part files is fine
-    agg_df.write.mode("overwrite").parquet(agg_path)
+        stored = spark.read.parquet(agg_path)
+        merged = (
+            stored.join(delta_agg, on="g", how="full_outer")
+            .select(
+                F.col("g"),
+                (
+                    F.coalesce(F.col("n"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(F.col("isum"), F.lit(0))
+                    + F.coalesce(F.col("dsum"), F.lit(0))
+                ).alias("isum"),
+            )
+        )
+    else:
+        merged = delta_agg.select(
+            F.col("g"), F.col("dn").alias("n"), F.col("dsum").alias("isum")
+        )
+    # drop groups whose live row count hit zero (all keys deleted)
+    merged = merged.filter(F.col("n") > 0)
+    # materialize BEFORE either overwrite: `merged` lazily reads BOTH
+    # the old aggregate files this write replaces AND (via delta ->
+    # cur) the state files write_state replaces — a stage retry after
+    # the overwrites would silently re-read new bytes
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(agg_path)
     write_state(spark, flat, state_path)
 
 

@@ -490,6 +490,91 @@ class TestIncrementalViewMaintenance:
         )
         assert read_agg(spark, aggp).count() == 0
 
+    def test_all_null_value_group_contributes_zero_sum(self, spark, tmp_path):
+        """A group whose live rows all carry NULL values must merge
+        cleanly (advice finding: sum-over-all-nulls is NULL and
+        poisoned the delta apply): rows count, sum stays 0."""
+        from oups_spark.streaming.ivm import cdc_merge_batch_with_agg, read_agg
+
+        state = str(tmp_path / "s3")
+        aggp = str(tmp_path / "a3")
+        schema = "k long, ord long, grp string, v double, is_delete boolean"
+        cdc_merge_batch_with_agg(
+            spark,
+            spark.createDataFrame(
+                [(1, 1, "nullgrp", None, False), (2, 1, "mixed", None, False),
+                 (3, 1, "mixed", 7.0, False)],
+                schema,
+            ),
+            state, aggp, key="k", order_cols=["ord"], group_col="grp",
+            value_col="v", delete_col="is_delete", n_buckets=4,
+        )
+        # retracting an all-null group exercises the NULL sum on the
+        # negative side too
+        cdc_merge_batch_with_agg(
+            spark,
+            spark.createDataFrame([(1, 2, None, None, True)], schema),
+            state, aggp, key="k", order_cols=["ord"], group_col="grp",
+            value_col="v", delete_col="is_delete", n_buckets=4,
+        )
+        out = {r["g"]: r for r in read_agg(spark, aggp).collect()}
+        assert set(out) == {"mixed"}
+        assert out["mixed"]["n"] == 2 and out["mixed"]["sum_val"] == 7.0
+
+    def test_high_cardinality_groups_stay_distributed(self, spark, tmp_path):
+        """100k distinct groups across two batches: the maintained
+        aggregate must bit-match a one-shot aggregation of the final
+        state, and the merge must hold no driver-side copy of the
+        aggregate table (the delta applies via a distributed
+        full-outer join — pinned by a source check so a collect-based
+        merge cannot silently return)."""
+        import inspect
+
+        import oups_spark.streaming.ivm as ivm_mod
+        from oups_spark.streaming.cdc import read_current
+        from oups_spark.streaming.ivm import cdc_merge_batch_with_agg, read_agg
+
+        src = inspect.getsource(ivm_mod.cdc_merge_batch_with_agg)
+        assert ".collect()" not in src
+
+        state = str(tmp_path / "s4")
+        aggp = str(tmp_path / "a4")
+        n = 100_000
+
+        def batch(offset, ordv):
+            return (
+                spark.range(n)
+                .select(
+                    F.col("id").alias("k"),
+                    F.lit(ordv).alias("ord"),
+                    F.concat(F.lit("g"), (F.col("id") + offset) % n)
+                    .alias("grp"),
+                    (F.col("id") % 97 / 10.0).alias("v"),
+                    F.lit(False).alias("is_delete"),
+                )
+            )
+
+        for i, b in enumerate([batch(0, 1), batch(7, 2)]):
+            cdc_merge_batch_with_agg(
+                spark, b, state, aggp, key="k", order_cols=["ord"],
+                group_col="grp", value_col="v", delete_col="is_delete",
+                n_buckets=8,
+            )
+        maintained = read_agg(spark, aggp)
+        assert maintained.count() == n
+        oneshot = (
+            read_current(spark, state, delete_col="is_delete")
+            .groupBy(F.col("grp").alias("g"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.round(F.col("v") * 1e6).cast("long")) / 1e6, 6
+                ).alias("sum_val"),
+            )
+        )
+        assert maintained.exceptAll(oneshot).isEmpty()
+        assert oneshot.exceptAll(maintained).isEmpty()
+
 
 class TestPagerank:
     def test_matches_sequential_twin(self, spark):
