@@ -17,7 +17,9 @@ rest of the engine from.
 FILESYSTEM CONTRACT: the commit protocol is pluggable via
 :class:`ManifestBackend`. The default :class:`PosixRenameBackend`
 relies on an atomic, overwriting rename — a guarantee POSIX
-filesystems and HDFS provide but object stores (S3) do NOT. For
+filesystems and HDFS provide but object stores (S3) do NOT — plus a
+``flock``-guarded generation compare-and-swap so two local writers
+serialize instead of last-writer-wins. For
 object stores, :class:`ObjectStoreBackend` routes ``save`` through a
 CONDITIONAL PUT (put-if-match on the manifest object's generation /
 ETag, put-if-absent for creation) — a stale writer raises
@@ -69,26 +71,64 @@ class ManifestBackend:
 
 
 class PosixRenameBackend(ManifestBackend):
-    """Atomic tmp-file + ``os.replace`` swap (POSIX / HDFS).
+    """Atomic tmp-file + ``os.replace`` swap (POSIX / HDFS), with a
+    ``flock``-guarded compare-and-swap on commit.
 
-    Rename gives atomic visibility but no compare-and-swap, so
-    commits are last-writer-wins; tokens are always ``None``. Correct
-    for single-writer-per-dataset deployments (the store's documented
-    locking posture)."""
+    Readers never take the lock — the atomic rename already gives
+    them old-or-new visibility. Writers serialize through an
+    advisory ``fcntl.flock`` on a sidecar lock file for the
+    read-check-swap window only: the commit re-reads the manifest
+    under the lock and requires its generation to equal the token
+    this writer read earlier (absence, for creation), raising
+    :class:`ManifestConflictError` otherwise. Two concurrent local
+    writers therefore both land (one retries via
+    ``conflict_retries``) instead of one silently clobbering the
+    other — the concurrency posture the reference gets from holding
+    a ``flufl.lock`` for the dataset lifetime
+    (``oups/store/ordered_parquet_dataset/ordered_parquet_dataset/base.py:240-255``),
+    except held only for the microseconds of the swap and
+    crash-safe (the kernel drops a dead writer's flock; a stale
+    flufl lock must time out). Advisory-lock caveat: like all
+    flock schemes this serializes only processes on one host/mount —
+    cross-host coordination belongs to :class:`ObjectStoreBackend`.
+    """
+
+    @staticmethod
+    def _gen_of(data: bytes) -> int:
+        return json.loads(data).get("generation", 0)
 
     def read(self, dirpath: str):
         path = os.path.join(dirpath, MANIFEST_NAME)
         if not os.path.exists(path):
             return None
         with open(path, "rb") as fh:
-            return fh.read(), None
+            data = fh.read()
+        return data, self._gen_of(data)
 
     def commit(self, dirpath: str, data: bytes, *, expect_token) -> Any:
-        tmp = os.path.join(dirpath, MANIFEST_NAME + ".tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-        os.replace(tmp, os.path.join(dirpath, MANIFEST_NAME))
-        return None
+        import fcntl
+
+        path = os.path.join(dirpath, MANIFEST_NAME)
+        lock_path = path + ".lock"
+        with open(lock_path, "a+b") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            # no explicit unlock: closing the fd releases the flock,
+            # and the kernel releases it if the process dies mid-swap
+            if os.path.exists(path):
+                with open(path, "rb") as fh:
+                    current = self._gen_of(fh.read())
+            else:
+                current = None
+            if current != expect_token:
+                raise ManifestConflictError(
+                    f"manifest at {path} changed since read (expected "
+                    f"generation {expect_token}, found {current})"
+                )
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, path)
+        return self._gen_of(data)
 
 
 class ObjectStoreBackend(ManifestBackend):

@@ -321,3 +321,99 @@ def test_write_conflict_retry_merges_both_writers(spark, scratch):
         e.name for e in OrderedDataset(spark, path, backend=be).manifest.files
     }
     assert files_on_disk == referenced
+
+
+def test_posix_backend_write_conflict_detected_and_retries(spark, scratch):
+    """The default POSIX backend now detects a stale writer (flock'd
+    generation CAS) instead of last-writer-wins: same flow as the
+    object-store test above, no backend injection."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import ManifestConflictError
+
+    path = os.path.join(scratch, "posix_cas_retry")
+
+    def frame(h0, vals):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.date_range(
+                    f"2024-01-01 {h0}:00", periods=len(vals), freq="h"
+                ),
+                "v": vals,
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    OrderedDataset(spark, path).write(df=frame(0, [1.0, 2.0]), ordered_on="ts")
+    a = OrderedDataset(spark, path)
+    b = OrderedDataset(spark, path)
+    b.write(df=frame(2, [3.0]))
+    with pytest.raises(ManifestConflictError):
+        a.write(df=frame(3, [4.0]))
+    a.write(df=frame(3, [4.0]), conflict_retries=2)
+    got = (
+        OrderedDataset(spark, path)
+        .read()
+        .toPandas()
+        .sort_values("ts", ignore_index=True)
+    )
+    assert got["v"].tolist() == [1.0, 2.0, 3.0, 4.0]
+
+
+def _flock_contender(dirpath: str, tag: str, n: int) -> None:
+    """Worker for the two-process flock test: n read-modify-write
+    commits with reload-and-retry on conflict."""
+    from oups_spark.store.manifest import (
+        FileEntry,
+        Manifest,
+        ManifestConflictError,
+    )
+
+    for i in range(n):
+        while True:
+            m = Manifest.load(dirpath) or Manifest(ordered_on="ts")
+            m.files.append(
+                FileEntry(
+                    name=f"{tag}_{i}.parquet", n_rows=1,
+                    min=i * 2, max=i * 2 + 1,
+                )
+            )
+            try:
+                m.save(dirpath)
+                break
+            except ManifestConflictError:
+                continue
+
+
+def test_two_process_writers_both_survive(tmp_path):
+    """TWO OS PROCESSES hammer the same dataset manifest with
+    read-modify-write commits (the reference serializes this with a
+    held flufl.lock, base.py:240-255): under the flock'd CAS every
+    commit from both writers must land — last-writer-wins would
+    silently drop entries."""
+    import multiprocessing as mp
+
+    from oups_spark.store.manifest import Manifest
+
+    d = str(tmp_path)
+    n = 25
+    ctx = mp.get_context("fork")
+    ps = [
+        ctx.Process(target=_flock_contender, args=(d, tag, n))
+        for tag in ("p1", "p2")
+    ]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    final = Manifest.load(d)
+    names = {f.name for f in final.files}
+    assert names == {
+        f"{tag}_{i}.parquet" for tag in ("p1", "p2") for i in range(n)
+    }
+    assert final.generation == 2 * n
