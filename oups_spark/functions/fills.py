@@ -31,16 +31,27 @@ def anti_by(df: DataFrame, other: DataFrame, on: list[str] | str) -> DataFrame:
 
 
 def flatten_struct_columns(
-    df: DataFrame, sep: str = "_", max_depth: int | None = None
-) -> DataFrame:
+    df: DataFrame,
+    sep: str = "_",
+    max_depth: int | None = None,
+    return_mapping: bool = False,
+):
     """Flatten struct columns into ``parent_child`` (recursively
     ``parent_child_grandchild``) names — the Spark face of the
     reference's ``conform_cmidx``, which collapses a pandas column
     MultiIndex the same way (``parquet_adapter.py:45-85``); arbitrary
     nesting depth matches a MultiIndex of any number of levels.
-    ``max_depth`` bounds the recursion (None = fully flatten)."""
+    ``max_depth`` bounds the recursion (None = fully flatten).
 
-    def expand(prefix_path: str, prefix_name: str, dtype, depth: int):
+    With ``return_mapping`` returns ``(df, mapping)`` where mapping is
+    ``{flat_name: [level, ...]}`` for every column that WAS nested —
+    the information :func:`unflatten_struct_columns` needs to invert
+    the rename (``sep`` alone is ambiguous when level names contain
+    it). Raises if a flat name collides with an existing column."""
+
+    mapping: dict[str, list[str]] = {}
+
+    def expand(prefix_path: str, levels: list[str], dtype, depth: int):
         if dtype.typeName() == "struct" and (
             max_depth is None or depth < max_depth
         ):
@@ -49,18 +60,80 @@ def flatten_struct_columns(
                 out.extend(
                     expand(
                         f"{prefix_path}.`{sub.name}`",
-                        f"{prefix_name}{sep}{sub.name}",
+                        levels + [sub.name],
                         sub.dataType,
                         depth + 1,
                     )
                 )
             return out
-        return [F.col(prefix_path).alias(prefix_name)]
+        flat = sep.join(levels)
+        if len(levels) > 1:
+            if flat in mapping:
+                raise ValueError(
+                    f"two struct paths flatten to the same name {flat!r} "
+                    f"(separator {sep!r})"
+                )
+            mapping[flat] = levels
+        return [F.col(prefix_path).alias(flat)]
 
     cols = []
     for field in df.schema.fields:
-        cols.extend(expand(f"`{field.name}`", field.name, field.dataType, 0))
-    return df.select(*cols)
+        cols.extend(expand(f"`{field.name}`", [field.name], field.dataType, 0))
+    plain = {
+        f.name for f in df.schema.fields if f.dataType.typeName() != "struct"
+    }
+    clash = set(mapping) & plain
+    if clash:
+        raise ValueError(
+            f"flattened struct column(s) {sorted(clash)} collide with "
+            f"existing top-level columns (separator {sep!r})"
+        )
+    out = df.select(*cols)
+    return (out, mapping) if return_mapping else out
+
+
+def unflatten_struct_columns(
+    df: DataFrame, mapping: dict[str, list[str]]
+) -> DataFrame:
+    """Inverse of :func:`flatten_struct_columns`: rebuild struct
+    columns from flat names using the recorded ``{flat: levels}``
+    mapping (the Spark face of restoring a pandas column MultiIndex).
+    Flat names absent from ``df`` are skipped, so the inverse
+    composes with column projection; unmapped columns pass through
+    in their original position."""
+
+    def insert(tree: dict, levels: list[str], flat: str) -> None:
+        head, rest = levels[0], levels[1:]
+        if rest:
+            node = tree.setdefault(head, {})
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"cmidx mapping nests under leaf column {head!r}"
+                )
+            insert(node, rest, flat)
+        else:
+            tree[head] = flat
+
+    roots: dict[str, dict | str] = {}
+    order: list[str] = []
+    for c in df.columns:
+        levels = mapping.get(c)
+        if levels is None:
+            roots[c] = c
+            order.append(c)
+        else:
+            if levels[0] not in roots:
+                order.append(levels[0])
+            insert(roots, levels, c)
+
+    def build(node, name: str) -> Column:
+        if isinstance(node, str):
+            return F.col(f"`{node}`").alias(name)
+        return F.struct(
+            *[build(sub, k) for k, sub in node.items()]
+        ).alias(name)
+
+    return df.select(*[build(roots[n], n) for n in order])
 
 
 def interpolate_resample(

@@ -425,3 +425,45 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("sum_val"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "store_cmidx_roundtrip",
+    oracle="""
+    SELECT ts AS t, event_id AS e, event_type, value
+    FROM events
+    ORDER BY t, e
+    """,
+)
+def store_cmidx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple (column-MultiIndex) ``ordered_on`` parity (reference
+    ``write.py:98-100`` + ``conform_cmidx``,
+    ``parquet_adapter.py:45-85``): events nest under a struct column
+    ``m(t, e)``, two interleaved halves are merge-written ordered on
+    the tuple ``("m", "t")`` with tuple ``duplicates_on``, and the
+    read rebuilds the struct from the manifest's flat-name mapping —
+    the result is accessed THROUGH the struct, proving the
+    round-trip. The oracle states the same rows from the raw table."""
+    path = os.path.join(_fresh("store_cmidx_roundtrip"), "events_cmidx")
+    events = load(spark, sf_dir, "events").select(
+        F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e")).alias(
+            "m"
+        ),
+        "event_type",
+        "value",
+    )
+    ds = OrderedDataset(spark, path)
+    even = events.filter(F.col("m.e") % 2 == 0)
+    odd = events.filter(F.col("m.e") % 2 == 1)
+    ds.write(df=even, ordered_on=("m", "t"), row_group_target_size=2500)
+    ds.write(df=odd, duplicates_on=[("m", "t"), ("m", "e")])
+    return (
+        ds.read()
+        .select(
+            F.col("m.t").alias("t"),
+            F.col("m.e").alias("e"),
+            "event_type",
+            "value",
+        )
+        .orderBy("t", "e")
+    )

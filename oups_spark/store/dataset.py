@@ -145,6 +145,7 @@ class OrderedDataset:
         filters=None,
         ordered: bool = False,
         as_of: int | None = None,
+        unflatten: bool = True,
     ) -> DataFrame:
         """Scan, with manifest file pruning for ``[start, end_excl)``.
 
@@ -217,6 +218,13 @@ class OrderedDataset:
             df = df.select(*columns)
         if ordered:
             df = df.orderBy(man.ordered_on)
+        if unflatten and man.cmidx:
+            # dataset written with tuple (column-MultiIndex) names:
+            # rebuild the struct columns the writer flattened; filters
+            # and pruning above ran on the stored flat names
+            from oups_spark.functions.fills import unflatten_struct_columns
+
+            df = unflatten_struct_columns(df, man.cmidx)
         return df
 
     # ------------------------------------------------------------- write
@@ -245,14 +253,25 @@ class OrderedDataset:
 
         ``conflict_retries``: on a manifest CAS conflict (another
         writer committed between this writer's manifest read and its
-        commit — only the object-store backend detects this), reload
-        the manifest and RE-RUN the whole write that many times. The
-        full re-run is required for correctness, not convenience: the
-        overlap analysis, keep-last dedup and file split were all
-        computed against the superseded manifest. Data files staged
-        by the failed attempt are removed before retrying (they were
-        never referenced). Default 0 = raise, caller decides.
+        commit), reload the manifest and RE-RUN the whole write that
+        many times. The full re-run is required for correctness, not
+        convenience: the overlap analysis, keep-last dedup and file
+        split were all computed against the superseded manifest. Data
+        files staged by the failed attempt are removed before
+        retrying (they were never referenced). Default 0 = raise,
+        caller decides.
+
+        ``ordered_on`` (and entries of ``duplicates_on``) may be a
+        TUPLE of names — the reference's column-MultiIndex form
+        (``write.py:98-100``): the tuple names a field path inside
+        struct columns. The dataset then stores every struct column
+        flattened (``conform_cmidx`` semantics,
+        ``parquet_adapter.py:45-85``) with the name mapping in the
+        manifest, and ``read`` rebuilds the structs.
         """
+        df, ordered_on, duplicates_on, cmidx = self._conform_cmidx(
+            df, ordered_on, duplicates_on
+        )
         attempt = 0
         while True:
             try:
@@ -260,6 +279,7 @@ class OrderedDataset:
                     df,
                     ordered_on=ordered_on,
                     duplicates_on=duplicates_on,
+                    cmidx=cmidx,
                     row_group_target_size=row_group_target_size,
                     max_n_off_target_rgs=max_n_off_target_rgs,
                     key_value_metadata=key_value_metadata,
@@ -274,12 +294,53 @@ class OrderedDataset:
                 attempt += 1
                 self._manifest = Manifest.load(self.path, self.backend)
 
+    _CMIDX_SEP = "_"
+
+    def _conform_cmidx(self, df, ordered_on, duplicates_on):
+        """Normalize tuple column names (the reference's MultiIndex
+        form) and flatten struct columns when cmidx mode is engaged —
+        by a tuple ``ordered_on`` on first write, or by the stored
+        mapping on later ones. Plain-named datasets pass through
+        untouched (struct columns then persist as parquet nested
+        groups, the Spark-idiomatic default)."""
+        stored = self._manifest.cmidx if self._manifest else None
+        if not (isinstance(ordered_on, tuple) or stored):
+            return df, ordered_on, duplicates_on, None
+        sep = self._CMIDX_SEP
+        mapping: dict[str, list[str]] = {}
+        if df is not None and any(
+            f.dataType.typeName() == "struct" for f in df.schema.fields
+        ):
+            from oups_spark.functions.fills import flatten_struct_columns
+
+            df, mapping = flatten_struct_columns(
+                df, sep=sep, return_mapping=True
+            )
+        for flat, levels in (stored or {}).items():
+            if flat in mapping and mapping[flat] != list(levels):
+                raise ValueError(
+                    f"column {flat!r} maps to path {mapping[flat]} in this "
+                    f"batch but {list(levels)} in the dataset"
+                )
+        if isinstance(ordered_on, tuple):
+            ordered_on = sep.join(ordered_on)
+        if duplicates_on is not None:
+            if isinstance(duplicates_on, tuple):
+                duplicates_on = sep.join(duplicates_on)
+            elif isinstance(duplicates_on, list):
+                duplicates_on = [
+                    sep.join(d) if isinstance(d, tuple) else d
+                    for d in duplicates_on
+                ]
+        return df, ordered_on, duplicates_on, {**(stored or {}), **mapping}
+
     def _write_attempt(
         self,
         df: DataFrame | None = None,
         *,
         ordered_on: str | None = None,
         duplicates_on: list[str] | str | None = None,
+        cmidx: dict[str, list[str]] | None = None,
         row_group_target_size: int | str = DEFAULT_ROW_GROUP_TARGET_SIZE,
         max_n_off_target_rgs: int | None = None,
         key_value_metadata: dict | None = None,
@@ -444,7 +505,7 @@ class OrderedDataset:
             if new_entries is not None:
                 self._commit(
                     ordered_on, df, target_schema, kept, replaced_names,
-                    new_entries, key_value_metadata,
+                    new_entries, key_value_metadata, cmidx,
                 )
                 return
 
@@ -495,12 +556,12 @@ class OrderedDataset:
 
         self._commit(
             ordered_on, df, target_schema, kept, replaced_names,
-            new_entries, key_value_metadata,
+            new_entries, key_value_metadata, cmidx,
         )
 
     def _commit(
         self, ordered_on, df, target_schema, kept, replaced_names,
-        new_entries, key_value_metadata,
+        new_entries, key_value_metadata, cmidx=None,
     ) -> None:
         # build the CANDIDATE manifest as a copy: a failed commit
         # (e.g. CAS conflict) must not leave this handle's in-memory
@@ -516,9 +577,12 @@ class OrderedDataset:
                 kv=dict(b.kv),
                 schema_json=b.schema_json,
                 generation=b.generation,
+                cmidx=b.cmidx,
                 token=b.token,
             )
         man.ordered_on = ordered_on
+        if cmidx:
+            man.cmidx = cmidx
         man.files = kept + new_entries
         man.schema_json = (target_schema or df.schema).json()
         _merge_kv(man.kv, key_value_metadata)

@@ -316,6 +316,11 @@ class Manifest:
     files: list[FileEntry] = field(default_factory=list)
     kv: dict[str, Any] = field(default_factory=dict)
     schema_json: str | None = None  # Spark StructType json of the dataset
+    # column-MultiIndex mapping (reference: tuple column names /
+    # ``conform_cmidx``): {flat_column_name: [level, level, ...]} for
+    # datasets written with tuple ``ordered_on`` — ``read`` uses it to
+    # rebuild the struct columns the writer flattened
+    cmidx: dict[str, list[str]] | None = None
     # monotone commit counter: incremented by every save(); the key of
     # time-travel snapshots (see snapshot_* helpers)
     generation: int = 0
@@ -341,6 +346,8 @@ class Manifest:
             "kv": _enc_tree(self.kv),
             "schema_json": self.schema_json,
         }
+        if self.cmidx:
+            payload["cmidx"] = self.cmidx
         return json.dumps(payload).encode()
 
     def save(
@@ -367,6 +374,7 @@ class Manifest:
             kv=_dec_tree(payload.get("kv", {})),
             schema_json=payload.get("schema_json"),
             generation=payload.get("generation", 0),
+            cmidx=payload.get("cmidx"),
             token=token,
         )
 

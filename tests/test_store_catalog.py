@@ -417,3 +417,97 @@ def test_two_process_writers_both_survive(tmp_path):
         f"{tag}_{i}.parquet" for tag in ("p1", "p2") for i in range(n)
     }
     assert final.generation == 2 * n
+
+
+def test_tuple_ordered_on_cmidx_roundtrip(spark, scratch):
+    """Tuple ordered_on (reference column-MultiIndex form): structs
+    flatten on write with the name mapping in the manifest, merge +
+    range reads run on the flat key, and read() rebuilds the structs."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import Manifest
+
+    path = os.path.join(scratch, "cmidx_ds")
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, i * 10, f"v{i}") for i in ids], "t long, e long, s string"
+        ).select(
+            F.struct(F.col("t"), F.col("e")).alias("m"), F.col("s")
+        )
+
+    ds = OrderedDataset(spark, path)
+    ds.write(df=frame([0, 2, 4, 6]), ordered_on=("m", "t"),
+             row_group_target_size=3)
+    # second batch: tuple names resolve against the stored mapping
+    ds.write(df=frame([1, 3, 5]), duplicates_on=[("m", "t"), ("m", "e")])
+
+    man = Manifest.load(path)
+    assert man.ordered_on == "m_t"
+    assert man.cmidx == {"m_t": ["m", "t"], "m_e": ["m", "e"]}
+
+    back = OrderedDataset(spark, path).read(ordered=True)
+    assert back.schema["m"].dataType.typeName() == "struct"
+    assert [r["m"]["t"] for r in back.collect()] == list(range(7))
+
+    # the flat view and range pruning on the stored (leaf) values
+    flat = OrderedDataset(spark, path).read(unflatten=False)
+    assert set(flat.columns) == {"m_t", "m_e", "s"}
+    rng = OrderedDataset(spark, path).read(start=2, end_excl=5)
+    assert sorted(r["m"]["t"] for r in rng.collect()) == [2, 3, 4]
+
+    # keep-last on the tuple key: a corrected row replaces the original
+    fix = frame([3]).withColumn("s", F.lit("fixed"))
+    OrderedDataset(spark, path).write(
+        df=fix, duplicates_on=[("m", "t"), ("m", "e")]
+    )
+    got = {
+        r["m"]["t"]: r["s"]
+        for r in OrderedDataset(spark, path).read().collect()
+    }
+    assert got[3] == "fixed" and len(got) == 7
+
+
+def test_cmidx_mapping_conflict_and_flat_collision(spark, scratch):
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from oups_spark.functions.fills import flatten_struct_columns
+    from oups_spark.store.dataset import OrderedDataset
+
+    # a flat name colliding with a plain column is refused
+    bad = spark.range(2).select(
+        F.struct(F.col("id").alias("t")).alias("m"),
+        F.col("id").alias("m_t"),
+    )
+    with pytest.raises(ValueError, match="collide"):
+        flatten_struct_columns(bad, return_mapping=True)
+
+    # a later batch remapping an existing flat name is refused:
+    # a{b{c}} stores c as "a_b_c" = [a, b, c]; a batch whose struct
+    # a{`b_c`} flattens to the SAME name via a different path must not
+    # silently alias into that column
+    path = os.path.join(scratch, "cmidx_conflict")
+    ds = OrderedDataset(spark, path)
+    ds.write(
+        df=spark.range(3).select(
+            F.struct(
+                F.struct(F.col("id").alias("c")).alias("b"),
+                F.col("id").alias("t"),
+            ).alias("a")
+        ),
+        ordered_on=("a", "t"),
+    )
+    with pytest.raises(ValueError, match="maps to path"):
+        OrderedDataset(spark, path).write(
+            df=spark.range(3).select(
+                F.struct(
+                    F.col("id").alias("b_c"), F.col("id").alias("t")
+                ).alias("a")
+            ),
+        )
