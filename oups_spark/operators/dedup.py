@@ -278,12 +278,17 @@ def simhash_neardup_pairs(
     *,
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 60,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with banded-LSH
-    candidate generation (bit-sampling LSH over the 60-bit hash —
-    15-bit band keys at the default 4 bands keep bucket sizes, and
+    candidate generation (bit-sampling LSH over the hash — 15-bit
+    band keys at the 60-bit/4-band default keep bucket sizes, and
     hence candidate volume, 128× below what a 32-bit hash's 8-bit
     keys allow; see :func:`simhash60`).
+
+    ``bits=64`` selects the wide form (16-bit band keys at 4 bands,
+    65536-value bands — the 100-TB variant SCALE.md names; signature
+    carried as two 32-bit halves, :func:`simhash_signatures_wide`).
 
     Recall is EXACT for ``max_hamming <= bands - 1`` by pigeonhole:
     two hashes within distance d differ in at most d of the ``bands``
@@ -292,8 +297,18 @@ def simhash_neardup_pairs(
     on the true distance). One equality self-join on (band, key) —
     never an all-pairs comparison.
     """
-    from oups_spark.operators.text import SIMHASH_BITS
+    from oups_spark.operators.text import (
+        SIMHASH_BITS,
+        simhash_signatures_wide,
+    )
 
+    if bits == 64:
+        return _simhash_neardup_pairs_wide(
+            simhash_signatures_wide(df, id_col, text_col),
+            id_col, max_hamming=max_hamming, bands=bands,
+        )
+    if bits != SIMHASH_BITS:
+        raise ValueError(f"bits must be {SIMHASH_BITS} or 64, got {bits}")
     if SIMHASH_BITS % bands:
         raise ValueError(f"bands must divide {SIMHASH_BITS}, got {bands}")
     sigs = simhash_signatures(df, id_col, text_col).persist()
@@ -325,6 +340,61 @@ def simhash_neardup_pairs(
     # verify BEFORE the distinct: the map-side bit_count filter
     # discards most raw band-bucket collisions, so the dedup shuffle
     # carries only true near-dups instead of all candidates
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def _simhash_neardup_pairs_wide(
+    sigs: DataFrame, id_col: str, *, max_hamming: int, bands: int
+) -> DataFrame:
+    """Banded self-join over the two-half 64-bit signature: band keys
+    slice ``bands`` disjoint windows across (sim_lo, sim_hi), Hamming
+    distance sums the halves. Same pigeonhole recall guarantee and
+    verify-before-distinct shuffle discipline as the 60-bit path."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    if width > 32 or 32 % width:
+        raise ValueError(
+            f"band width {width} must divide the 32-bit halves"
+        )
+    per_half = 32 // width
+    sigs = sigs.persist()
+    entries = [
+        F.struct(
+            F.lit(h * per_half + b).alias("band"),
+            F.shiftright(F.col(col), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for h, col in ((0, "sim_lo"), (1, "sim_hi"))
+        for b in range(per_half)
+    ]
+    keyed = sigs.select(
+        F.col(id_col), "sim_hi", "sim_lo",
+        F.explode(F.array(*entries)).alias("bk"),
+    ).select(
+        F.col(id_col), "sim_hi", "sim_lo",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"), "band", "key",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"), "band", "key",
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
     return (
         a.join(b, on=["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))

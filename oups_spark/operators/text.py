@@ -81,6 +81,14 @@ def md5_int60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def md5_int_lo(col: Column) -> Column:
+    """Second 32-bit word of the md5 (hex chars 9-16) — with
+    :func:`md5_int` this yields 64 independent hash bits as two
+    engine-portable halves (a single signed BIGINT cannot carry bit
+    63 in DuckDB, whose ``1 << 63`` overflows)."""
+    return F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
@@ -291,6 +299,48 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for j in range(SIMHASH_BITS):
         out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bits.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_signatures_wide(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash as TWO 32-bit halves ``(sim_hi, sim_lo)`` — the
+    100-TB form SCALE.md names (16-bit band keys over 64 hash bits =
+    65536-value bands, 2x lower per-band collision rate than the
+    60-bit/15-bit default). Two halves instead of one BIGINT because
+    bit 63 of a signed 64-bit value is not constructible in DuckDB
+    SQL (``1::BIGINT << 63`` overflows), and the oracle must replay
+    the signature bit-exactly; Hamming distance is simply the sum of
+    the halves' distances. Same one-pass explode + 64 vote aggregates
+    plan as :func:`simhash_signatures`."""
+    hv = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    ).select(
+        F.col(id_col),
+        md5_int(F.col("t")).alias("hhi"),
+        md5_int_lo(F.col("t")).alias("hlo"),
+    )
+    votes = [
+        F.sum(
+            F.shiftright(F.col(h), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"{tag}{j}")
+        for tag, h in (("a", "hhi"), ("b", "hlo"))
+        for j in range(32)
+    ]
+    bits = hv.groupBy(id_col).agg(*votes)
+    out = {}
+    for tag, name in (("a", "sim_hi"), ("b", "sim_lo")):
+        acc = F.lit(0).cast("long")
+        for j in range(32):
+            acc = acc + F.when(
+                F.col(f"{tag}{j}") > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        out[name] = acc
+    return bits.select(
+        F.col(id_col), out["sim_hi"].alias("sim_hi"),
+        out["sim_lo"].alias("sim_lo"),
+    )
 
 
 def text_stats_df(

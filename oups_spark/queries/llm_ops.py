@@ -886,6 +886,62 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# 64-bit SimHash oracle: the signature rides as two 32-bit halves
+# because DuckDB cannot construct bit 63 of a signed BIGINT
+# (1::BIGINT << 63 overflows); Hamming distance sums the halves
+_MD5INT_LO = "CAST(('0x' || substr(md5({x}), 9, 8)) AS BIGINT)"
+_SIMHASH64_CTE = f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOK}) AS tok FROM documents),
+    h AS (SELECT doc_id, {_MD5INT.format(x='u.s')} AS hhi,
+                 {_MD5INT_LO.format(x='u.s')} AS hlo
+          FROM (SELECT doc_id, unnest(tok) AS s FROM t) u),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (hhi >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones_hi,
+             sum(CASE WHEN (hlo >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones_lo,
+             count(*) AS n
+      FROM h, (SELECT unnest(range(0, 32)) AS j)
+      GROUP BY doc_id, j
+    ),
+    s AS (
+      SELECT doc_id,
+             sum(CASE WHEN ones_hi * 2 > n THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+               AS sim_hi,
+             sum(CASE WHEN ones_lo * 2 > n THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+               AS sim_lo
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "simhash_neardup_pairs_64",
+    oracle=_SIMHASH64_CTE + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+          + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_neardup_pairs_64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB SimHash variant SCALE.md names: 64 hash bits, 16-bit
+    band keys (65536-value bands — 2x lower per-band collision rate
+    than the 60-bit default) with the same pigeonhole-exact recall at
+    Hamming <= 3, so the banded plan is value-identical to the
+    all-pairs oracle."""
+    from oups_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=3, bands=4, bits=64
+    ).orderBy("id_a", "id_b")
+
+
 def _pq_oracle_sql() -> str | None:
     """Fully INDEPENDENT DuckDB twin of ``ann_pq_topk`` — pure SQL,
     nothing repo-computed. Codebook training is unrolled per subspace

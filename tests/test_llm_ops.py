@@ -63,6 +63,44 @@ def test_simhash_similar_texts_close(spark):
     assert d12 < d13, f"near-dup hamming {d12} should beat unrelated {d13}"
 
 
+def test_simhash_wide_banded_pairs_match_brute_force(spark):
+    """Pigeonhole recall of the 64-bit/16-bit-band form: the banded
+    self-join must return EXACTLY the pairs a brute-force all-pairs
+    Hamming scan finds at max_hamming <= bands-1, and the signature
+    halves must stay within 32 unsigned bits (engine portability)."""
+    from itertools import combinations
+
+    from oups_spark.operators.dedup import simhash_neardup_pairs
+    from oups_spark.operators.text import simhash_signatures_wide
+
+    base = "the quick brown fox jumps over the lazy dog near the river "
+    rows = [(i, base + f"variant {i % 7} tail {i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {
+        r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+        for r in simhash_signatures_wide(df, "doc_id", "text").collect()
+    }
+    assert all(
+        0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+        for hi, lo in sigs.values()
+    )
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a][0] ^ sigs[b][0]).count("1")
+        + bin(sigs[a][1] ^ sigs[b][1]).count("1") <= 3
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(
+            df, "doc_id", "text", max_hamming=3, bands=4, bits=64
+        ).collect()
+    }
+    assert banded == brute
+    assert brute, "test corpus produced no near-dup pairs"
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     emb = load(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
