@@ -65,28 +65,67 @@ def pack_documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes) -> dict:
-    """STUB decode: a real implementation would call PIL/ffmpeg here.
+def _pil_image_bytes(payload: bytes):
+    """Decoded pixel bytes via PIL when (a) PIL is importable and
+    (b) the payload actually parses as an image — None otherwise.
+    Runs executor-side inside the Arrow batch, so the import cost is
+    per Python worker, not per row."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
 
-    Deterministic fake features derived from the bytes so tests can
-    assert exact values end-to-end.
+    try:
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+    except Exception:
+        return None
+    return img.tobytes()
+
+
+def decode_stub(payload: bytes, *, decoder: str = "auto") -> dict:
+    """Media decode with an optional real backend: ``'pil'`` computes
+    the features over DECODED pixel bytes (raises when PIL is absent
+    or the payload is not an image), ``'stub'`` over the raw payload
+    bytes (deterministic — tests assert exact values end-to-end), and
+    ``'auto'`` upgrades to PIL when it is importable AND the payload
+    parses, falling back to the stub otherwise. Either way the
+    feature formula is the same function of the chosen byte stream,
+    so the operator upgrades automatically outside this sandbox
+    (which ships no PIL/ffmpeg) without changing shape or schema.
     """
     if payload is None:
         raise NotImplementedError(
             "real media decode not available in this environment"
         )
+    stream = None
+    if decoder in ("auto", "pil"):
+        stream = _pil_image_bytes(payload)
+        if stream is None and decoder == "pil":
+            raise NotImplementedError(
+                "decoder='pil' requires PIL and a decodable image payload"
+            )
+    if stream is None:
+        stream = payload
     n = len(payload)
-    checksum = sum(payload) % (1 << 31)
-    mean = (sum(payload) / n) if n else 0.0
+    checksum = sum(stream) % (1 << 31)
+    mean = (sum(stream) / len(stream)) if stream else 0.0
     return {"n_bytes": n, "checksum": checksum, "mean_byte": mean, "feat_dim": 8}
 
 
-def extract_features(media: DataFrame, *, batch_hint: int = 64) -> DataFrame:
-    """Arrow-batched feature extraction over ``mapInPandas``."""
+def extract_features(
+    media: DataFrame, *, batch_hint: int = 64, decoder: str = "auto"
+) -> DataFrame:
+    """Arrow-batched feature extraction over ``mapInPandas``.
+
+    ``decoder``: ``'auto'`` (PIL when available, stub fallback),
+    ``'pil'`` (require real decode), ``'stub'`` (force deterministic
+    fake features — what the oracle-checked queries pin)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(p) for p in pdf["payload"]]
+            feats = [decode_stub(p, decoder=decoder) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_type", pdf["media_type"].values)
             out.insert(0, "doc_id", pdf["doc_id"].values)

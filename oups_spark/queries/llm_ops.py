@@ -595,7 +595,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.multimodal import extract_features, pack_documents_as_media
 
     docs = load(spark, sf_dir, "documents")
-    out = extract_features(pack_documents_as_media(docs))
+    # decoder pinned to the stub: the oracle replays the stub formula,
+    # so an environment that happens to ship PIL must not change the
+    # checked values
+    out = extract_features(pack_documents_as_media(docs), decoder="stub")
     return out.select(
         "doc_id",
         "media_type",

@@ -394,3 +394,25 @@ def test_mmr_zero_norm_vector_scores_zero_not_null(spark):
     by_id = {r["vec_id"]: r for r in out}
     assert set(by_id) == {1, 2, 3}          # zero-norm row is ranked
     assert by_id[2]["rel_sim"] == 0.0       # guarded cosine, not NULL
+
+
+def test_decode_backends_stub_and_optional_pil(spark):
+    """decode_stub backend selection: 'stub' is the deterministic
+    formula over raw bytes; 'auto' falls back to the stub when PIL is
+    absent or the payload is not an image (both true for these text
+    payloads regardless of environment), so the oracle-pinned values
+    hold under either install; 'pil' refuses loudly instead of
+    silently stubbing."""
+    import pytest
+
+    from oups_spark.operators.multimodal import decode_stub
+
+    payload = b"not an image, just bytes"
+    stub = decode_stub(payload, decoder="stub")
+    assert stub == decode_stub(payload, decoder="auto")
+    assert stub["n_bytes"] == len(payload)
+    assert stub["checksum"] == sum(payload) % (1 << 31)
+    with pytest.raises(NotImplementedError):
+        decode_stub(payload, decoder="pil")
+    with pytest.raises(NotImplementedError):
+        decode_stub(None)
