@@ -46,83 +46,34 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Round-8 window (executing the plan documented in round 7's
-# boundary note below slot 50), in priority order:
-#   1. round-8 registrations — never-checked first, the standing
-#      rule: new queries take slots in their landing round (they are
-#      PREPENDED to this list as they land);
-#   2. the 9 queries whose last driver-green row is round 5 (three
-#      rounds stale — the oldest evidence anywhere): the calendar-bin
-#      / snapshot siblings and the three native-streaming variants
-#      that sat just past round 7's slot-50 boundary;
-#   3. round-6-green queries over code CHANGED in round 7
-#      (classifier.py, selection.py, similarity.py, sketch.py —
-#      commit 80ed790): the classifier/curation pair, the
-#      selection-layer queries, the ANN/embedding family, and the
-#      two sketch queries round 7's window did not already re-check;
-#   4. remaining round-6-greens, oldest-evidence-first with family
-#      representatives ahead of siblings; the cheap stable TPC-H
-#      shapes (core.py, untouched since round 4) sit at the BOTTOM so
-#      new round-8 registrations displace those first — they spill to
-#      round 9's window head.
-# With 109+ registered queries and a 50-slot window the full rotation
-# cadence is ~2.2 rounds; whatever falls past slot 50 here is the
-# head of round 9's window.
+# Round-9 window (evidence ages going in: 50 r8-green, 50 r7-green,
+# 22 r6-green, 2 never-checked), in priority order:
+#   1. the 2 round-9 registrations (never checked — the standing
+#      rule: new queries take slots in their landing round; PREPENDED
+#      as they land);
+#   2. ALL 22 queries whose last driver-green row is round 6 — the
+#      oldest evidence anywhere and the judge's round-9 ask (this
+#      includes doc_chunk_overlap, which round 8's boundary note
+#      miscounted as inside that window — it was slot 51);
+#   3. r8-greens over code CHANGED this round: interpolate_resample
+#      bounds fix (fills.py), integer-grid sums (join_ops.py), the
+#      distributed IVM merge (ivm.py), the dedup.py bits= extension,
+#      and embedding_neardup_pairs (unchanged behavior, but the
+#      round-8 bench flagged it — keep its evidence fresh);
+#   4. r7-greens over changed code next — the store family + the
+#      aggstream/ingest writers all commit through the new flock'd
+#      manifest CAS (manifest.py/dataset.py) — then r7-green family
+#      representatives (flagship pricing_summary, DNF filter,
+#      segment/snapshot/session/asof/ANN reps) to fill 50.
+# Below the boundary: the remaining 30 r7-greens (listed, in order)
+# are the head of round 10's window, followed by the 44 r8-greens
+# (import order). Full-rotation cadence at 124 queries / 50 slots is
+# ~2.5 rounds; no query's evidence should ever age past 3 rounds.
 _WINDOW_PRIORITY = [
-    # (1) round-8 registrations land here, newest first
-    "weighted_sample_by_source",
-    "lsh_recall_eval",
-    "neardup_pagerank",
-    "cdc_incremental_agg",
-    "zorder_box_scan",
-    "interpolate_resample_6h",
-    "cdc_upsert_stream",
-    "weighted_sample_wor",
-    "gopher_quality_rules",
-    "asof_nearest_tolerance",
-    "crossencoder_rerank_topk",
-    "domain_url_stats",
-    "bucketed_colocated_join",
-    # (2) last green r5 — three rounds stale
-    "segment_bins_4h_right",
-    "segment_bins_4h_0930_offset",
-    "segment_bins_month_right",
-    "segment_bins_quarter_right",
-    "snapshot_1y_1ms",
-    "snapshot_irregular_edges",
-    "streaming_native_sessions",
-    "streaming_sliding_hourly",
-    "streaming_stateful_ffill",
-    # (3) r6-greens over code changed in round 7 (80ed790)
-    "quality_classifier_scores",
-    "corpus_curation",
-    "duplicate_span_removal",
-    "temperature_source_mix",
-    "neardup_keep_best",
-    "leakage_safe_splits",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "embedding_neardup_pairs",
-    "embedding_quantize",
-    "label_centroids",
-    "incremental_neardup_ingest",
-    "hll_distinct_tokens",
-    "decontamination_overlap",
-    # (4) remaining r6-greens, family reps first, stable TPC-H last
-    "packed_training_sequences",
-    "ccnet_quality_buckets",
-    "token_pack_assignment",
-    "source_quota_topk",
-    "stratified_sample_mix",
-    "deterministic_shuffle",
-    "neardup_clusters",
-    "ngram_jaccard_pairs",
-    "simhash_neardup_pairs",
-    "lang_id",
-    "pii_scan",
-    "repetition_stats",
-    "lm_quality_score",
-    "bm25_topk",
+    # (1) round-9 registrations, newest first
+    "simhash_neardup_pairs_64",
+    "store_cmidx_roundtrip",
+    # (2) all 22 r6-stale queries
     "doc_chunk_overlap",
     "json_props_extract",
     "multimodal_features",
@@ -134,14 +85,6 @@ _WINDOW_PRIORITY = [
     "calendar_floor_ceil",
     "value_percentiles_by_type",
     "salted_join_order_customer",
-    # --- slot-50 boundary: with 12 round-8 registrations at the
-    # head, the window ends at doc_chunk_overlap (slot 50);
-    # json_props_extract sits at slot 51, unchecked this round.
-    # Head of round 9's window = json_props_extract + the 9 displaced
-    # section-4 r6-greens (multimodal_features ..
-    # salted_join_order_customer), then the names below (r6-green
-    # siblings + stable core.py TPC-H shapes), then the r7-green
-    # queries oldest-first:
     "minhash_signatures",
     "simhash_signatures",
     "multimodal_frame_sample",
@@ -153,6 +96,67 @@ _WINDOW_PRIORITY = [
     "customers_without_orders",
     "order_priority_counts",
     "shipping_priority",
+    # (3) r8-greens over round-9 code changes
+    "interpolate_resample_6h",
+    "bucketed_colocated_join",
+    "cdc_incremental_agg",
+    "cdc_upsert_stream",
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+    # (4) r7-greens: changed-code families first, then family reps
+    "store_merge_keep_last",
+    "store_append_range_read",
+    "store_compact_roundtrip",
+    "store_time_travel",
+    "store_schema_evolution",
+    "store_stats_skipping",
+    "jsonl_ingest_roundtrip",
+    "aggstream_hourly_restart",
+    "aggstream_snapshots_restart",
+    "aggstream_edge_bins_restart",
+    "streaming_dedup_ingest",
+    "incremental_hll_ingest",
+    "pricing_summary",
+    "dnf_filter_events",
+    "segment_bins_1h",
+    "row_count_bins_500",
+    "snapshot_1d_6h",
+    "session_windows",
+    "asof_click_before_purchase",
+    "embedding_cosine_topk",
+    # --- slot-50 boundary: the window ends at embedding_cosine_topk
+    # (slot 50, counted: 2 + 22 + 6 + 20). Round 10's window head =
+    # the 30 r7-greens below, oldest evidence after this round:
+    "range_join_first_week",
+    "text_stats",
+    "dedup_exact",
+    "minhash_lsh_neardup_pairs",
+    "kmeans_clusters",
+    "countmin_heavy_hitters",
+    "histogram_quantiles_by_type",
+    "bloom_decontamination",
+    "hll_source_overlap",
+    "ann_ivf_topk",
+    "mmr_diverse_topk",
+    "cohort_retention_weekly",
+    "ewma_user_values",
+    "text_feature_vectors",
+    "source_quota_twophase",
+    "corpus_pipeline_end2end",
+    "topic_clusters",
+    "segment_bins_explicit_edges",
+    "sliding_window_1h_15m",
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "semdedup_prune",
+    "streaming_native_hourly",
+    "streaming_interval_join",
+    "streaming_hll_ingest",
+    "volume_bars_10k",
+    "aggstream_filter_fanout",
+    "intersections_bucket_align",
+    "rollup_pricing",
+    "twap_hourly",
 ]
 
 
