@@ -298,11 +298,10 @@ def main() -> int:
                 "n_queries": len(timings),
                 "n_failed": len(failed),
                 "load_1m_start": round(load_start[0], 2) if load_start else None,
+                # end load is dominated by the bench's own 32-thread
+                # work winding down — recorded for context, NOT gated
                 "load_1m_end": round(load_avg[0], 2) if load_avg else None,
-                "load_gate_ok": bool(
-                    load_start and load_avg
-                    and load_start[0] <= gate and load_avg[0] <= gate * 2
-                ),
+                "load_gate_ok": bool(load_start and load_start[0] <= gate),
             }
         )
     )
