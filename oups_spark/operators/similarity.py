@@ -1115,3 +1115,92 @@ def mmr_rerank(
         "mmr_rank",
         F.round("rel", 6).alias("rel_sim"),
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    block_col: str | None = None,
+    method: str = "exact",
+    n_planes: int = 10,
+    n_tables: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH by cosine: the top-k neighbors of
+    EVERY node — the input shape for graph clustering, label
+    propagation and semantic-dedup pipelines (vs ``cosine_topk``,
+    which answers a small broadcast query set).
+
+    Output: (src, dst, rank, cosine_sim), rank 1..k per src, ties
+    broken by dst id for cross-engine determinism.
+
+    ``method='exact'``: directed all-pairs within a ``block_col``
+    equality join — O(n²/#blocks) pair volume, exact. The same
+    verify discipline as :func:`embedding_neardup_pairs`: bare id
+    pairs first, repartitioned wide, vectors attached by id joins,
+    similarity as a JVM zip_with/aggregate fold (bit-portable to the
+    DuckDB oracle). ``method='lsh'``: hyperplane-LSH candidates feed
+    the same ranking — sub-quadratic and recall<1 (a node's true
+    k-th neighbor may miss candidate generation), the open-scale
+    path when blocks are too big to pair exhaustively.
+    """
+    if method == "lsh":
+        dim = len(df.select(F.col(vec_col)).limit(1).collect()[0][0])
+        und = lsh_candidate_pairs(
+            df, id_col=id_col, vec_col=vec_col, block_col=block_col,
+            n_planes=n_planes, n_tables=n_tables, seed=seed, dim=dim,
+        )
+        pairs = und.unionByName(
+            und.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+    elif method == "exact":
+        if block_col is None:
+            raise ValueError("method='exact' requires block_col")
+        ids = df.select(F.col(block_col), F.col(id_col))
+        pairs = (
+            ids.select(F.col(block_col), F.col(id_col).alias("id_a"))
+            .join(
+                ids.select(F.col(block_col), F.col(id_col).alias("id_b")),
+                on=block_col,
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    else:
+        raise ValueError(f"method must be exact|lsh, got {method!r}")
+    pairs = pairs.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    v = v.select(F.col(id_col), F.col("v"), norm(F.col("v")).alias("nrm"))
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    den = F.col("na") * F.col("nb")
+    sim = F.when(den > 0, dot(F.col("va"), F.col("vb")) / den).otherwise(
+        F.lit(0.0)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("sim"), F.asc("id_b"))
+    return (
+        pairs.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+    )

@@ -47,8 +47,8 @@ def register(name: str, oracle: str | None = None):
 # exposed, just not driver-checked this round).
 #
 # Round-9 window (evidence ages going in: 50 r8-green, 50 r7-green,
-# 22 r6-green, 2 never-checked), in priority order:
-#   1. the 2 round-9 registrations (never checked — the standing
+# 22 r6-green, 4 never-checked), in priority order:
+#   1. the 4 round-9 registrations (never checked — the standing
 #      rule: new queries take slots in their landing round; PREPENDED
 #      as they land);
 #   2. ALL 22 queries whose last driver-green row is round 6 — the
@@ -71,6 +71,8 @@ def register(name: str, oracle: str | None = None):
 # ~2.5 rounds; no query's evidence should ever age past 3 rounds.
 _WINDOW_PRIORITY = [
     # (1) round-9 registrations, newest first
+    "knn_graph_topk",
+    "interval_overlap_pairs",
     "simhash_neardup_pairs_64",
     "store_cmidx_roundtrip",
     # (2) all 22 r6-stale queries
@@ -122,11 +124,12 @@ _WINDOW_PRIORITY = [
     "row_count_bins_500",
     "snapshot_1d_6h",
     "session_windows",
+    # --- slot-50 boundary: the window ends at session_windows
+    # (slot 50, counted: 4 + 22 + 6 + 18). Round 10's window head =
+    # the 32 r7-greens below (the two displaced reps first), oldest
+    # evidence after this round:
     "asof_click_before_purchase",
     "embedding_cosine_topk",
-    # --- slot-50 boundary: the window ends at embedding_cosine_topk
-    # (slot 50, counted: 2 + 22 + 6 + 20). Round 10's window head =
-    # the 30 r7-greens below, oldest evidence after this round:
     "range_join_first_week",
     "text_stats",
     "dedup_exact",

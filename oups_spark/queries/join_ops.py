@@ -267,3 +267,55 @@ def salted_join_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "interval_overlap_pairs",
+    oracle="""
+    WITH lu AS (SELECT user_id, min(ts) AS l_start,
+                       min(ts) + INTERVAL 2 DAY AS l_end
+                FROM events GROUP BY 1),
+    rt AS (SELECT event_type, min(ts) AS r_start,
+                  min(ts) + INTERVAL 1 DAY AS r_end
+           FROM events GROUP BY 1)
+    SELECT lu.user_id, rt.event_type,
+           CAST(epoch_us(least(l_end, r_end))
+                - epoch_us(greatest(l_start, r_start)) AS BIGINT)
+             AS overlap_us
+    FROM lu JOIN rt ON l_start < r_end AND r_start < l_end
+    ORDER BY user_id, event_type
+    """,
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval overlap join (beyond reference — the
+    session/campaign overlap shape): each user's first-2-day activity
+    window against each event type's first-day window. Both interval
+    sets explode onto a daily grid and meet in an EQUALITY join on
+    the cell — never an unbounded inequality join — with each
+    overlapping pair emitted once from its canonical cell (the one
+    holding the overlap's first instant), so no dedup shuffle. The
+    oracle states the same pairs as a plain inequality join."""
+    from oups_spark.operators.asof import interval_overlap_join
+
+    events = load(spark, sf_dir, "events")
+    lu = events.groupBy("user_id").agg(F.min("ts").alias("l_start")).withColumn(
+        "l_end", F.col("l_start") + F.expr("INTERVAL 2 DAYS")
+    )
+    rt = events.groupBy("event_type").agg(
+        F.min("ts").alias("r_start")
+    ).withColumn("r_end", F.col("r_start") + F.expr("INTERVAL 1 DAYS"))
+    j = interval_overlap_join(
+        lu, rt,
+        left_start="l_start", left_end="l_end",
+        right_start="r_start", right_end="r_end",
+        grid="1D",
+    )
+    overlap_us = F.unix_micros(
+        F.least("l_end", "r_end").cast("timestamp")
+    ) - F.unix_micros(F.greatest("l_start", "r_start").cast("timestamp"))
+    return (
+        j.select(
+            "user_id", "event_type", overlap_us.alias("overlap_us")
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -411,6 +411,40 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
+@register(
+    "knn_graph_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))) AS sim
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    r AS (SELECT src, dst, sim,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY sim DESC, dst) AS rank
+          FROM p)
+    SELECT src, dst, CAST(rank AS BIGINT) AS rank,
+           round(sim, 6) AS cosine_sim
+    FROM r WHERE rank <= 3 ORDER BY src, rank
+    """,
+)
+def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph (k=3, cosine) blocked by cluster label — the
+    top-k neighbors of EVERY node, the input shape for graph
+    clustering / label propagation / semantic dedup. Directed
+    all-pairs stay inside the block equality join; similarity is the
+    JVM fold so the DuckDB window-rank twin replays it bit-exactly."""
+    from oups_spark.operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_graph(
+        emb, k=3, block_col="label", method="exact"
+    ).orderBy("src", "rank")
+
+
 def _vec_sql(v) -> str:
     """A float vector as a DuckDB DOUBLE[] literal. ``repr(float)``
     is the shortest round-tripping decimal, so DuckDB parses back the

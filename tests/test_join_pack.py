@@ -528,3 +528,79 @@ def test_pack_sequences_layout(spark):
     # empty doc lands in the pack of its offset with zero tokens
     assert out[("g", 2)][0] == 1 and out[("g", 2)][1] == 0
     assert out[("g", 2)][2] == [] and out[("g", 2)][3] == [3]
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketed interval-overlap join == naive inequality join on
+    randomized intervals spanning multiple grid cells (each pair must
+    appear exactly ONCE despite sharing several cells), including
+    degenerate (empty) intervals which match nothing."""
+    import datetime as dt
+    import random
+
+    from oups_spark.operators.asof import interval_overlap_join
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(n, tag):
+        rows = []
+        for i in range(n):
+            s = t0 + dt.timedelta(hours=rng.randrange(0, 200))
+            # some spans cross many daily cells; a few are degenerate
+            span = rng.choice([0, 1, 5, 30, 80])
+            rows.append((f"{tag}{i}", s, s + dt.timedelta(hours=span)))
+        return rows
+
+    lrows, rrows = mk(40, "L"), mk(30, "R")
+    left = spark.createDataFrame(lrows, "lid string, ls timestamp, le timestamp")
+    right = spark.createDataFrame(rrows, "rid string, rs timestamp, re timestamp")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", grid="1D",
+        ).collect()
+    )
+    # an empty interval [t, t) contains no instants: the bare
+    # inequality predicate wrongly calls it overlapping, so the naive
+    # twin must exclude degenerates like the operator does
+    naive = sorted(
+        (lid, rid)
+        for lid, ls, le in lrows
+        for rid, rs, re in rrows
+        if ls < le and rs < re and ls < re and rs < le
+    )
+    assert got == naive
+    assert len(got) == len(set(got))  # canonical-cell emit: no dupes
+
+
+def test_interval_overlap_join_by_key_and_self_source(spark):
+    """by-key equality restricts pairs, and both sides deriving from
+    ONE source frame must not trip the ambiguous-self-join check."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.asof import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = spark.createDataFrame(
+        [
+            ("u1", t0, t0 + dt.timedelta(days=2)),
+            ("u1", t0 + dt.timedelta(days=1), t0 + dt.timedelta(days=3)),
+            ("u2", t0, t0 + dt.timedelta(days=2)),
+        ],
+        "k string, s timestamp, e timestamp",
+    )
+    out = interval_overlap_join(
+        base,
+        base.select("k", F.col("s").alias("s2"), F.col("e").alias("e2")),
+        left_start="s", left_end="e",
+        right_start="s2", right_end="e2",
+        by="k", grid="1D",
+    ).collect()
+    # u1 has 2 intervals -> 4 ordered pairs (incl. self-pairs);
+    # u2 has 1 -> 1 self-pair; never cross-key
+    assert len(out) == 5
+    assert all(r["k"] in ("u1", "u2") for r in out)

@@ -416,3 +416,50 @@ def test_decode_backends_stub_and_optional_pil(spark):
         decode_stub(payload, decoder="pil")
     with pytest.raises(NotImplementedError):
         decode_stub(None)
+
+
+def test_knn_graph_exact_matches_bruteforce_and_lsh_recall(spark):
+    """knn_graph: the exact blocked form must equal a local
+    brute-force top-k per node (ties by id); the LSH form's edges
+    must be a high-recall subset ranked consistently."""
+    import numpy as np
+
+    from oups_spark.operators.similarity import knn_graph
+
+    emb = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    lab = {r["vec_id"]: r["label"] for r in rows}
+
+    def cos(a, b):
+        d = np.linalg.norm(V[a]) * np.linalg.norm(V[b])
+        return float(V[a] @ V[b] / d) if d else 0.0
+
+    k = 4
+    expect = set()
+    for a in V:
+        cands = sorted(
+            (b for b in V if b != a and lab[b] == lab[a]),
+            key=lambda b: (-cos(a, b), b),
+        )[:k]
+        expect.update((a, b) for b in cands)
+    got = {
+        (r["src"], r["dst"])
+        for r in knn_graph(emb, k=k, block_col="label").collect()
+    }
+    assert got == expect
+
+    approx = knn_graph(
+        emb, k=k, block_col="label", method="lsh",
+        n_planes=4, n_tables=24,
+    ).collect()
+    apairs = {(r["src"], r["dst"]) for r in approx}
+    recall = len(apairs & expect) / len(expect)
+    assert recall > 0.5, f"LSH knn-graph recall {recall:.2f} too low"
+    # per-src ranks are 1..n contiguous
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in approx:
+        by_src[r["src"]].append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_src.values())
