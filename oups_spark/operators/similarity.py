@@ -40,6 +40,19 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from one probed non-null row — None when
+    the frame is empty or all vectors are NULL (callers short-circuit
+    to an empty result instead of crashing on the probe)."""
+    row = (
+        df.select(F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .limit(1)
+        .collect()
+    )
+    return len(row[0][0]) if row else None
+
+
 def _vec_sql_lit(v) -> str:
     """A float vector as ONE Spark-SQL array literal. ``repr(float)``
     is the shortest round-tripping decimal, so the JVM parses back the
@@ -265,9 +278,13 @@ def embedding_neardup_pairs(
     if method == "auto":
         method = "lsh" if threshold >= 0.7 else "exact"
     if method == "lsh":
-        dim = len(
-            df.select(F.col(vec_col)).limit(1).collect()[0][0]
-        )
+        dim = _infer_dim(df, vec_col)
+        if dim is None:
+            return df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine_sim"),
+            ).limit(0)
         pairs = lsh_candidate_pairs(
             df, id_col=id_col, vec_col=vec_col, block_col=block_col,
             n_planes=n_planes, n_tables=n_tables, seed=seed, dim=dim,
@@ -1148,7 +1165,14 @@ def knn_graph(
     path when blocks are too big to pair exhaustively.
     """
     if method == "lsh":
-        dim = len(df.select(F.col(vec_col)).limit(1).collect()[0][0])
+        dim = _infer_dim(df, vec_col)
+        if dim is None:
+            return df.select(
+                F.col(id_col).alias("src"),
+                F.col(id_col).alias("dst"),
+                F.lit(1).cast("long").alias("rank"),
+                F.lit(0.0).alias("cosine_sim"),
+            ).limit(0)
         und = lsh_candidate_pairs(
             df, id_col=id_col, vec_col=vec_col, block_col=block_col,
             n_planes=n_planes, n_tables=n_tables, seed=seed, dim=dim,

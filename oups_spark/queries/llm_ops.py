@@ -417,9 +417,12 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
     p AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
-             list_dot_product(a.e, b.e) /
-               (sqrt(list_dot_product(a.e, a.e))
-                * sqrt(list_dot_product(b.e, b.e))) AS sim
+             CASE WHEN list_dot_product(a.e, a.e)
+                       * list_dot_product(b.e, b.e) > 0
+                  THEN list_dot_product(a.e, b.e) /
+                         (sqrt(list_dot_product(a.e, a.e))
+                          * sqrt(list_dot_product(b.e, b.e)))
+                  ELSE 0.0 END AS sim
       FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
     ),
     r AS (SELECT src, dst, sim,

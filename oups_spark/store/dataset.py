@@ -161,6 +161,12 @@ class OrderedDataset:
         pinned generation always returns the same rows until
         ``vacuum`` reclaims it, after which it raises — never a
         silent partial read.
+
+        Datasets written with tuple (column-MultiIndex) names store
+        FLAT columns: ``columns``/``filters``/``start`` address the
+        flattened names and leaf values; ``unflatten`` (default True)
+        rebuilds the struct columns at the end from the manifest's
+        mapping.
         """
         if as_of is not None:
             from oups_spark.store.manifest import load_snapshot
@@ -269,16 +275,20 @@ class OrderedDataset:
         ``parquet_adapter.py:45-85``) with the name mapping in the
         manifest, and ``read`` rebuilds the structs.
         """
-        df, ordered_on, duplicates_on, cmidx = self._conform_cmidx(
-            df, ordered_on, duplicates_on
-        )
         attempt = 0
         while True:
+            # conform INSIDE the retry loop: a conflict reloads the
+            # manifest, and the cmidx merge must re-run against the
+            # winning writer's mapping or this commit would overwrite
+            # entries that writer just added
+            cdf, c_on, c_dup, cmidx = self._conform_cmidx(
+                df, ordered_on, duplicates_on
+            )
             try:
                 return self._write_attempt(
-                    df,
-                    ordered_on=ordered_on,
-                    duplicates_on=duplicates_on,
+                    cdf,
+                    ordered_on=c_on,
+                    duplicates_on=c_dup,
                     cmidx=cmidx,
                     row_group_target_size=row_group_target_size,
                     max_n_off_target_rgs=max_n_off_target_rgs,
@@ -304,7 +314,11 @@ class OrderedDataset:
         untouched (struct columns then persist as parquet nested
         groups, the Spark-idiomatic default)."""
         stored = self._manifest.cmidx if self._manifest else None
-        if not (isinstance(ordered_on, tuple) or stored):
+        has_tuple_dup = isinstance(duplicates_on, tuple) or (
+            isinstance(duplicates_on, list)
+            and any(isinstance(d, tuple) for d in duplicates_on)
+        )
+        if not (isinstance(ordered_on, tuple) or stored or has_tuple_dup):
             return df, ordered_on, duplicates_on, None
         sep = self._CMIDX_SEP
         mapping: dict[str, list[str]] = {}
@@ -609,7 +623,14 @@ class OrderedDataset:
         man = self._manifest or Manifest(ordered_on=ordered_on or "")
         _merge_kv(man.kv, key_value_metadata)
         os.makedirs(self.path, exist_ok=True)
-        man.save(self.path, self.backend)
+        try:
+            man.save(self.path, self.backend)
+        except ManifestConflictError:
+            # restore committed state (the in-place kv merge above is
+            # now stale); write()'s retry loop re-applies it on top of
+            # the winning writer's manifest
+            self._manifest = Manifest.load(self.path, self.backend)
+            raise
         self._manifest = man
 
     _FIXED_WIDTHS = {
@@ -1188,6 +1209,7 @@ class OrderedDataset:
                 )
             )
         rewritten = 0
+        all_new: list = []
         for run in runs:
             # DRIVER FAST PATH: a small homogeneous-schema run
             # coalesces driver-side with pyarrow — zero Spark jobs for
@@ -1219,8 +1241,22 @@ class OrderedDataset:
             self._manifest.files = [
                 e for e in self._manifest.files if e.name not in names
             ] + new_entries
+            all_new.extend(new_entries)
             rewritten += len(run)
-        self._manifest.save(self.path, self.backend, snapshot=self.retain_versions)
+        try:
+            self._manifest.save(
+                self.path, self.backend, snapshot=self.retain_versions
+            )
+        except ManifestConflictError:
+            # same contract as _commit: staged rewrites were never
+            # referenced — remove them and restore the handle to the
+            # committed state so the caller can reload-and-retry
+            for e in all_new:
+                p = os.path.join(self.path, e.name)
+                if os.path.exists(p):
+                    os.remove(p)
+            self._manifest = Manifest.load(self.path, self.backend)
+            raise
         if not self.retain_versions:
             for run in runs:
                 for e in run:

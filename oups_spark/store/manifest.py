@@ -361,7 +361,13 @@ class Manifest:
         self.sort_files()
         self.generation += 1
         data = self._payload()
-        self.token = backend.commit(dirpath, data, expect_token=self.token)
+        try:
+            self.token = backend.commit(dirpath, data, expect_token=self.token)
+        except ManifestConflictError:
+            # a failed commit must not leave this instance claiming a
+            # generation that never landed — callers retry with it
+            self.generation -= 1
+            raise
         if snapshot:
             write_snapshot(dirpath, self.generation, data)
 

@@ -94,11 +94,18 @@ def cdc_merge_batch_with_agg(
         F.sum("dn").alias("dn"), F.sum("dsum").alias("dsum")
     )
     if os.path.exists(agg_path):
-        stored = spark.read.parquet(agg_path)
+        # eqNullSafe: groupBy keeps NULL group keys as one group on
+        # both sides, and a plain equi-join would never match them —
+        # every batch would append another duplicate NULL-group row
+        stored = spark.read.parquet(agg_path).withColumnRenamed("g", "__sg")
         merged = (
-            stored.join(delta_agg, on="g", how="full_outer")
+            stored.join(
+                delta_agg,
+                on=F.col("__sg").eqNullSafe(F.col("g")),
+                how="full_outer",
+            )
             .select(
-                F.col("g"),
+                F.coalesce(F.col("__sg"), F.col("g")).alias("g"),
                 (
                     F.coalesce(F.col("n"), F.lit(0))
                     + F.coalesce(F.col("dn"), F.lit(0))

@@ -463,3 +463,28 @@ def test_knn_graph_exact_matches_bruteforce_and_lsh_recall(spark):
     for r in approx:
         by_src[r["src"]].append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_src.values())
+
+
+def test_lsh_paths_return_empty_on_empty_or_allnull_input(spark):
+    """The LSH dim probe must not crash on an empty frame or all-NULL
+    vectors (review finding) — both return an empty result with the
+    operator's output schema."""
+    from oups_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        knn_graph,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, label string, embedding array<double>"
+    )
+    allnull = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    for df in (empty, allnull):
+        g = knn_graph(df, k=3, block_col="label", method="lsh")
+        assert g.count() == 0
+        assert g.columns == ["src", "dst", "rank", "cosine_sim"]
+        p = embedding_neardup_pairs(df, threshold=0.9, method="lsh")
+        assert p.count() == 0
+        assert p.columns == ["id_a", "id_b", "cosine_sim"]

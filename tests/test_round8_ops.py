@@ -521,6 +521,31 @@ class TestIncrementalViewMaintenance:
         assert set(out) == {"mixed"}
         assert out["mixed"]["n"] == 2 and out["mixed"]["sum_val"] == 7.0
 
+    def test_null_group_key_merges_across_batches(self, spark, tmp_path):
+        """A NULL group key is ONE group (groupBy semantics on both
+        engines): the stored-vs-delta merge must match it null-safely
+        — a plain equi-join would append a duplicate NULL-group row
+        every batch (review finding)."""
+        from oups_spark.streaming.ivm import cdc_merge_batch_with_agg, read_agg
+
+        state = str(tmp_path / "s5")
+        aggp = str(tmp_path / "a5")
+        schema = "k long, ord long, grp string, v double, is_delete boolean"
+        for batch in (
+            [(1, 1, None, 2.0, False), (2, 1, "x", 1.0, False)],
+            [(3, 1, None, 3.0, False)],
+            [(1, 2, None, 4.0, False)],  # update k=1 within NULL group
+        ):
+            cdc_merge_batch_with_agg(
+                spark, spark.createDataFrame(batch, schema), state, aggp,
+                key="k", order_cols=["ord"], group_col="grp",
+                value_col="v", delete_col="is_delete", n_buckets=4,
+            )
+        rows = read_agg(spark, aggp).collect()
+        nulls = [r for r in rows if r["g"] is None]
+        assert len(nulls) == 1
+        assert nulls[0]["n"] == 2 and nulls[0]["sum_val"] == 7.0
+
     def test_high_cardinality_groups_stay_distributed(self, spark, tmp_path):
         """100k distinct groups across two batches: the maintained
         aggregate must bit-match a one-shot aggregation of the final

@@ -511,3 +511,32 @@ def test_cmidx_mapping_conflict_and_flat_collision(spark, scratch):
                 ).alias("a")
             ),
         )
+
+
+def test_tuple_duplicates_on_engages_cmidx_without_tuple_ordered_on(
+    spark, scratch
+):
+    """cmidx mode must engage when ONLY duplicates_on carries tuples
+    (review finding: the tuple previously leaked downstream as a raw
+    column name)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import Manifest
+
+    path = os.path.join(scratch, "cmidx_dup_only")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (2, 20, "c")],
+        "ts long, e long, s string",
+    ).select("ts", F.struct(F.col("e")).alias("m"), "s")
+    OrderedDataset(spark, path).write(
+        df=df, ordered_on="ts", duplicates_on=[("m", "e")],
+        validate_monotonic=False,
+    )
+    man = Manifest.load(path)
+    assert man.cmidx == {"m_e": ["m", "e"]}
+    back = OrderedDataset(spark, path).read().collect()
+    # keep-last on (ts implicit, m.e): the (1, 10) duplicate collapses
+    assert sorted((r["ts"], r["m"]["e"]) for r in back) == [(1, 10), (2, 20)]
