@@ -523,3 +523,76 @@ def test_time_travel_retention_invariant_property(
         got = got.sort_values(key, ignore_index=True)
         want = want.sort_values(key, ignore_index=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --- cmidx flatten/unflatten round-trip property ---------------------
+
+_level_name = st.sampled_from(["a", "b", "c", "x_y", "t"])
+
+
+@st.composite
+def _nested_schema(draw):
+    """A random schema tree: {col: leaf | nested dict}, depth <= 3,
+    guaranteed at least one struct column."""
+
+    def node(depth):
+        if depth >= 3 or draw(st.booleans()):
+            return "leaf"
+        names = draw(
+            st.lists(_level_name, min_size=1, max_size=3, unique=True)
+        )
+        return {n: node(depth + 1) for n in names}
+
+    names = draw(
+        st.lists(_level_name, min_size=2, max_size=4, unique=True)
+    )
+    tree = {n: node(1) for n in names}
+    if all(v == "leaf" for v in tree.values()):
+        tree[names[0]] = {"inner": "leaf"}
+    return tree
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=_nested_schema())
+def test_flatten_unflatten_roundtrip_property(spark, tree):
+    """flatten(return_mapping) then unflatten restores the exact
+    schema and rows for arbitrary nesting — or flatten refuses with
+    the documented collision error when two paths alias (the '_' in a
+    level name can collide with a nested path, e.g. x_y vs x{y})."""
+    import pyspark.sql.functions as F
+
+    from oups_spark.functions.fills import (
+        flatten_struct_columns,
+        unflatten_struct_columns,
+    )
+
+    def build(node, seed):
+        if node == "leaf":
+            return F.lit(seed).cast("long")
+        return F.struct(
+            *[build(sub, seed + i).alias(k)
+              for i, (k, sub) in enumerate(node.items())]
+        )
+
+    df = spark.range(3).select(
+        *[
+            build(node, i * 10).alias(name)
+            for i, (name, node) in enumerate(tree.items())
+        ]
+    )
+    try:
+        flat, mapping = flatten_struct_columns(df, return_mapping=True)
+    except ValueError as e:
+        assert "collide" in str(e) or "flatten to the same name" in str(e)
+        return
+    assert all("." not in c for c in flat.columns)
+    back = unflatten_struct_columns(flat, mapping)
+    assert back.schema == df.schema
+    assert (
+        [r.asDict(recursive=True) for r in back.collect()]
+        == [r.asDict(recursive=True) for r in df.collect()]
+    )
