@@ -693,11 +693,16 @@ def streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("source", "j")
                 .agg(F.max("M").alias("M"))
             )
+        # order is guaranteed by the orderBy in the same plan and
+        # (source, j) keys are unique post-groupBy, so the writer's
+        # monotonic re-check (a Python-worker pass per micro-batch)
+        # is skipped — the JVM-side stats agg supplies the bounds
         ds.write(
             df=regs.orderBy("source", "j"),
             ordered_on="source",
             duplicates_on=["source", "j"],
             row_group_target_size=100_000,
+            validate_monotonic=False,
         )
 
     q = (
