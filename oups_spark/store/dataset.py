@@ -79,6 +79,7 @@ class OrderedDataset:
     def __init__(
         self, spark: SparkSession, path: str, *, backend=None,
         retain_versions: bool = False,
+        deletion_grace_s: float | None = None,
     ):
         # backend: optional ManifestBackend routing manifest commits
         # (e.g. ObjectStoreBackend conditional-put); None = POSIX rename
@@ -95,10 +96,28 @@ class OrderedDataset:
                 "retain_versions uses filesystem manifest snapshots; "
                 "with an object-store backend use bucket versioning"
             )
+        # deletion_grace_s: READER ISOLATION under concurrent writers.
+        # A reader's scan resolves manifest entries to file paths
+        # lazily; a concurrent commit that replaced those files would
+        # otherwise delete them while the scan is still running
+        # (FileNotFound mid-job — the reference cannot hit this only
+        # because it holds the dataset lock for the whole read,
+        # ``base.py:240-255``). Replaced files are therefore
+        # TOMBSTONED in the manifest and physically deleted by a later
+        # commit (or vacuum) once older than this grace window. A
+        # reader is exposed only if its scan outlives the window
+        # across a subsequent commit. 0 = delete immediately (the
+        # pre-round-10 single-writer posture). Default from
+        # $OUPS_DELETION_GRACE_S, else 60 s.
+        if deletion_grace_s is None:
+            deletion_grace_s = float(
+                os.environ.get("OUPS_DELETION_GRACE_S", "60")
+            )
         self.spark = spark
         self.path = os.path.abspath(path)
         self.backend = backend
         self.retain_versions = retain_versions
+        self.deletion_grace_s = deletion_grace_s
         self._manifest = Manifest.load(self.path, backend)
 
     # ------------------------------------------------------------- state
@@ -592,6 +611,7 @@ class OrderedDataset:
                 schema_json=b.schema_json,
                 generation=b.generation,
                 cmidx=b.cmidx,
+                tombstones=list(b.tombstones),
                 token=b.token,
             )
         man.ordered_on = ordered_on
@@ -600,6 +620,7 @@ class OrderedDataset:
         man.files = kept + new_entries
         man.schema_json = (target_schema or df.schema).json()
         _merge_kv(man.kv, key_value_metadata)
+        expired = self._stage_tombstones(man, replaced_names)
         try:
             man.save(self.path, self.backend, snapshot=self.retain_versions)
         except ManifestConflictError:
@@ -612,11 +633,35 @@ class OrderedDataset:
                     os.remove(p)
             raise
         self._manifest = man
-        if not self.retain_versions:
-            for name in replaced_names:
-                p = os.path.join(self.path, name)
-                if os.path.exists(p):
-                    os.remove(p)
+        self._remove_files(expired)
+
+    def _stage_tombstones(self, man, replaced_names) -> list[str]:
+        """Move ``replaced_names`` onto the candidate manifest's
+        tombstone ledger and sweep entries older than the grace
+        window. Returns the file names whose physical deletion is due
+        AFTER the commit lands (deleting before would reintroduce the
+        race for the files the previous commit tombstoned). With
+        ``retain_versions`` the snapshot machinery owns old files
+        (``vacuum`` reclaims them) and the ledger stays empty."""
+        if self.retain_versions:
+            return []
+        import time
+
+        now = time.time()
+        pending = list(man.tombstones) + [
+            {"name": n, "ts": now} for n in replaced_names
+        ]
+        expired = [t["name"] for t in pending
+                   if now - t["ts"] >= self.deletion_grace_s]
+        man.tombstones = [t for t in pending
+                          if now - t["ts"] < self.deletion_grace_s]
+        return expired
+
+    def _remove_files(self, names) -> None:
+        for name in names:
+            p = os.path.join(self.path, name)
+            if os.path.exists(p):
+                os.remove(p)
 
     # ----------------------------------------------------------- helpers
     def _update_kv_only(self, ordered_on, key_value_metadata) -> None:
@@ -1243,6 +1288,9 @@ class OrderedDataset:
             ] + new_entries
             all_new.extend(new_entries)
             rewritten += len(run)
+        expired = self._stage_tombstones(
+            self._manifest, [e.name for run in runs for e in run]
+        )
         try:
             self._manifest.save(
                 self.path, self.backend, snapshot=self.retain_versions
@@ -1257,12 +1305,7 @@ class OrderedDataset:
                     os.remove(p)
             self._manifest = Manifest.load(self.path, self.backend)
             raise
-        if not self.retain_versions:
-            for run in runs:
-                for e in run:
-                    p = os.path.join(self.path, e.name)
-                    if os.path.exists(p):
-                        os.remove(p)
+        self._remove_files(expired)
         return rewritten
 
     # ------------------------------------------------------ time travel
@@ -1285,6 +1328,10 @@ class OrderedDataset:
         Mirrors Delta's VACUUM at manifest granularity: time travel
         to a vacuumed generation raises (its snapshot is gone), never
         silently reads partial data.
+
+        Also reclaims TOMBSTONED files (replaced data kept for the
+        ``deletion_grace_s`` reader-isolation window) regardless of
+        age — vacuum is the explicit "no readers in flight" signal.
         """
         from oups_spark.store.manifest import drop_snapshot, load_snapshot
 

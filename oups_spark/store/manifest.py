@@ -324,6 +324,14 @@ class Manifest:
     # monotone commit counter: incremented by every save(); the key of
     # time-travel snapshots (see snapshot_* helpers)
     generation: int = 0
+    # deferred-deletion ledger: files no longer referenced by this
+    # generation but kept on disk for a grace window so a reader whose
+    # scan resolved paths from a superseded manifest is not yanked
+    # mid-job (reader/writer isolation — the reference instead holds
+    # the dataset lock for the whole read, ``base.py:240-255``).
+    # Entries are ``{"name": <file>, "ts": <unix seconds>}``; the
+    # write path sweeps entries older than its grace window.
+    tombstones: list = field(default_factory=list)
     # backend commit token of the version this instance was loaded
     # from (None = freshly created / posix backend) — save() passes
     # it as the conditional-put precondition, making read-modify-
@@ -348,6 +356,8 @@ class Manifest:
         }
         if self.cmidx:
             payload["cmidx"] = self.cmidx
+        if self.tombstones:
+            payload["tombstones"] = self.tombstones
         return json.dumps(payload).encode()
 
     def save(
@@ -381,6 +391,7 @@ class Manifest:
             schema_json=payload.get("schema_json"),
             generation=payload.get("generation", 0),
             cmidx=payload.get("cmidx"),
+            tombstones=payload.get("tombstones", []),
             token=token,
         )
 
