@@ -50,6 +50,7 @@ def flatten_struct_columns(
     it). Raises if a flat name collides with an existing column."""
 
     mapping: dict[str, list[str]] = {}
+    out_names: list[str] = []
 
     def expand(prefix_path: str, levels: list[str], dtype, depth: int):
         if dtype.typeName() == "struct" and (
@@ -74,19 +75,22 @@ def flatten_struct_columns(
                     f"(separator {sep!r})"
                 )
             mapping[flat] = levels
+        out_names.append(flat)
         return [F.col(prefix_path).alias(flat)]
 
     cols = []
     for field in df.schema.fields:
         cols.extend(expand(f"`{field.name}`", [field.name], field.dataType, 0))
-    plain = {
-        f.name for f in df.schema.fields if f.dataType.typeName() != "struct"
-    }
-    clash = set(mapping) & plain
+    # collision check over ALL surviving output names (not just
+    # non-struct top-level fields): with max_depth set, a flattened
+    # name could otherwise silently duplicate the name of a struct
+    # column left unexpanded
+    seen: set[str] = set()
+    clash = {n for n in out_names if n in seen or seen.add(n)}
     if clash:
         raise ValueError(
             f"flattened struct column(s) {sorted(clash)} collide with "
-            f"existing top-level columns (separator {sep!r})"
+            f"other output columns (separator {sep!r})"
         )
     out = df.select(*cols)
     return (out, mapping) if return_mapping else out
@@ -112,6 +116,14 @@ def unflatten_struct_columns(
                 )
             insert(node, rest, flat)
         else:
+            if isinstance(tree.get(head), dict):
+                # mirror of the nests-under-leaf check above: a leaf
+                # mapping arriving AFTER a deeper path sharing its
+                # prefix would silently drop the subtree's columns
+                raise ValueError(
+                    f"cmidx mapping places leaf column {head!r} where "
+                    "deeper paths already nest"
+                )
             tree[head] = flat
 
     roots: dict[str, dict | str] = {}

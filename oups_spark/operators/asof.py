@@ -343,7 +343,9 @@ def interval_overlap_join(
     by = by or []
 
     def cells(df, start, end):
-        # cast: unix_micros rejects TIMESTAMP_NTZ (session is UTC)
+        # cast BOTH endpoints: unix_micros rejects TIMESTAMP_NTZ (the
+        # session is UTC), and an uncast NTZ start would make
+        # F.sequence(NTZ, LTZ) fail analysis on mixed operand types
         end_last_us = F.timestamp_micros(
             F.unix_micros(F.col(end).cast("timestamp")) - 1
         )
@@ -351,7 +353,7 @@ def interval_overlap_join(
             "*",
             F.explode(
                 F.sequence(
-                    floor_ts(F.col(start), grid),
+                    floor_ts(F.col(start).cast("timestamp"), grid),
                     floor_ts(end_last_us, grid),
                     F.expr(step_interval_sql(grid)),
                 )

@@ -95,6 +95,13 @@ def decode_stub(payload: bytes, *, decoder: str = "auto") -> dict:
     so the operator upgrades automatically outside this sandbox
     (which ships no PIL/ffmpeg) without changing shape or schema.
     """
+    if decoder not in ("auto", "pil", "stub"):
+        # reject typos ('PIL', 'ffmpeg') up front: silently taking the
+        # stub path would hand a caller expecting real decode fake
+        # features without error
+        raise ValueError(
+            f"decoder must be 'auto', 'pil' or 'stub', got {decoder!r}"
+        )
     if payload is None:
         raise NotImplementedError(
             "real media decode not available in this environment"
@@ -122,6 +129,11 @@ def extract_features(
     ``decoder``: ``'auto'`` (PIL when available, stub fallback),
     ``'pil'`` (require real decode), ``'stub'`` (force deterministic
     fake features — what the oracle-checked queries pin)."""
+    if decoder not in ("auto", "pil", "stub"):
+        # fail driver-side at plan time, not per-row in executors
+        raise ValueError(
+            f"decoder must be 'auto', 'pil' or 'stub', got {decoder!r}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

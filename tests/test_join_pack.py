@@ -604,3 +604,28 @@ def test_interval_overlap_join_by_key_and_self_source(spark):
     # u2 has 1 -> 1 self-pair; never cross-key
     assert len(out) == 5
     assert all(r["k"] in ("u1", "u2") for r in out)
+
+
+def test_interval_overlap_join_accepts_ntz_timestamps(spark):
+    """ADVICE r9: TIMESTAMP_NTZ interval columns previously produced
+    F.sequence(NTZ, LTZ) with mixed operand types (analysis error)
+    because only the end bound was cast; both endpoints now cast."""
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.asof import interval_overlap_join
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "2024-01-01 01:00:00"),
+         (2, "2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+        "id long, s string, e string",
+    ).select(
+        "id",
+        F.col("s").cast("timestamp_ntz").alias("s"),
+        F.col("e").cast("timestamp_ntz").alias("e"),
+    )
+    got = interval_overlap_join(
+        df, df, left_start="s", left_end="e",
+        right_start="s", right_end="e", grid="1h",
+    )
+    pairs = {(r["id"], r["id_right"]) for r in got.collect()}
+    assert (1, 2) in pairs and (2, 1) in pairs

@@ -488,3 +488,17 @@ def test_lsh_paths_return_empty_on_empty_or_allnull_input(spark):
         p = embedding_neardup_pairs(df, threshold=0.9, method="lsh")
         assert p.count() == 0
         assert p.columns == ["id_a", "id_b", "cosine_sim"]
+
+
+def test_decoder_typo_rejected_up_front():
+    """ADVICE r9: an unrecognized decoder value ('PIL', 'ffmpeg') must
+    raise, not silently take the stub path and hand back fake
+    features."""
+    import pytest
+
+    from oups_spark.operators.multimodal import decode_stub, extract_features
+
+    with pytest.raises(ValueError, match="decoder must be"):
+        decode_stub(b"abc", decoder="PIL")
+    with pytest.raises(ValueError, match="decoder must be"):
+        extract_features(None, decoder="ffmpeg")

@@ -301,3 +301,52 @@ def test_funnel_summary_shape(spark):
         ("view", 2, 1.0),
         ("click", 1, 0.5),
     ]
+
+
+def test_unflatten_rejects_leaf_after_deeper_path(spark):
+    """ADVICE r9: a leaf mapping arriving AFTER a deeper path sharing
+    its prefix (schema-evolved dataset holding both m_t_x and m_t)
+    must raise, not silently drop the subtree's columns. The opposite
+    arrival order already raised."""
+    import pytest
+
+    from oups_spark.functions.fills import unflatten_struct_columns
+
+    df = spark.createDataFrame([(1, 2)], "m_t_x long, m_t long")
+    with pytest.raises(ValueError, match="deeper paths"):
+        unflatten_struct_columns(
+            df, {"m_t_x": ["m", "t", "x"], "m_t": ["m", "t"]}
+        )
+    # the opposite order keeps raising through the existing check
+    df2 = spark.createDataFrame([(1, 2)], "m_t long, m_t_x long")
+    with pytest.raises(ValueError, match="nests under leaf"):
+        unflatten_struct_columns(
+            df2, {"m_t": ["m", "t"], "m_t_x": ["m", "t", "x"]}
+        )
+
+
+def test_flatten_collision_check_covers_all_output_names(spark):
+    """ADVICE r9: the collision check now runs over ALL surviving
+    output names (duplicate detection on the actual output), not just
+    non-struct top-level fields. A mapped struct SURVIVOR under
+    max_depth colliding with a plain column is the reachable case:
+    struct m.t survives max_depth=1 as an output column named m_t
+    next to the plain column m_t."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from oups_spark.functions.fills import flatten_struct_columns
+
+    df = spark.createDataFrame([(1, 2)], "x long, m_t long").select(
+        F.struct(
+            F.struct(F.col("x").alias("v")).alias("t")
+        ).alias("m"),
+        "m_t",
+    )
+    # full flatten is fine: m expands past the collision to m_t_v
+    full = flatten_struct_columns(df)
+    assert set(full.columns) == {"m_t_v", "m_t"}
+    # max_depth=1 leaves struct m.t as an output column named m_t,
+    # duplicating the plain m_t
+    with pytest.raises(ValueError, match="collide"):
+        flatten_struct_columns(df, max_depth=1)
