@@ -46,88 +46,31 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Round-9 window (evidence ages going in: 50 r8-green, 50 r7-green,
-# 22 r6-green, 4 never-checked), in priority order:
-#   1. the 4 round-9 registrations (never checked — the standing
-#      rule: new queries take slots in their landing round; PREPENDED
-#      as they land);
-#   2. ALL 22 queries whose last driver-green row is round 6 — the
-#      oldest evidence anywhere and the judge's round-9 ask (this
-#      includes doc_chunk_overlap, which round 8's boundary note
-#      miscounted as inside that window — it was slot 51);
-#   3. r8-greens over code CHANGED this round: interpolate_resample
-#      bounds fix (fills.py), integer-grid sums (join_ops.py), the
-#      distributed IVM merge (ivm.py), the dedup.py bits= extension,
-#      and embedding_neardup_pairs (unchanged behavior, but the
-#      round-8 bench flagged it — keep its evidence fresh);
-#   4. r7-greens over changed code next — the store family + the
-#      aggstream/ingest writers all commit through the new flock'd
-#      manifest CAS (manifest.py/dataset.py) — then r7-green family
-#      representatives (flagship pricing_summary, DNF filter,
-#      segment/snapshot/session/asof/ANN reps) to fill 50.
-# Below the boundary: the remaining 30 r7-greens (listed, in order)
-# are the head of round 10's window, followed by the 44 r8-greens
-# (import order). Full-rotation cadence at 124 queries / 50 slots is
-# ~2.5 rounds; no query's evidence should ever age past 3 rounds.
+# Round-10 window (evidence ages going in: 50 r9-green, 44 r8-green,
+# 32 r7-green, 1 never-checked; registry = 127), in priority order:
+#   1. the round-10 registration (never checked — the standing rule:
+#      new queries take slots in their landing round);
+#   2. ALL 32 queries whose last driver-green row is round 7 — the
+#      oldest evidence anywhere, exactly the list round 9's boundary
+#      comment scheduled as this round's head (this includes
+#      streaming_hll_ingest, whose write path changed this round);
+#   3. the first 17 r8-greens in import order, filling slot 50.
+# Round-10 code changes (dataset/manifest grace window, fills cmidx
+# checks, asof NTZ cast, multimodal decoder guard) all sit under
+# r9-green queries — each was re-verified green locally via
+# tools/driver_check.py this round, so rotation order stays purely
+# evidence-age-driven.
+# Below the boundary: the remaining 27 r8-greens (listed, in order)
+# are the head of round 11's window, followed by the 50 r9-greens in
+# import order. Full-rotation cadence at 127 queries / 50 slots is
+# ~2.5 rounds; tests/test_window_schedule.py COMPUTES the boundary
+# from the CORRECTNESS_r*.json history and fails if any query's
+# evidence would age past 2 rounds outside the window — the
+# arithmetic this comment used to do by hand (and round 8 got wrong).
 _WINDOW_PRIORITY = [
-    # (1) round-9 registrations, newest first
-    "knn_graph_topk",
-    "interval_overlap_pairs",
-    "simhash_neardup_pairs_64",
-    "store_cmidx_roundtrip",
-    # (2) all 22 r6-stale queries
-    "doc_chunk_overlap",
-    "json_props_extract",
-    "multimodal_features",
-    "conversion_funnel",
-    "duplicated_windows",
-    "trailing_24h_per_user",
-    "moving_avg_per_user",
-    "ffill_bfill_user_values",
-    "calendar_floor_ceil",
-    "value_percentiles_by_type",
-    "salted_join_order_customer",
-    "minhash_signatures",
-    "simhash_signatures",
-    "multimodal_frame_sample",
-    "top_customers",
-    "revenue_by_nation",
-    "daily_type_pivot",
-    "promo_revenue_monthly",
-    "regional_supplier_volume",
-    "customers_without_orders",
-    "order_priority_counts",
-    "shipping_priority",
-    # (3) r8-greens over round-9 code changes
-    "interpolate_resample_6h",
-    "bucketed_colocated_join",
-    "cdc_incremental_agg",
-    "cdc_upsert_stream",
-    "simhash_neardup_pairs",
-    "embedding_neardup_pairs",
-    # (4) r7-greens: changed-code families first, then family reps
-    "store_merge_keep_last",
-    "store_append_range_read",
-    "store_compact_roundtrip",
-    "store_time_travel",
-    "store_schema_evolution",
-    "store_stats_skipping",
-    "jsonl_ingest_roundtrip",
-    "aggstream_hourly_restart",
-    "aggstream_snapshots_restart",
-    "aggstream_edge_bins_restart",
-    "streaming_dedup_ingest",
-    "incremental_hll_ingest",
-    "pricing_summary",
-    "dnf_filter_events",
-    "segment_bins_1h",
-    "row_count_bins_500",
-    "snapshot_1d_6h",
-    "session_windows",
-    # --- slot-50 boundary: the window ends at session_windows
-    # (slot 50, counted: 4 + 22 + 6 + 18). Round 10's window head =
-    # the 32 r7-greens below (the two displaced reps first), oldest
-    # evidence after this round:
+    # (1) round-10 registration
+    "streaming_native_snapshots",
+    # (2) all 32 r7-stale queries (round 9's scheduled head)
     "asof_click_before_purchase",
     "embedding_cosine_topk",
     "range_join_first_week",
@@ -160,6 +103,55 @@ _WINDOW_PRIORITY = [
     "intersections_bucket_align",
     "rollup_pricing",
     "twap_hourly",
+    # (3) first 17 r8-greens, import order — fills slot 50
+    "asof_nearest_tolerance",
+    "lang_id",
+    "ngram_jaccard_pairs",
+    "neardup_clusters",
+    "ann_lsh_topk",
+    "repetition_stats",
+    "decontamination_overlap",
+    "pii_scan",
+    "embedding_quantize",
+    "label_centroids",
+    "lm_quality_score",
+    "ccnet_quality_buckets",
+    "quality_classifier_scores",
+    "hll_distinct_tokens",
+    "gopher_quality_rules",
+    "domain_url_stats",
+    "corpus_curation",
+    # --- slot-50 boundary: the window ends at corpus_curation
+    # (slot 50, counted: 1 + 32 + 17 — and count-asserted by
+    # tests/test_window_schedule.py). Round 11's window head = the
+    # 27 remaining r8-greens below, oldest evidence after this round:
+    "token_pack_assignment",
+    "stratified_sample_mix",
+    "ann_pq_topk",
+    "incremental_neardup_ingest",
+    "neardup_keep_best",
+    "leakage_safe_splits",
+    "neardup_pagerank",
+    "lsh_recall_eval",
+    "crossencoder_rerank_topk",
+    "bm25_topk",
+    "deterministic_shuffle",
+    "source_quota_topk",
+    "segment_bins_4h_right",
+    "segment_bins_month_right",
+    "segment_bins_quarter_right",
+    "segment_bins_4h_0930_offset",
+    "snapshot_1y_1ms",
+    "snapshot_irregular_edges",
+    "duplicate_span_removal",
+    "temperature_source_mix",
+    "packed_training_sequences",
+    "weighted_sample_wor",
+    "weighted_sample_by_source",
+    "zorder_box_scan",
+    "streaming_native_sessions",
+    "streaming_stateful_ffill",
+    "streaming_sliding_hourly",
 ]
 
 

@@ -643,6 +643,96 @@ def streaming_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("win_start")
 
 
+@register(
+    "streaming_native_snapshots",
+    oracle="""
+    WITH partials AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bin,
+             make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000
+                            + 21600000000) AS snap,
+             arg_min(value, ts) AS p_first,
+             arg_max(value, ts) AS p_last,
+             min(value) AS p_min, max(value) AS p_max, sum(value) AS p_sum
+      FROM events GROUP BY 1, 2
+    ), wm AS (
+      SELECT make_timestamp(epoch_us(max(ts)) - epoch_us(max(ts)) % 86400000000
+                            + 86400000000) AS final_wm
+      FROM events
+    ), cum AS (
+      SELECT bin, snap,
+             first_value(p_first) OVER w AS first_val,
+             last_value(p_last)   OVER w AS last_val,
+             round(min(p_min) OVER w, 6) AS min_val,
+             round(max(p_max) OVER w, 6) AS max_val,
+             round(sum(p_sum) OVER w, 6) AS sum_val
+      FROM partials
+      WINDOW w AS (PARTITION BY bin ORDER BY snap
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bin, snap, first_val, last_val, min_val, max_val, sum_val
+    FROM cum, wm WHERE snap + INTERVAL 6 HOUR <= wm.final_wm
+    ORDER BY bin, snap
+    """,
+)
+def streaming_native_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOTS on a NATIVE Structured Stream (W5/W6's one missing
+    native twin, VERDICT r9 ask #5): every 6h instant, the cumulative
+    aggregate of the in-progress daily bin — each row fans out to the
+    ≤4 grid instants of its bin that observe it, then ONE watermarked
+    window aggregation computes every snapshot directly (no running
+    accumulation in state). Equals batch ``snapshot_agg`` restricted
+    to OBSERVED instants (append mode emits no quiet rows to
+    forward-fill) minus instants past the final watermark — the
+    oracle states exactly that: cumulative-per-bin over observed
+    (bin, snap) groups, cut at snap + 6h <= final watermark (the
+    newest populated bin's end)."""
+    from oups_spark.streaming.native import (
+        streaming_snapshot_agg,
+        write_stream_to_dataset,
+    )
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_snapshots")
+    path = os.path.join(base, "snaps_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream = _events_stream_reader(spark, sf_dir, raw_schema)
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agged = streaming_snapshot_agg(
+        stream,
+        "ts",
+        {
+            "first_val": ("value", "first"),
+            "last_val": ("value", "last"),
+            "min_val": ("value", "min"),
+            "max_val": ("value", "max"),
+            "sum_val": ("value", "sum"),
+        },
+        bin_by="1D",
+        snap_by="6h",
+        watermark="0 seconds",
+    )
+    write_stream_to_dataset(
+        agged, path, bin_col="snap",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    out = OrderedDataset(spark, path).read()
+    return out.select(
+        "bin",
+        "snap",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("bin", "snap")
+
+
 def _streaming_hll_oracle() -> str:
     # max-merge is commutative and associative, so any micro-batch
     # arrival order produces the SAME register table as one shot over

@@ -87,6 +87,98 @@ def streaming_segment_agg(
     )
 
 
+def streaming_snapshot_agg(
+    stream_df: DataFrame,
+    ordered_on: str,
+    agg: dict,
+    *,
+    bin_by: str,
+    snap_by: str,
+    watermark: str = "0 seconds",
+    tiebreak: list[str] | None = None,
+    bin_col: str = "bin",
+    snap_col: str = "snap",
+) -> DataFrame:
+    """Native Structured-Streaming twin of :func:`snapshot_agg`
+    (reference point-in-time snapshots, ``cumsegagg.py:186-196``):
+    at every ``snap_by`` instant, the CUMULATIVE aggregate of the
+    in-progress ``bin_by`` bin, closed-left observation (a snapshot
+    at instant s observes rows with ts < s), snapshot grid within a
+    bin = (bin_start, bin_end] (snap-before-bin-close,
+    ``segmentby.py:965-1012``).
+
+    Plan: each row fans out to EVERY instant of its bin's grid that
+    observes it — ``explode(sequence(first_observer, bin_end))``, a
+    bounded map-side fan-out of at most bin/snap copies (the same
+    cost shape as Spark's own hopping windows, which fan each row
+    into length/slide open windows) — then one watermarked
+    window-aggregation on the observation instant. Each (bin, snap)
+    group therefore holds exactly the rows a batch snapshot observes,
+    so ordinary first/last/min/max/sum ARE the cumulative values; no
+    cross-row running accumulation survives into streaming state, and
+    state is bounded by the watermark exactly like any windowed agg.
+
+    Divergence from the batch twin, stated precisely (the oracle for
+    ``streaming_native_snapshots`` encodes both):
+    - quiet instants are ABSENT, not forward-filled — append mode
+      emits a group only where data exists (the
+      ``streaming_sliding_hourly`` convention);
+    - instants newer than the final watermark are withheld: a
+      snapshot s emits once the watermark (max observation instant
+      seen, i.e. the newest populated bin's end) passes s + snap.
+
+    Fixed frequencies only, ``snap_by`` must divide ``bin_by`` —
+    streaming state needs constant durations.
+    """
+    from oups_spark.functions.dates import (
+        floor_ts,
+        is_fixed_freq,
+        next_edge,
+        period_duration,
+        step_interval_sql,
+    )
+    from oups_spark.operators.segment import _agg_exprs
+
+    if not (is_fixed_freq(bin_by) and is_fixed_freq(snap_by)):
+        raise ValueError(
+            "streaming snapshots need fixed bin_by and snap_by, got "
+            f"{bin_by!r}/{snap_by!r}"
+        )
+    bin_us = int(period_duration(bin_by) * 1_000_000)
+    snap_us = int(period_duration(snap_by) * 1_000_000)
+    if bin_us % snap_us:
+        raise ValueError("snap_by must evenly divide bin_by")
+
+    o = F.col(ordered_on)
+    bin_start = floor_ts(o, bin_by)
+    bin_end = next_edge(bin_start, bin_by)
+    # first observing instant, closed-left: the smallest grid point
+    # strictly above ts (a row exactly on an edge is observed by the
+    # NEXT instant); capped at bin_end by construction since snap_by
+    # divides bin_by
+    first_obs = next_edge(floor_ts(o, snap_by), snap_by)
+    order_key = F.struct(ordered_on, *(tiebreak or []))
+    fanned = stream_df.withColumn(bin_col, bin_start).withColumn(
+        "__obs",
+        F.explode(
+            F.sequence(first_obs, bin_end, F.expr(step_interval_sql(snap_by)))
+        ),
+    )
+    agged = (
+        fanned.withWatermark("__obs", watermark)
+        .groupBy(
+            F.window(F.col("__obs"), freq_to_interval(snap_by)).alias("__w"),
+            F.col(bin_col),
+        )
+        .agg(*_agg_exprs(agg, order_key))
+    )
+    return agged.select(
+        F.col(bin_col),
+        F.col("__w.start").alias(snap_col),
+        *[F.col(a) for a in agg],
+    )
+
+
 def write_stream_to_dataset(
     agged: DataFrame,
     path: str,

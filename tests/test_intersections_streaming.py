@@ -238,3 +238,97 @@ def test_native_streaming_windows_equal_batch_closed_bins(spark, scratch):
     assert len(exp) - len(got) <= 1
     merged = exp.iloc[: len(got)].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, merged)
+
+
+def test_streaming_snapshots_match_batch_on_observed_instants(spark, scratch):
+    """Native streaming snapshots (bounded fan-out + one watermarked
+    window agg) == batch snapshot_agg at every emitted (bin, snap):
+    append mode omits quiet instants (no forward-fill) and withholds
+    instants past the final watermark; everything emitted must match
+    the batch accumulator exactly."""
+    import glob
+    import shutil
+
+    from oups_spark.operators.segment import snapshot_agg
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.streaming.native import (
+        streaming_snapshot_agg,
+        write_stream_to_dataset,
+    )
+
+    n = 90
+    pdf = pd.DataFrame(
+        {
+            # 97min spacing: several quiet 2h snap instants per day
+            "ts": pd.date_range("2024-01-01", periods=n, freq="97min"),
+            "id": range(n),
+            "val": [float((i * 11) % 17 - 8) for i in range(n)],
+        }
+    )
+    src = os.path.join(scratch, "snsrc")
+    os.makedirs(src, exist_ok=True)
+    sdf = spark.createDataFrame(pdf)
+    half = pdf["ts"].iloc[n // 2]
+    for i, cond in enumerate(
+        [F.col("ts") < F.lit(half), F.col("ts") >= F.lit(half)]
+    ):
+        tmp = os.path.join(scratch, f"sntmp{i}")
+        sdf.filter(cond).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"f{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    agg = {
+        "first_val": ("val", "first"),
+        "last_val": ("val", "last"),
+        "min_val": ("val", "min"),
+        "sum_val": ("val", "sum"),
+    }
+    reader = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agged = streaming_snapshot_agg(
+        reader, "ts", agg, bin_by="1D", snap_by="2h", tiebreak=["id"]
+    )
+    out_path = os.path.join(scratch, "native_snaps")
+    write_stream_to_dataset(
+        agged, out_path, bin_col="snap",
+        checkpoint_dir=os.path.join(scratch, "snckpt"),
+    )
+    got = (
+        OrderedDataset(spark, out_path).read().toPandas()
+        .sort_values(["bin", "snap"], ignore_index=True)
+        [["bin", "snap", *agg]]
+    )
+    assert len(got) > 10
+
+    exp = (
+        snapshot_agg(
+            sdf, "ts", agg, bin_by="1D", snap_by="2h",
+            snap_closed="left", tiebreak=["id"],
+        )
+        .toPandas()
+    )
+    # restrict batch to the emitted instants and compare exactly
+    exp = (
+        exp.merge(got[["bin", "snap"]], on=["bin", "snap"], how="inner")
+        .sort_values(["bin", "snap"], ignore_index=True)[got.columns]
+    )
+    assert len(exp) == len(got)
+    pd.testing.assert_frame_equal(got, exp)
+
+    # every withheld instant is either quiet (forward-fill only: its
+    # cumulative state equals the previous emitted instant's) or past
+    # the final watermark — no observed instant under the watermark
+    # may be missing
+    final_wm = (pdf["ts"].max().floor("1D") + pd.Timedelta("1D"))
+    first_obs = pdf["ts"].dt.floor("2h") + pd.Timedelta("2h")
+    observed = set(zip(pdf["ts"].dt.floor("1D"), first_obs))
+    emitted = set(zip(got["bin"], got["snap"]))
+    missing = {
+        (b, s) for (b, s) in observed
+        if s + pd.Timedelta("2h") <= final_wm
+    } - emitted
+    assert missing == set()

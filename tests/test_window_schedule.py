@@ -1,0 +1,78 @@
+"""Driver-window rotation arithmetic, COMPUTED instead of hand-counted.
+
+The driver oracle-checks only the first 50 registered queries each
+round; ``_WINDOW_PRIORITY`` pins that order. Round 8 miscounted the
+boundary by hand and silently dropped a query out of the window;
+round 9's comment then miscounted the registry size. This test does
+the arithmetic from the ``CORRECTNESS_r*.json`` history so neither
+mistake can recur: every query whose evidence would otherwise age
+past two rounds must sit inside the current window.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _last_green_rounds() -> tuple[dict[str, int], int]:
+    """{query: last round with a passing driver row}, and the newest
+    round number found on disk."""
+    rounds: dict[str, int] = {}
+    latest = 0
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        r = int(m.group(1))
+        latest = max(latest, r)
+        for name, row in json.load(open(f)).items():
+            if row.get("hash_match") or row.get("rows_match"):
+                rounds[name] = max(rounds.get(name, 0), r)
+    return rounds, latest
+
+
+def test_window_covers_all_stale_and_new_queries():
+    """Every registered query whose last driver-green row is older
+    than (latest round - 1) — or that has never been checked — must
+    be inside the 50-slot window, so after the coming round no
+    query's evidence is older than two rounds."""
+    from oups_spark.queries import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    names = list(REGISTRY)
+    window = set(names[:50])
+    rounds, latest = _last_green_rounds()
+    assert latest >= 9  # sanity: history present
+
+    must_cover = [
+        n for n in names
+        if rounds.get(n, 0) < latest - 1  # r(latest-2) or older, or never
+    ]
+    outside = [n for n in must_cover if n not in window]
+    assert outside == [], (
+        f"stale/new queries outside the 50-slot window: {outside} "
+        f"(window must rotate them in this round)"
+    )
+    # the window must not be underfilled while stale slots exist
+    assert len(names) >= 50 and len(window) == 50
+
+
+def test_window_priority_is_exact_and_fully_registered():
+    """_WINDOW_PRIORITY's head IS the window (no name may be skipped
+    by the 'if n in REGISTRY' filter — a typo would quietly reshuffle
+    slots), and every listed name is registered."""
+    from oups_spark.queries import (
+        _WINDOW_PRIORITY,
+        REGISTRY,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]
+    assert missing == [], missing
+    assert list(REGISTRY)[:50] == _WINDOW_PRIORITY[:50]
