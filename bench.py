@@ -198,15 +198,15 @@ def main() -> int:
     _trivial_stream()  # absorbs one-time engine class loading
     streaming_fixed_overhead = _trivial_stream()  # steady per-query cost
 
-    # Median of N in-session reps per query: the first rep absorbs that
-    # plan shape's Janino compile, and single-rep numbers on this host
+    # N in-session reps per query: the first rep absorbs that plan
+    # shape's Janino compile, and single-rep numbers on this host
     # wobble enough to misread small queries. Reps are INTERLEAVED —
     # N full passes over the query list, not N back-to-back runs of
     # one query — because the host's stall bursts span tens of
-    # seconds: consecutive reps would all land inside one burst and
-    # drag the median, while interleaved reps sample well-separated
-    # instants. Per-query median (plus min/max spread) is what
-    # round-over-round comparison should use.
+    # seconds: consecutive reps would all land inside one burst,
+    # while interleaved reps sample well-separated instants. The
+    # per-query MIN of the reps is the headline (see below); medians
+    # and spreads ride in the sidecar.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # HEADLINE pins a stable measurement order; any registration it
     # does not know about yet is appended automatically so a new query
@@ -236,14 +236,24 @@ def main() -> int:
                 spark.sparkContext._jsc.getPersistentRDDs().values()
             ):
                 rdd.unpersist()
+    # HEADLINE AGGREGATION = MIN-OF-REPS (round-10 change, VERDICT r9
+    # ask #8): the median-of-reps headline double-counted ambient host
+    # waves (r9: 248 s median headline vs 214 s min-reps on identical
+    # code), making BENCH_rN incomparable across rounds without judge
+    # re-runs. The min is the noise floor — the repeatable cost of the
+    # plan — and is what round-over-round comparison should use.
+    # Medians and [min,max] spreads still go to the sidecar.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, s in samples.items():
         if s and name not in failed:
-            timings[name] = sorted(s)[len(s) // 2]
+            timings[name] = min(s)
+            medians[name] = sorted(s)[len(s) // 2]
             spread[name] = [min(s), max(s)]
         else:
             timings[name] = -1.0
+            medians[name] = -1.0
             spread[name] = []
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Per-query medians AND [min,max] spread both go to the sidecar
@@ -278,8 +288,10 @@ def main() -> int:
                     "streaming_fixed_overhead_sec": streaming_fixed_overhead,
                     "load_avg_start": load_start,
                     "load_avg_end": load_avg,
+                    "aggregation": "min_of_reps",
                     "total_min_reps": total_min,
                     "queries": timings,
+                    "queries_median": medians,
                     "spread": spread,
                 },
                 fh,
@@ -293,6 +305,7 @@ def main() -> int:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "aggregation": "min_of_reps",
                 "sf": sf,
                 "reps": reps,
                 "n_queries": len(timings),

@@ -76,3 +76,22 @@ def test_window_priority_is_exact_and_fully_registered():
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]
     assert missing == [], missing
     assert list(REGISTRY)[:50] == _WINDOW_PRIORITY[:50]
+
+
+def test_plans_md_has_one_section_per_registered_query():
+    """PLANS.md is part of the auditability story (VERDICT r9 ask
+    #3): it must carry exactly one dumped plan section per registered
+    query and no 'plan unavailable' placeholders, so it cannot drift
+    as queries land. Regenerate with tools/plan_dump.py."""
+    from oups_spark.queries import REGISTRY, load_all_query_modules
+
+    load_all_query_modules()
+    text = open(os.path.join(REPO, "PLANS.md")).read()
+    sections = {
+        m.group(1) for m in re.finditer(r"^## (\S+)$", text, re.MULTILINE)
+    }
+    missing = sorted(set(REGISTRY) - sections)
+    extra = sorted(sections - set(REGISTRY))
+    assert missing == [], f"queries with no plan section: {missing}"
+    assert extra == [], f"plan sections for unregistered queries: {extra}"
+    assert "plan unavailable" not in text

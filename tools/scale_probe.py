@@ -115,7 +115,123 @@ def build_scaled(spark, out_dir: str, k: int) -> None:
     out.coalesce(4).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+def write_probe() -> int:
+    """Write-path scale probe (VERDICT r9 ask #6): appends and
+    overlapping merges against datasets whose FILE COUNTS are 10×
+    apart (fixed 2,500-row target: 4 files at sf0.01, 40 at sf0.1).
+
+    Claims probed (`python tools/scale_probe.py write`):
+    - APPEND cost is ~flat in dataset size: the manifest overlap scan
+      selects nothing, no file is rewritten, cost ∝ batch only.
+    - MERGE cost ∝ OVERLAP, not table size: a batch spanning exactly
+      2 interior files (5,000 stored rows at either sf by
+      construction) costs the same against 4 files as against 40.
+    Both run the DISTRIBUTED write path (use_driver_merge=False) —
+    the driver fast path would flatten everything at this scale and
+    hide a regression in the path a cluster actually exercises.
+    """
+    import pyspark.sql.functions as F
+
+    from oups_spark.queries import load_all_query_modules
+    from oups_spark.session import get_spark
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.tables import load as load_table
+
+    load_all_query_modules()
+    spark = get_spark("write-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", f"writeprobe_pid{os.getpid()}",
+    )
+    results: dict[str, dict[str, float]] = {}
+    # two passes per sf (fresh dataset each), min per metric: the
+    # first pass of each plan shape absorbs its Janino compile, which
+    # would otherwise land entirely on the first-measured sf
+    for sf_dir, rep in (
+        ("/root/testdata/sf0.01", 0), ("/root/testdata/sf0.1", 0),
+        ("/root/testdata/sf0.01", 1), ("/root/testdata/sf0.1", 1),
+    ):
+        sf = sf_dir.rsplit("sf", 1)[-1]
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts", "event_id", "value"
+        )
+        path = os.path.join(root, f"ds_{sf}_r{rep}")
+
+        def timed(fn):
+            t0 = time.time()
+            fn()
+            return round(time.time() - t0, 3)
+
+        base = ev.orderBy("ts")
+        OrderedDataset(spark, path).write(
+            df=base, ordered_on="ts", row_group_target_size=2_500,
+            validate_monotonic=False, use_driver_merge=False,
+        )
+        ds = OrderedDataset(spark, path)
+        nf = ds.n_files
+        entries = ds.manifest.files
+
+        # APPEND: 2,000 rows strictly past the dataset max
+        mx = entries[-1].max
+        app = spark.range(2_000).select(
+            (F.lit(mx).cast("timestamp_ntz")
+             + F.expr("make_interval(0,0,0,0,0,0,id+1)")).alias("ts"),
+            (F.col("id") + 10_000_000).alias("event_id"),
+            F.rand(7).alias("value"),
+        )
+        t_append = timed(lambda: OrderedDataset(spark, path).write(
+            df=app, validate_monotonic=False, use_driver_merge=False,
+            row_group_target_size=2_500,
+        ))
+
+        # MERGE: 1,000 rows spanning exactly 2 interior files
+        # (files 1-2: 5,000 stored rows at EITHER sf — fixed overlap)
+        lo, hi = entries[1].min, entries[2].max
+        span_us = int((hi - lo).total_seconds() * 1_000_000)
+        mrg = spark.range(1_000).select(
+            (F.lit(lo).cast("timestamp_ntz") + F.expr(
+                f"make_interval(0,0,0,0,0,0, (id*{span_us // 1_000})/1e6)"
+            )).alias("ts"),
+            (F.col("id") + 20_000_000).alias("event_id"),
+            F.rand(11).alias("value"),
+        ).orderBy("ts")
+        before_rows = OrderedDataset(spark, path).n_rows
+        t_merge = timed(lambda: OrderedDataset(spark, path).write(
+            df=mrg, validate_monotonic=False, use_driver_merge=False,
+            row_group_target_size=2_500,
+        ))
+        after = OrderedDataset(spark, path)
+        assert after.n_rows == before_rows + 1_000
+        prev = results.get(sf)
+        results[sf] = {
+            "files_before_probe": nf,
+            "append_2k_sec": min(t_append, prev["append_2k_sec"]) if prev else t_append,
+            "merge_2file_overlap_sec": min(t_merge, prev["merge_2file_overlap_sec"]) if prev else t_merge,
+        }
+        print(f"sf{sf} pass{rep}: files={nf} append={t_append}s "
+              f"merge(2-file overlap)={t_merge}s", flush=True)
+
+    a = results["0.01"]
+    b = results["0.1"]
+    print(
+        f"append ratio (40 vs 4 files): "
+        f"{b['append_2k_sec'] / a['append_2k_sec']:.2f}x  "
+        f"merge ratio (same 2-file overlap): "
+        f"{b['merge_2file_overlap_sec'] / a['merge_2file_overlap_sec']:.2f}x",
+        flush=True,
+    )
+    import shutil as _sh
+
+    _sh.rmtree(root, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "write":
+        return write_probe()
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     names = sys.argv[2:] or DEFAULT_QUERIES
 
