@@ -62,6 +62,7 @@ def dnf_filter(df: DataFrame, filters: list[list[tuple]] | list[tuple] | None) -
 def dnf_file_can_match(
     col_stats: dict | None,
     filters: list[list[tuple]] | list[tuple] | None,
+    blooms: dict | None = None,
 ) -> bool:
     """Data-skipping predicate: can a file whose per-column [min, max]
     stats are ``col_stats`` contain ANY row satisfying the DNF
@@ -73,15 +74,27 @@ def dnf_file_can_match(
     Spark's parquet reader applies per row group, lifted to manifest
     granularity so pruning happens before any scan task is planned —
     the Delta/Iceberg file-skipping model.
+
+    ``blooms``: optional per-column Bloom filters of the same file
+    (``FileEntry.blooms``) — equality and IN conjuncts are also
+    disproved when the bloom proves every probed value absent, which
+    prunes point lookups on clustered-but-unordered columns that
+    [min, max] can never prune (see ``store/bloom.py``).
     """
     if not filters:
         return True
     if filters and isinstance(filters[0], tuple):
         filters = [filters]
-    if not col_stats:
+    if not col_stats and not blooms:
         return True
+    col_stats = col_stats or {}
 
     def disproved(col: str, op: str, value) -> bool:
+        if blooms is not None:
+            from oups_spark.store.bloom import blooms_disprove_term
+
+            if blooms_disprove_term(blooms, col, op, value):
+                return True
         st = col_stats.get(col)
         if st is None:
             return False

@@ -47,14 +47,14 @@ def register(name: str, oracle: str | None = None):
 # exposed, just not driver-checked this round).
 #
 # Round-10 window (evidence ages going in: 50 r9-green, 44 r8-green,
-# 32 r7-green, 1 never-checked; registry = 127), in priority order:
-#   1. the round-10 registration (never checked — the standing rule:
-#      new queries take slots in their landing round);
+# 32 r7-green, 2 never-checked; registry = 128), in priority order:
+#   1. the two round-10 registrations (never checked — the standing
+#      rule: new queries take slots in their landing round);
 #   2. ALL 32 queries whose last driver-green row is round 7 — the
 #      oldest evidence anywhere, exactly the list round 9's boundary
 #      comment scheduled as this round's head (this includes
 #      streaming_hll_ingest, whose write path changed this round);
-#   3. the first 17 r8-greens in import order, filling slot 50.
+#   3. the first 16 r8-greens in import order, filling slot 50.
 # Round-10 code changes (dataset/manifest grace window, fills cmidx
 # checks, asof NTZ cast, multimodal decoder guard) all sit under
 # r9-green queries — each was re-verified green locally via
@@ -68,7 +68,8 @@ def register(name: str, oracle: str | None = None):
 # evidence would age past 2 rounds outside the window — the
 # arithmetic this comment used to do by hand (and round 8 got wrong).
 _WINDOW_PRIORITY = [
-    # (1) round-10 registration
+    # (1) round-10 registrations
+    "store_bloom_skipping",
     "streaming_native_snapshots",
     # (2) all 32 r7-stale queries (round 9's scheduled head)
     "asof_click_before_purchase",
@@ -103,7 +104,7 @@ _WINDOW_PRIORITY = [
     "intersections_bucket_align",
     "rollup_pricing",
     "twap_hourly",
-    # (3) first 17 r8-greens, import order — fills slot 50
+    # (3) first 16 r8-greens, import order — fills slot 50
     "asof_nearest_tolerance",
     "lang_id",
     "ngram_jaccard_pairs",
@@ -120,11 +121,11 @@ _WINDOW_PRIORITY = [
     "hll_distinct_tokens",
     "gopher_quality_rules",
     "domain_url_stats",
-    "corpus_curation",
-    # --- slot-50 boundary: the window ends at corpus_curation
-    # (slot 50, counted: 1 + 32 + 17 — and count-asserted by
+    # --- slot-50 boundary: the window ends at domain_url_stats
+    # (slot 50, counted: 2 + 32 + 16 — and count-asserted by
     # tests/test_window_schedule.py). Round 11's window head = the
-    # 27 remaining r8-greens below, oldest evidence after this round:
+    # 28 remaining r8-greens below, oldest evidence after this round:
+    "corpus_curation",
     "token_pack_assignment",
     "stratified_sample_mix",
     "ann_pq_topk",

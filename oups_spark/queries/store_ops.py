@@ -272,6 +272,42 @@ def store_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_bloom_skipping",
+    oracle="""
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE user_id IN (7, 11, 13)
+    ORDER BY event_id
+    """,
+)
+def store_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM FILTER index for equality data skipping (beyond
+    reference; the Delta/Iceberg bloom-index model, see
+    ``store/bloom.py``): ``write(bloom_cols=['user_id'])`` attaches a
+    1 KiB bitset per (file, column) to the manifest, and a point
+    lookup prunes files whose bloom PROVES the probed ids absent —
+    the shape [min, max] stats can never prune (user ids are
+    clustered by activity but not ordered, so every file's id range
+    spans the key space). False positives only cost a scanned file;
+    false negatives cannot occur (tests pin the JVM/driver hash
+    agreement bit for bit). At 100 TB the probe stays a driver-side
+    bit test per (file, value) over the manifest."""
+    path = os.path.join(_fresh("store_bloom_skipping"), "events_ds")
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    ds = OrderedDataset(spark, path)
+    ds.write(
+        df=events, ordered_on="ts", row_group_target_size=1000,
+        bloom_cols=["user_id"],
+    )
+    out = ds.read(filters=[("user_id", "in", [7, 11, 13])])
+    return out.select("event_id", "ts", "user_id", "value").orderBy(
+        "event_id"
+    )
+
+
+@register(
     "jsonl_ingest_roundtrip",
     oracle="""
     SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5

@@ -208,7 +208,8 @@ class OrderedDataset:
             from oups_spark.functions.filters import dnf_file_can_match
 
             entries = [
-                e for e in entries if dnf_file_can_match(e.cols, filters)
+                e for e in entries
+                if dnf_file_can_match(e.cols, filters, blooms=e.blooms)
             ]
         if not entries:
             schema_json = man.schema_json
@@ -267,8 +268,18 @@ class OrderedDataset:
         evolve_schema: bool = False,
         conflict_retries: int = 0,
         use_driver_merge: bool | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         """Ordered merge write with optimistic-concurrency retry.
+
+        ``bloom_cols``: optional int/long/string columns to index
+        with a per-file Bloom filter (``store/bloom.py``) — point
+        lookups (``==`` / ``in`` filters) on these columns then prune
+        files at read time even though [min, max] stats cannot
+        (clustered-but-unordered columns). Costs one extra bounded
+        pass over the NEW files; per-write opt-in, files written
+        without it (or rewritten by ``compact``) degrade to
+        "cannot skip".
 
         ``use_driver_merge``: None (default) = automatic — small
         row-count-target writes take the driver-side pyarrow merge
@@ -316,6 +327,7 @@ class OrderedDataset:
                     known_stats=known_stats,
                     evolve_schema=evolve_schema,
                     use_driver_merge=use_driver_merge,
+                    bloom_cols=bloom_cols,
                 )
             except ManifestConflictError:
                 if attempt >= conflict_retries:
@@ -381,6 +393,7 @@ class OrderedDataset:
         known_stats: tuple | None = None,
         evolve_schema: bool = False,
         use_driver_merge: bool | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         """Ordered merge write (see module docstring for the plan).
 
@@ -536,6 +549,7 @@ class OrderedDataset:
                 df, replaced, ordered_on, duplicates_on, row_group_target_size
             )
             if new_entries is not None:
+                self._attach_blooms(new_entries, bloom_cols, target_schema or df.schema)
                 self._commit(
                     ordered_on, df, target_schema, kept, replaced_names,
                     new_entries, key_value_metadata, cmidx,
@@ -587,10 +601,33 @@ class OrderedDataset:
             cache=duplicates_on is not None,
         )
 
+        self._attach_blooms(new_entries, bloom_cols, target_schema or df.schema)
         self._commit(
             ordered_on, df, target_schema, kept, replaced_names,
             new_entries, key_value_metadata, cmidx,
         )
+
+    def _attach_blooms(self, new_entries, bloom_cols, schema) -> None:
+        """Index the just-written files' ``bloom_cols`` values (one
+        bounded Spark job over the NEW files only) and attach the
+        bitsets to their manifest entries — committed atomically with
+        the data change by the caller's ``_commit``."""
+        if not bloom_cols or not new_entries:
+            return
+        from oups_spark.store.bloom import build_file_blooms
+
+        data_schema = StructType(
+            [f for f in schema.fields if not f.name.startswith("__oups_")]
+        )
+        by_file = build_file_blooms(
+            self.spark,
+            [os.path.join(self.path, e.name) for e in new_entries],
+            data_schema,
+            bloom_cols,
+        )
+        for e in new_entries:
+            if e.name in by_file:
+                e.blooms = by_file[e.name]
 
     def _commit(
         self, ordered_on, df, target_schema, kept, replaced_names,
@@ -915,6 +952,13 @@ class OrderedDataset:
         import pyarrow.parquet as pq
 
         new_tbl = df.toArrow()
+        # relax nullability: a batch built from literals arrives with
+        # non-nullable fields, but the DATASET schema is nullable —
+        # casting old files (which may hold NULLs) to the stricter
+        # schema would fail, and the stored schema must never tighten
+        # just because one batch happened to be dense
+        relaxed = pa.schema([f.with_nullable(True) for f in new_tbl.schema])
+        new_tbl = new_tbl.cast(relaxed)
         hard_cap = 2 * _DRIVER_MERGE_MAX_BYTES
         actual = new_tbl.nbytes
         if actual > hard_cap:
@@ -931,7 +975,7 @@ class OrderedDataset:
                     batches.append(rb)
                 t = pa.Table.from_batches(batches, schema=pf.schema_arrow)
                 t = t.select(new_tbl.schema.names)
-                tables.append(t.cast(new_tbl.schema))
+                tables.append(t.cast(relaxed))
             merged = (
                 pa.concat_tables(tables + [new_tbl]) if tables else new_tbl
             )

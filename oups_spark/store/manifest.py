@@ -286,6 +286,11 @@ class FileEntry:
     min: Any  # ordered_on min
     max: Any  # ordered_on max
     cols: dict | None = None
+    # optional per-column Bloom filters for equality-predicate data
+    # skipping: {col: {"m": bits, "k": hashes, "b64": bitset}} —
+    # written by write(bloom_cols=[...]), probed by read(filters=...)
+    # (see store/bloom.py); absence degrades to "cannot skip"
+    blooms: dict | None = None
 
     def to_json(self) -> dict:
         d = {"name": self.name, "n_rows": self.n_rows,
@@ -294,6 +299,8 @@ class FileEntry:
             d["cols"] = {
                 c: [_enc(lo), _enc(hi)] for c, (lo, hi) in self.cols.items()
             }
+        if self.blooms:
+            d["blooms"] = self.blooms
         return d
 
     @classmethod
@@ -304,7 +311,8 @@ class FileEntry:
                    cols={
                        c: (_dec_tree(lo), _dec_tree(hi))
                        for c, (lo, hi) in cols.items()
-                   } if cols else None)
+                   } if cols else None,
+                   blooms=d.get("blooms"))
 
 
 _DEFAULT_BACKEND = PosixRenameBackend()

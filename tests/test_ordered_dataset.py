@@ -674,3 +674,140 @@ def test_compact_driver_and_distributed_paths_agree(spark, scratch, monkeypatch)
 
     pd.testing.assert_frame_equal(out_driver, out_dist)
     assert files_driver == files_dist
+
+
+def test_bloom_skipping_prunes_point_lookups(spark, scratch):
+    """Per-file Bloom index (store/bloom.py): a point lookup on a
+    CLUSTERED-but-unordered column prunes to the one file actually
+    holding the key — [min, max] stats alone cannot prune this shape
+    (every file's id range spans the key space). Also pins: a probe
+    for an absent key scans ZERO files, NULL values set no bits, and
+    the driver-merge write path attaches blooms too."""
+    import pyspark.sql.functions as SF
+
+    from oups_spark.store.manifest import Manifest
+
+    path = f"{scratch}/bloom_ds"
+    n = 8_000
+    # session ids cluster by time (i // 2000) -> 4 files, one session
+    # each; the probe column the files are NOT ordered by
+    df = spark.range(n).select(
+        SF.col("id").alias("seq"),
+        (SF.col("id") / SF.lit(2_000)).cast("long").alias("session"),
+        SF.when(SF.col("id") % 100 == 0, None)
+        .otherwise(SF.concat(SF.lit("u"), (SF.col("id") % 7).cast("string")))
+        .alias("tag"),
+    )
+    ds = OrderedDataset(spark, path)
+    ds.write(
+        df=df, ordered_on="seq", row_group_target_size=2_000,
+        validate_monotonic=False, use_driver_merge=False,
+        bloom_cols=["session", "tag"],
+    )
+    man = Manifest.load(path)
+    assert all(e.blooms and set(e.blooms) == {"session", "tag"}
+               for e in man.files)
+
+    # point lookup -> EXACTLY the files whose data holds session 2
+    # (the range partitioner's boundaries are sampling-dependent, so
+    # the truth set is computed from the data, not assumed; with <=3
+    # distinct sessions per file the false-positive odds are ~1e-9,
+    # so planned == truth, and pruning must drop the files that only
+    # hold other sessions)
+    n_total = len(man.files)
+    assert n_total >= 3
+
+    def files_of(df):
+        return {r[0] for r in df.select(SF.input_file_name()).distinct().collect()}
+
+    truth2 = files_of(ds.read().where(SF.col("session") == 2))
+    hit = ds.read(filters=[("session", "=", 2)])
+    assert files_of(hit) == truth2
+    assert len(truth2) < n_total
+    assert hit.count() == 2_000
+
+    # IN over two sessions -> exactly their files, fewer than all
+    truth03 = files_of(ds.read().where(SF.col("session").isin(0, 3)))
+    two = ds.read(filters=[("session", "in", [0, 3])])
+    assert files_of(two) == truth03
+    assert len(truth03) < n_total
+    assert two.count() == 4_000
+
+    # absent key: bloom proves emptiness, zero files planned, empty
+    # result through the recorded schema (no scan, no crash)
+    miss = ds.read(filters=[("session", "=", 99)])
+    assert miss.count() == 0
+
+    # string column probe; NULLs in the column set no bits and an
+    # equality probe never matches NULL anyway
+    tagged = ds.read(filters=[("tag", "=", "u3")])
+    assert tagged.count() == df.filter(SF.col("tag") == "u3").count()
+
+    # DRIVER-MERGE path (small overlapping batch, auto gate) must
+    # attach blooms to its rewritten files as well
+    upd = spark.range(10).select(
+        (SF.col("id") + 4_100).alias("seq"),
+        SF.lit(77).cast("long").alias("session"),
+        SF.lit("u9").alias("tag"),
+    )
+    OrderedDataset(spark, path).write(
+        df=upd, duplicates_on=["seq"], validate_monotonic=False,
+        bloom_cols=["session", "tag"], row_group_target_size=2_000,
+    )
+    man2 = Manifest.load(path)
+    assert all(e.blooms for e in man2.files)
+    got = OrderedDataset(spark, path).read(filters=[("session", "=", 77)])
+    assert got.count() == 10
+    # the rewritten file now holds sessions {2, 77}: probing 2 keeps
+    # it, probing 77 finds only it
+    assert (
+        OrderedDataset(spark, path)
+        .read(filters=[("session", "=", 77)])
+        .select(SF.input_file_name()).distinct().count() == 1
+    )
+
+
+def test_bloom_rejects_unbloomable_column_types(spark, scratch):
+    import pytest
+
+    import pyspark.sql.functions as SF
+
+    path = f"{scratch}/bloom_badcol"
+    df = spark.range(10).select(
+        SF.col("id").alias("seq"), SF.rand(1).alias("v")
+    )
+    with pytest.raises(ValueError, match="only int/long/string"):
+        OrderedDataset(spark, path).write(
+            df=df, ordered_on="seq", validate_monotonic=False,
+            bloom_cols=["v"],
+        )
+    with pytest.raises(ValueError, match="not in dataset schema"):
+        OrderedDataset(spark, path).write(
+            df=df, ordered_on="seq", validate_monotonic=False,
+            bloom_cols=["nope"],
+        )
+
+
+def test_bloom_jvm_and_driver_hashes_agree(spark):
+    """The write side (F.md5 JVM expression) and the probe side
+    (hashlib.md5) must place every value at identical bit positions —
+    the cross-engine contract the skipping correctness rests on."""
+    import pyspark.sql.functions as SF
+
+    from oups_spark.store.bloom import _positions_col, bloom_positions_py
+
+    vals = [0, 1, 42, -7, 123456789012345, "u3", "", "späce:colon"]
+    df = spark.createDataFrame(
+        [(str(v), v if isinstance(v, str) else None, v if not isinstance(v, str) else None) for v in vals],
+        "s string, vs string, vl long",
+    )
+    m, k = 8192, 3
+    rows = df.select(
+        "s",
+        _positions_col(SF.coalesce(SF.col("vs"), SF.col("vl").cast("string")), m, k).alias("p"),
+    ).collect()
+    for r in rows:
+        v = r["s"]
+        # recover the original typed value for the python side
+        pv = v if any(isinstance(x, str) and str(x) == v for x in vals) else int(v)
+        assert list(r["p"]) == bloom_positions_py(pv, m, k), v
