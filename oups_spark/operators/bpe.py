@@ -1,0 +1,134 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+The standard LLM-pipeline step the reference has no analogue for:
+learn a byte-pair-encoding merge table from the corpus. The
+scale-honest shape (the same one HuggingFace ``tokenizers`` uses) is:
+
+1. ONE corpus-sized pass builds the (word, count) vocabulary table —
+   after this, training never touches the corpus again. The vocab
+   table is orders of magnitude smaller than the corpus (Heaps' law),
+   and at open scale the corpus pass runs over a sample anyway.
+2. Each merge round runs on the vocabulary table only: count adjacent
+   symbol pairs weighted by word count (partial-combined hash agg,
+   one tiny argmax to the driver — a 3-field row), then apply the
+   winning merge to every word's symbol list JVM-side with an
+   ``F.aggregate`` left fold (greedy, left-to-right, non-overlapping
+   — the BPE contract). The table is ``localCheckpoint``-ed per round
+   so round r+1's lineage does not replay rounds 1..r
+   (the iterative-operator rule every looped operator here follows).
+
+Determinism (what lets a DuckDB twin replay the whole trajectory):
+word pre-tokenization is ``[a-z0-9]+`` over lowercased text (ASCII
+class — identical regex semantics across engines), pair counts are
+integer sums, and ties break lexicographically on (left, right).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+END_MARK = "</w>"
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def word_count_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one corpus-sized pass: (word, count) over the ASCII word
+    tokens of the lowercased text."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}), "
+                    f"'{TOKEN_PATTERN}', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _apply_merge(syms, a: str, b: str):
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b)
+    into a||b — a single JVM-side ``aggregate`` fold; no Python
+    worker touches the vocabulary table."""
+    merged = a + b
+    zero = F.struct(
+        F.expr("cast(array() as array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        return (
+            F.when(
+                (acc["pend"] == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("pend")),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                    s.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(syms, zero, step, finish)
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", *, n_merges: int = 16
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges; returns the merge
+    table ``(rank, left_sym, right_sym, token, pair_count)`` —
+    ``rank`` is the merge order (1-based), ``pair_count`` the
+    weighted adjacent-pair frequency that won the round."""
+    spark = docs.sparkSession
+    vocab = word_count_table(docs, text_col).select(
+        "w",
+        "cnt",
+        F.concat(F.split("w", ""), F.array(F.lit(END_MARK))).alias("syms"),
+    )
+    vocab = vocab.localCheckpoint()
+
+    rows = []
+    for r in range(n_merges):
+        pair = F.arrays_zip(
+            F.slice("syms", 1, F.size("syms") - 1),
+            F.slice("syms", 2, F.size("syms") - 1),
+        )
+        best = (
+            vocab.select(F.col("cnt"), F.explode(pair).alias("p"))
+            .groupBy(
+                F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b")
+            )
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word fully merged (tiny corpora)
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        rows.append((r + 1, a, b, a + b, c))
+        vocab = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), a, b)
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        rows,
+        "rank int, left_sym string, right_sym string, "
+        "token string, pair_count long",
+    )

@@ -48,13 +48,13 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-10 window (evidence ages going in: 50 r9-green, 44 r8-green,
 # 32 r7-green, 2 never-checked; registry = 128), in priority order:
-#   1. the two round-10 registrations (never checked — the standing
+#   1. the three round-10 registrations (never checked — the standing
 #      rule: new queries take slots in their landing round);
 #   2. ALL 32 queries whose last driver-green row is round 7 — the
 #      oldest evidence anywhere, exactly the list round 9's boundary
 #      comment scheduled as this round's head (this includes
 #      streaming_hll_ingest, whose write path changed this round);
-#   3. the first 16 r8-greens in import order, filling slot 50.
+#   3. the first 15 r8-greens in import order, filling slot 50.
 # Round-10 code changes (dataset/manifest grace window, fills cmidx
 # checks, asof NTZ cast, multimodal decoder guard) all sit under
 # r9-green queries — each was re-verified green locally via
@@ -69,6 +69,7 @@ def register(name: str, oracle: str | None = None):
 # arithmetic this comment used to do by hand (and round 8 got wrong).
 _WINDOW_PRIORITY = [
     # (1) round-10 registrations
+    "bpe_merges",
     "store_bloom_skipping",
     "streaming_native_snapshots",
     # (2) all 32 r7-stale queries (round 9's scheduled head)
@@ -104,7 +105,7 @@ _WINDOW_PRIORITY = [
     "intersections_bucket_align",
     "rollup_pricing",
     "twap_hourly",
-    # (3) first 16 r8-greens, import order — fills slot 50
+    # (3) first 15 r8-greens, import order — fills slot 50
     "asof_nearest_tolerance",
     "lang_id",
     "ngram_jaccard_pairs",
@@ -120,11 +121,11 @@ _WINDOW_PRIORITY = [
     "quality_classifier_scores",
     "hll_distinct_tokens",
     "gopher_quality_rules",
-    "domain_url_stats",
-    # --- slot-50 boundary: the window ends at domain_url_stats
-    # (slot 50, counted: 2 + 32 + 16 — and count-asserted by
+    # --- slot-50 boundary: the window ends at gopher_quality_rules
+    # (slot 50, counted: 3 + 32 + 15 — and count-asserted by
     # tests/test_window_schedule.py). Round 11's window head = the
-    # 28 remaining r8-greens below, oldest evidence after this round:
+    # 29 remaining r8-greens below, oldest evidence after this round:
+    "domain_url_stats",
     "corpus_curation",
     "token_pack_assignment",
     "stratified_sample_mix",

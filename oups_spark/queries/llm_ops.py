@@ -1500,3 +1500,77 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jac_bucket")
     )
+
+
+# --------------------------------------------------------------- BPE
+def bpe_unrolled_sql(n_merges: int = 16) -> str:
+    """Fully INDEPENDENT DuckDB twin of ``bpe_train`` — the whole
+    merge trajectory unrolled as chained CTEs, no repo-computed
+    values trusted. Per round: weighted adjacent-pair count + argmax
+    (lexicographic tiebreak), then the greedy left-to-right
+    non-overlapping merge expressed relationally: candidate positions
+    flagged, maximal runs of CONSECUTIVE candidates (only possible
+    when left==right, e.g. 'aaaa') keep every other position, kept
+    positions emit the merged token and swallow their right
+    neighbor."""
+    parts = ["""WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents) GROUP BY w
+    ), w0 AS MATERIALIZED (
+      SELECT w, cnt,
+             list_append(list_transform(range(1, length(w)+1),
+                                        i -> substr(w, i, 1)), '</w>') AS syms
+      FROM words
+    )"""]
+    for r in range(n_merges):
+        parts.append(f""",
+    p{r} AS MATERIALIZED (
+      SELECT a, b, c FROM (
+        SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS c
+        FROM w{r}, unnest(range(1, len(syms))) AS t(i)
+        GROUP BY 1, 2)
+      ORDER BY c DESC, a, b LIMIT 1),
+    w{r+1} AS MATERIALIZED (
+      SELECT w, min(cnt) AS cnt,
+             list(CASE WHEN keep THEN s || lead_s ELSE s END ORDER BY i) AS syms
+      FROM (
+        SELECT *, lead(s) OVER (PARTITION BY w ORDER BY i) AS lead_s,
+               coalesce(lag(keep) OVER (PARTITION BY w ORDER BY i), FALSE) AS prevk
+        FROM (
+          SELECT w, cnt, i, s,
+                 isc AND (i - min(i) OVER (PARTITION BY w, isc, grp)) % 2 = 0 AS keep
+          FROM (
+            SELECT *, i - row_number() OVER (PARTITION BY w, isc ORDER BY i) AS grp
+            FROM (
+              SELECT e.w, e.cnt, t.i, e.syms[t.i] AS s,
+                     (t.i < len(e.syms) AND e.syms[t.i] = p.a
+                      AND e.syms[t.i + 1] = p.b) AS isc
+              FROM w{r} e, p{r} p, unnest(range(1, len(e.syms) + 1)) AS t(i)))))
+      WHERE NOT prevk
+      GROUP BY w)""")
+    sel = "\n      UNION ALL\n      ".join(
+        f"SELECT {r + 1} AS rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS token, c::BIGINT AS pair_count FROM p{r}"
+        for r in range(n_merges)
+    )
+    parts.append(f"\n    SELECT * FROM ({sel}) ORDER BY rank")
+    return "".join(parts)
+
+
+@register("bpe_merges", oracle=bpe_unrolled_sql(16))
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus (Sennrich 2016 — the
+    LLM-pipeline step between raw text and token counting): ONE
+    corpus-sized pass builds the (word, count) vocabulary, then every
+    merge round runs on the vocabulary table alone (pair count +
+    3-field argmax to the driver + JVM fold applying the merge,
+    localCheckpoint per round). The oracle replays the whole 16-merge
+    trajectory relationally in DuckDB — same tokenization, integer
+    pair counts, lexicographic tiebreaks, greedy non-overlap
+    semantics — so the learned merge table is hash-checked end to
+    end."""
+    from oups_spark.operators.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=16).orderBy("rank")

@@ -502,3 +502,61 @@ def test_decoder_typo_rejected_up_front():
         decode_stub(b"abc", decoder="PIL")
     with pytest.raises(ValueError, match="decoder must be"):
         extract_features(None, decoder="ffmpeg")
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python BPE twin (independent of the Spark code): word
+    counts, weighted pair counts, lexicographic tiebreak, greedy
+    left-to-right non-overlapping merge."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(r"[a-z0-9]+", t.lower()))
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for r in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += words[w]
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r + 1, a, b, a + b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Distributed BPE == an independent in-memory implementation on
+    a corpus engineered to hit the sharp edges: an all-same-letter
+    word ('aaaa' — greedy non-overlap must merge positions 1-2 and
+    3-4, never the straddling 2-3), count-weighted ties broken
+    lexicographically, and single-char words."""
+    from oups_spark.operators.bpe import bpe_train
+
+    texts = [
+        "aaaa aaaa aaaa banana banana bandana",
+        "a b a b cc cc cc aaaa",
+        "Ba-na-na! banana, the 2nd banana",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["token"],
+         r["pair_count"])
+        for r in bpe_train(df, "text", n_merges=10).orderBy("rank").collect()
+    ]
+    assert got == _bpe_reference(texts, 10)
+    # the overlap case really occurred: some early merge is (a, a)
+    assert ("a", "a") in {(l, r) for _, l, r, _, _ in got[:3]}
