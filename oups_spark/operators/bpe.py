@@ -89,12 +89,21 @@ def _apply_merge(syms, a: str, b: str):
 
 
 def bpe_train(
-    docs: DataFrame, text_col: str = "text", *, n_merges: int = 16
-) -> DataFrame:
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 16,
+    return_vocab: bool = False,
+):
     """Learn the first ``n_merges`` BPE merges; returns the merge
     table ``(rank, left_sym, right_sym, token, pair_count)`` —
     ``rank`` is the merge order (1-based), ``pair_count`` the
-    weighted adjacent-pair frequency that won the round."""
+    weighted adjacent-pair frequency that won the round.
+
+    ``return_vocab=True`` additionally returns the post-training
+    vocabulary ``(w, cnt, syms)`` — each distinct word's final
+    segmentation, the lookup table :func:`bpe_token_counts`-style
+    ENCODING joins against (broadcast-sized at any corpus scale)."""
     spark = docs.sparkSession
     vocab = word_count_table(docs, text_col).select(
         "w",
@@ -127,8 +136,44 @@ def bpe_train(
             "syms", _apply_merge(F.col("syms"), a, b)
         ).localCheckpoint()
 
-    return spark.createDataFrame(
+    merges = spark.createDataFrame(
         rows,
         "rank int, left_sym string, right_sym string, "
         "token string, pair_count long",
+    )
+    return (merges, vocab) if return_vocab else merges
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_merges: int = 16,
+) -> DataFrame:
+    """ENCODE with the learned merges: per document, the word count
+    and the BPE token count (sum of each word's final segment count).
+    The corpus-sized side only explodes words and joins the
+    vocabulary segmentation table — broadcast-sized however big the
+    corpus, so the encode is one map-side join + one keyed agg."""
+    _, vocab = bpe_train(
+        docs, text_col, n_merges=n_merges, return_vocab=True
+    )
+    doc_words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), "
+                f"'{TOKEN_PATTERN}', 0)"
+            )
+        ).alias("w"),
+    )
+    seg = F.broadcast(vocab.select("w", F.size("syms").alias("n_sym")))
+    return (
+        doc_words.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+        )
     )

@@ -1503,7 +1503,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- BPE
-def bpe_unrolled_sql(n_merges: int = 16) -> str:
+def bpe_unrolled_sql(n_merges: int = 16, suffix_sql: str | None = None) -> str:
     """Fully INDEPENDENT DuckDB twin of ``bpe_train`` — the whole
     merge trajectory unrolled as chained CTEs, no repo-computed
     values trusted. Per round: weighted adjacent-pair count + argmax
@@ -1549,6 +1549,9 @@ def bpe_unrolled_sql(n_merges: int = 16) -> str:
               FROM w{r} e, p{r} p, unnest(range(1, len(e.syms) + 1)) AS t(i)))))
       WHERE NOT prevk
       GROUP BY w)""")
+    if suffix_sql is not None:
+        parts.append(suffix_sql)
+        return "".join(parts)
     sel = "\n      UNION ALL\n      ".join(
         f"SELECT {r + 1} AS rank, a AS left_sym, b AS right_sym, "
         f"a || b AS token, c::BIGINT AS pair_count FROM p{r}"
@@ -1556,6 +1559,37 @@ def bpe_unrolled_sql(n_merges: int = 16) -> str:
     )
     parts.append(f"\n    SELECT * FROM ({sel}) ORDER BY rank")
     return "".join(parts)
+
+
+@register(
+    "bpe_token_counts",
+    oracle=bpe_unrolled_sql(
+        8,
+        suffix_sql="""
+    , dw AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents)
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+           sum(len(v.syms))::BIGINT AS n_tokens
+    FROM dw JOIN w8 v USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    ),
+)
+def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with learned BPE merges (train 8 merges on the corpus,
+    then per document count words and final BPE tokens). The
+    corpus-sized side is one word explode + a BROADCAST join against
+    the vocabulary segmentation table (small at any corpus scale) +
+    one keyed agg; the oracle replays the 8-merge trajectory and the
+    same join in DuckDB."""
+    from oups_spark.operators.bpe import bpe_token_counts
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, "text", "doc_id", n_merges=8).orderBy(
+        "doc_id"
+    )
 
 
 @register("bpe_merges", oracle=bpe_unrolled_sql(16))

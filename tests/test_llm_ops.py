@@ -560,3 +560,45 @@ def test_bpe_train_matches_pure_python_reference(spark):
     assert got == _bpe_reference(texts, 10)
     # the overlap case really occurred: some early merge is (a, a)
     assert ("a", "a") in {(l, r) for _, l, r, _, _ in got[:3]}
+
+
+def test_bpe_token_counts_match_pure_python(spark):
+    """Encoding with the learned merges: per-doc word/token counts
+    equal applying the reference merges to each document's words."""
+    from oups_spark.operators.bpe import bpe_token_counts
+
+    texts = [
+        "aaaa banana band",
+        "a banana is a banana",
+        "bandana aaaa aaaa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(df, "text", "doc_id", n_merges=6).collect()
+    }
+
+    import re
+
+    merges = [(l, r) for _, l, r, _, _ in _bpe_reference(texts, 6)]
+
+    def encode(word):
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for i, t in enumerate(texts):
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        exp = (len(words), sum(len(encode(w)) for w in words))
+        assert got[i] == exp, (i, got[i], exp)
