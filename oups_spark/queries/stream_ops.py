@@ -892,6 +892,66 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incremental_minmax",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type AS g,
+           round(min(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS min_val,
+           round(max(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS max_val,
+           CAST(count(value) AS BIGINT) AS n_valued
+    FROM ranked WHERE rn = 1 AND event_type <> 'error' AND value IS NOT NULL
+    GROUP BY event_type ORDER BY g
+    """,
+)
+def cdc_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-INVERTIBLE aggregates under retraction: min/max of each
+    user's latest state per event type, maintained across three
+    changelog batches. min/max cannot retract directly, so the
+    maintenance rides a counted VALUE MULTISET per group (the classic
+    IVM auxiliary structure) — count deltas are invertible even
+    though the aggregate is not, updates move keys between groups,
+    deletes retract, and the read-time min/max over count>0 values is
+    bit-equal to the one-shot oracle on the integer grid."""
+    from oups_spark.streaming.ivm import (
+        cdc_merge_batch_with_minmax,
+        read_minmax,
+    )
+    from oups_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("cdc_incremental_minmax")
+    state = os.path.join(base, "state")
+    hist = os.path.join(base, "hist")
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    chunk = events.withColumn(
+        "is_delete", F.col("event_type") == "error"
+    )
+    for cond in _replay_cuts(events):
+        cdc_merge_batch_with_minmax(
+            spark,
+            chunk.filter(cond),
+            state,
+            hist,
+            key="user_id",
+            order_cols=["ts", "event_id"],
+            group_col="event_type",
+            value_col="value",
+            delete_col="is_delete",
+            n_buckets=16,
+        )
+    return read_minmax(spark, hist).orderBy("g")
+
+
+@register(
     "cdc_incremental_agg",
     oracle="""
     WITH ranked AS (

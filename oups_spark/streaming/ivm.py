@@ -140,3 +140,108 @@ def read_agg(spark: SparkSession, agg_path: str) -> DataFrame:
         F.col("n"),
         F.round(F.col("isum") / F.lit(fac), _GRID).alias("sum_val"),
     )
+
+
+# ------------------------------------------------- non-invertible aggs
+# min/max cannot retract directly (removing the current minimum says
+# nothing about the runner-up). The classic IVM answer (Gupta &
+# Mumick) is an auxiliary structure that MAKES the maintenance
+# invertible: a counted VALUE MULTISET per group — (g, value, count)
+# on the same integer grid as the sum. Count deltas are algebraic
+# (+1 new live row, -1 retracted row), so the multiset stays exact
+# under updates and deletes; min/max are then just min/max over the
+# values with count > 0, computed at read time. Size is
+# O(distinct (group, value)) — bounded by, and usually far below, the
+# live-row count — and each batch touches only the (g, value) pairs
+# its keys moved, so cost per batch stays O(touched), never O(table).
+
+
+def _value_counts(df: DataFrame, group_col: str, value_col: str, sign: int):
+    fac = float(10**_GRID)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("g"),
+            F.round(F.col(value_col) * fac).cast("long").alias("iv"),
+        )
+        .agg((F.lit(sign) * F.count(F.lit(1))).alias("dc"))
+    )
+
+
+def cdc_merge_batch_with_minmax(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_path: str,
+    hist_path: str,
+    *,
+    key: str,
+    order_cols: list[str],
+    group_col: str,
+    value_col: str,
+    delete_col: str,
+    n_buckets: int = 32,
+) -> None:
+    """CDC merge that also maintains the per-group counted value
+    multiset backing exact MIN/MAX under retraction. Same distributed
+    shape as :func:`cdc_merge_batch_with_agg`: per-batch deltas, a
+    full-outer join onto the stored multiset (NULL-safe on the group
+    key), no driver-side state."""
+    cur, flat, _touched = merge_latest(
+        spark, batch_df, state_path,
+        key=key, order_cols=order_cols, n_buckets=n_buckets,
+    )
+    live = ~F.col(delete_col)
+    new_vc = _value_counts(flat.filter(live), group_col, value_col, +1)
+    delta = (
+        new_vc
+        if cur is None
+        else new_vc.unionByName(
+            _value_counts(cur.filter(live), group_col, value_col, -1)
+        )
+    )
+    delta = delta.groupBy("g", "iv").agg(F.sum("dc").alias("dc"))
+    if os.path.exists(hist_path):
+        stored = (
+            spark.read.parquet(hist_path)
+            .withColumnRenamed("g", "__sg")
+            .withColumnRenamed("iv", "__siv")
+        )
+        merged = (
+            stored.join(
+                delta,
+                on=F.col("__sg").eqNullSafe(F.col("g"))
+                & (F.col("__siv") == F.col("iv")),
+                how="full_outer",
+            )
+            .select(
+                F.coalesce(F.col("__sg"), F.col("g")).alias("g"),
+                F.coalesce(F.col("__siv"), F.col("iv")).alias("iv"),
+                (
+                    F.coalesce(F.col("c"), F.lit(0))
+                    + F.coalesce(F.col("dc"), F.lit(0))
+                ).alias("c"),
+            )
+        )
+    else:
+        merged = delta.select("g", "iv", F.col("dc").alias("c"))
+    merged = merged.filter(F.col("c") > 0)
+    # same retry hazard as the sum variant: materialize before either
+    # overwrite so a stage retry cannot re-read replaced bytes
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(hist_path)
+    write_state(spark, flat, state_path)
+
+
+def read_minmax(spark: SparkSession, hist_path: str) -> DataFrame:
+    """Exact per-group min/max (and live valued-row count) from the
+    maintained multiset."""
+    fac = float(10**_GRID)
+    return (
+        spark.read.parquet(hist_path)
+        .groupBy("g")
+        .agg(
+            F.round(F.min("iv") / F.lit(fac), _GRID).alias("min_val"),
+            F.round(F.max("iv") / F.lit(fac), _GRID).alias("max_val"),
+            F.sum("c").cast("long").alias("n_valued"),
+        )
+    )

@@ -966,3 +966,60 @@ def test_driver_window_queries_all_have_oracles():
         assert REGISTRY[n].oracle is not None, n
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]
     assert missing == [], missing
+
+
+class TestIvmMinMax:
+    def test_multiset_retracts_the_minimum_itself(self, spark, tmp_path):
+        """The case the delta rule cannot handle: deleting the row
+        that IS the current minimum must surface the runner-up — the
+        counted value multiset makes that exact. Also pins duplicate
+        values (count 2 -> 1 keeps the value alive), group moves, and
+        NULL values staying out of the multiset."""
+        from oups_spark.streaming.ivm import (
+            cdc_merge_batch_with_minmax,
+            read_minmax,
+        )
+
+        state = str(tmp_path / "mm_state")
+        hist = str(tmp_path / "mm_hist")
+        schema = "k long, ord long, grp string, v double, is_delete boolean"
+
+        def merge(rows):
+            cdc_merge_batch_with_minmax(
+                spark,
+                spark.createDataFrame(rows, schema),
+                state,
+                hist,
+                key="k",
+                order_cols=["ord"],
+                group_col="grp",
+                value_col="v",
+                delete_col="is_delete",
+                n_buckets=4,
+            )
+
+        merge([
+            (1, 1, "a", 1.5, False),   # the minimum of a
+            (2, 1, "a", 1.5, False),   # duplicate value
+            (3, 1, "a", 9.0, False),   # the maximum of a
+            (4, 1, "a", 4.0, False),
+            (5, 1, "a", None, False),  # NULL: not in the multiset
+        ])
+        out = {r["g"]: r for r in read_minmax(spark, hist).collect()}
+        assert out["a"]["min_val"] == 1.5 and out["a"]["max_val"] == 9.0
+        assert out["a"]["n_valued"] == 4
+
+        # delete ONE holder of the duplicate minimum: 1.5 survives
+        merge([(1, 2, None, None, True)])
+        out = {r["g"]: r for r in read_minmax(spark, hist).collect()}
+        assert out["a"]["min_val"] == 1.5 and out["a"]["n_valued"] == 3
+
+        # delete the other; the max moves to group b in the same batch
+        merge([
+            (2, 2, None, None, True),
+            (3, 2, "b", 9.0, False),
+        ])
+        out = {r["g"]: r for r in read_minmax(spark, hist).collect()}
+        assert out["a"]["min_val"] == 4.0 and out["a"]["max_val"] == 4.0
+        assert out["a"]["n_valued"] == 1
+        assert out["b"]["min_val"] == 9.0 and out["b"]["max_val"] == 9.0
