@@ -46,6 +46,33 @@ from typing import Any
 
 MANIFEST_NAME = "_oups_manifest.json"
 
+# Payloads above this size are gzip-compressed on commit (JSON file
+# lists compress ~10x, so a 100k-file dataset's manifest drops from
+# ~40 MB to ~4 MB — both the object-store PUT/GET and the driver
+# parse stay snappy at lakehouse file counts). Readers sniff the gzip
+# magic, so compressed and plain manifests interoperate freely and
+# old datasets need no migration. Monkeypatch-able for tests.
+GZIP_MIN_BYTES = 256 * 1024
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _maybe_compress(data: bytes) -> bytes:
+    if len(data) <= GZIP_MIN_BYTES:
+        return data
+    import gzip
+
+    # mtime=0: deterministic bytes, so identical payloads commit
+    # identical objects (useful for dedup'ing object stores)
+    return gzip.compress(data, mtime=0)
+
+
+def _plain(data: bytes) -> bytes:
+    if data[:2] == _GZIP_MAGIC:
+        import gzip
+
+        return gzip.decompress(data)
+    return data
+
 
 class ManifestConflictError(RuntimeError):
     """A conditional manifest commit lost a race: the manifest changed
@@ -95,7 +122,7 @@ class PosixRenameBackend(ManifestBackend):
 
     @staticmethod
     def _gen_of(data: bytes) -> int:
-        return json.loads(data).get("generation", 0)
+        return json.loads(_plain(data)).get("generation", 0)
 
     def read(self, dirpath: str):
         path = os.path.join(dirpath, MANIFEST_NAME)
@@ -378,7 +405,7 @@ class Manifest:
         backend = backend or _DEFAULT_BACKEND
         self.sort_files()
         self.generation += 1
-        data = self._payload()
+        data = _maybe_compress(self._payload())
         try:
             self.token = backend.commit(dirpath, data, expect_token=self.token)
         except ManifestConflictError:
@@ -391,7 +418,7 @@ class Manifest:
 
     @classmethod
     def _from_payload(cls, data: bytes, token: Any = None) -> Manifest:
-        payload = json.loads(data)
+        payload = json.loads(_plain(data))
         return cls(
             ordered_on=payload["ordered_on"],
             files=[FileEntry.from_json(d) for d in payload["files"]],

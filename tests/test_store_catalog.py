@@ -728,3 +728,60 @@ def test_dataset_write_hammer_zero_lost_updates(tmp_path):
     expect = {f"{tag}_{i}" for tag in ("h1", "h2") for i in range(n)}
     assert expect <= set(final.kv)
     assert final.generation == 2 * n
+
+
+def test_manifest_gzip_roundtrip_and_cas_at_scale():
+    """Large manifests gzip transparently on commit (readers sniff
+    the magic, plain and compressed interoperate): a 20k-file
+    manifest round-trips losslessly, lands compressed on disk, keeps
+    CAS conflict detection, and a plain-JSON manifest written before
+    the feature still loads."""
+    import json
+    import tempfile
+
+    import pytest
+
+    from oups_spark.store.manifest import (
+        MANIFEST_NAME,
+        FileEntry,
+        Manifest,
+        ManifestConflictError,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        m = Manifest(ordered_on="ts")
+        m.files = [
+            FileEntry(
+                name=f"f{i:06d}.parquet", n_rows=1000,
+                min=i * 10, max=i * 10 + 9,
+                cols={"v": (float(i), float(i) + 1.0)},
+            )
+            for i in range(20_000)
+        ]
+        m.kv["note"] = "big"
+        m.save(d)
+        raw = open(os.path.join(d, MANIFEST_NAME), "rb").read()
+        assert raw[:2] == b"\x1f\x8b", "large manifest must be gzipped"
+        assert len(raw) < 2_000_000  # ~10x smaller than the JSON
+
+        back = Manifest.load(d)
+        assert back.n_rows == 20_000_000
+        assert back.files[0].cols == {"v": (0.0, 1.0)}
+        assert back.kv["note"] == "big" and back.generation == 1
+
+        # CAS on the compressed form: a stale writer still conflicts
+        stale = Manifest.load(d)
+        back.kv["note"] = "newer"
+        back.save(d)
+        stale.kv["note"] = "clobber"
+        with pytest.raises(ManifestConflictError):
+            stale.save(d)
+
+    # a pre-feature plain-JSON manifest (small) still loads
+    with tempfile.TemporaryDirectory() as d2:
+        small = Manifest(ordered_on="ts")
+        small.files = [FileEntry(name="a.parquet", n_rows=1, min=0, max=1)]
+        small.save(d2)  # under threshold -> plain JSON
+        raw2 = open(os.path.join(d2, MANIFEST_NAME), "rb").read()
+        json.loads(raw2)  # parses as plain JSON
+        assert Manifest.load(d2).files[0].name == "a.parquet"
