@@ -308,6 +308,96 @@ def store_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "csv_ingest_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion (the other format corpora actually arrive in):
+    export -> SCHEMA-PINNED read (no inference scan) -> ordered-store
+    merge. CSV's sharp edges are exactly what the md5 check pins:
+    quoted fields holding commas, double-quote escaping, and embedded
+    NEWLINES (multiLine=true on the read — the text column contains
+    real linebreaks). Same beyond-reference source layer as JSONL."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base = _fresh("csv_ingest_roundtrip")
+    cdir = os.path.join(base, "docs_csv")
+    path = os.path.join(base, "docs_ds")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')  # RFC-4180 double-quote escaping
+        .csv(cdir)
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")  # text holds real newlines
+        .csv(cdir)
+    )
+    ds = OrderedDataset(spark, path)
+    ds.write(df=back.orderBy("doc_id"), ordered_on="doc_id",
+             validate_monotonic=False)
+    out = ds.read()
+    return out.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "orc_ingest_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion (the Hive-ecosystem columnar format Spark ships
+    natively): export -> read -> ordered-store merge, byte-checked
+    against the parquet source. Columnar-to-columnar, so unlike
+    CSV/JSONL no text-escaping hazards — what this pins is type
+    fidelity (longs and strings survive the format hop untouched)."""
+    base = _fresh("orc_ingest_roundtrip")
+    odir = os.path.join(base, "docs_orc")
+    path = os.path.join(base, "docs_ds")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").orc(odir)
+    back = spark.read.orc(odir)
+    ds = OrderedDataset(spark, path)
+    ds.write(df=back.orderBy("doc_id"), ordered_on="doc_id",
+             validate_monotonic=False)
+    out = ds.read()
+    return out.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
     "jsonl_ingest_roundtrip",
     oracle="""
     SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
