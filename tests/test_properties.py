@@ -596,3 +596,39 @@ def test_flatten_unflatten_roundtrip_property(spark, tree):
         [r.asDict(recursive=True) for r in back.collect()]
         == [r.asDict(recursive=True) for r in df.collect()]
     )
+
+
+# --- bloom index: no false negatives, pure-python side only ----------
+@given(
+    values=st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(
+                alphabet=st.characters(codec="utf-8"), max_size=40
+            ),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    m=st.sampled_from([256, 1024, 8192]),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_never_false_negative(values, m, k):
+    """The skipping-correctness contract: every inserted value MUST
+    probe positive (a false negative would silently drop rows from a
+    filtered read); positions always land in [0, m)."""
+    from oups_spark.store.bloom import (
+        _pack,
+        bloom_might_contain,
+        bloom_positions_py,
+    )
+
+    positions = set()
+    for v in values:
+        ps = bloom_positions_py(v, m, k)
+        assert len(ps) == k and all(0 <= p < m for p in ps)
+        positions.update(ps)
+    bloom = {"m": m, "k": k, "b64": _pack(positions, m)}
+    for v in values:
+        assert bloom_might_contain(bloom, v)
