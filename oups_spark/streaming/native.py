@@ -37,9 +37,22 @@ _UNIT_NAMES = {
 def freq_to_interval(freq: str) -> str:
     """``'4h'`` -> ``'4 hours'`` (Spark window duration syntax);
     fixed frequencies only — streaming windows need a constant
-    duration for state management."""
+    duration for state management.
+
+    Weeks are REJECTED even though their duration is fixed: Spark's
+    ``F.window`` aligns buckets to the epoch (1970-01-01, a
+    THURSDAY) while the batch engine's ``floor_ts('W')`` anchors to
+    Mondays (pandas/reference convention) — a weekly streaming grid
+    would silently disagree with its batch twin by 3 days. Use daily
+    multiples with an explicit batch-side anchor instead."""
     n, unit = _parse(freq)
-    if unit not in _FIXED_SECONDS and unit not in ("D", "W"):
+    if unit == "W":
+        raise ValueError(
+            "weekly streaming windows are not supported: F.window "
+            "aligns to the epoch (a Thursday) but batch floor_ts('W') "
+            "anchors Mondays — the twins would diverge by 3 days"
+        )
+    if unit not in _FIXED_SECONDS and unit != "D":
         raise ValueError(
             f"streaming windows need a fixed-duration frequency, got {freq!r}"
         )

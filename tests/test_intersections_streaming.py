@@ -332,3 +332,17 @@ def test_streaming_snapshots_match_batch_on_observed_instants(spark, scratch):
         if s + pd.Timedelta("2h") <= final_wm
     } - emitted
     assert missing == set()
+
+
+def test_weekly_streaming_windows_rejected():
+    """F.window aligns to the epoch (a Thursday); batch floor_ts('W')
+    anchors Mondays — a weekly streaming grid would silently disagree
+    with its batch twin by 3 days, so it must refuse loudly."""
+    import pytest
+
+    from oups_spark.streaming.native import freq_to_interval
+
+    with pytest.raises(ValueError, match="Thursday"):
+        freq_to_interval("1W")
+    assert freq_to_interval("7D") == "7 days"
+    assert freq_to_interval("1h") == "1 hour"
