@@ -70,6 +70,9 @@ _SRC = "__oups_src"
 _FIDX = "__oups_fidx"
 _FNAME = "__oups_fname"
 _POS = "__oups_pos"
+# manifest kv key remembering write(bloom_cols=...) so later appends
+# keep indexing (plain name: dunder-keyed kv dicts read as codec tags)
+_BLOOM_COLS_KV = "oups.bloom_cols"
 _PERIOD = "__oups_period"
 
 
@@ -314,6 +317,18 @@ class OrderedDataset:
             cdf, c_on, c_dup, cmidx = self._conform_cmidx(
                 df, ordered_on, duplicates_on
             )
+            # bloom_cols is STICKY: an explicit list persists in the
+            # manifest kv, and later writes that omit it keep indexing
+            # their new files (a silently-unindexed append would make
+            # reads stop pruning without anyone noticing). Pass [] to
+            # clear. Resolved inside the retry loop — a conflict
+            # reload may carry another writer's setting.
+            kv = key_value_metadata
+            eff_bloom = bloom_cols
+            if bloom_cols is not None:
+                kv = {**(kv or {}), _BLOOM_COLS_KV: list(bloom_cols)}
+            elif self._manifest is not None:
+                eff_bloom = self._manifest.kv.get(_BLOOM_COLS_KV)
             try:
                 return self._write_attempt(
                     cdf,
@@ -322,12 +337,12 @@ class OrderedDataset:
                     cmidx=cmidx,
                     row_group_target_size=row_group_target_size,
                     max_n_off_target_rgs=max_n_off_target_rgs,
-                    key_value_metadata=key_value_metadata,
+                    key_value_metadata=kv,
                     validate_monotonic=validate_monotonic,
                     known_stats=known_stats,
                     evolve_schema=evolve_schema,
                     use_driver_merge=use_driver_merge,
-                    bloom_cols=bloom_cols,
+                    bloom_cols=eff_bloom,
                 )
             except ManifestConflictError:
                 if attempt >= conflict_retries:

@@ -811,3 +811,49 @@ def test_bloom_jvm_and_driver_hashes_agree(spark):
         # recover the original typed value for the python side
         pv = v if any(isinstance(x, str) and str(x) == v for x in vals) else int(v)
         assert list(r["p"]) == bloom_positions_py(pv, m, k), v
+
+
+def test_bloom_cols_sticky_across_appends(spark, scratch):
+    """write(bloom_cols=...) persists in the manifest: later appends
+    that omit it still index their new files (a silently-unindexed
+    append would make reads stop pruning); bloom_cols=[] clears."""
+    import pyspark.sql.functions as SF
+
+    from oups_spark.store.manifest import Manifest
+
+    path = f"{scratch}/bloom_sticky"
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            SF.col("id").alias("seq"),
+            (SF.col("id") / SF.lit(1_000)).cast("long").alias("session"),
+        )
+
+    ds = OrderedDataset(spark, path)
+    ds.write(df=batch(0, 2_000), ordered_on="seq",
+             row_group_target_size=1_000, validate_monotonic=False,
+             bloom_cols=["session"])
+    # append WITHOUT bloom_cols: new files must still carry blooms
+    OrderedDataset(spark, path).write(
+        df=batch(2_000, 4_000), row_group_target_size=1_000,
+        validate_monotonic=False,
+    )
+    man = Manifest.load(path)
+    assert man.kv["oups.bloom_cols"] == ["session"]
+    assert all(e.blooms and "session" in e.blooms for e in man.files)
+    got = OrderedDataset(spark, path).read(filters=[("session", "=", 3)])
+    assert got.count() == 1_000
+
+    # bloom_cols=[] clears the sticky setting: further appends stop
+    OrderedDataset(spark, path).write(
+        df=batch(4_000, 5_000), row_group_target_size=1_000,
+        validate_monotonic=False, bloom_cols=[],
+    )
+    OrderedDataset(spark, path).write(
+        df=batch(5_000, 6_000), row_group_target_size=1_000,
+        validate_monotonic=False,
+    )
+    man2 = Manifest.load(path)
+    assert man2.kv["oups.bloom_cols"] == []
+    newest = [e for e in man2.files if e.min >= 4_000]
+    assert newest and all(e.blooms is None for e in newest)
