@@ -773,3 +773,90 @@ def hll_overlap_oracle_sql(
     JOIN singles sb ON sb.g = u.gb
     ORDER BY group_a, group_b
     """
+
+
+# ------------------------------------------------ fixed-grid (streaming)
+def fixed_grid_counts(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable fixed-grid histogram counts — the quantile twin of
+    the HLL register table: bucket counts keyed by (group, bucket)
+    merge across batches/datasets by elementwise SUM, so a streaming
+    ingest folds each micro-batch into a persisted count table and
+    never rescans the corpus. The grid is FIXED a priori (``lo``,
+    ``hi``, ``n_bins``) — the streaming precondition that
+    :func:`histogram_quantiles`'s data-derived bounds cannot meet —
+    and out-of-range values clamp into the edge buckets (quantiles
+    near the edges then saturate at lo/hi; pick the grid to cover the
+    domain). NULLs are excluded (and excluded from the rank's n)."""
+    group_cols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    width = (float(hi) - float(lo)) / float(n_bins)
+    b = F.least(
+        F.greatest(
+            F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def fixed_grid_quantiles(
+    counts: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    decimals: int = 6,
+) -> DataFrame:
+    """Quantile estimates from merged fixed-grid counts — same
+    continuous-rank estimator as :func:`histogram_quantiles`
+    (r = q·(n−1); linear interpolation inside the hit bucket), every
+    step IEEE arithmetic on both engines so a DuckDB replay is
+    hash-exact after rounding."""
+    group_cols = list(group_cols or [])
+    w = Window.partitionBy(*(group_cols or [F.lit(1)])).orderBy("b")
+    tot = Window.partitionBy(*(group_cols or [F.lit(1)]))
+    cum = (
+        counts.withColumn("cum", F.sum("c").over(w))
+        .withColumn("cum_prev", F.col("cum") - F.col("c"))
+        .withColumn("__n", F.sum("c").over(tot))
+    )
+    width = (float(hi) - float(lo)) / float(n_bins)
+    out = []
+    for q in quantiles:
+        r = F.lit(q) * (F.col("__n") - 1).cast("double")
+        hit = cum.where(
+            (F.col("cum_prev").cast("double") <= r)
+            & (r < F.col("cum").cast("double"))
+        )
+        frac = (r - F.col("cum_prev").cast("double")) / F.col("c").cast(
+            "double"
+        )
+        val = F.lit(float(lo)) + F.lit(width) * (
+            F.col("b").cast("double") + frac
+        )
+        out.append(
+            hit.select(
+                *group_cols,
+                F.lit(q).alias("q"),
+                F.round(val, decimals).alias("approx_value"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

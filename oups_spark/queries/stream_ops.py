@@ -733,6 +733,99 @@ def streaming_native_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin", "snap")
 
 
+_FGQ_W = (1000.0 - 0.0) / 256.0  # 3.90625, exact in binary
+
+
+@register(
+    "streaming_quantile_ingest",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(floor((value - 0.0) / {_FGQ_W!r}) AS INT),
+                            0), 255) AS b,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, b, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+             sum(c) OVER (PARTITION BY event_type ORDER BY b) - c AS cum_prev,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    SELECT event_type, q,
+           round(0.0 + {_FGQ_W!r} * (CAST(b AS DOUBLE)
+                 + (q * (n - 1) - CAST(cum_prev AS DOUBLE))
+                   / CAST(c AS DOUBLE)), 6) AS approx_value
+    FROM cum, qs
+    WHERE CAST(cum_prev AS DOUBLE) <= q * (n - 1)
+      AND q * (n - 1) < CAST(cum AS DOUBLE)
+    ORDER BY event_type, q
+    """,
+)
+def streaming_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch maintenance under Structured Streaming — the
+    fixed-grid twin of ``streaming_hll_ingest``: events arrive in 3
+    micro-batches, each batch's (event_type, bucket) counts fold into
+    the persisted count table by elementwise SUM inside
+    ``foreachBatch`` (per-batch cost O(batch) + O(grid); the corpus
+    is never rescanned), and the final p50/p90/p99 estimates from the
+    merged counts must hash-equal the one-shot fixed-grid sketch over
+    all events — sum-merge is commutative/associative, so any batch
+    arrival order lands the same table."""
+    from oups_spark.operators.sketch import (
+        fixed_grid_counts,
+        fixed_grid_quantiles,
+    )
+
+    base = _fresh("streaming_quantile_ingest")
+    src_dir = os.path.join(base, "src")
+    load(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    path = os.path.join(base, "grid_counts")
+    grid = {"lo": 0.0, "hi": 1000.0, "n_bins": 256}
+
+    def merge_batch(batch_df, _batch_id):
+        counts = fixed_grid_counts(
+            batch_df, "value", ["event_type"], **grid
+        )
+        ds = OrderedDataset(spark, path)
+        if ds.exists:
+            counts = (
+                ds.read()
+                .unionByName(counts)
+                .groupBy("event_type", "b")
+                .agg(F.sum("c").alias("c"))
+            )
+        ds.write(
+            df=counts.orderBy("event_type", "b"),
+            ordered_on="event_type",
+            duplicates_on=["event_type", "b"],
+            row_group_target_size=100_000,
+            validate_monotonic=False,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fixed_grid_quantiles(
+        OrderedDataset(spark, path).read(),
+        [0.5, 0.9, 0.99],
+        ["event_type"],
+        **grid,
+    ).orderBy("event_type", "q")
+
+
 def _streaming_hll_oracle() -> str:
     # max-merge is commutative and associative, so any micro-batch
     # arrival order produces the SAME register table as one shot over
