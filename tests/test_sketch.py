@@ -316,3 +316,45 @@ def test_countmin_grouped_register_rejects_ungrouped_probe(spark):
     regs = countmin_register_table(df, "tok", ["g"])
     with pytest.raises(ValueError, match="grouping columns"):
         countmin_estimate(regs, df, "tok")
+
+
+def test_fixed_grid_counts_merge_equals_one_shot(spark):
+    """The mergeability contract streaming_quantile_ingest rests on:
+    per-batch fixed-grid counts summed == one-shot counts over the
+    union, and the quantile estimates from either table agree. Also
+    pins edge-bucket clamping for out-of-range values."""
+    import pyspark.sql.functions as SF
+
+    from oups_spark.operators.sketch import (
+        fixed_grid_counts,
+        fixed_grid_quantiles,
+    )
+
+    grid = {"lo": 0.0, "hi": 100.0, "n_bins": 16}
+    df = spark.range(1_000).select(
+        (SF.col("id") % 3).cast("string").alias("g"),
+        # values 0..124: the >100 tail must clamp into bucket 15
+        (SF.col("id") % 125).cast("double").alias("v"),
+    )
+    a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    merged = (
+        fixed_grid_counts(a, "v", ["g"], **grid)
+        .unionByName(fixed_grid_counts(b, "v", ["g"], **grid))
+        .groupBy("g", "b")
+        .agg(SF.sum("c").alias("c"))
+    )
+    oneshot = fixed_grid_counts(df, "v", ["g"], **grid)
+    m = {(r["g"], r["b"]): r["c"] for r in merged.collect()}
+    o = {(r["g"], r["b"]): r["c"] for r in oneshot.collect()}
+    assert m == o
+    assert max(bkt for _, bkt in o) == 15  # clamped tail present
+
+    qm = {
+        (r["g"], r["q"]): r["approx_value"]
+        for r in fixed_grid_quantiles(merged, [0.5, 0.99], ["g"], **grid).collect()
+    }
+    qo = {
+        (r["g"], r["q"]): r["approx_value"]
+        for r in fixed_grid_quantiles(oneshot, [0.5, 0.99], ["g"], **grid).collect()
+    }
+    assert qm == qo and len(qm) == 6
