@@ -47,28 +47,29 @@ def register(name: str, oracle: str | None = None):
 # exposed, just not driver-checked this round).
 #
 # Round-10 window (evidence ages going in: 50 r9-green, 44 r8-green,
-# 32 r7-green, 8 never-checked; registry = 134), in priority order:
-#   1. the eight round-10 registrations (never checked — the standing
+# 32 r7-green, 9 never-checked; registry = 135), in priority order:
+#   1. the nine round-10 registrations (never checked — the standing
 #      rule: new queries take slots in their landing round);
 #   2. ALL 32 queries whose last driver-green row is round 7 — the
 #      oldest evidence anywhere, exactly the list round 9's boundary
 #      comment scheduled as this round's head (this includes
 #      streaming_hll_ingest, whose write path changed this round);
-#   3. the first 10 r8-greens in import order, filling slot 50.
+#   3. the first 9 r8-greens in import order, filling slot 50.
 # Round-10 code changes (dataset/manifest grace window, fills cmidx
 # checks, asof NTZ cast, multimodal decoder guard) all sit under
 # r9-green queries — each was re-verified green locally via
 # tools/driver_check.py this round, so rotation order stays purely
 # evidence-age-driven.
-# Below the boundary: the remaining 34 r8-greens (listed, in order)
+# Below the boundary: the remaining 35 r8-greens (listed, in order)
 # are the head of round 11's window, followed by the 50 r9-greens in
-# import order. Full-rotation cadence at 134 queries / 50 slots is
+# import order. Full-rotation cadence at 135 queries / 50 slots is
 # ~2.5 rounds; tests/test_window_schedule.py COMPUTES the boundary
 # from the CORRECTNESS_r*.json history and fails if any query's
 # evidence would age past 2 rounds outside the window — the
 # arithmetic this comment used to do by hand (and round 8 got wrong).
 _WINDOW_PRIORITY = [
     # (1) round-10 registrations
+    "streaming_countmin_ingest",
     "streaming_quantile_ingest",
     "csv_ingest_roundtrip",
     "orc_ingest_roundtrip",
@@ -110,7 +111,7 @@ _WINDOW_PRIORITY = [
     "intersections_bucket_align",
     "rollup_pricing",
     "twap_hourly",
-    # (3) first 10 r8-greens, import order — fills slot 50
+    # (3) first 9 r8-greens, import order — fills slot 50
     "asof_nearest_tolerance",
     "lang_id",
     "ngram_jaccard_pairs",
@@ -120,11 +121,11 @@ _WINDOW_PRIORITY = [
     "decontamination_overlap",
     "pii_scan",
     "embedding_quantize",
-    "label_centroids",
-    # --- slot-50 boundary: the window ends at label_centroids
-    # (slot 50, counted: 8 + 32 + 10 — and count-asserted by
+    # --- slot-50 boundary: the window ends at embedding_quantize
+    # (slot 50, counted: 9 + 32 + 9 — and count-asserted by
     # tests/test_window_schedule.py). Round 11's window head = the
-    # 34 remaining r8-greens below, oldest evidence after this round:
+    # 35 remaining r8-greens below, oldest evidence after this round:
+    "label_centroids",
     "lm_quality_score",
     "ccnet_quality_buckets",
     "quality_classifier_scores",

@@ -826,6 +826,79 @@ def streaming_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "q")
 
 
+def _streaming_cm_oracle() -> str:
+    # elementwise-sum merge is commutative and associative, so any
+    # micro-batch arrival order produces the SAME register table as
+    # one shot over the whole corpus — the oracle is the one-shot
+    # heavy-hitters replay countmin_heavy_hitters already pins.
+    from oups_spark.queries.quality_ops import _countmin_oracle
+
+    return _countmin_oracle()
+
+
+@register("streaming_countmin_ingest", oracle=_streaming_cm_oracle())
+def streaming_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch maintenance under Structured Streaming — the
+    Count-Min member of the ingest family (HLL = max-merge,
+    fixed-grid quantiles = bucket-sum, CM = counter-sum): documents
+    arrive in 3 micro-batches and each batch's 4x1024 exact integer
+    counters fold into the persisted register table by elementwise
+    SUM inside ``foreachBatch``. Per-batch cost is O(batch) +
+    O(depth x width); history is never rescanned. The final top-25
+    heavy hitters from the merged table must hash-equal the one-shot
+    sketch, whatever order the batches committed in."""
+    from oups_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_register_table,
+    )
+    from oups_spark.operators.text import tokens
+
+    base = _fresh("streaming_countmin_ingest")
+    src_dir = os.path.join(base, "src")
+    load(spark, sf_dir, "documents").repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    path = os.path.join(base, "cm_registers")
+
+    def merge_batch(batch_df, _batch_id):
+        regs = countmin_register_table(
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("tok")),
+            "tok",
+        )
+        ds = OrderedDataset(spark, path)
+        if ds.exists:
+            regs = (
+                ds.read()
+                .unionByName(regs)
+                .groupBy("i", "b")
+                .agg(F.sum("c").alias("c"))
+            )
+        ds.write(
+            df=regs.orderBy("i", "b"),
+            ordered_on="i",
+            duplicates_on=["i", "b"],
+            row_group_target_size=100_000,
+            validate_monotonic=False,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    est = countmin_estimate(OrderedDataset(spark, path).read(), toks, "tok")
+    return est.orderBy(F.desc("cm_count"), "tok").limit(25)
+
+
 def _streaming_hll_oracle() -> str:
     # max-merge is commutative and associative, so any micro-batch
     # arrival order produces the SAME register table as one shot over
