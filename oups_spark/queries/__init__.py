@@ -46,85 +46,25 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Round-10 window (evidence ages going in: 50 r9-green, 44 r8-green,
-# 32 r7-green, 9 never-checked; registry = 135), in priority order:
-#   1. the nine round-10 registrations (never checked — the standing
-#      rule: new queries take slots in their landing round);
-#   2. ALL 32 queries whose last driver-green row is round 7 — the
-#      oldest evidence anywhere, exactly the list round 9's boundary
-#      comment scheduled as this round's head (this includes
-#      streaming_hll_ingest, whose write path changed this round);
-#   3. the first 9 r8-greens in import order, filling slot 50.
-# Round-10 code changes (dataset/manifest grace window, fills cmidx
-# checks, asof NTZ cast, multimodal decoder guard) all sit under
-# r9-green queries — each was re-verified green locally via
-# tools/driver_check.py this round, so rotation order stays purely
-# evidence-age-driven.
-# Below the boundary: the remaining 35 r8-greens (listed, in order)
-# are the head of round 11's window, followed by the 50 r9-greens in
-# import order. Full-rotation cadence at 135 queries / 50 slots is
-# ~2.5 rounds; tests/test_window_schedule.py COMPUTES the boundary
-# from the CORRECTNESS_r*.json history and fails if any query's
-# evidence would age past 2 rounds outside the window — the
-# arithmetic this comment used to do by hand (and round 8 got wrong).
+# Round-11 window (evidence ages going in: 50 r10-green, 50 r9-green,
+# 35 r8-green; registry = 135 + this round's registrations), in
+# priority order:
+#   1. the round-11 registrations (never checked — the standing rule:
+#      new queries take slots in their landing round);
+#   2. ALL 35 queries whose last driver-green row is round 8 — the
+#      oldest evidence anywhere, exactly the list round 10's boundary
+#      comment scheduled as this round's head;
+#   3. the first r9-greens in import order, filling slot 50.
+# Below the boundary: the remaining r9-greens follow, then the
+# r10-greens — the r9-greens are the head of round 12's window.
+# tests/test_window_schedule.py COMPUTES the boundary from the
+# CORRECTNESS_r*.json history and fails if any query's evidence would
+# age past 2 rounds outside the window — the arithmetic this comment
+# used to do by hand (and round 8 got wrong).
 _WINDOW_PRIORITY = [
-    # (1) round-10 registrations
-    "streaming_countmin_ingest",
-    "streaming_quantile_ingest",
-    "csv_ingest_roundtrip",
-    "orc_ingest_roundtrip",
-    "cdc_incremental_minmax",
-    "bpe_token_counts",
-    "bpe_merges",
-    "store_bloom_skipping",
-    "streaming_native_snapshots",
-    # (2) all 32 r7-stale queries (round 9's scheduled head)
-    "asof_click_before_purchase",
-    "embedding_cosine_topk",
-    "range_join_first_week",
-    "text_stats",
-    "dedup_exact",
-    "minhash_lsh_neardup_pairs",
-    "kmeans_clusters",
-    "countmin_heavy_hitters",
-    "histogram_quantiles_by_type",
-    "bloom_decontamination",
-    "hll_source_overlap",
-    "ann_ivf_topk",
-    "mmr_diverse_topk",
-    "cohort_retention_weekly",
-    "ewma_user_values",
-    "text_feature_vectors",
-    "source_quota_twophase",
-    "corpus_pipeline_end2end",
-    "topic_clusters",
-    "segment_bins_explicit_edges",
-    "sliding_window_1h_15m",
-    "dsir_importance_weights",
-    "dsir_gumbel_topk",
-    "semdedup_prune",
-    "streaming_native_hourly",
-    "streaming_interval_join",
-    "streaming_hll_ingest",
-    "volume_bars_10k",
-    "aggstream_filter_fanout",
-    "intersections_bucket_align",
-    "rollup_pricing",
-    "twap_hourly",
-    # (3) first 9 r8-greens, import order — fills slot 50
-    "asof_nearest_tolerance",
-    "lang_id",
-    "ngram_jaccard_pairs",
-    "neardup_clusters",
-    "ann_lsh_topk",
-    "repetition_stats",
-    "decontamination_overlap",
-    "pii_scan",
-    "embedding_quantize",
-    # --- slot-50 boundary: the window ends at embedding_quantize
-    # (slot 50, counted: 9 + 32 + 9 — and count-asserted by
-    # tests/test_window_schedule.py). Round 11's window head = the
-    # 35 remaining r8-greens below, oldest evidence after this round:
+    # (1) round-11 registrations (never checked) — names are appended
+    # here as each lands this round
+    # (2) all 35 r8-stale queries (round 10's scheduled head)
     "label_centroids",
     "lm_quality_score",
     "ccnet_quality_buckets",
@@ -160,6 +100,63 @@ _WINDOW_PRIORITY = [
     "streaming_native_sessions",
     "streaming_stateful_ffill",
     "streaming_sliding_hourly",
+    # (3) r9-greens in import order — fills slot 50 (the count-taken
+    # prefix adapts to how many round-11 registrations land above;
+    # tests/test_window_schedule.py asserts coverage either way)
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority_counts",
+    "shipping_priority",
+    "promo_revenue_monthly",
+    "regional_supplier_volume",
+    "bucketed_colocated_join",
+    "salted_join_order_customer",
+    "interval_overlap_pairs",
+    "minhash_signatures",
+    # --- ~slot-50 boundary (exact slot depends on (1)'s final count;
+    # the schedule test computes it). Round 12's window head = the
+    # remaining r9-greens in import order, then the r10-greens.
+    "simhash_signatures",
+    "embedding_neardup_pairs",
+    "knn_graph_topk",
+    "json_props_extract",
+    "duplicated_windows",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "simhash_neardup_pairs",
+    "simhash_neardup_pairs_64",
+    "ffill_bfill_user_values",
+    "customers_without_orders",
+    "calendar_floor_ceil",
+    "moving_avg_per_user",
+    "value_percentiles_by_type",
+    "daily_type_pivot",
+    "trailing_24h_per_user",
+    "conversion_funnel",
+    "interpolate_resample_6h",
+    "doc_chunk_overlap",
+    "segment_bins_1h",
+    "row_count_bins_500",
+    "snapshot_1d_6h",
+    "store_merge_keep_last",
+    "store_append_range_read",
+    "dnf_filter_events",
+    "store_compact_roundtrip",
+    "store_time_travel",
+    "store_schema_evolution",
+    "store_stats_skipping",
+    "jsonl_ingest_roundtrip",
+    "incremental_hll_ingest",
+    "store_cmidx_roundtrip",
+    "aggstream_hourly_restart",
+    "aggstream_snapshots_restart",
+    "aggstream_edge_bins_restart",
+    "streaming_dedup_ingest",
+    "cdc_upsert_stream",
+    "cdc_incremental_agg",
+    "cdc_incremental_minmax",
+    "session_windows",
 ]
 
 
