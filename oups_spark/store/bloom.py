@@ -94,6 +94,49 @@ def bloom_might_contain(bloom: dict, value) -> bool:
     return True
 
 
+def _distinct_positions_df(df: DataFrame, bloom_cols: list[str], m: int, k: int) -> DataFrame:
+    """``(__f, __ci, __ps)`` — per (file, column-index) the distinct
+    set bit positions, as an array of ints.
+
+    The positions are EXPLODED to scalar ints before the distinct
+    aggregation, so per-group executor agg state is bounded by m
+    (8192) integers — never by the column's distinct-value count. (A
+    ``collect_set`` over whole k-element position *arrays* would
+    buffer one array per distinct value: millions of small arrays per
+    group at reference-default 6.3M-row files on a high-cardinality
+    column.) NULL values hash to NULL positions (md5(NULL) is NULL)
+    and are filtered out — a NULL never matches an equality probe, so
+    it sets no bits.
+    """
+    def _tag(ci: int):
+        # single-arg lambda: a two-arg one would receive the ARRAY
+        # index as its second parameter and shadow the column index
+        return lambda p: F.struct(F.lit(ci).alias("ci"), p.alias("pos"))
+
+    pos_structs = F.flatten(
+        F.array(
+            *[
+                F.transform(_positions_col(F.col(c), m, k), _tag(i))
+                for i, c in enumerate(bloom_cols)
+            ]
+        )
+    )
+    return (
+        df.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f"),
+            F.explode(pos_structs).alias("__cp"),
+        )
+        .select(
+            "__f",
+            F.col("__cp.ci").alias("__ci"),
+            F.col("__cp.pos").alias("__pos"),
+        )
+        .where(F.col("__pos").isNotNull())
+        .groupBy("__f", "__ci")
+        .agg(F.collect_set("__pos").alias("__ps"))
+    )
+
+
 def build_file_blooms(
     spark,
     file_paths: list[str],
@@ -107,12 +150,18 @@ def build_file_blooms(
     (file, column) the distinct set bit positions, collected to the
     driver and packed into bitsets.
 
-    Returns ``{file_basename: {col: {"m", "k", "b64"}}}``. The
-    collect is bounded by ``files x cols x m`` positions (not by row
-    count): distinct-aggregated before it crosses the driver line.
-    Cost is one extra pass over the NEW batch only — opt-in write
-    amplification, never a table scan.
+    Returns ``{file_basename: {col: {"m", "k", "t", "b64"}}}`` where
+    ``t`` tags the indexed column's family (``"i"`` int, ``"s"``
+    string) so probe-side type coercion can be validated. Both the
+    executor agg state and the collect are bounded by
+    ``files x cols x m`` positions (not by row count or distinct-value
+    count — see :func:`_distinct_positions_df`). Cost is one extra
+    pass over the NEW batch only — opt-in write amplification, never
+    a table scan.
     """
+    import os.path
+    import urllib.parse
+
     by_name = {f.name: f for f in schema.fields}
     for c in bloom_cols:
         if c not in by_name:
@@ -123,45 +172,65 @@ def build_file_blooms(
                 f"bloom column {c!r} has type {t}; only int/long/string "
                 "columns probe bit-identically across JVM and driver"
             )
+    col_tag = {
+        c: ("s" if by_name[c].dataType.simpleString() == "string" else "i")
+        for c in bloom_cols
+    }
     df = spark.read.schema(schema).parquet(*file_paths)
-    rows = (
-        df.select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f"),
-            *[
-                _positions_col(F.col(c), m, k).alias(f"__p_{i}")
-                for i, c in enumerate(bloom_cols)
-            ],
-        )
-        .groupBy("__f")
-        .agg(
-            *[
-                F.array_distinct(
-                    F.flatten(F.collect_set(F.col(f"__p_{i}")))
-                ).alias(f"__s_{i}")
-                for i in range(len(bloom_cols))
-            ]
-        )
-        .collect()
-    )
-    out: dict[str, dict[str, dict]] = {}
+    rows = _distinct_positions_df(df, bloom_cols, m, k).collect()
+    # every written file gets a bloom per column, even when a column
+    # is all-NULL in that file (no surviving positions -> all-zero
+    # bitset, which correctly proves every equality probe absent)
+    positions: dict[str, list[set[int]]] = {
+        os.path.basename(p): [set() for _ in bloom_cols] for p in file_paths
+    }
     for r in rows:
-        import urllib.parse
-
         fname = urllib.parse.unquote(r["__f"])
-        out[fname] = {
-            c: {
-                "m": m,
-                "k": k,
-                # None positions come from NULL values (md5(NULL) is
-                # NULL -> conv NULL -> None inside the array): a NULL
-                # never matches an equality probe, so it sets no bits
-                "b64": _pack(
-                    {int(p) for p in r[f"__s_{i}"] if p is not None}, m
-                ),
-            }
+        positions[fname][r["__ci"]].update(int(p) for p in r["__ps"])
+    return {
+        fname: {
+            c: {"m": m, "k": k, "t": col_tag[c], "b64": _pack(ps[i], m)}
             for i, c in enumerate(bloom_cols)
         }
-    return out
+        for fname, ps in positions.items()
+    }
+
+
+def _normalize_probe(value, col_type: str | None) -> str | None:
+    """Canonicalize a probe value to the string the write side hashed,
+    or None when the bloom cannot SAFELY disprove the probe.
+
+    The filter path (``dnf_filter``) compares with SQL coercion, so a
+    long column probed with ``7.0`` or ``True`` matches rows holding
+    7 — but the write side hashed ``"7"``. Hashing ``str(7.0)`` =
+    ``"7.0:0"`` would "prove" absence and wrongly prune the file (a
+    false negative, violating the module contract). Coerce
+    bool/integral-float/int-string probes of int-family columns
+    through ``int()``; string columns accept only str probes (an int
+    probe makes SQL cast the COLUMN, under which ``'07' == 7`` — no
+    canonical string exists). Untagged blooms (pre-``t`` manifests)
+    accept only non-bool int and str probes, mirroring the write-side
+    ``_BLOOMABLE`` gate.
+    """
+    if isinstance(value, bool):
+        value = int(value)
+    if col_type == "s":
+        return value if isinstance(value, str) else None
+    if col_type == "i":
+        if isinstance(value, int):
+            return str(value)
+        if isinstance(value, float) and value.is_integer():
+            return str(int(value))
+        if isinstance(value, str):
+            try:
+                return str(int(value))
+            except ValueError:
+                return None
+        return None
+    # legacy untagged bloom: exact int / str probes only
+    if isinstance(value, (int, str)):
+        return str(value)
+    return None
 
 
 def blooms_disprove_term(
@@ -169,7 +238,10 @@ def blooms_disprove_term(
 ) -> bool:
     """Can the file's bloom index PROVE this DNF term unsatisfiable?
     Only equality shapes are bloom-provable: ``==``/``=`` (value
-    absent) and ``in`` (every candidate absent)."""
+    absent) and ``in`` (every candidate absent). Probe values are
+    normalized to the write-side hash encoding first; a value that
+    cannot be safely normalized keeps the file (no false negatives).
+    """
     if not blooms:
         return False
     b = blooms.get(col)
@@ -177,9 +249,14 @@ def blooms_disprove_term(
         return False
     try:
         if op in ("==", "="):
-            return not bloom_might_contain(b, value)
+            nv = _normalize_probe(value, b.get("t"))
+            return nv is not None and not bloom_might_contain(b, nv)
         if op == "in":
-            return all(not bloom_might_contain(b, v) for v in value)
+            nvs = [_normalize_probe(v, b.get("t")) for v in value]
+            return all(
+                nv is not None and not bloom_might_contain(b, nv)
+                for nv in nvs
+            )
     except Exception:  # noqa: BLE001 — unprobeable value -> keep file
         return False
     return False

@@ -857,3 +857,73 @@ def test_bloom_cols_sticky_across_appends(spark, scratch):
     assert man2.kv["oups.bloom_cols"] == []
     newest = [e for e in man2.files if e.min >= 4_000]
     assert newest and all(e.blooms is None for e in newest)
+
+
+def test_bloom_build_aggregates_exploded_ints(spark):
+    """Scale shape of the bloom build (store/bloom.py): the distinct
+    aggregation runs over EXPLODED scalar positions, so executor agg
+    state per (file, column) group is bounded by m integers — not by
+    the column's distinct-value count (a collect_set of whole
+    position arrays buffers one array per distinct value, which at
+    reference-default 6.3M-row files is millions of arrays)."""
+    import pyspark.sql.functions as SF
+    from pyspark.sql.types import ArrayType, LongType
+
+    from oups_spark.store.bloom import _distinct_positions_df
+
+    df = spark.range(100).select(
+        SF.col("id").alias("a"), SF.col("id").cast("string").alias("b")
+    )
+    agg = _distinct_positions_df(df, ["a", "b"], m=1024, k=3)
+    # the collect_set output is an array of scalar ints (bounded by
+    # m per group), never an array of arrays
+    ps_type = agg.schema["__ps"].dataType
+    assert isinstance(ps_type, ArrayType)
+    assert isinstance(ps_type.elementType, LongType)
+    # and the plan explodes before aggregating
+    plan = agg._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate explode" in plan or "explode" in plan.lower()
+
+
+def test_bloom_probe_type_coercion_no_false_negative(spark, scratch):
+    """ADVICE r10: dnf_filter matches with SQL numeric coercion, but
+    the bloom hashed str() of the stored value. A long column probed
+    with 7.0 / True / '7' must still return its rows (the probe is
+    normalized through int()), and a string column probed with a
+    non-string must never be bloom-pruned (SQL casts the COLUMN, so
+    '07' == 7 — no canonical probe string exists)."""
+    import pyspark.sql.functions as SF
+
+    path = f"{scratch}/bloom_coerce"
+    df = spark.range(4_000).select(
+        SF.col("id").alias("seq"),
+        (SF.col("id") / SF.lit(1_000)).cast("long").alias("session"),
+        # one file holds only '07'-style zero-padded numeric strings
+        SF.when(SF.col("id") < 1_000, SF.lit("07"))
+        .otherwise(SF.lit("x"))
+        .alias("code"),
+    )
+    ds = OrderedDataset(spark, path)
+    ds.write(
+        df=df, ordered_on="seq", row_group_target_size=1_000,
+        validate_monotonic=False, use_driver_merge=False,
+        bloom_cols=["session", "code"],
+    )
+    ds = OrderedDataset(spark, path)
+    # float probe of a long column: SQL says session == 2.0 matches
+    # session 2 rows; the bloom must not prune them
+    assert ds.read(filters=[("session", "=", 2.0)]).count() == 1_000
+    # bool probe: True coerces to 1
+    assert ds.read(filters=[("session", "=", True)]).count() == 1_000
+    # numeric-string probe of a long column
+    assert ds.read(filters=[("session", "=", "2")]).count() == 1_000
+    assert ds.read(filters=[("session", "in", [2.0, 99.0])]).count() == 1_000
+    # non-integral float can never equal a long: keep-file is fine,
+    # result must simply match the SQL semantics (empty)
+    assert ds.read(filters=[("session", "=", 2.5)]).count() == 0
+    # string column probed with an int: whatever SQL coercion yields,
+    # the bloom path must agree with the row-level filter
+    expect = df.where(SF.col("code") == 7).count()
+    assert ds.read(filters=[("code", "=", 7)]).count() == expect
+    # absent long key still prunes to zero files through normalization
+    assert ds.read(filters=[("session", "=", 99.0)]).count() == 0
