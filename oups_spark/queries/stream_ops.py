@@ -646,31 +646,36 @@ def streaming_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_native_snapshots",
     oracle="""
-    WITH partials AS (
+    WITH fanned AS (
+      -- literal replay of the implementation's fan-out: each row is
+      -- observed by EVERY grid instant from its first observer
+      -- (next 6h edge strictly above ts) through its bin's end, so
+      -- trailing quiet instants of a populated bin carry the
+      -- cumulative value forward
       SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bin,
-             make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000
-                            + 21600000000) AS snap,
-             arg_min(value, ts) AS p_first,
-             arg_max(value, ts) AS p_last,
-             min(value) AS p_min, max(value) AS p_max, sum(value) AS p_sum
-      FROM events GROUP BY 1, 2
+             unnest(generate_series(
+               make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000
+                              + 21600000000),
+               make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000
+                              + 86400000000),
+               INTERVAL 6 HOUR)) AS snap,
+             value, ts
+      FROM events
     ), wm AS (
       SELECT make_timestamp(epoch_us(max(ts)) - epoch_us(max(ts)) % 86400000000
                             + 86400000000) AS final_wm
       FROM events
-    ), cum AS (
+    ), agged AS (
       SELECT bin, snap,
-             first_value(p_first) OVER w AS first_val,
-             last_value(p_last)   OVER w AS last_val,
-             round(min(p_min) OVER w, 6) AS min_val,
-             round(max(p_max) OVER w, 6) AS max_val,
-             round(sum(p_sum) OVER w, 6) AS sum_val
-      FROM partials
-      WINDOW w AS (PARTITION BY bin ORDER BY snap
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             arg_min(value, ts) AS first_val,
+             arg_max(value, ts) AS last_val,
+             round(min(value), 6) AS min_val,
+             round(max(value), 6) AS max_val,
+             round(sum(value), 6) AS sum_val
+      FROM fanned GROUP BY 1, 2
     )
     SELECT bin, snap, first_val, last_val, min_val, max_val, sum_val
-    FROM cum, wm WHERE snap + INTERVAL 6 HOUR <= wm.final_wm
+    FROM agged, wm WHERE snap + INTERVAL 6 HOUR <= wm.final_wm
     ORDER BY bin, snap
     """,
 )
@@ -680,12 +685,16 @@ def streaming_native_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of the in-progress daily bin — each row fans out to the
     ≤4 grid instants of its bin that observe it, then ONE watermarked
     window aggregation computes every snapshot directly (no running
-    accumulation in state). Equals batch ``snapshot_agg`` restricted
-    to OBSERVED instants (append mode emits no quiet rows to
-    forward-fill) minus instants past the final watermark — the
-    oracle states exactly that: cumulative-per-bin over observed
-    (bin, snap) groups, cut at snap + 6h <= final watermark (the
-    newest populated bin's end)."""
+    accumulation in state). Within a populated bin this EQUALS batch
+    ``snapshot_agg`` including its forward-fill: every grid instant
+    from the bin's first observation through bin end is emitted, and
+    trailing quiet instants carry the cumulative value (they observe
+    the same rows). Absent relative to the batch twin: instants
+    BEFORE a bin's first observation, entirely-empty bins, and
+    instants past the final watermark. The oracle replays the
+    fan-out literally (each row fans to all later instants of its
+    bin), cut at snap + 6h <= final watermark (the newest populated
+    bin's end)."""
     from oups_spark.streaming.native import (
         streaming_snapshot_agg,
         write_stream_to_dataset,

@@ -132,10 +132,16 @@ def streaming_snapshot_agg(
     state is bounded by the watermark exactly like any windowed agg.
 
     Divergence from the batch twin, stated precisely (the oracle for
-    ``streaming_native_snapshots`` encodes both):
-    - quiet instants are ABSENT, not forward-filled — append mode
-      emits a group only where data exists (the
-      ``streaming_sliding_hourly`` convention);
+    ``streaming_native_snapshots`` replays the fan-out literally):
+    - WITHIN a populated bin the batch forward-fill is preserved:
+      every grid instant from the bin's first observation through
+      bin end is emitted, quiet trailing instants carrying the
+      cumulative value (they observe the same rows, so the one
+      window aggregation reproduces the ffill);
+    - instants BEFORE a bin's first observation and entirely-empty
+      bins are ABSENT — append mode emits a group only where some
+      row is observed (there is no prior value to fill from anyway:
+      batch fills those with nulls/zeros of an empty aggregate);
     - instants newer than the final watermark are withheld: a
       snapshot s emits once the watermark (max observation instant
       seen, i.e. the newest populated bin's end) passes s + snap.

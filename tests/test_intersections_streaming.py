@@ -346,3 +346,99 @@ def test_weekly_streaming_windows_rejected():
         freq_to_interval("1W")
     assert freq_to_interval("7D") == "7 days"
     assert freq_to_interval("1h") == "1 hour"
+
+
+def test_streaming_snapshots_sparse_bins_pin_fanout_contract(spark, scratch):
+    """ADVICE r10: pin the snapshot contract on SPARSE bins (the
+    driver data populates every 6h slice, so the r10 oracle couldn't
+    tell first-observer-only from full fan-out). The implementation
+    fans each row to every later instant of its bin, so:
+    - instants BEFORE a bin's first observation are absent;
+    - quiet instants AFTER it are present, carrying the cumulative
+      value forward (the batch twin's ffill);
+    - instants past the final watermark are withheld."""
+    import glob
+    import shutil
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.streaming.native import (
+        streaming_snapshot_agg,
+        write_stream_to_dataset,
+    )
+
+    d1 = pd.Timestamp("2024-03-01")
+    d2 = pd.Timestamp("2024-03-02")
+    d3 = pd.Timestamp("2024-03-03")
+    pdf = pd.DataFrame(
+        {
+            # day 1: first row at 08:00 (leading 06:00 instant quiet),
+            # quiet 18:00 instant, last row at 20:00
+            # day 2: ONE row at 01:00 — all later instants quiet
+            # day 3: row at 00:30 pushes the final watermark to day 4
+            "ts": [
+                d1 + pd.Timedelta("8h"),
+                d1 + pd.Timedelta("20h"),
+                d2 + pd.Timedelta("1h"),
+                d3 + pd.Timedelta("30min"),
+            ],
+            "id": [0, 1, 2, 3],
+            "val": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    src = os.path.join(scratch, "sparse_src")
+    os.makedirs(src, exist_ok=True)
+    sdf = spark.createDataFrame(pdf)
+    for i, cond in enumerate(
+        [F.col("ts") < F.lit(d2), F.col("ts") >= F.lit(d2)]
+    ):
+        tmp = os.path.join(scratch, f"sparse_tmp{i}")
+        sdf.filter(cond).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"f{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    reader = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agged = streaming_snapshot_agg(
+        reader,
+        "ts",
+        {"last_val": ("val", "last"), "sum_val": ("val", "sum")},
+        bin_by="1D",
+        snap_by="6h",
+        tiebreak=["id"],
+    )
+    out_path = os.path.join(scratch, "sparse_snaps")
+    write_stream_to_dataset(
+        agged, out_path, bin_col="snap",
+        checkpoint_dir=os.path.join(scratch, "sparse_ckpt"),
+    )
+    got = (
+        OrderedDataset(spark, out_path).read().toPandas()
+        .sort_values(["bin", "snap"], ignore_index=True)
+    )
+    expect = pd.DataFrame(
+        [
+            # day 1: 06:00 absent (pre-first-observation), 12:00 sees
+            # the 08:00 row, QUIET 18:00 still emitted (ffill), 00:00
+            # cumulative of both rows
+            (d1, d1 + pd.Timedelta("12h"), 1.0, 1.0),
+            (d1, d1 + pd.Timedelta("18h"), 1.0, 1.0),
+            (d1, d2, 2.0, 3.0),
+            # day 2: one 01:00 row observed by all four instants
+            (d2, d2 + pd.Timedelta("6h"), 4.0, 4.0),
+            (d2, d2 + pd.Timedelta("12h"), 4.0, 4.0),
+            (d2, d2 + pd.Timedelta("18h"), 4.0, 4.0),
+            (d2, d3, 4.0, 4.0),
+            # day 3: watermark (day 4 00:00) passes ends of the 06:00,
+            # 12:00, 18:00 instants only — 00:00's window end is day 4
+            # 06:00, past the watermark, withheld
+            (d3, d3 + pd.Timedelta("6h"), 8.0, 8.0),
+            (d3, d3 + pd.Timedelta("12h"), 8.0, 8.0),
+            (d3, d3 + pd.Timedelta("18h"), 8.0, 8.0),
+        ],
+        columns=["bin", "snap", "last_val", "sum_val"],
+    )
+    pd.testing.assert_frame_equal(got[expect.columns.tolist()], expect)
