@@ -64,6 +64,7 @@ def register(name: str, oracle: str | None = None):
 _WINDOW_PRIORITY = [
     # (1) round-11 registrations (never checked) — names are appended
     # here as each lands this round
+    "streaming_native_weekly",
     # (2) all 35 r8-stale queries (round 10's scheduled head)
     "label_centroids",
     "lm_quality_score",

@@ -205,6 +205,75 @@ def streaming_native_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+@register(
+    "streaming_native_weekly",
+    oracle="""
+    WITH agged AS (
+      SELECT date_trunc('week', ts) AS bin,
+             arg_min(value, ts)   AS first_val,
+             arg_max(value, ts)   AS last_val,
+             round(min(value), 6) AS min_val,
+             round(max(value), 6) AS max_val,
+             round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_val
+      FROM events GROUP BY 1
+    ), mx AS (SELECT max(ts) AS m FROM events)
+    SELECT bin, first_val, last_val, min_val, max_val, sum_val
+    FROM agged, mx
+    WHERE bin + INTERVAL 7 DAY <= m
+    ORDER BY bin
+    """,
+)
+def streaming_native_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly MONDAY-anchored bins through the native streaming path
+    (VERDICT r10 #3; reference weekly grids via pandas TimeGrouper,
+    ``segmentby.py:211-222``): ``F.window`` anchors buckets at the
+    epoch — a Thursday — so ``streaming_segment_agg`` shifts the grid
+    with ``startTime='4 days'`` (``window_start_time``) to coincide
+    with batch ``floor_ts('W')``; the oracle's ``date_trunc('week')``
+    is the Monday convention stated independently. Completeness gate
+    as in the hourly twin: only bins whose end the watermark passed
+    emit. The weekly sum spans ~10x more rows than the hourly query,
+    so it is summed on the integer cent grid (exact in any partial
+    order) instead of relying on 6dp rounding."""
+    from oups_spark.streaming.native import (
+        streaming_segment_agg,
+        write_stream_to_dataset,
+    )
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_weekly")
+    path = os.path.join(base, "bins_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream = _events_stream_reader(spark, sf_dir, raw_schema)
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = stream.withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")
+    )
+    agg = dict(_AGG, sum_val=("value_c", "sum"))
+    agged = streaming_segment_agg(
+        stream, "ts", agg, bin_by="1W", watermark="0 seconds"
+    )
+    write_stream_to_dataset(
+        agged, path, checkpoint_dir=os.path.join(base, "ckpt")
+    )
+    out = OrderedDataset(spark, path).read()
+    return out.select(
+        "bin",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round(F.col("sum_val") / 100.0, 2).alias("sum_val"),
+    ).orderBy("bin")
+
+
 # Irregular bin ends for the streamed by_scale gate — mid-stream
 # edges (some between chunk cuts, one straddling a cut, one empty
 # sliver, one past the data) exercise fold-across-chunks, the

@@ -26,38 +26,64 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from oups_spark.functions.dates import _FIXED_SECONDS, _parse
+from oups_spark.functions.dates import (
+    _FIXED_SECONDS,
+    _MONDAY_EPOCH_US,
+    _parse,
+    anchor_us,
+    period_duration,
+)
 
 _UNIT_NAMES = {
     "s": "second", "sec": "second", "m": "minute", "min": "minute",
-    "h": "hour", "D": "day", "W": "week",
+    "h": "hour", "D": "day", "W": "day",
 }
 
 
 def freq_to_interval(freq: str) -> str:
     """``'4h'`` -> ``'4 hours'`` (Spark window duration syntax);
     fixed frequencies only — streaming windows need a constant
-    duration for state management.
-
-    Weeks are REJECTED even though their duration is fixed: Spark's
-    ``F.window`` aligns buckets to the epoch (1970-01-01, a
-    THURSDAY) while the batch engine's ``floor_ts('W')`` anchors to
-    Mondays (pandas/reference convention) — a weekly streaming grid
-    would silently disagree with its batch twin by 3 days. Use daily
-    multiples with an explicit batch-side anchor instead."""
+    duration for state management. Weeks become day multiples
+    (``'1W'`` -> ``'7 days'``); their Monday anchoring — Spark's
+    ``F.window`` aligns to the epoch, a THURSDAY, where batch
+    ``floor_ts('W')`` anchors Mondays — is carried by the
+    ``startTime`` offset from :func:`window_start_time`, so always
+    pass both together (``streaming_segment_agg`` does)."""
     n, unit = _parse(freq)
     if unit == "W":
-        raise ValueError(
-            "weekly streaming windows are not supported: F.window "
-            "aligns to the epoch (a Thursday) but batch floor_ts('W') "
-            "anchors Mondays — the twins would diverge by 3 days"
-        )
-    if unit not in _FIXED_SECONDS and unit != "D":
+        n *= 7
+    elif unit not in _FIXED_SECONDS and unit != "D":
         raise ValueError(
             f"streaming windows need a fixed-duration frequency, got {freq!r}"
         )
     name = _UNIT_NAMES[unit]
     return f"{n} {name}" + ("s" if n != 1 else "")
+
+
+def window_start_time(
+    freq: str, *, origin=None, offset=None
+) -> str | None:
+    """The ``F.window`` ``startTime`` interval that aligns a streaming
+    grid with batch :func:`floor_ts`: ``F.window`` anchors buckets at
+    the epoch (1970-01-01, a Thursday), so a weekly grid needs a
+    ``'4 days'`` shift to land on Mondays (floor_ts('W') / pandas
+    convention — verified: 2026-08-16 falls in the window starting
+    2026-08-10, a Monday), and ``origin``/``offset`` anchors (the
+    pandas TimeGrouper contract floor_ts implements for fixed
+    frequencies) become ``anchor mod step``. Returns None when the
+    default epoch alignment already matches."""
+    n, unit = _parse(freq)
+    if unit not in _FIXED_SECONDS and unit not in ("D", "W"):
+        raise ValueError(
+            f"streaming windows need a fixed-duration frequency, got {freq!r}"
+        )
+    step_us = int(period_duration(freq)) * 1_000_000
+    if origin is None and offset is None:
+        a = _MONDAY_EPOCH_US if unit == "W" else 0
+    else:
+        a = anchor_us(origin, offset)
+    rem = a % step_us  # non-negative: python % follows the divisor
+    return None if rem == 0 else f"{rem} microseconds"
 
 
 def streaming_segment_agg(
@@ -70,23 +96,34 @@ def streaming_segment_agg(
     watermark: str = "0 seconds",
     tiebreak: list[str] | None = None,
     bin_col: str = "bin",
+    origin=None,
+    offset=None,
 ) -> DataFrame:
     """Watermarked window aggregation on a streaming DataFrame —
     same agg spec as :func:`segment_agg` (first/last/min/max/sum via
     order-explicit min_by/max_by), bins labeled by their left edge.
     ``slide_by`` makes the windows HOPPING (each row enters
     length/slide overlapping windows — the fan-out happens in the
-    stateful operator, state is per open window). Use append output
-    mode: each window emits exactly once, when the watermark passes
-    its end."""
+    stateful operator, state is per open window). ``origin``/
+    ``offset`` anchor the grid exactly as batch ``floor_ts`` does
+    (pandas TimeGrouper contract; reference ``segmentby.py:211-222``),
+    and weekly frequencies anchor Mondays matching ``floor_ts('W')``
+    — both via the window's ``startTime``. Use append output mode:
+    each window emits exactly once, when the watermark passes its
+    end."""
     from oups_spark.operators.segment import _agg_exprs
 
     order_key = F.struct(ordered_on, *(tiebreak or []))
-    if slide_by is not None:
+    # alignment rides on the SLIDE grid (for tumbling windows the
+    # slide IS the bin): startTime shifts window starts modulo slide
+    slide = slide_by if slide_by is not None else bin_by
+    start_time = window_start_time(slide, origin=origin, offset=offset)
+    if slide_by is not None or start_time is not None:
         win = F.window(
             F.col(ordered_on),
             freq_to_interval(bin_by),
-            freq_to_interval(slide_by),
+            freq_to_interval(slide),
+            start_time,
         )
     else:
         win = F.window(F.col(ordered_on), freq_to_interval(bin_by))

@@ -334,18 +334,132 @@ def test_streaming_snapshots_match_batch_on_observed_instants(spark, scratch):
     assert missing == set()
 
 
-def test_weekly_streaming_windows_rejected():
-    """F.window aligns to the epoch (a Thursday); batch floor_ts('W')
-    anchors Mondays — a weekly streaming grid would silently disagree
-    with its batch twin by 3 days, so it must refuse loudly."""
+def test_streaming_window_start_time_aligns_with_floor_ts(spark):
+    """`F.window` anchors buckets at the epoch (1970-01-01, a
+    THURSDAY); `window_start_time` supplies the startTime shift that
+    makes the streaming grid coincide with batch `floor_ts` — Monday
+    anchoring for weekly frequencies (pandas/reference convention)
+    and origin/offset anchors for fixed ones. Verified by running
+    F.window on a BATCH frame (same expression the streaming plan
+    uses) against floor_ts over two years of awkward instants."""
     import pytest
 
-    from oups_spark.streaming.native import freq_to_interval
+    from oups_spark.functions.dates import floor_ts
+    from oups_spark.streaming.native import (
+        freq_to_interval,
+        window_start_time,
+    )
 
-    with pytest.raises(ValueError, match="Thursday"):
-        freq_to_interval("1W")
-    assert freq_to_interval("7D") == "7 days"
+    assert freq_to_interval("1W") == "7 days"
+    assert freq_to_interval("2W") == "14 days"
     assert freq_to_interval("1h") == "1 hour"
+    # weekly grids shift epoch-Thursday starts to Mondays: 4 days
+    assert window_start_time("1W") == f"{4 * 86400 * 1_000_000} microseconds"
+    # already epoch-aligned -> no shift
+    assert window_start_time("1h") is None
+    with pytest.raises(ValueError, match="fixed-duration"):
+        window_start_time("1MS")
+
+    pdf = pd.DataFrame(
+        {"ts": pd.date_range("2023-11-07 03:14:15", periods=400, freq="37h")}
+    )
+    sdf = spark.createDataFrame(pdf)
+    cases = [
+        ("1W", None, None),
+        ("2W", None, None),
+        ("4h", "2024-01-01 09:30:00", None),
+        ("90min", None, "17min"),
+        ("2D", "2024-03-05", "1h"),
+    ]
+    for freq, origin, offset in cases:
+        st = window_start_time(freq, origin=origin, offset=offset)
+        win = F.window(
+            F.col("ts"), freq_to_interval(freq), freq_to_interval(freq), st
+        )
+        mismatches = (
+            sdf.select(
+                win.start.alias("w"),
+                floor_ts(F.col("ts"), freq, origin=origin, offset=offset)
+                .alias("f"),
+            )
+            .filter(F.col("w") != F.col("f"))
+            .count()
+        )
+        assert mismatches == 0, (freq, origin, offset)
+
+
+def test_native_streaming_weekly_and_anchored_equal_batch(spark, scratch):
+    """End-to-end: weekly (Monday-anchored) and origin/offset-anchored
+    streaming grids == batch segment_agg on every closed bin (VERDICT
+    r10 #3 — the reference's by_scale handles weekly grids,
+    segmentby.py:211-222, so the native path must too)."""
+    import glob
+    import shutil
+
+    from oups_spark.operators.segment import segment_agg
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.streaming.native import (
+        streaming_segment_agg,
+        write_stream_to_dataset,
+    )
+
+    n = 120
+    pdf = pd.DataFrame(
+        {
+            # ~5.5 weeks starting mid-week: first Monday bin starts
+            # BEFORE the data, exercising the partial leading bin
+            "ts": pd.date_range("2024-01-03 05:00", periods=n, freq="8h"),
+            "id": range(n),
+            "val": [float((i * 7) % 13 - 6) for i in range(n)],
+        }
+    )
+    src = os.path.join(scratch, "wsrc")
+    os.makedirs(src, exist_ok=True)
+    sdf = spark.createDataFrame(pdf)
+    half = pdf["ts"].iloc[n // 2]
+    for i, cond in enumerate(
+        [F.col("ts") < F.lit(half), F.col("ts") >= F.lit(half)]
+    ):
+        tmp = os.path.join(scratch, f"wtmp{i}")
+        sdf.filter(cond).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"f{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    agg = {
+        "first_val": ("val", "first"),
+        "last_val": ("val", "last"),
+        "sum_val": ("val", "sum"),
+    }
+    for tag, kw in [
+        ("weekly", dict(bin_by="1W")),
+        ("anchored", dict(bin_by="1D", origin="2024-01-01 09:30:00")),
+    ]:
+        reader = (
+            spark.readStream.schema(sdf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agged = streaming_segment_agg(
+            reader, "ts", agg, tiebreak=["id"], **kw
+        )
+        out_path = os.path.join(scratch, f"{tag}_bins")
+        write_stream_to_dataset(
+            agged, out_path,
+            checkpoint_dir=os.path.join(scratch, f"{tag}_ckpt"),
+        )
+        got = (
+            OrderedDataset(spark, out_path).read().toPandas()
+            .sort_values("bin", ignore_index=True)
+        )
+        exp = (
+            segment_agg(sdf, "ts", agg, tiebreak=["id"], **kw)
+            .toPandas().sort_values("bin", ignore_index=True)
+        )
+        assert 0 < len(got) <= len(exp), tag
+        assert len(exp) - len(got) <= 1, tag
+        merged = exp.iloc[: len(got)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, merged)
 
 
 def test_streaming_snapshots_sparse_bins_pin_fanout_contract(spark, scratch):
