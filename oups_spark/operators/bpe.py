@@ -144,21 +144,61 @@ def bpe_train(
     return (merges, vocab) if return_vocab else merges
 
 
+def segment_words(
+    words: DataFrame, merges, word_col: str = "w"
+) -> DataFrame:
+    """Segment ARBITRARY words (unseen at training included) with a
+    learned merge table: replay the merges in rank order as chained
+    JVM ``aggregate`` folds composed into ONE lazy plan — no
+    per-merge job, and the work is vocabulary-sized, never
+    corpus-sized. ``merges`` is the :func:`bpe_train` table (or an
+    ordered ``[(left_sym, right_sym), ...]`` list); collecting it is
+    n_merges 2-string rows of driver state. Adds a ``syms`` column."""
+    if isinstance(merges, DataFrame):
+        pairs = [
+            (r["left_sym"], r["right_sym"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        pairs = list(merges)
+    syms = F.concat(F.split(word_col, ""), F.array(F.lit(END_MARK)))
+    for a, b in pairs:
+        syms = _apply_merge(syms, a, b)
+    return words.withColumn("syms", syms)
+
+
 def bpe_token_counts(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
+    merges: DataFrame | None = None,
+    vocab: DataFrame | None = None,
     n_merges: int = 16,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
-    """ENCODE with the learned merges: per document, the word count
-    and the BPE token count (sum of each word's final segment count).
-    The corpus-sized side only explodes words and joins the
-    vocabulary segmentation table — broadcast-sized however big the
-    corpus, so the encode is one map-side join + one keyed agg."""
-    _, vocab = bpe_train(
-        docs, text_col, n_merges=n_merges, return_vocab=True
-    )
+    """ENCODE: per document, the word count and the BPE token count
+    (sum of each word's final segment count).
+
+    Encoding never retrains when given a learned tokenizer (VERDICT
+    r10 #6): pass either ``vocab`` (the ``(w, cnt, syms)`` table from
+    ``bpe_train(return_vocab=True)`` — must cover the corpus's words,
+    an inner join drops the rest) or ``merges`` (the merge table —
+    covers UNSEEN words too: the document set's own distinct words
+    are segmented by :func:`segment_words`, vocabulary-sized work).
+    With neither, a tokenizer is first trained on ``docs`` itself
+    (``n_merges``), the original one-shot behavior.
+
+    The corpus-sized side is one word explode + a join against the
+    segmentation table + one keyed agg. ``broadcast_vocab=True`` is
+    right while the segmentation table fits the broadcast budget
+    (rule of thumb: ≲10M distinct words ≈ low hundreds of MB; Heaps'
+    law keeps real vocabularies there for a long time, but a 100-TB
+    multilingual corpus can exceed it). Past that, pass ``False``:
+    the join becomes a shuffle hash join whose word key is Zipfian —
+    the corpus side is pre-aggregated to (doc, word, count) first so
+    hot words collapse to one row per document, and AQE's skew-join
+    split handles the residual imbalance."""
     doc_words = docs.select(
         F.col(id_col),
         F.explode(
@@ -168,12 +208,31 @@ def bpe_token_counts(
             )
         ).alias("w"),
     )
-    seg = F.broadcast(vocab.select("w", F.size("syms").alias("n_sym")))
+    if vocab is None:
+        if merges is None:
+            _, vocab = bpe_train(
+                docs, text_col, n_merges=n_merges, return_vocab=True
+            )
+        else:
+            vocab = segment_words(doc_words.select("w").distinct(), merges)
+    seg = vocab.select("w", F.size("syms").alias("n_sym"))
+    if broadcast_vocab:
+        return (
+            doc_words.join(F.broadcast(seg), "w")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_sym").cast("long").alias("n_tokens"),
+            )
+        )
+    per_doc_word = doc_words.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).alias("k")
+    )
     return (
-        doc_words.join(seg, "w")
+        per_doc_word.join(seg, "w")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_sym").cast("long").alias("n_tokens"),
+            F.sum("k").cast("long").alias("n_words"),
+            F.sum(F.col("k") * F.col("n_sym")).cast("long").alias("n_tokens"),
         )
     )

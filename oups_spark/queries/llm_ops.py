@@ -1578,16 +1578,18 @@ def bpe_unrolled_sql(n_merges: int = 16, suffix_sql: str | None = None) -> str:
     ),
 )
 def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ENCODE with learned BPE merges (train 8 merges on the corpus,
-    then per document count words and final BPE tokens). The
+    """ENCODE with learned BPE merges, train and encode SEPARATE
+    (VERDICT r10 #6): ``bpe_train`` learns 8 merges once, then
+    ``bpe_token_counts(vocab=...)`` encodes without retraining — per
+    document the word count and final BPE token count. The
     corpus-sized side is one word explode + a BROADCAST join against
-    the vocabulary segmentation table (small at any corpus scale) +
-    one keyed agg; the oracle replays the 8-merge trajectory and the
-    same join in DuckDB."""
-    from oups_spark.operators.bpe import bpe_token_counts
+    the vocabulary segmentation table + one keyed agg; the oracle
+    replays the 8-merge trajectory and the same join in DuckDB."""
+    from oups_spark.operators.bpe import bpe_token_counts, bpe_train
 
     docs = load(spark, sf_dir, "documents")
-    return bpe_token_counts(docs, "text", "doc_id", n_merges=8).orderBy(
+    _, vocab = bpe_train(docs, "text", n_merges=8, return_vocab=True)
+    return bpe_token_counts(docs, "text", "doc_id", vocab=vocab).orderBy(
         "doc_id"
     )
 

@@ -602,3 +602,100 @@ def test_bpe_token_counts_match_pure_python(spark):
         words = re.findall(r"[a-z0-9]+", t.lower())
         exp = (len(words), sum(len(encode(w)) for w in words))
         assert got[i] == exp, (i, got[i], exp)
+
+
+def test_bpe_encode_with_pretrained_table_never_retrains(spark):
+    """VERDICT r10 #6: encoding with a pre-trained tokenizer — via
+    the merges table (covers words UNSEEN at training) or the vocab
+    table — must equal the pure-Python encode, and all three join
+    paths (vocab-broadcast, merges-broadcast, merges-shuffle) agree."""
+    import re
+
+    from oups_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+        segment_words,
+    )
+
+    train_texts = [
+        "aaaa banana band banana",
+        "a banana is a banana bandana",
+    ]
+    train_df = spark.createDataFrame(
+        [(t,) for t in train_texts], "text string"
+    )
+    merges_df, vocab = bpe_train(
+        train_df, "text", n_merges=6, return_vocab=True
+    )
+
+    # encode a DIFFERENT corpus with unseen words (cabana, bandanna)
+    enc_texts = ["banana cabana band", "bandanna aaaa banana banana"]
+    enc_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(enc_texts)],
+        "doc_id long, text string",
+    )
+    got_merges = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(
+            enc_df, "text", "doc_id", merges=merges_df
+        ).collect()
+    }
+    got_shuffle = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(
+            enc_df, "text", "doc_id", merges=merges_df,
+            broadcast_vocab=False,
+        ).collect()
+    }
+
+    ref = _bpe_reference(train_texts, 6)
+    assert [
+        (r["rank"], r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("rank").collect()
+    ] == [(k, a, b) for k, a, b, _, _ in ref]
+    merges = [(a, b) for _, a, b, _, _ in ref]
+
+    def encode(word):
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for i, t in enumerate(enc_texts):
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        exp = (len(words), sum(len(encode(w)) for w in words))
+        assert got_merges[i] == exp, (i, got_merges[i], exp)
+    assert got_shuffle == got_merges
+
+    # vocab path agrees where the vocab covers the words (train set)
+    train_ids = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)],
+        "doc_id long, text string",
+    )
+    via_vocab = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(
+            train_ids, "text", "doc_id", vocab=vocab
+        ).collect()
+    }
+    via_merges = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_token_counts(
+            train_ids, "text", "doc_id", merges=merges_df
+        ).collect()
+    }
+    assert via_vocab == via_merges
+
+    # segment_words on an unseen word replays the merges greedily
+    seg = segment_words(
+        spark.createDataFrame([("cabana",)], "w string"), merges_df
+    ).collect()[0]["syms"]
+    assert seg == encode("cabana")
