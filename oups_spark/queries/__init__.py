@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = [
     # (1) round-11 registrations (never checked) — names are appended
     # here as each lands this round
     "streaming_native_weekly",
+    "streaming_native_snapshots_ffill",
     # (2) all 35 r8-stale queries (round 10's scheduled head)
     "label_centroids",
     "lm_quality_score",

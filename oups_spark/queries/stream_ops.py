@@ -811,6 +811,115 @@ def streaming_native_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin", "snap")
 
 
+@register(
+    "streaming_native_snapshots_ffill",
+    oracle="""
+    WITH fanned AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bin,
+             unnest(generate_series(
+               make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000
+                              + 21600000000),
+               make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000
+                              + 86400000000),
+               INTERVAL 6 HOUR)) AS snap,
+             value, ts
+      FROM events
+    ), wm AS (
+      SELECT make_timestamp(epoch_us(max(ts)) - epoch_us(max(ts)) % 86400000000
+                            + 86400000000) AS final_wm
+      FROM events
+    ), agged AS (
+      SELECT bin, snap,
+             arg_min(value, ts) AS first_val,
+             arg_max(value, ts) AS last_val,
+             round(min(value), 6) AS min_val,
+             round(max(value), 6) AS max_val,
+             round(sum(value), 6) AS sum_val
+      FROM fanned GROUP BY 1, 2
+    ), emitted AS (
+      SELECT a.* FROM agged a, wm WHERE a.snap + INTERVAL 6 HOUR <= wm.final_wm
+    ), b AS (
+      SELECT min(bin) AS lo, max(bin) AS hi, max(snap) AS cut FROM emitted
+    ), grid AS (
+      SELECT bins.bin,
+             unnest(generate_series(bins.bin + INTERVAL 6 HOUR,
+                                    bins.bin + INTERVAL 24 HOUR,
+                                    INTERVAL 6 HOUR)) AS snap
+      FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bin
+            FROM b) bins
+    )
+    SELECT g.bin, g.snap,
+           e.first_val, e.last_val, e.min_val, e.max_val, e.sum_val
+    FROM grid g
+    LEFT JOIN emitted e ON e.bin = g.bin AND e.snap = g.snap
+    CROSS JOIN b
+    WHERE g.snap <= b.cut
+    ORDER BY g.bin, g.snap
+    """,
+)
+def streaming_native_snapshots_ffill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``streaming_native_snapshots`` + the sink-side calendar fill
+    (``fill_snapshot_grid``): quiet instants the append-mode stream
+    never emitted — instants before a bin's first observation and
+    entirely-empty bins — are materialized with NULL aggregates,
+    exactly the batch ``snapshot_agg`` values for them (reference
+    ``cumsegagg.py:556-569``). The result equals the batch twin cut
+    at the final watermark (``snap <= max emitted instant``), which
+    the pytest twin test asserts literally; the oracle replays the
+    streamed fan-out, then left-joins the full calendar grid of the
+    emitted bin span."""
+    from oups_spark.streaming.native import (
+        fill_snapshot_grid,
+        streaming_snapshot_agg,
+        write_stream_to_dataset,
+    )
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_snapshots_ffill")
+    path = os.path.join(base, "snaps_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream = _events_stream_reader(spark, sf_dir, raw_schema)
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agged = streaming_snapshot_agg(
+        stream,
+        "ts",
+        {
+            "first_val": ("value", "first"),
+            "last_val": ("value", "last"),
+            "min_val": ("value", "min"),
+            "max_val": ("value", "max"),
+            "sum_val": ("value", "sum"),
+        },
+        bin_by="1D",
+        snap_by="6h",
+        watermark="0 seconds",
+    )
+    write_stream_to_dataset(
+        agged, path, bin_col="snap",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    out = fill_snapshot_grid(
+        OrderedDataset(spark, path).read(), bin_by="1D", snap_by="6h"
+    )
+    return out.select(
+        "bin",
+        "snap",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("bin", "snap")
+
+
 _FGQ_W = (1000.0 - 0.0) / 256.0  # 3.90625, exact in binary
 
 

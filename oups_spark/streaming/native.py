@@ -235,6 +235,70 @@ def streaming_snapshot_agg(
     )
 
 
+def fill_snapshot_grid(
+    df: DataFrame,
+    *,
+    bin_by: str,
+    snap_by: str,
+    bin_col: str = "bin",
+    snap_col: str = "snap",
+) -> DataFrame:
+    """Sink-side calendar fill for :func:`streaming_snapshot_agg`
+    output: materialize the quiet instants the append-mode stream
+    never emitted, with the BATCH twin's values — null aggregates
+    (reference ``cumsegagg.py:556-569``: instants before any data in
+    their bin, and entirely-empty bins, are null; trailing quiet
+    instants of a populated bin already carry the cumulative value in
+    the streamed rows, because the fan-out makes them observe the
+    same rows). The result equals batch :func:`snapshot_agg` cut at
+    the final watermark (``snap <= max emitted snap``).
+
+    Pure batch post-processing over the sunk dataset — the streaming
+    core stays append-mode with once-per-group emission. The grid is
+    generated (``F.sequence`` + explode) from three driver-side
+    bounds, never collected data rows, and is at most
+    n_bins x bin/snap rows: the same size as the result itself.
+    """
+    from oups_spark.functions.dates import next_edge, step_interval_sql
+
+    bounds = df.agg(
+        F.min(bin_col).alias("lo"),
+        F.max(bin_col).alias("hi"),
+        F.max(snap_col).alias("cut"),
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return df
+    spark = df.sparkSession
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(bounds["lo"]).cast("timestamp"),
+                    F.lit(bounds["hi"]).cast("timestamp"),
+                    F.expr(step_interval_sql(bin_by)),
+                )
+            ).alias(bin_col)
+        )
+        .select(
+            bin_col,
+            F.explode(
+                F.sequence(
+                    next_edge(F.col(bin_col), snap_by),
+                    next_edge(F.col(bin_col), bin_by),
+                    F.expr(step_interval_sql(snap_by)),
+                )
+            ).alias(snap_col),
+        )
+        # instants past the final watermark stay withheld: the fill
+        # adds quiet instants, never future ones
+        .filter(F.col(snap_col) <= F.lit(bounds["cut"]))
+    )
+    return grid.join(df, on=[bin_col, snap_col], how="left").orderBy(
+        bin_col, snap_col
+    )
+
+
 def write_stream_to_dataset(
     agged: DataFrame,
     path: str,

@@ -334,6 +334,105 @@ def test_streaming_snapshots_match_batch_on_observed_instants(spark, scratch):
     assert missing == set()
 
 
+def test_fill_snapshot_grid_equals_batch_twin_on_sparse_bins(spark, scratch):
+    """The sink-side calendar fill (``fill_snapshot_grid``) turns the
+    append-mode native snapshot stream into the FULL batch
+    ``snapshot_agg`` frame cut at the final watermark: leading quiet
+    instants (before a bin's first observation) and entirely-empty
+    bins come back as NULL aggregates (reference
+    ``cumsegagg.py:556-569``), trailing quiet instants already carry
+    the cumulative value from the fan-out. Sparse data on purpose —
+    a bin starting late, a whole empty day, a bin with a mid-day gap
+    — so every fill class is exercised."""
+    import glob
+    import shutil
+
+    from oups_spark.operators.segment import snapshot_agg
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.streaming.native import (
+        fill_snapshot_grid,
+        streaming_snapshot_agg,
+        write_stream_to_dataset,
+    )
+
+    ts = [
+        # day 1: starts late (05:10) -> quiet 02:00/04:00 lead nulls
+        "2024-03-01 05:10", "2024-03-01 07:30",
+        # day 2: entirely empty -> a full bin of nulls
+        # day 3: one early row, one late -> mid-bin trailing ffill
+        "2024-03-03 00:30", "2024-03-03 21:15",
+        # day 4: single morning row; final watermark = day 5 00:00
+        "2024-03-04 09:00", "2024-03-04 11:40",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(ts),
+            "id": range(len(ts)),
+            "val": [3.0, -1.5, 7.25, 2.0, -4.0, 0.5],
+        }
+    )
+    src = os.path.join(scratch, "ffsrc")
+    os.makedirs(src, exist_ok=True)
+    sdf = spark.createDataFrame(pdf)
+    for i, cond in enumerate(
+        [F.col("ts") < F.lit("2024-03-03"), F.col("ts") >= F.lit("2024-03-03")]
+    ):
+        tmp = os.path.join(scratch, f"fftmp{i}")
+        sdf.filter(cond).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"f{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    agg = {
+        "first_val": ("val", "first"),
+        "last_val": ("val", "last"),
+        "min_val": ("val", "min"),
+        "sum_val": ("val", "sum"),
+    }
+    reader = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agged = streaming_snapshot_agg(
+        reader, "ts", agg, bin_by="1D", snap_by="2h", tiebreak=["id"]
+    )
+    out_path = os.path.join(scratch, "ff_snaps")
+    write_stream_to_dataset(
+        agged, out_path, bin_col="snap",
+        checkpoint_dir=os.path.join(scratch, "ffckpt"),
+    )
+    emitted = OrderedDataset(spark, out_path).read().toPandas()
+    filled = (
+        fill_snapshot_grid(
+            OrderedDataset(spark, out_path).read(), bin_by="1D", snap_by="2h"
+        )
+        .toPandas()
+        .sort_values(["bin", "snap"], ignore_index=True)
+        [["bin", "snap", *agg]]
+    )
+    # the fill added the quiet instants append mode never emitted
+    assert len(filled) > len(emitted)
+    # ... including the whole empty day 2, as 12 all-null rows
+    day2 = filled[filled["bin"] == pd.Timestamp("2024-03-02")]
+    assert len(day2) == 12 and day2[list(agg)].isna().all().all()
+
+    exp = (
+        snapshot_agg(
+            sdf, "ts", agg, bin_by="1D", snap_by="2h",
+            snap_closed="left", tiebreak=["id"],
+        )
+        .toPandas()
+    )
+    cut = emitted["snap"].max()
+    exp_cut = (
+        exp[exp["snap"] <= cut]
+        .sort_values(["bin", "snap"], ignore_index=True)
+        [["bin", "snap", *agg]]
+    )
+    pd.testing.assert_frame_equal(filled, exp_cut)
+
+
 def test_streaming_window_start_time_aligns_with_floor_ts(spark):
     """`F.window` anchors buckets at the epoch (1970-01-01, a
     THURSDAY); `window_start_time` supplies the startTime shift that
