@@ -122,6 +122,13 @@ class OrderedDataset:
         self.retain_versions = retain_versions
         self.deletion_grace_s = deletion_grace_s
         self._manifest = Manifest.load(self.path, backend)
+        # concurrency instrumentation: how often a lost manifest CAS
+        # was resolved by a commit REBASE (winner's changes disjoint
+        # from ours — manifest merged, no recompute) vs a full merge
+        # re-run (ranges overlapped: overlap analysis/dedup were
+        # computed against a superseded manifest and must re-run)
+        self.conflict_rebases = 0
+        self.conflict_reruns = 0
 
     # ------------------------------------------------------------- state
     @property
@@ -292,13 +299,19 @@ class OrderedDataset:
 
         ``conflict_retries``: on a manifest CAS conflict (another
         writer committed between this writer's manifest read and its
-        commit), reload the manifest and RE-RUN the whole write that
-        many times. The full re-run is required for correctness, not
-        convenience: the overlap analysis, keep-last dedup and file
-        split were all computed against the superseded manifest. Data
-        files staged by the failed attempt are removed before
-        retrying (they were never referenced). Default 0 = raise,
-        caller decides.
+        commit), the commit first attempts a REBASE (``_try_rebase``):
+        when the winner's file changes are range-disjoint from
+        everything this write read or wrote, the already-computed
+        merge is re-applied onto the winner's manifest — no Spark
+        re-run, counted in ``conflict_rebases``. Otherwise reload the
+        manifest and RE-RUN the whole write up to this many times
+        (counted in ``conflict_reruns``). The full re-run is required
+        for correctness when ranges overlap: the overlap analysis,
+        keep-last dedup and file split were all computed against the
+        superseded manifest. Data files staged by the failed attempt
+        are removed before retrying (they were never referenced).
+        Default 0 = raise, caller decides (a successful rebase never
+        raises and consumes no retry).
 
         ``ordered_on`` (and entries of ``duplicates_on``) may be a
         TUPLE of names — the reference's column-MultiIndex form
@@ -348,6 +361,7 @@ class OrderedDataset:
                 if attempt >= conflict_retries:
                     raise
                 attempt += 1
+                self.conflict_reruns += 1
                 self._manifest = Manifest.load(self.path, self.backend)
 
     _CMIDX_SEP = "_"
@@ -676,6 +690,16 @@ class OrderedDataset:
         try:
             man.save(self.path, self.backend, snapshot=self.retain_versions)
         except ManifestConflictError:
+            # REBASE fast path (Delta-style conflict resolution): when
+            # the winning commit's file changes are range-disjoint
+            # from everything this write read or wrote, our merge
+            # result is still valid — re-apply it onto the winner's
+            # manifest instead of recomputing the whole merge
+            if self._try_rebase(
+                ordered_on, df, target_schema,
+                replaced_names, new_entries, key_value_metadata, cmidx,
+            ):
+                return
             # the staged files of THIS attempt were moved in but never
             # referenced by any committed manifest — remove them so a
             # retry (or abandonment) leaves no orphans
@@ -686,6 +710,86 @@ class OrderedDataset:
             raise
         self._manifest = man
         self._remove_files(expired)
+
+    def _try_rebase(
+        self, ordered_on, df, target_schema,
+        replaced_names, new_entries, key_value_metadata, cmidx,
+    ) -> bool:
+        """Attempt a commit rebase after a lost manifest CAS.
+
+        Correctness argument: the failed write's overlap analysis,
+        keep-last dedup and file split were computed against the base
+        manifest this handle had loaded. They remain valid against the
+        WINNER's manifest iff the winner's changes could not have
+        participated in them, i.e. iff
+        - every file our merge consumed (``replaced_names``) is still
+          present, untouched, in the winner's manifest, and
+        - every file the winner added or removed is strictly
+          range-disjoint from the ``ordered_on`` span our write
+          touched (replaced + new files) — INCLUSIVE boundaries,
+          since a winner file merely touching our span could carry
+          duplicate-key rows the dedup needed to see, and
+        - the winner changed neither the schema, nor the cmidx
+          mapping, nor the sticky bloom-column setting this write's
+          plan was resolved against.
+        When all hold, the rebased manifest is the winner's files
+        minus ours replaced plus ours added, with our kv merged on
+        top — exactly what re-running the merge against the winner's
+        manifest would produce, at zero Spark-job cost. Any doubt
+        returns False and the caller falls back to the full re-run
+        (``conflict_retries``). A third writer racing the rebase's
+        own CAS also falls back.
+        """
+        base = self._manifest
+        if base is None:
+            return False  # concurrent creation: nothing safe to rebase onto
+        latest = Manifest.load(self.path, self.backend)
+        if (
+            latest is None
+            or latest.ordered_on != ordered_on
+            or latest.schema_json != base.schema_json
+            or latest.cmidx != base.cmidx
+            or latest.kv.get(_BLOOM_COLS_KV) != base.kv.get(_BLOOM_COLS_KV)
+        ):
+            return False
+        replaced = set(replaced_names)
+        latest_names = {f.name for f in latest.files}
+        if not replaced <= latest_names:
+            return False  # the winner rewrote files our merge consumed
+        base_by_name = {f.name: f for f in base.files}
+        touched = [f for f in latest.files if f.name not in base_by_name]
+        touched += [
+            f for f in base.files if f.name not in latest_names
+        ]
+        ours = list(new_entries) + [
+            base_by_name[n] for n in replaced if n in base_by_name
+        ]
+        if ours and touched:
+            lo = min(e.min for e in ours)
+            hi = max(e.max for e in ours)
+            if any(not (f.max < lo or f.min > hi) for f in touched):
+                return False
+        rebased = Manifest(
+            ordered_on=ordered_on,
+            files=[f for f in latest.files if f.name not in replaced]
+            + list(new_entries),
+            kv=dict(latest.kv),
+            schema_json=(target_schema or df.schema).json(),
+            generation=latest.generation,
+            cmidx=cmidx or latest.cmidx,
+            tombstones=list(latest.tombstones),
+            token=latest.token,
+        )
+        _merge_kv(rebased.kv, key_value_metadata)
+        expired = self._stage_tombstones(rebased, replaced_names)
+        try:
+            rebased.save(self.path, self.backend, snapshot=self.retain_versions)
+        except ManifestConflictError:
+            return False
+        self._manifest = rebased
+        self._remove_files(expired)
+        self.conflict_rebases += 1
+        return True
 
     def _stage_tombstones(self, man, replaced_names) -> list[str]:
         """Move ``replaced_names`` onto the candidate manifest's

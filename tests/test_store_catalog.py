@@ -301,20 +301,28 @@ def test_write_conflict_retry_merges_both_writers(spark, scratch):
     b = OrderedDataset(spark, path, backend=be)
     b.write(df=frame(2, [3.0]))  # b commits first
 
-    # a's write was planned against the superseded manifest:
-    # without retries it must surface the conflict...
+    # a's stale write touches a DISJOINT range: the conflict is
+    # resolved by a commit rebase — no retry budget needed, no raise
+    a.write(df=frame(3, [4.0]))
+    assert a.conflict_rebases == 1 and a.conflict_reruns == 0
+
+    # an OVERLAPPING stale write cannot rebase (its dedup never saw
+    # the winner's rows): without retries it must surface the
+    # conflict, with a budget it re-plans against the fresh manifest
+    c = OrderedDataset(spark, path, backend=be)
+    OrderedDataset(spark, path, backend=be).write(
+        df=frame(4, [5.0]), duplicates_on=["ts"]
+    )
     with pytest.raises(ManifestConflictError):
-        a.write(df=frame(3, [4.0]))
-    # ...and with a retry budget it re-plans against the fresh
-    # manifest and commits; BOTH writers' rows survive
-    a.write(df=frame(3, [4.0]), conflict_retries=2)
+        c.write(df=frame(4, [6.0]), duplicates_on=["ts"])
+    c.write(df=frame(4, [6.0]), duplicates_on=["ts"], conflict_retries=2)
     got = (
         OrderedDataset(spark, path, backend=be)
         .read()
         .toPandas()
         .sort_values("ts", ignore_index=True)
     )
-    assert got["v"].tolist() == [1.0, 2.0, 3.0, 4.0]
+    assert got["v"].tolist() == [1.0, 2.0, 3.0, 4.0, 6.0]
     # no orphaned data files: every parquet in the dir is referenced
     # by the manifest or held on its tombstone ledger (replaced files
     # kept for the reader-isolation grace window)
@@ -355,16 +363,24 @@ def test_posix_backend_write_conflict_detected_and_retries(spark, scratch):
     a = OrderedDataset(spark, path)
     b = OrderedDataset(spark, path)
     b.write(df=frame(2, [3.0]))
+    # disjoint stale write -> commit rebase, no raise
+    a.write(df=frame(3, [4.0]))
+    assert a.conflict_rebases == 1 and a.conflict_reruns == 0
+    # overlapping stale write -> conflict surfaces, retry re-plans
+    c = OrderedDataset(spark, path)
+    OrderedDataset(spark, path).write(
+        df=frame(3, [7.0]), duplicates_on=["ts"]
+    )
     with pytest.raises(ManifestConflictError):
-        a.write(df=frame(3, [4.0]))
-    a.write(df=frame(3, [4.0]), conflict_retries=2)
+        c.write(df=frame(3, [8.0]), duplicates_on=["ts"])
+    c.write(df=frame(3, [8.0]), duplicates_on=["ts"], conflict_retries=2)
     got = (
         OrderedDataset(spark, path)
         .read()
         .toPandas()
         .sort_values("ts", ignore_index=True)
     )
-    assert got["v"].tolist() == [1.0, 2.0, 3.0, 4.0]
+    assert got["v"].tolist() == [1.0, 2.0, 3.0, 8.0]
 
 
 def _flock_contender(dirpath: str, tag: str, n: int) -> None:
@@ -785,3 +801,58 @@ def test_manifest_gzip_roundtrip_and_cas_at_scale():
         raw2 = open(os.path.join(d2, MANIFEST_NAME), "rb").read()
         json.loads(raw2)  # parses as plain JSON
         assert Manifest.load(d2).files[0].name == "a.parquet"
+
+
+def test_conflict_rebase_on_disjoint_ranges(spark, scratch):
+    """Range-disjoint writer concurrency (VERDICT r10 ask #5): a
+    writer that loses the manifest CAS to a commit touching a
+    DISJOINT ordered_on range re-applies its already-computed merge
+    onto the winner's manifest (one rebase, ZERO merge re-runs);
+    only overlapping ranges pay the full recompute. Both commits
+    land either way."""
+    import os
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import Manifest
+
+    path = os.path.join(scratch, "rebase_ds")
+    seed = OrderedDataset(spark, path)
+    seed.write(
+        df=_ts_frame(spark, range(4), [1.0] * 4),
+        ordered_on="ts",
+        row_group_target_size=2,
+    )
+
+    # both handles load the same generation, then A commits first
+    a = OrderedDataset(spark, path)
+    b = OrderedDataset(spark, path)
+    a.write(df=_ts_frame(spark, [8, 9], [5.0, 5.0]))
+    b.write(df=_ts_frame(spark, [16, 17], [7.0, 7.0]), conflict_retries=1)
+    assert b.conflict_rebases == 1 and b.conflict_reruns == 0
+    got = {
+        r["ts"].hour: r["v"]
+        for r in OrderedDataset(spark, path).read().collect()
+    }
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0,
+                   8: 5.0, 9: 5.0, 16: 7.0, 17: 7.0}
+    # the rebased manifest is well-formed: sorted, CAS token current
+    man = Manifest.load(path)
+    mins = [f.min for f in man.files]
+    assert mins == sorted(mins)
+
+    # OVERLAPPING ranges must NOT rebase: the loser's dedup was
+    # computed without the winner's rows — full re-run, keep-last
+    # wins on the shared hour
+    a2 = OrderedDataset(spark, path)
+    b2 = OrderedDataset(spark, path)
+    a2.write(df=_ts_frame(spark, [20, 21], [2.0, 2.0]),
+             duplicates_on=["ts"])
+    b2.write(df=_ts_frame(spark, [21, 22], [9.0, 9.0]),
+             duplicates_on=["ts"], conflict_retries=1)
+    assert b2.conflict_rebases == 0 and b2.conflict_reruns == 1
+    got2 = {
+        r["ts"].hour: r["v"]
+        for r in OrderedDataset(spark, path).read().collect()
+    }
+    assert got2[20] == 2.0 and got2[21] == 9.0 and got2[22] == 9.0
+    assert len(got2) == 11
