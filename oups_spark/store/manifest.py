@@ -224,6 +224,286 @@ class InMemoryObjectStore(ObjectStoreBackend):
         self._objects[key] = (data, token + 1)
         return token + 1
 
+class ParquetManifestBackend(PosixRenameBackend):
+    """Manifest head as small JSON + file entries as a PARQUET
+    sidecar — the documented upgrade path for lakehouse file counts
+    (Delta/Iceberg store file stats the same way).
+
+    Why: the JSON manifest inlines every file entry, so at 100k files
+    both the load and — worse — the generation check inside the
+    commit flock parse megabytes of JSON; at 1M files (10 PB at 10 GB
+    files) it is a wall. Here the head committed through the
+    inherited flock CAS holds only ``ordered_on`` / ``generation`` /
+    ``kv`` / schema / tombstones plus a ``files_ref`` pointer, and
+    the entries live in a typed parquet object: name, n_rows, the
+    ordering-column min/max in their natural type (timestamp[ns] for
+    time-ordered datasets, full nanosecond fidelity), the per-column
+    skip stats as typed ``c_min:<col>``/``c_max:<col>`` pairs, and
+    blooms as a JSON-string column. The CAS cost becomes independent
+    of file count; the file list loads as one vectorized parquet
+    read with NO per-entry JSON encode/decode (the split
+    ``read_split``/``commit_split`` fast path ``Manifest`` prefers
+    when a backend provides it).
+
+    Commit protocol (same generation-CAS contract as the JSON
+    backend, pinned by the shared swap/CAS/hammer tests):
+    1. write the entries parquet under a UNIQUE name
+       (``_oups_manifest.files.g<generation>.<nonce>.parquet`` — the
+       nonce prevents two same-generation racers from clobbering
+       each other's object before the CAS decides),
+    2. flock-CAS the head pointing at it (inherited
+       :meth:`PosixRenameBackend.commit`); a loser removes its
+       orphan parquet and raises :class:`ManifestConflictError`,
+    3. sweep superseded entry objects older than ``gc_grace_s``
+       (kept briefly so a reader that loaded the PREVIOUS head can
+       still resolve its ``files_ref`` — same isolation posture as
+       the data-file tombstone grace window).
+
+    Interop: reading a dataset last committed by the JSON backend
+    works as-is (inline ``files``, no ``files_ref``) and the next
+    commit upgrades it; a JSON-backend reader on a parquet-backend
+    dataset fails LOUDLY (missing ``files`` key), never silently
+    empty. Time-travel snapshots are unaffected — they are written
+    from the full inline payload before the backend splits it.
+    """
+
+    _FILES_PREFIX = MANIFEST_NAME[: -len(".json")] + ".files.g"
+    gc_grace_s = 300.0
+
+    # -- typed columns for stats values --------------------------------
+    @staticmethod
+    def _typed_array(values):
+        """pyarrow array for decoded stats values, or None when the
+        values don't fit a single clean type (then the JSON-string
+        fallback column is used)."""
+        import pyarrow as pa
+
+        present = [v for v in values if v is not None]
+        if not present:
+            return pa.array(values, type=pa.string())
+        if all(isinstance(v, datetime) for v in present):
+            if any(v.tzinfo is not None for v in present):
+                return None
+            return pa.array(values, type=pa.timestamp("ns"))
+        if any(isinstance(v, bool) for v in present):
+            return None  # bool min/max is exotic; keep tagged JSON
+        if all(isinstance(v, int) for v in present):
+            return pa.array(values, type=pa.int64())
+        if all(isinstance(v, (int, float)) for v in present):
+            return pa.array([None if v is None else float(v) for v in values],
+                            type=pa.float64())
+        if all(isinstance(v, str) for v in present):
+            return pa.array(values, type=pa.string())
+        return None
+
+    def _files_to_parquet(self, files: list[FileEntry], path: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrays: dict[str, Any] = {
+            "name": pa.array([f.name for f in files], type=pa.string()),
+            "n_rows": pa.array([f.n_rows for f in files], type=pa.int64()),
+        }
+        for stat in ("min", "max"):
+            vals = [getattr(f, stat) for f in files]
+            arr = self._typed_array(vals)
+            if arr is not None:
+                arrays[stat] = arr
+            else:
+                arrays[stat + "_json"] = pa.array(
+                    [json.dumps(_enc_tree(v)) for v in vals],
+                    type=pa.string(),
+                )
+        # per-column skip stats as typed pairs; any column whose
+        # values defy clean typing demotes ALL cols to the JSON
+        # fallback (rare: mixed-type stats within one dataset)
+        col_names = sorted({c for f in files if f.cols for c in f.cols})
+        col_arrays: dict[str, Any] = {}
+        for c in col_names:
+            for side, pick in (("c_min:", 0), ("c_max:", 1)):
+                vals = [
+                    f.cols[c][pick] if f.cols and c in f.cols else None
+                    for f in files
+                ]
+                arr = self._typed_array(vals)
+                if arr is None:
+                    col_arrays = None
+                    break
+                col_arrays[side + c] = arr
+            if col_arrays is None:
+                break
+        if col_arrays is not None:
+            arrays.update(col_arrays)
+        elif col_names:
+            arrays["cols_json"] = pa.array(
+                [
+                    None if f.cols is None
+                    else json.dumps({
+                        c: [_enc_tree(lo), _enc_tree(hi)]
+                        for c, (lo, hi) in f.cols.items()
+                    })
+                    for f in files
+                ],
+                type=pa.string(),
+            )
+        blooms = [f.blooms for f in files]
+        if any(b is not None for b in blooms):
+            arrays["blooms_json"] = pa.array(
+                [None if b is None else json.dumps(b) for b in blooms],
+                type=pa.string(),
+            )
+        tmp = path + ".tmp"
+        # zstd: ~4x smaller sidecars than snappy on stats columns
+        # (monotone timestamps delta-encode well), negligible cpu
+        pq.write_table(pa.table(arrays), tmp, compression="zstd")
+        os.replace(tmp, path)
+
+    @classmethod
+    def _stat_values(cls, table, col: str) -> list:
+        import pyarrow.types as pat
+
+        import pandas as pd
+
+        column = table.column(col)
+        if pat.is_timestamp(column.type):
+            # to_pandas keeps pd.Timestamp at ns fidelity; NaT -> None
+            # (nulls appear for per-column stats absent on some files)
+            return [None if v is pd.NaT else v for v in column.to_pandas()]
+        return column.to_pylist()
+
+    @classmethod
+    def _files_from_parquet(cls, path: str) -> list[FileEntry]:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(path)
+        have = set(table.column_names)
+        names = table.column("name").to_pylist()
+        n_rows = table.column("n_rows").to_pylist()
+        stats = {}
+        for stat in ("min", "max"):
+            if stat in have:
+                stats[stat] = cls._stat_values(table, stat)
+            else:
+                stats[stat] = [
+                    _dec_tree(json.loads(v))
+                    for v in table.column(stat + "_json").to_pylist()
+                ]
+        col_stats = []  # [(col, mins, maxs)]
+        for cn in have:
+            if cn.startswith("c_min:"):
+                c = cn[len("c_min:"):]
+                col_stats.append((
+                    c,
+                    cls._stat_values(table, "c_min:" + c),
+                    cls._stat_values(table, "c_max:" + c),
+                ))
+        cols_json = (
+            table.column("cols_json").to_pylist()
+            if "cols_json" in have else None
+        )
+        blooms = (
+            table.column("blooms_json").to_pylist()
+            if "blooms_json" in have else None
+        )
+        out = []
+        for i, name in enumerate(names):
+            cols = None
+            if col_stats:
+                cols = {
+                    c: (mins[i], maxs[i])
+                    for c, mins, maxs in col_stats
+                    if mins[i] is not None or maxs[i] is not None
+                } or None
+            elif cols_json is not None and cols_json[i] is not None:
+                cols = {
+                    c: (_dec_tree(lo), _dec_tree(hi))
+                    for c, (lo, hi) in json.loads(cols_json[i]).items()
+                }
+            out.append(FileEntry(
+                name=name,
+                n_rows=int(n_rows[i]),
+                min=stats["min"][i],
+                max=stats["max"][i],
+                cols=cols,
+                blooms=(
+                    json.loads(blooms[i])
+                    if blooms is not None and blooms[i] is not None
+                    else None
+                ),
+            ))
+        return out
+
+    # -- split contract (Manifest's fast path) -------------------------
+    def read_split(self, dirpath: str):
+        """-> (head_payload_dict, list[FileEntry], token) | None."""
+        hit = super().read(dirpath)
+        if hit is None:
+            return None
+        data, token = hit
+        payload = json.loads(_plain(data))
+        ref = payload.pop("files_ref", None)
+        if ref is None:  # legacy inline-JSON manifest
+            files = [FileEntry.from_json(d) for d in payload.pop("files")]
+            return payload, files, token
+        files = self._files_from_parquet(os.path.join(dirpath, ref))
+        return payload, files, token
+
+    def commit_split(
+        self, dirpath: str, head: dict, files: list[FileEntry],
+        *, expect_token,
+    ) -> Any:
+        import uuid
+
+        gen = head.get("generation", 0)
+        ref = f"{self._FILES_PREFIX}{gen:08d}.{uuid.uuid4().hex[:12]}.parquet"
+        ref_path = os.path.join(dirpath, ref)
+        self._files_to_parquet(files, ref_path)
+        head = {**head, "files_ref": ref}
+        data = _maybe_compress(json.dumps(head).encode())
+        try:
+            token = super().commit(dirpath, data, expect_token=expect_token)
+        except ManifestConflictError:
+            if os.path.exists(ref_path):  # never referenced by any head
+                os.remove(ref_path)
+            raise
+        self._sweep(dirpath, keep=ref)
+        return token
+
+    # -- bytes contract (interface parity; Manifest uses the split
+    #    path, so these only serve generic byte-level callers) --------
+    def read(self, dirpath: str):
+        hit = self.read_split(dirpath)
+        if hit is None:
+            return None
+        payload, files, token = hit
+        payload = dict(payload)
+        payload["files"] = [f.to_json() for f in files]
+        return json.dumps(payload).encode(), token
+
+    def commit(self, dirpath: str, data: bytes, *, expect_token) -> Any:
+        payload = json.loads(_plain(data))
+        files = [FileEntry.from_json(d) for d in payload.pop("files", [])]
+        return self.commit_split(
+            dirpath, payload, files, expect_token=expect_token
+        )
+
+    def _sweep(self, dirpath: str, *, keep: str) -> None:
+        import time
+
+        now = time.time()
+        for n in os.listdir(dirpath):
+            if n == keep or not (
+                n.startswith(self._FILES_PREFIX) and n.endswith(".parquet")
+            ):
+                continue
+            p = os.path.join(dirpath, n)
+            try:
+                if now - os.path.getmtime(p) >= self.gc_grace_s:
+                    os.remove(p)
+            except FileNotFoundError:
+                continue  # concurrent sweeper got it first
+
+
 # Only explicitly tagged types round-trip through kv metadata — a
 # manifest read from a shared dataset directory must never execute
 # code on the driver, so there is deliberately NO pickle fallback
@@ -380,12 +660,11 @@ class Manifest:
     def sort_files(self) -> None:
         self.files.sort(key=lambda f: (f.min, f.max))
 
-    def _payload(self) -> bytes:
+    def _head_payload(self) -> dict:
         payload = {
             "version": 1,
             "ordered_on": self.ordered_on,
             "generation": self.generation,
-            "files": [f.to_json() for f in self.files],
             "kv": _enc_tree(self.kv),
             "schema_json": self.schema_json,
         }
@@ -393,6 +672,11 @@ class Manifest:
             payload["cmidx"] = self.cmidx
         if self.tombstones:
             payload["tombstones"] = self.tombstones
+        return payload
+
+    def _payload(self) -> bytes:
+        payload = self._head_payload()
+        payload["files"] = [f.to_json() for f in self.files]
         return json.dumps(payload).encode()
 
     def save(
@@ -405,23 +689,38 @@ class Manifest:
         backend = backend or _DEFAULT_BACKEND
         self.sort_files()
         self.generation += 1
-        data = _maybe_compress(self._payload())
         try:
-            self.token = backend.commit(dirpath, data, expect_token=self.token)
+            if hasattr(backend, "commit_split"):
+                # split fast path (parquet sidecar backends): entries
+                # go typed, never through per-entry JSON tagging
+                self.token = backend.commit_split(
+                    dirpath, self._head_payload(), self.files,
+                    expect_token=self.token,
+                )
+            else:
+                data = _maybe_compress(self._payload())
+                self.token = backend.commit(
+                    dirpath, data, expect_token=self.token
+                )
         except ManifestConflictError:
             # a failed commit must not leave this instance claiming a
             # generation that never landed — callers retry with it
             self.generation -= 1
             raise
         if snapshot:
-            write_snapshot(dirpath, self.generation, data)
+            # snapshots are always the full inline payload, whatever
+            # the backend's live layout — load_snapshot stays
+            # backend-free and old generations never dangle on a
+            # swept sidecar
+            write_snapshot(
+                dirpath, self.generation, _maybe_compress(self._payload())
+            )
 
     @classmethod
-    def _from_payload(cls, data: bytes, token: Any = None) -> Manifest:
-        payload = json.loads(_plain(data))
+    def _from_head(cls, payload: dict, token: Any = None) -> Manifest:
         return cls(
             ordered_on=payload["ordered_on"],
-            files=[FileEntry.from_json(d) for d in payload["files"]],
+            files=[],
             kv=_dec_tree(payload.get("kv", {})),
             schema_json=payload.get("schema_json"),
             generation=payload.get("generation", 0),
@@ -431,10 +730,25 @@ class Manifest:
         )
 
     @classmethod
+    def _from_payload(cls, data: bytes, token: Any = None) -> Manifest:
+        payload = json.loads(_plain(data))
+        man = cls._from_head(payload, token)
+        man.files = [FileEntry.from_json(d) for d in payload["files"]]
+        return man
+
+    @classmethod
     def load(
         cls, dirpath: str, backend: ManifestBackend | None = None
     ) -> Manifest | None:
         backend = backend or _DEFAULT_BACKEND
+        if hasattr(backend, "read_split"):
+            hit = backend.read_split(dirpath)
+            if hit is None:
+                return None
+            head, files, token = hit
+            man = cls._from_head(head, token)
+            man.files = files
+            return man
         hit = backend.read(dirpath)
         if hit is None:
             return None

@@ -21,12 +21,21 @@ from oups_spark.store.manifest import MANIFEST_NAME
 
 
 class Store:
-    def __init__(self, spark: SparkSession, basepath: str, indexer: type):
+    def __init__(
+        self, spark: SparkSession, basepath: str, indexer: type,
+        *, backend=None,
+    ):
+        """``backend``: optional :class:`ManifestBackend` handed to
+        every dataset this store opens — e.g.
+        :class:`ParquetManifestBackend` for lakehouse file counts, or
+        an :class:`ObjectStoreBackend` subclass on S3/GCS. None keeps
+        the default JSON/posix backend per dataset."""
         if not is_toplevel(indexer):
             raise TypeError(f"{indexer!r} is not an @toplevel indexer class")
         self.spark = spark
         self.basepath = os.path.abspath(basepath)
         self.indexer = indexer
+        self.backend = backend
         os.makedirs(self.basepath, exist_ok=True)
 
     # --------------------------------------------------------- discovery
@@ -56,7 +65,9 @@ class Store:
         return os.path.join(self.basepath, key.to_path)
 
     def __getitem__(self, key) -> OrderedDataset:
-        return OrderedDataset(self.spark, self._path_of(key))
+        return OrderedDataset(
+            self.spark, self._path_of(key), backend=self.backend
+        )
 
     def get(self, key) -> OrderedDataset:
         return self[key]
@@ -74,7 +85,7 @@ class Store:
         """Drop dataset files and prune now-empty parent dirs
         (reference: ``store.py:230-257``)."""
         path = self._path_of(key)
-        OrderedDataset(self.spark, path).delete()
+        OrderedDataset(self.spark, path, backend=self.backend).delete()
         parent = os.path.dirname(path)
         while parent != self.basepath and os.path.isdir(parent) and not os.listdir(parent):
             os.rmdir(parent)

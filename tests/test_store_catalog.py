@@ -856,3 +856,199 @@ def test_conflict_rebase_on_disjoint_ranges(spark, scratch):
     }
     assert got2[20] == 2.0 and got2[21] == 9.0 and got2[22] == 9.0
     assert len(got2) == 11
+
+
+def test_parquet_manifest_backend_roundtrip_cas_and_sweep(tmp_path):
+    """ParquetManifestBackend (VERDICT r10 ask #4): file entries live
+    in a TYPED parquet sidecar (timestamp[ns] stats at full
+    precision, per-column stats + blooms as JSON strings), the head
+    committed through the flock CAS holds only a pointer — so the
+    CAS cost is independent of file count. Round-trip is lossless
+    and type-faithful, the CAS contract is unchanged, a loser's
+    orphan sidecar is removed, and superseded sidecars are swept
+    after the grace window."""
+    import json
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from oups_spark.store.manifest import (
+        MANIFEST_NAME,
+        FileEntry,
+        Manifest,
+        ManifestConflictError,
+        ParquetManifestBackend,
+    )
+
+    d = str(tmp_path)
+    be = ParquetManifestBackend()
+    m = Manifest(ordered_on="ts")
+    t0 = pd.Timestamp("2024-01-01 00:00:00.123456789")  # ns precision
+    m.files = [
+        FileEntry(
+            name=f"f{i}.parquet", n_rows=100 + i,
+            min=t0 + pd.Timedelta(days=i), max=t0 + pd.Timedelta(days=i, hours=23),
+            cols={"v": (float(i), float(i) + 1.0)},
+            blooms={"uid": {"m": 64, "k": 2, "b64": "AAAA"}} if i == 0 else None,
+        )
+        for i in range(3)
+    ]
+    m.kv["note"] = {"nested": [1, pd.Timestamp("2025-06-01")]}
+    m.save(d, be)
+
+    # head is a pointer, entries are parquet
+    head = json.loads(open(os.path.join(d, MANIFEST_NAME), "rb").read())
+    assert "files" not in head and head["files_ref"].endswith(".parquet")
+    assert os.path.exists(os.path.join(d, head["files_ref"]))
+
+    back = Manifest.load(d, be)
+    assert back.ordered_on == "ts" and back.generation == 1
+    assert [f.name for f in back.files] == [f.name for f in m.files]
+    f0 = back.files[0]
+    assert f0.min == t0 and isinstance(f0.min, pd.Timestamp)
+    assert f0.min.nanosecond == 789  # ns survived the typed column
+    assert f0.cols == {"v": (0.0, 1.0)}
+    assert f0.blooms == {"uid": {"m": 64, "k": 2, "b64": "AAAA"}}
+    assert back.files[1].blooms is None
+    assert back.kv["note"]["nested"][1] == pd.Timestamp("2025-06-01")
+
+    # CAS: a stale writer conflicts and leaves no orphan sidecar
+    stale = Manifest.load(d, be)
+    fresh = Manifest.load(d, be)
+    fresh.kv["w"] = 1
+    fresh.save(d, be)
+    stale.kv["w"] = 2
+    n_sidecars = lambda: sum(  # noqa: E731
+        1 for n in os.listdir(d) if ".files.g" in n
+    )
+    before = n_sidecars()
+    with pytest.raises(ManifestConflictError):
+        stale.save(d, be)
+    assert n_sidecars() == before  # loser's sidecar removed
+
+    # sweep: with zero grace, only the current sidecar survives
+    be_fast = ParquetManifestBackend()
+    be_fast.gc_grace_s = 0.0
+    cur = Manifest.load(d, be_fast)
+    cur.kv["w"] = 3
+    cur.save(d, be_fast)
+    assert n_sidecars() == 1
+
+    # integer-ordered datasets get int64 stats columns
+    d2 = os.path.join(d, "ints")
+    os.makedirs(d2)
+    mi = Manifest(ordered_on="seq")
+    mi.files = [FileEntry(name="a.parquet", n_rows=5, min=10, max=99)]
+    mi.save(d2, be)
+    fi = Manifest.load(d2, be).files[0]
+    assert fi.min == 10 and isinstance(fi.min, int)
+
+
+def test_parquet_manifest_backend_upgrades_legacy_json(tmp_path):
+    """A dataset last committed by the JSON backend reads as-is
+    through the parquet backend (inline files, no pointer) and the
+    next commit upgrades it to the sidecar layout."""
+    import json
+    import os
+
+    from oups_spark.store.manifest import (
+        MANIFEST_NAME,
+        FileEntry,
+        Manifest,
+        ParquetManifestBackend,
+    )
+
+    d = str(tmp_path)
+    legacy = Manifest(ordered_on="ts")
+    legacy.files = [FileEntry(name="a.parquet", n_rows=1, min=0, max=1)]
+    legacy.save(d)  # default JSON backend
+
+    be = ParquetManifestBackend()
+    m = Manifest.load(d, be)
+    assert m.files[0].name == "a.parquet"
+    m.kv["upgraded"] = True
+    m.save(d, be)
+    head = json.loads(open(os.path.join(d, MANIFEST_NAME), "rb").read())
+    assert "files_ref" in head and "files" not in head
+    assert Manifest.load(d, be).files[0].n_rows == 1
+
+
+def _pq_contender(dirpath: str, tag: str, n: int) -> None:
+    """Two-process hammer child for the parquet backend: n
+    read-modify-write commits with reload-and-retry on conflict."""
+    from oups_spark.store.manifest import (
+        FileEntry,
+        Manifest,
+        ManifestConflictError,
+        ParquetManifestBackend,
+    )
+
+    be = ParquetManifestBackend()
+    for i in range(n):
+        while True:
+            m = Manifest.load(dirpath, be) or Manifest(ordered_on="ts")
+            m.files.append(
+                FileEntry(
+                    name=f"{tag}_{i}.parquet", n_rows=1,
+                    min=i * 10, max=i * 10 + 9,
+                )
+            )
+            try:
+                m.save(dirpath, be)
+                break
+            except ManifestConflictError:
+                continue
+
+
+def test_parquet_manifest_backend_hammer_zero_lost_updates(tmp_path):
+    """Same adversarial two-process hammer as the JSON backend's:
+    every appended entry lands exactly once and the generation is
+    the commit count — the parquet sidecar changes the layout, not
+    the CAS contract."""
+    import multiprocessing as mp
+
+    from oups_spark.store.manifest import Manifest, ParquetManifestBackend
+
+    d = str(tmp_path)
+    n = 15
+    ctx = mp.get_context("fork")
+    ps = [
+        ctx.Process(target=_pq_contender, args=(d, tag, n))
+        for tag in ("p1", "p2")
+    ]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    final = Manifest.load(d, ParquetManifestBackend())
+    names = [f.name for f in final.files]
+    expect = {f"{tag}_{i}.parquet" for tag in ("p1", "p2") for i in range(n)}
+    assert set(names) == expect and len(names) == 2 * n
+    assert final.generation == 2 * n
+
+
+def test_ordered_dataset_on_parquet_manifest_backend(spark, scratch):
+    """End-to-end store path on the parquet manifest backend: ordered
+    merge write, keep-last dedup, range read — switchable per
+    dataset via the existing ``backend=`` injection point."""
+    import os
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import ParquetManifestBackend
+
+    path = os.path.join(scratch, "pq_backend_ds")
+    be = ParquetManifestBackend()
+    ds = OrderedDataset(spark, path, backend=be)
+    ds.write(
+        df=_ts_frame(spark, range(6), [float(i) for i in range(6)]),
+        ordered_on="ts",
+        row_group_target_size=2,
+    )
+    ds.write(df=_ts_frame(spark, [2, 3], [20.0, 30.0]), duplicates_on=["ts"])
+    got = {
+        r["ts"].hour: r["v"]
+        for r in OrderedDataset(spark, path, backend=be).read().collect()
+    }
+    assert got == {0: 0.0, 1: 1.0, 2: 20.0, 3: 30.0, 4: 4.0, 5: 5.0}
