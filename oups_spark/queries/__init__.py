@@ -66,6 +66,8 @@ _WINDOW_PRIORITY = [
     # here as each lands this round
     "streaming_native_weekly",
     "streaming_native_snapshots_ffill",
+    "store_delete_where",
+    "store_update_where",
     # (2) all 35 r8-stale queries (round 10's scheduled head)
     "label_centroids",
     "lm_quality_score",

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -592,4 +593,76 @@ def store_cmidx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .orderBy("t", "e")
+    )
+
+
+@register(
+    "store_delete_where",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE NOT (event_type = 'click'
+               AND ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}')
+    ORDER BY ts, event_id
+    """,
+)
+def store_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE with bounded rewrite (beyond reference;
+    Delta-style copy-on-write DML, ``dataset.py delete_where``):
+    stats pruning narrows candidates to the [T1, T2) files via the
+    ordering column's own bounds, one scan finds the files that truly
+    hold matching rows, and only those are rewritten — every other
+    file keeps its physical identity. The read-back equals a plain
+    anti-filter of the source."""
+    path = os.path.join(_fresh("store_delete_where"), "events_ds")
+    events = load(spark, sf_dir, "events")
+    ds = OrderedDataset(spark, path)
+    ds.write(df=events, ordered_on="ts", row_group_target_size=2500)
+    ds.delete_where([
+        ("event_type", "==", "click"),
+        ("ts", ">=", pd.Timestamp(T1)),
+        ("ts", "<", pd.Timestamp(T2)),
+    ])
+    return ds.read().orderBy("ts", "event_id").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
+    "store_update_where",
+    oracle=f"""
+    SELECT event_id, ts, user_id,
+           CASE WHEN event_type = 'purchase'
+                     AND ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+                THEN 'audited' ELSE event_type END AS event_type,
+           CASE WHEN event_type = 'purchase'
+                     AND ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+                THEN value * 2 ELSE value END AS value,
+           props
+    FROM events
+    ORDER BY ts, event_id
+    """,
+)
+def store_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (beyond reference; ``dataset.py
+    update_where``): assignments — one an expression over the row's
+    own PRE-update value, one a literal re-labeling the very column
+    the predicate filters on — apply to matching rows only, cast to
+    the existing column types, with the same bounded per-file rewrite
+    and commit path as delete_where. Oracle is the equivalent CASE
+    projection."""
+    path = os.path.join(_fresh("store_update_where"), "events_ds")
+    events = load(spark, sf_dir, "events")
+    ds = OrderedDataset(spark, path)
+    ds.write(df=events, ordered_on="ts", row_group_target_size=2500)
+    ds.update_where(
+        [
+            ("event_type", "==", "purchase"),
+            ("ts", ">=", pd.Timestamp(T1)),
+            ("ts", "<", pd.Timestamp(T2)),
+        ],
+        {"value": F.col("value") * 2, "event_type": "audited"},
+    )
+    return ds.read().orderBy("ts", "event_id").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
     )

@@ -74,6 +74,9 @@ _POS = "__oups_pos"
 # keep indexing (plain name: dunder-keyed kv dicts read as codec tags)
 _BLOOM_COLS_KV = "oups.bloom_cols"
 _PERIOD = "__oups_period"
+# DML rewrite: source-file id carrying each surviving row back to its
+# (single) replacement file
+_FID = "__oups_fid"
 
 
 class OrderedDataset:
@@ -1470,6 +1473,239 @@ class OrderedDataset:
             raise
         self._remove_files(expired)
         return rewritten
+
+    # ------------------------------------------------------------- DML
+    def delete_where(
+        self, filters, *, conflict_retries: int = 0
+    ) -> int:
+        """Row-level DELETE with bounded rewrite (Delta-style
+        copy-on-write; beyond reference — the reference store has no
+        row-level DML).
+
+        Plan: (1) prune candidate files DRIVER-side from per-file
+        [min, max] stats + blooms (the same skipping index
+        ``read(filters=)`` uses, with the ordering column's own
+        bounds included), (2) one scan of the candidates finds which
+        files truly contain matches and how many rows, (3) one job
+        rewrites ONLY those files — each source file's surviving
+        rows land in exactly one replacement file, so entries stay
+        range-disjoint with untouched neighbors and the cost is
+        ∝ matching files, never dataset size. A file whose every
+        row matches is dropped with no replacement. The commit goes
+        through the same tombstone/CAS/rebase path as ``write``;
+        sticky ``bloom_cols`` re-index the replacement files.
+
+        ``filters`` is required — refuse an implicit full-table
+        delete (drop the dataset with ``delete()`` instead).
+
+        Returns the number of rows deleted.
+        """
+        return self._dml(filters, None, conflict_retries)
+
+    def update_where(
+        self, filters, assignments: dict, *, conflict_retries: int = 0
+    ) -> int:
+        """Row-level UPDATE: set ``assignments`` (``{col: Column or
+        literal}``, evaluated against the PRE-update row) on rows
+        matching the DNF ``filters``; same bounded-rewrite plan and
+        commit path as :meth:`delete_where`. Assigning the ordering
+        column is rejected (it would invalidate file ranges — that
+        reshape is a delete + write). Values are cast to the
+        column's existing type, so the dataset schema never drifts.
+
+        Returns the number of rows updated.
+        """
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        return self._dml(filters, assignments, conflict_retries)
+
+    def _dml(self, filters, assignments, conflict_retries: int) -> int:
+        attempt = 0
+        while True:
+            try:
+                return self._rewrite_where(filters, assignments)
+            except ManifestConflictError:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
+                self.conflict_reruns += 1
+                self._manifest = Manifest.load(self.path, self.backend)
+
+    def _rewrite_where(self, filters, assignments) -> int:
+        from pyspark.sql import Column
+
+        from oups_spark.functions.filters import (
+            dnf_condition,
+            dnf_file_can_match,
+        )
+
+        if not self.exists:
+            raise FileNotFoundError(f"no ordered dataset at {self.path}")
+        if not filters:
+            raise ValueError(
+                "row-level DML requires explicit filters; to drop the "
+                "whole dataset use delete()"
+            )
+        man = self._manifest
+        o = man.ordered_on
+        if assignments and o in assignments:
+            raise ValueError(
+                f"update_where cannot assign the ordering column {o!r}"
+            )
+        schema = self.schema()
+        if schema is None:
+            raise ValueError("dataset has no recorded schema")
+        if assignments:
+            known = {f.name for f in schema.fields}
+            unknown = set(assignments) - known
+            if unknown:
+                raise ValueError(f"unknown columns in assignments: {sorted(unknown)}")
+        # (1) driver-side file pruning, ordering-column bounds included
+        cands = [
+            e for e in man.files
+            if dnf_file_can_match(
+                {o: (e.min, e.max), **(e.cols or {})}, filters,
+                blooms=e.blooms,
+            )
+        ]
+        if not cands:
+            return 0
+        reader = self.spark.read.schema(schema)
+        pred = dnf_condition(filters)
+        basename = F.substring_index(F.input_file_name(), "/", -1)
+        # (2) which candidates REALLY match (stats/bloom pruning is
+        # conservative): one agg over the candidate files only
+        hits = {
+            r["__f"]: r["n"]
+            for r in (
+                reader.parquet(
+                    *[os.path.join(self.path, e.name) for e in cands]
+                )
+                .filter(pred)
+                .groupBy(basename.alias("__f"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        }
+        if not hits:
+            return 0
+        touched = [e for e in cands if e.name in hits]
+        n_affected = int(sum(hits.values()))
+        if assignments is None and all(
+            hits.get(e.name) == e.n_rows for e in touched
+        ):
+            # every row of every touched file is deleted: no rewrite
+            # job at all, the files just leave the manifest
+            replaced = {e.name for e in touched}
+            self._commit(
+                o, df=None, target_schema=schema,
+                kept=[e for e in man.files if e.name not in replaced],
+                replaced_names=sorted(replaced), new_entries=[],
+                key_value_metadata=None, cmidx=man.cmidx,
+            )
+            return n_affected
+        # (3) rewrite the touched files, one replacement per source
+        # file: the fid hash-repartition puts each file's rows in one
+        # partition, partitionBy splits collisions back apart, and
+        # (fid, ordered_on, pos) sorting preserves the original stable
+        # order for rows with equal ordering values
+        fid_map = F.create_map(
+            *[
+                lit
+                for i, e in enumerate(touched)
+                for lit in (F.lit(e.name), F.lit(i))
+            ]
+        )
+        df = (
+            reader.parquet(
+                *[os.path.join(self.path, e.name) for e in touched]
+            )
+            .withColumn(_FID, fid_map[basename])
+            .withColumn(_POS, F.monotonically_increasing_id())
+        )
+        if assignments is None:
+            out = df.filter(~pred)
+        else:
+            sel = []
+            for fld in schema.fields:
+                if fld.name in assignments:
+                    v = assignments[fld.name]
+                    vcol = v if isinstance(v, Column) else F.lit(v)
+                    sel.append(
+                        F.when(pred, vcol.cast(fld.dataType))
+                        .otherwise(F.col(fld.name))
+                        .alias(fld.name)
+                    )
+                else:
+                    sel.append(F.col(fld.name))
+            # one select: every assignment and the predicate see the
+            # PRE-update values, whatever columns they share
+            out = df.select(*sel, F.col(_FID), F.col(_POS))
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:12]}")
+        os.makedirs(staging, exist_ok=True)
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev_ts_conf = ts_set = None
+        try:
+            prev_ts_conf = self.spark.conf.get(ts_conf, None)
+            self.spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+            ts_set = True
+        except Exception:  # noqa: BLE001 - conf locked by a custom session
+            pass
+        try:
+            (
+                out.repartition(len(touched), F.col(_FID))
+                .sortWithinPartitions(_FID, o, _POS)
+                .drop(_POS)
+                .write.partitionBy(_FID)
+                .mode("overwrite")
+                .parquet(staging)
+            )
+            stats = _footer_stats(staging, o)
+            if stats is None:
+                rows = (
+                    self.spark.read.parquet(staging)
+                    .groupBy(F.input_file_name().alias("f"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.min(o).alias("mn"),
+                        F.max(o).alias("mx"),
+                    )
+                    .collect()
+                )
+                stats = [
+                    (
+                        urllib.parse.unquote(
+                            urllib.parse.urlparse(r["f"]).path
+                        ),
+                        r["n"], r["mn"], r["mx"], None,
+                    )
+                    for r in rows
+                ]
+            new_entries = self._finalize_staged(stats)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+            try:
+                if ts_set and prev_ts_conf is not None:
+                    self.spark.conf.set(ts_conf, prev_ts_conf)
+                elif ts_set:
+                    self.spark.conf.unset(ts_conf)
+            except Exception:  # noqa: BLE001
+                pass
+        self._attach_blooms(
+            new_entries, man.kv.get(_BLOOM_COLS_KV), schema
+        )
+        replaced = {e.name for e in touched}
+        self._commit(
+            o,
+            df=None,
+            target_schema=schema,
+            kept=[e for e in man.files if e.name not in replaced],
+            replaced_names=sorted(replaced),
+            new_entries=new_entries,
+            key_value_metadata=None,
+            cmidx=man.cmidx,
+        )
+        return n_affected
 
     # ------------------------------------------------------ time travel
     def versions(self) -> list[int]:

@@ -927,3 +927,142 @@ def test_bloom_probe_type_coercion_no_false_negative(spark, scratch):
     assert ds.read(filters=[("code", "=", 7)]).count() == expect
     # absent long key still prunes to zero files through normalization
     assert ds.read(filters=[("session", "=", 99.0)]).count() == 0
+
+
+def _dml_frame(spark, n=40):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "uid": [i % 5 for i in range(n)],
+            "v": [float(i) for i in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_delete_where_rewrites_only_touched_files(spark, scratch):
+    """Row-level DELETE (Delta-style copy-on-write): stats/bloom
+    pruning picks candidate files, only files that truly contain
+    matches are rewritten — untouched files keep their physical
+    identity — and a fully-matching file leaves the manifest with no
+    rewrite at all."""
+    import os
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    path = os.path.join(scratch, "dml_del")
+    df, pdf = _dml_frame(spark)
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+    before = {e.name: e for e in ds.manifest.files}
+    assert len(before) == 4
+
+    # range delete inside ONE file's span: hours 12..15 live in file 2
+    n = ds.delete_where([
+        ("ts", ">=", pdf["ts"][12]), ("ts", "<", pdf["ts"][16]),
+    ])
+    assert n == 4
+    after = {e.name: e for e in ds.manifest.files}
+    # 3 of 4 original files untouched (same names), 1 replaced
+    assert len(set(before) & set(after)) == 3
+    got = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    exp = pdf[(pdf["ts"] < pdf["ts"][12]) | (pdf["ts"] >= pdf["ts"][16])]
+    assert got["v"].tolist() == exp["v"].tolist()
+    # replacement entry carries tightened bounds
+    replaced = [e for name, e in after.items() if name not in before]
+    assert len(replaced) == 1 and replaced[0].n_rows == 6
+
+    # delete matching a whole file -> entry dropped, no replacement
+    n2 = ds.delete_where([
+        ("ts", ">=", pdf["ts"][20]), ("ts", "<", pdf["ts"][30]),
+    ])
+    assert n2 == 10
+    assert len(ds.manifest.files) == 3
+    assert ds.read().count() == 26
+
+    # predicate matching nothing is a no-op (0 rows, no commit)
+    gen = ds.manifest.generation
+    assert ds.delete_where([("v", "==", -1.0)]) == 0
+    assert ds.manifest.generation == gen
+
+    # full-table DML without filters is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="explicit filters"):
+        ds.delete_where(None)
+
+
+def test_update_where_sets_values_and_preserves_schema(spark, scratch):
+    """Row-level UPDATE: assignments see PRE-update values, are cast
+    to the column's existing type, non-matching rows and untouched
+    files are byte-identical, and the ordering column is protected."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    path = os.path.join(scratch, "dml_upd")
+    df, pdf = _dml_frame(spark)
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+    before = {e.name for e in ds.manifest.files}
+
+    # expression assignment referencing the row's own pre-update value
+    n = ds.update_where(
+        [("uid", "==", 2)], {"v": F.col("v") * 100, "uid": 99},
+    )
+    assert n == 8
+    after = {e.name for e in ds.manifest.files}
+    assert len(after) == 4 and before != after  # every file had a uid=2
+    got = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    mask = pdf["uid"] == 2
+    assert (got.loc[mask, "v"] == pdf.loc[mask, "v"] * 100).all()
+    assert (got.loc[mask, "uid"] == 99).all()
+    assert (got.loc[~mask, "v"] == pdf.loc[~mask, "v"]).all()
+    # int literal cast to the column's long type: schema unchanged
+    assert ds.read().schema == df.schema
+
+    with pytest.raises(ValueError, match="ordering column"):
+        ds.update_where([("uid", "==", 1)], {"ts": pdf["ts"][0]})
+    with pytest.raises(ValueError, match="unknown columns"):
+        ds.update_where([("uid", "==", 1)], {"nope": 1})
+
+
+def test_delete_where_uses_bloom_pruning(spark, scratch):
+    """A bloom-indexed equality delete prunes to the files whose
+    bloom admits the value: candidate count < file count, result
+    exact."""
+    import os
+
+    import pandas as pd
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    path = os.path.join(scratch, "dml_bloom")
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+            "key": [f"k{i}" for i in range(n)],  # unique: 1 file holds k7
+            "v": [float(i) for i in range(n)],
+        }
+    )
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(
+        df=spark.createDataFrame(pdf), ordered_on="ts",
+        row_group_target_size=50, bloom_cols=["key"],
+    )
+    before = {e.name for e in ds.manifest.files}
+    assert len(before) == 8
+    assert ds.delete_where([("key", "==", "k7")]) == 1
+    after = {e.name for e in ds.manifest.files}
+    # bloom pruning: at most a couple of files rewritten, not all 8
+    assert len(before & after) >= 6
+    assert ds.read().count() == n - 1
+    # replacement files are re-indexed (sticky bloom_cols)
+    new = [e for e in ds.manifest.files if e.name not in before]
+    assert new and all(e.blooms and "key" in e.blooms for e in new)
