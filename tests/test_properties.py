@@ -632,3 +632,95 @@ def test_bloom_never_false_negative(values, m, k):
     bloom = {"m": m, "k": k, "b64": _pack(positions, m)}
     for v in values:
         assert bloom_might_contain(bloom, v)
+
+
+# ---------------------------------------------------------------- DML
+_dml_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),  # minute
+        st.integers(min_value=0, max_value=2),    # symbol
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=4,
+    max_size=24,
+)
+_dml_conj = st.lists(
+    st.one_of(
+        st.tuples(st.just("sym"), st.just("=="),
+                  st.sampled_from(["s0", "s1", "s2"])),
+        st.tuples(st.just("ts"), st.sampled_from([">=", "<"]),
+                  st.integers(min_value=0, max_value=120)),
+        st.tuples(st.just("val"), st.sampled_from([">=", "<"]),
+                  st.integers(min_value=-100, max_value=100)),
+    ),
+    min_size=1,
+    max_size=2,
+)
+
+
+def _dml_mask(pdf: pd.DataFrame, conj) -> pd.Series:
+    m = pd.Series(True, index=pdf.index)
+    for col, op, v in conj:
+        if col == "ts":
+            v = pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=v)
+        s = pdf[col]
+        m &= {"==": s == v, ">=": s >= v, "<": s < v}[op]
+    return m
+
+
+def _dml_engine_pred(conj):
+    out = []
+    for col, op, v in conj:
+        if col == "ts":
+            v = pd.Timestamp(2024, 1, 1) + pd.Timedelta(minutes=v)
+        out.append((col, op, v))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=_dml_rows,
+    del_conj=_dml_conj,
+    upd_conj=_dml_conj,
+    target=st.sampled_from([3, 6, 100]),
+)
+def test_dml_matches_pandas_ground_truth_property(
+    spark, tmp_path_factory, rows, del_conj, upd_conj, target
+):
+    """PROPERTY: for any dataset layout (1..many files) and any DNF
+    conjunction over the three column types, `delete_where` then
+    `update_where` read back exactly the pandas ground truth — the
+    stats/bloom candidate pruning, true-hit detection, per-file
+    rewrite, and whole-file drop paths may each engage or not, the
+    result must not depend on which did."""
+    import os
+
+    pdf = _mk_batch(rows)
+    d = str(tmp_path_factory.mktemp("dml_prop"))
+    ds = OrderedDataset(spark, os.path.join(d, "ds"), deletion_grace_s=0)
+    ds.write(
+        df=spark.createDataFrame(pdf), ordered_on="ts",
+        row_group_target_size=target, validate_monotonic=False,
+    )
+
+    n_del = ds.delete_where(_dml_engine_pred(del_conj))
+    truth = pdf[~_dml_mask(pdf, del_conj)].reset_index(drop=True)
+    assert n_del == len(pdf) - len(truth)
+
+    n_upd = ds.update_where(_dml_engine_pred(upd_conj), {"val": -999.0})
+    m = _dml_mask(truth, upd_conj)
+    assert n_upd == int(m.sum())
+    truth = truth.copy()
+    truth.loc[m, "val"] = -999.0
+
+    got = (
+        ds.read()
+        .toPandas()
+        .sort_values(["ts", "sym", "val"], ignore_index=True)
+    )
+    truth = truth.sort_values(["ts", "sym", "val"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, truth)
