@@ -182,6 +182,16 @@ class ObjectStoreBackend(ManifestBackend):
     def _put_if_match(self, key: str, data: bytes, token) -> Any:
         raise NotImplementedError
 
+    # optional primitives (S3 LIST / DELETE) — only needed by the
+    # sidecar GC of :class:`ObjectStoreParquetBackend`; backends that
+    # don't implement them simply accumulate superseded sidecars
+    # until an external lifecycle rule reclaims them
+    def _list(self, prefix: str) -> list[str]:
+        raise NotImplementedError
+
+    def _delete(self, key: str) -> None:
+        raise NotImplementedError
+
     @staticmethod
     def _key(dirpath: str) -> str:
         return os.path.join(dirpath, MANIFEST_NAME)
@@ -224,51 +234,22 @@ class InMemoryObjectStore(ObjectStoreBackend):
         self._objects[key] = (data, token + 1)
         return token + 1
 
-class ParquetManifestBackend(PosixRenameBackend):
-    """Manifest head as small JSON + file entries as a PARQUET
-    sidecar — the documented upgrade path for lakehouse file counts
-    (Delta/Iceberg store file stats the same way).
+    def _list(self, prefix: str) -> list[str]:
+        return sorted(k for k in self._objects if k.startswith(prefix))
 
-    Why: the JSON manifest inlines every file entry, so at 100k files
-    both the load and — worse — the generation check inside the
-    commit flock parse megabytes of JSON; at 1M files (10 PB at 10 GB
-    files) it is a wall. Here the head committed through the
-    inherited flock CAS holds only ``ordered_on`` / ``generation`` /
-    ``kv`` / schema / tombstones plus a ``files_ref`` pointer, and
-    the entries live in a typed parquet object: name, n_rows, the
-    ordering-column min/max in their natural type (timestamp[ns] for
-    time-ordered datasets, full nanosecond fidelity), the per-column
-    skip stats as typed ``c_min:<col>``/``c_max:<col>`` pairs, and
-    blooms as a JSON-string column. The CAS cost becomes independent
-    of file count; the file list loads as one vectorized parquet
-    read with NO per-entry JSON encode/decode (the split
-    ``read_split``/``commit_split`` fast path ``Manifest`` prefers
-    when a backend provides it).
+    def _delete(self, key: str) -> None:
+        self._objects.pop(key, None)
 
-    Commit protocol (same generation-CAS contract as the JSON
-    backend, pinned by the shared swap/CAS/hammer tests):
-    1. write the entries parquet under a UNIQUE name
-       (``_oups_manifest.files.g<generation>.<nonce>.parquet`` — the
-       nonce prevents two same-generation racers from clobbering
-       each other's object before the CAS decides),
-    2. flock-CAS the head pointing at it (inherited
-       :meth:`PosixRenameBackend.commit`); a loser removes its
-       orphan parquet and raises :class:`ManifestConflictError`,
-    3. sweep superseded entry objects older than ``gc_grace_s``
-       (kept briefly so a reader that loaded the PREVIOUS head can
-       still resolve its ``files_ref`` — same isolation posture as
-       the data-file tombstone grace window).
-
-    Interop: reading a dataset last committed by the JSON backend
-    works as-is (inline ``files``, no ``files_ref``) and the next
-    commit upgrades it; a JSON-backend reader on a parquet-backend
-    dataset fails LOUDLY (missing ``files`` key), never silently
-    empty. Time-travel snapshots are unaffected — they are written
-    from the full inline payload before the backend splits it.
-    """
+class _ParquetFilesCodec:
+    """Typed-parquet (de)serialization of ``FileEntry`` lists — the
+    sidecar layout shared by the posix and object-store
+    split-manifest backends: name, n_rows, the ordering-column
+    min/max in their natural type (timestamp[ns] at full nanosecond
+    fidelity), per-column skip stats as typed
+    ``c_min:<col>``/``c_max:<col>`` pairs, blooms as a JSON-string
+    column. No per-entry JSON encode/decode anywhere."""
 
     _FILES_PREFIX = MANIFEST_NAME[: -len(".json")] + ".files.g"
-    gc_grace_s = 300.0
 
     # -- typed columns for stats values --------------------------------
     @staticmethod
@@ -296,7 +277,7 @@ class ParquetManifestBackend(PosixRenameBackend):
             return pa.array(values, type=pa.string())
         return None
 
-    def _files_to_parquet(self, files: list[FileEntry], path: str) -> None:
+    def _files_to_parquet_bytes(self, files: list[FileEntry]) -> bytes:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -352,11 +333,11 @@ class ParquetManifestBackend(PosixRenameBackend):
                 [None if b is None else json.dumps(b) for b in blooms],
                 type=pa.string(),
             )
-        tmp = path + ".tmp"
         # zstd: ~4x smaller sidecars than snappy on stats columns
         # (monotone timestamps delta-encode well), negligible cpu
-        pq.write_table(pa.table(arrays), tmp, compression="zstd")
-        os.replace(tmp, path)
+        sink = pa.BufferOutputStream()
+        pq.write_table(pa.table(arrays), sink, compression="zstd")
+        return sink.getvalue().to_pybytes()
 
     @classmethod
     def _stat_values(cls, table, col: str) -> list:
@@ -372,10 +353,11 @@ class ParquetManifestBackend(PosixRenameBackend):
         return column.to_pylist()
 
     @classmethod
-    def _files_from_parquet(cls, path: str) -> list[FileEntry]:
+    def _files_from_parquet_bytes(cls, data: bytes) -> list[FileEntry]:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(path)
+        table = pq.read_table(pa.BufferReader(data))
         have = set(table.column_names)
         names = table.column("name").to_pylist()
         n_rows = table.column("n_rows").to_pylist()
@@ -432,6 +414,61 @@ class ParquetManifestBackend(PosixRenameBackend):
                 ),
             ))
         return out
+
+
+class ParquetManifestBackend(PosixRenameBackend, _ParquetFilesCodec):
+    """Manifest head as small JSON + file entries as a PARQUET
+    sidecar (``_ParquetFilesCodec`` layout) — the documented upgrade
+    path for lakehouse file counts (Delta/Iceberg store file stats
+    the same way).
+
+    Why: the JSON manifest inlines every file entry, so at 100k files
+    both the load and — worse — the generation check inside the
+    commit flock parse megabytes of JSON; at 1M files (10 PB at 10 GB
+    files) it is a wall. Here the head committed through the
+    inherited flock CAS holds only ``ordered_on`` / ``generation`` /
+    ``kv`` / schema / tombstones plus a ``files_ref`` pointer. The
+    CAS cost becomes independent of file count; the file list loads
+    as one vectorized parquet read (the split
+    ``read_split``/``commit_split`` fast path ``Manifest`` prefers
+    when a backend provides it).
+
+    Commit protocol (same generation-CAS contract as the JSON
+    backend, pinned by the shared swap/CAS/hammer tests):
+    1. write the entries parquet under a UNIQUE name
+       (``_oups_manifest.files.g<generation>.<nonce>.parquet`` — the
+       nonce prevents two same-generation racers from clobbering
+       each other's object before the CAS decides),
+    2. flock-CAS the head pointing at it (inherited
+       :meth:`PosixRenameBackend.commit`); a loser removes its
+       orphan parquet and raises :class:`ManifestConflictError`,
+    3. sweep superseded entry objects older than ``gc_grace_s``
+       (kept briefly so a reader that loaded the PREVIOUS head can
+       still resolve its ``files_ref`` — same isolation posture as
+       the data-file tombstone grace window).
+
+    Interop: reading a dataset last committed by the JSON backend
+    works as-is (inline ``files``, no ``files_ref``) and the next
+    commit upgrades it; a JSON-backend reader on a parquet-backend
+    dataset fails LOUDLY (missing ``files`` key), never silently
+    empty. Time-travel snapshots are unaffected — they are written
+    from the full inline payload before the backend splits it.
+    On object stores use :class:`ObjectStoreParquetBackend` — same
+    layout over conditional puts.
+    """
+
+    gc_grace_s = 300.0
+
+    def _files_to_parquet(self, files: list[FileEntry], path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(self._files_to_parquet_bytes(files))
+        os.replace(tmp, path)
+
+    @classmethod
+    def _files_from_parquet(cls, path: str) -> list[FileEntry]:
+        with open(path, "rb") as fh:
+            return cls._files_from_parquet_bytes(fh.read())
 
     # -- split contract (Manifest's fast path) -------------------------
     def read_split(self, dirpath: str):
@@ -502,6 +539,110 @@ class ParquetManifestBackend(PosixRenameBackend):
                     os.remove(p)
             except FileNotFoundError:
                 continue  # concurrent sweeper got it first
+
+
+class ObjectStoreParquetBackend(ObjectStoreBackend, _ParquetFilesCodec):
+    """Split-layout manifest on an OBJECT STORE: the same typed
+    parquet sidecar as :class:`ParquetManifestBackend`, with the head
+    committed through :class:`ObjectStoreBackend`'s conditional-put
+    CAS. The sidecar is an immutable nonce-named object written with
+    put-if-absent BEFORE the head CAS decides; a loser deletes its
+    orphan (where the store implements ``_delete``).
+
+    Sidecar GC is by GENERATION — keep the newest
+    ``keep_generations`` — rather than mtime: object stores carry no
+    trustworthy local clock. A reader that loaded the previous head
+    can still resolve its ref; a reader ≥ ``keep_generations``
+    commits stale between its head GET and sidecar GET fails LOUDLY
+    (missing object), never silently empty. Stores without
+    LIST/DELETE primitives skip the sweep and leave reclamation to a
+    bucket lifecycle rule.
+    """
+
+    keep_generations = 2
+
+    def read_split(self, dirpath: str):
+        """-> (head_payload_dict, list[FileEntry], token) | None."""
+        hit = self._get(self._key(dirpath))
+        if hit is None:
+            return None
+        data, token = hit
+        payload = json.loads(_plain(data))
+        ref = payload.pop("files_ref", None)
+        if ref is None:  # manifest committed by the inline-JSON backend
+            files = [FileEntry.from_json(d) for d in payload.pop("files")]
+            return payload, files, token
+        sidecar = self._get(os.path.join(dirpath, ref))
+        if sidecar is None:
+            raise FileNotFoundError(
+                f"manifest sidecar {ref} missing under {dirpath} "
+                "(reader stale past the sidecar GC window?)"
+            )
+        return payload, self._files_from_parquet_bytes(sidecar[0]), token
+
+    def commit_split(
+        self, dirpath: str, head: dict, files: list[FileEntry],
+        *, expect_token,
+    ) -> Any:
+        import uuid
+
+        gen = head.get("generation", 0)
+        ref = f"{self._FILES_PREFIX}{gen:08d}.{uuid.uuid4().hex[:12]}.parquet"
+        ref_key = os.path.join(dirpath, ref)
+        self._put_if_absent(ref_key, self._files_to_parquet_bytes(files))
+        head = {**head, "files_ref": ref}
+        data = _maybe_compress(json.dumps(head).encode())
+        try:
+            token = super().commit(dirpath, data, expect_token=expect_token)
+        except ManifestConflictError:
+            try:
+                self._delete(ref_key)  # never referenced by any head
+            except NotImplementedError:
+                pass
+            raise
+        self._sweep(dirpath, gen)
+        return token
+
+    # bytes contract (interface parity; Manifest uses the split path)
+    def read(self, dirpath: str):
+        hit = self.read_split(dirpath)
+        if hit is None:
+            return None
+        payload, files, token = hit
+        payload = dict(payload)
+        payload["files"] = [f.to_json() for f in files]
+        return json.dumps(payload).encode(), token
+
+    def commit(self, dirpath: str, data: bytes, *, expect_token) -> Any:
+        payload = json.loads(_plain(data))
+        files = [FileEntry.from_json(d) for d in payload.pop("files", [])]
+        return self.commit_split(
+            dirpath, payload, files, expect_token=expect_token
+        )
+
+    def _sweep(self, dirpath: str, current_gen: int) -> None:
+        prefix = os.path.join(dirpath, self._FILES_PREFIX)
+        try:
+            keys = self._list(prefix)
+        except NotImplementedError:
+            return
+        cutoff = current_gen - self.keep_generations
+        for k in keys:
+            try:
+                g = int(k[len(prefix):].split(".", 1)[0])
+            except ValueError:
+                continue
+            if g <= cutoff:
+                try:
+                    self._delete(k)
+                except NotImplementedError:
+                    return
+
+
+class InMemoryParquetObjectStore(ObjectStoreParquetBackend, InMemoryObjectStore):
+    """Dict-backed mock of the split-layout object-store backend —
+    the contract tests' reference implementation (conditional-put
+    head + immutable parquet sidecars, no network)."""
 
 
 # Only explicitly tagged types round-trip through kv metadata — a

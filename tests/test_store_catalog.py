@@ -1052,3 +1052,116 @@ def test_ordered_dataset_on_parquet_manifest_backend(spark, scratch):
         for r in OrderedDataset(spark, path, backend=be).read().collect()
     }
     assert got == {0: 0.0, 1: 1.0, 2: 20.0, 3: 30.0, 4: 4.0, 5: 5.0}
+
+
+def test_object_store_parquet_backend_roundtrip_cas_sweep(tmp_path):
+    """ObjectStoreParquetBackend: the typed parquet sidecar layout
+    over conditional puts — lossless/typed round-trip, unchanged CAS
+    contract, loser's orphan sidecar deleted, generation-based sweep
+    keeps only the newest window, legacy inline-JSON manifests read
+    and upgrade, and a reader stale past the GC window fails LOUDLY."""
+    import pandas as pd
+    import pytest
+
+    from oups_spark.store.manifest import (
+        FileEntry,
+        InMemoryObjectStore,
+        InMemoryParquetObjectStore,
+        Manifest,
+        ManifestConflictError,
+    )
+
+    be = InMemoryParquetObjectStore()
+    d = "/bucket/ds"
+    t0 = pd.Timestamp("2024-01-01 00:00:00.123456789")
+    m = Manifest(ordered_on="ts")
+    m.files = [
+        FileEntry(
+            name=f"f{i}.parquet", n_rows=10 + i,
+            min=t0 + pd.Timedelta(days=i),
+            max=t0 + pd.Timedelta(days=i, hours=3),
+            cols={"v": (float(i), float(i) + 1)},
+        )
+        for i in range(3)
+    ]
+    m.save(d, be)
+    back = Manifest.load(d, be)
+    assert back.files[0].min == t0 and back.files[0].min.nanosecond == 789
+    assert back.files[2].cols == {"v": (2.0, 3.0)}
+
+    # CAS + orphan cleanup: the loser's sidecar does not survive
+    stale, fresh = Manifest.load(d, be), Manifest.load(d, be)
+    fresh.kv["w"] = 1
+    fresh.save(d, be)
+    stale.kv["w"] = 2
+    n_side = lambda: sum(1 for k in be._objects if ".files.g" in k)  # noqa: E731
+    before = n_side()
+    with pytest.raises(ManifestConflictError):
+        stale.save(d, be)
+    assert n_side() == before
+
+    # generation sweep: only keep_generations sidecars retained
+    for i in range(4):
+        cur = Manifest.load(d, be)
+        cur.kv["i"] = i
+        cur.save(d, be)
+    assert n_side() <= be.keep_generations
+
+    # a reader stale past the window errors loudly, never empty
+    head_key = [k for k in be._objects if k.endswith("_oups_manifest.json")][0]
+    import json as _json
+
+    head = _json.loads(be._objects[head_key][0])
+    head["files_ref"] = head["files_ref"].replace(
+        head["files_ref"].split("/")[-1],
+        "_oups_manifest.files.g00000001.deadbeef.parquet",
+    )
+    be._objects[head_key] = (
+        _json.dumps(head).encode(), be._objects[head_key][1],
+    )
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        Manifest.load(d, be)
+
+    # legacy: a manifest committed by the inline-JSON object backend
+    # reads as-is through the parquet backend and upgrades on save
+    plain = InMemoryObjectStore()
+    legacy = Manifest(ordered_on="ts")
+    legacy.files = [FileEntry(name="a.parquet", n_rows=1, min=0, max=1)]
+    legacy.save("/b2/ds", plain)
+    be2 = InMemoryParquetObjectStore()
+    be2._objects = plain._objects  # same bucket, new backend
+    got = Manifest.load("/b2/ds", be2)
+    assert got.files[0].name == "a.parquet"
+    got.kv["up"] = True
+    got.save("/b2/ds", be2)
+    assert any(".files.g" in k for k in be2._objects)
+    assert Manifest.load("/b2/ds", be2).files[0].n_rows == 1
+
+
+def test_ordered_dataset_on_object_store_parquet_backend(spark, scratch):
+    """End-to-end store path over the object-store split backend:
+    merge write + keep-last dedup + read back, no posix manifest file
+    on disk (everything went through the mock's conditional puts)."""
+    import os
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import (
+        MANIFEST_NAME,
+        InMemoryParquetObjectStore,
+    )
+
+    be = InMemoryParquetObjectStore()
+    path = os.path.join(scratch, "ospq_ds")
+    ds = OrderedDataset(spark, path, backend=be)
+    ds.write(
+        df=_ts_frame(spark, range(6), [float(i) for i in range(6)]),
+        ordered_on="ts",
+        row_group_target_size=2,
+    )
+    ds.write(df=_ts_frame(spark, [2, 3], [20.0, 30.0]), duplicates_on=["ts"])
+    got = {
+        r["ts"].hour: r["v"]
+        for r in OrderedDataset(spark, path, backend=be).read().collect()
+    }
+    assert got == {0: 0.0, 1: 1.0, 2: 20.0, 3: 30.0, 4: 4.0, 5: 5.0}
+    assert not os.path.exists(os.path.join(path, MANIFEST_NAME))
