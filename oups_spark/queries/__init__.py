@@ -66,6 +66,7 @@ _WINDOW_PRIORITY = [
     # here as each lands this round
     "streaming_native_weekly",
     "streaming_native_snapshots_ffill",
+    "streaming_native_monthly",
     "store_delete_where",
     "store_update_where",
     # (2) all 35 r8-stale queries (round 10's scheduled head)

@@ -812,6 +812,100 @@ def streaming_native_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_native_monthly",
+    oracle="""
+    WITH wm AS (
+      SELECT date_trunc('day', max(o_orderdate) - INTERVAL 1 DAY)
+             + INTERVAL 1 DAY AS final
+      FROM orders
+    ), m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS sum_price,
+             round(min(o_totalprice), 2) AS min_price,
+             round(max(o_totalprice), 2) AS max_price
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, sum_price, min_price, max_price
+    FROM m, wm
+    WHERE month + INTERVAL 1 MONTH <= wm.final
+    ORDER BY month
+    """,
+)
+def streaming_native_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-frequency native streaming (months vary in length, so
+    Spark's constant-duration window operator cannot stream them
+    directly): stream FIXED daily windows — state bounded, each day
+    emitted once at watermark passage — sink them, then an EXACT
+    batch rollup (``rollup_closed_bins``) folds closed daily partials
+    into calendar months, emitting only months whose end has passed
+    the sink's final watermark (max emitted day + 1 day): the same
+    completeness gate append mode applies to fixed windows, lifted to
+    the calendar grid. count/sum/min/max fold losslessly from daily
+    partials; the oracle is the one-shot monthly aggregation under
+    the same cutoff."""
+    from oups_spark.streaming.native import (
+        rollup_closed_bins,
+        streaming_segment_agg,
+        write_stream_to_dataset,
+    )
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_monthly")
+    path = os.path.join(base, "daily_ds")
+    src = os.path.join(sf_dir, "orders.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    rs = spark.readStream.schema(raw_schema)
+    stream = (
+        rs.parquet(src)
+        if os.path.isdir(src)
+        else rs.option("pathGlobFilter", "orders.parquet").parquet(sf_dir)
+    )
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn(
+        "ts", F.col("o_orderdate").cast("timestamp")
+    ).withColumn("__one", F.lit(1).cast("long"))
+    daily = streaming_segment_agg(
+        stream,
+        "ts",
+        {
+            "n_orders": ("__one", "sum"),
+            "sum_price": ("o_totalprice", "sum"),
+            "min_price": ("o_totalprice", "min"),
+            "max_price": ("o_totalprice", "max"),
+        },
+        bin_by="1D",
+        watermark="0 seconds",
+    )
+    write_stream_to_dataset(
+        agged=daily, path=path, bin_col="bin",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    out = rollup_closed_bins(
+        OrderedDataset(spark, path).read(),
+        {
+            "n_orders": ("n_orders", "sum"),
+            "sum_price": ("sum_price", "sum"),
+            "min_price": ("min_price", "min"),
+            "max_price": ("max_price", "max"),
+        },
+        bin_by="1MS",
+        bin_col="month",
+    )
+    return out.select(
+        "month",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    ).orderBy("month")
+
+
+@register(
     "streaming_native_snapshots_ffill",
     oracle="""
     WITH fanned AS (

@@ -235,6 +235,62 @@ def streaming_snapshot_agg(
     )
 
 
+def rollup_closed_bins(
+    daily: DataFrame,
+    agg: dict,
+    *,
+    bin_by: str,
+    day_col: str = "bin",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """CALENDAR frequencies for the native streaming path: Spark's
+    window operator needs constant durations, so months/quarters/years
+    can't be streamed directly (``freq_to_interval`` rejects them).
+    The scalable shape is two-level: stream FIXED daily windows
+    (state bounded, append emits each day once — every calendar bin
+    holds whole days), sink them, then this EXACT batch rollup of
+    closed daily partials into calendar bins, emitting only bins whose
+    end has passed the sink's final watermark (max emitted day + 1
+    day) — the same completeness gate append mode applies to fixed
+    windows.
+
+    Exactness per function over non-empty days: first = first_val of
+    the earliest day (``min_by``), last = last_val of the latest,
+    min/max/sum fold their partials. ``agg`` maps output column ->
+    (daily partial column, func) exactly like ``segment_agg``.
+    """
+    from oups_spark.functions.dates import floor_ts, next_edge
+
+    bounds = daily.agg(F.max(day_col).alias("mx")).collect()[0]
+    if bounds["mx"] is None:
+        return daily.select(
+            F.col(day_col).alias(bin_col), *[F.lit(None).alias(o) for o in agg]
+        ).limit(0)
+    import datetime as _dt
+
+    import pandas as pd
+
+    final_wm = pd.Timestamp(bounds["mx"]) + _dt.timedelta(days=1)
+    d = F.col(day_col)
+    exprs = []
+    for out, (col, func) in agg.items():
+        c = F.col(col)
+        if func == "first":
+            exprs.append(F.min_by(c, d).alias(out))
+        elif func == "last":
+            exprs.append(F.max_by(c, d).alias(out))
+        elif func in ("min", "max", "sum"):
+            exprs.append(getattr(F, func)(c).alias(out))
+        else:
+            raise ValueError(f"unknown agg func {func!r}")
+    binned = daily.withColumn("__cb", floor_ts(d, bin_by))
+    return (
+        binned.filter(next_edge(F.col("__cb"), bin_by) <= F.lit(final_wm))
+        .groupBy(F.col("__cb").alias(bin_col))
+        .agg(*exprs)
+    )
+
+
 def fill_snapshot_grid(
     df: DataFrame,
     *,

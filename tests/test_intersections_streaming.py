@@ -655,3 +655,63 @@ def test_streaming_snapshots_sparse_bins_pin_fanout_contract(spark, scratch):
         columns=["bin", "snap", "last_val", "sum_val"],
     )
     pd.testing.assert_frame_equal(got[expect.columns.tolist()], expect)
+
+
+def test_rollup_closed_bins_equals_batch_monthly(spark):
+    """Calendar rollup of closed daily partials == batch monthly
+    segment_agg cut at the final watermark, for ALL five fold paths —
+    first/last (min_by/max_by over the day label) included. Daily
+    partials come from batch segment_agg with empty days dropped
+    (exactly what the streaming sink holds: append mode never emits
+    an empty window); the last, incomplete month must be withheld."""
+    from oups_spark.operators.segment import segment_agg
+    from oups_spark.streaming.native import rollup_closed_bins
+
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            # ~11h spacing across ~3 months, gaps leave some days empty
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta([(i * 11 + (i % 7) * 31) for i in range(n)], "h"),
+            "id": range(n),
+            "val": [float((i * 13) % 29 - 14) for i in range(n)],
+        }
+    ).sort_values("ts", ignore_index=True)
+    sdf = spark.createDataFrame(pdf)
+    agg = {
+        "first_val": ("val", "first"),
+        "last_val": ("val", "last"),
+        "min_val": ("val", "min"),
+        "sum_val": ("val", "sum"),
+        "n": ("id", "sum"),
+    }
+    daily = (
+        segment_agg(sdf, "ts", agg, bin_by="1D", tiebreak=["id"])
+        .filter(F.col("n").isNotNull())  # the sink holds populated days only
+    )
+    got = (
+        rollup_closed_bins(
+            daily,
+            {
+                "first_val": ("first_val", "first"),
+                "last_val": ("last_val", "last"),
+                "min_val": ("min_val", "min"),
+                "sum_val": ("sum_val", "sum"),
+                "n": ("n", "sum"),
+            },
+            bin_by="1MS",
+            bin_col="bin",
+        )
+        .toPandas()
+        .sort_values("bin", ignore_index=True)
+    )
+    final_wm = pdf["ts"].max().floor("D") + pd.Timedelta("1D")
+    exp = (
+        segment_agg(sdf, "ts", agg, bin_by="1MS", tiebreak=["id"])
+        .toPandas()
+    )
+    exp = exp[
+        (exp["bin"] + pd.offsets.MonthBegin(1)) <= final_wm
+    ].sort_values("bin", ignore_index=True)[got.columns]
+    assert len(got) >= 2  # at least two complete months in the data
+    pd.testing.assert_frame_equal(got, exp)
