@@ -1066,3 +1066,26 @@ def test_delete_where_uses_bloom_pruning(spark, scratch):
     # replacement files are re-indexed (sticky bloom_cols)
     new = [e for e in ds.manifest.files if e.name not in before]
     assert new and all(e.blooms and "key" in e.blooms for e in new)
+
+
+def test_delete_where_preserves_time_travel_snapshots(spark, scratch):
+    """DML commits participate in time travel like any write: the
+    pre-delete generation stays pinned and fully readable, the new
+    generation reads filtered, and vacuum reclaims as usual."""
+    import os
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    path = os.path.join(scratch, "dml_tt")
+    df, pdf = _dml_frame(spark)
+    ds = OrderedDataset(spark, path, retain_versions=True)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+    g1 = ds.versions()[-1]
+
+    n = ds.delete_where([("uid", "==", 3)])
+    assert n == 8
+    g2 = ds.versions()[-1]
+    assert g2 > g1
+    assert ds.read(as_of=g1).count() == 40  # pinned history intact
+    assert ds.read(as_of=g2).count() == 32
+    assert ds.read().filter("uid = 3").count() == 0
