@@ -208,11 +208,9 @@ class OrderedDataset:
             if not self.exists:
                 raise FileNotFoundError(f"no ordered dataset at {self.path}")
             man = self._manifest
-        entries = man.files
-        if start is not None:
-            entries = [e for e in entries if e.max >= start]
-        if end_excl is not None:
-            entries = [e for e in entries if e.min < end_excl]
+        # [start, end) file selection — vectorized (Arrow compute, only
+        # survivors materialized) on parquet-sidecar-backed manifests
+        entries = man.files_in_range(start, end_excl)
         if filters:
             # data-skipping on ANY filtered column from the per-file
             # stats recorded at write time (Delta/Iceberg file-stats

@@ -357,7 +357,10 @@ class _ParquetFilesCodec:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(pa.BufferReader(data))
+        return cls._files_from_table(pq.read_table(pa.BufferReader(data)))
+
+    @classmethod
+    def _files_from_table(cls, table) -> list[FileEntry]:
         have = set(table.column_names)
         names = table.column("name").to_pylist()
         n_rows = table.column("n_rows").to_pylist()
@@ -416,6 +419,107 @@ class _ParquetFilesCodec:
         return out
 
 
+class ArrowFileList:
+    """Lazy Arrow-backed sequence of :class:`FileEntry` — what the
+    parquet-sidecar backends hand to ``Manifest.files``.
+
+    At ~1M files the dominant load cost is materializing a million
+    Python ``FileEntry`` objects (~10 s), not the parquet read
+    (~0.5 s). This view defers that: iteration/indexing materializes
+    (once, cached) for the write paths that genuinely walk every
+    entry, while :meth:`prune_range` answers the READ path's
+    ``[start, end)`` file selection with vectorized Arrow compute and
+    materializes ONLY the survivors — a point read on a million-file
+    table touches a handful of Python objects. ``Manifest.save``
+    converts to a plain list before mutating/sorting, so writers are
+    unaffected.
+    """
+
+    def __init__(self, table, codec: type):
+        self._table = table
+        self._codec = codec
+        self._materialized: list[FileEntry] | None = None
+
+    # -- sequence protocol (materializes, cached) ----------------------
+    def _all(self) -> list[FileEntry]:
+        if self._materialized is None:
+            self._materialized = self._codec._files_from_table(self._table)
+        return self._materialized
+
+    def __len__(self) -> int:
+        return (
+            self._table.num_rows
+            if self._materialized is None
+            else len(self._materialized)
+        )
+
+    def __iter__(self):
+        return iter(self._all())
+
+    def __getitem__(self, i):
+        return self._all()[i]
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+    def __repr__(self) -> str:
+        state = "lazy" if self._materialized is None else "materialized"
+        return f"<ArrowFileList n={len(self)} {state}>"
+
+    # -- mutation (materializes; the Arrow table is no longer
+    #    authoritative afterwards, so the fast paths below fall back) --
+    def append(self, entry: FileEntry) -> None:
+        self._all().append(entry)
+
+    def extend(self, entries) -> None:
+        self._all().extend(entries)
+
+    # -- vectorized fast paths -----------------------------------------
+    @property
+    def total_rows(self) -> int:
+        if self._materialized is not None:
+            return sum(f.n_rows for f in self._materialized)
+        import pyarrow.compute as pc
+
+        return int(pc.sum(self._table.column("n_rows")).as_py() or 0)
+
+    def prune_range(self, start=None, end_excl=None) -> list[FileEntry]:
+        """Entries whose ``[min, max]`` intersects ``[start,
+        end_excl)``, materializing only the survivors. Falls back to
+        the Python filter when the list was already materialized (or
+        mutated), or when the ordering stats live in the
+        JSON-fallback columns (mixed-type stats)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = self._table
+        if start is None and end_excl is None:
+            return self._all()
+        if (
+            self._materialized is not None
+            or "min" not in t.column_names
+            or "max" not in t.column_names
+        ):
+            return [
+                e for e in self._all()
+                if (start is None or e.max >= start)
+                and (end_excl is None or e.min < end_excl)
+            ]
+        mask = None
+        if start is not None:
+            mask = pc.greater_equal(
+                t.column("max"),
+                pa.scalar(start, type=t.column("max").type),
+            )
+        if end_excl is not None:
+            m2 = pc.less(
+                t.column("min"),
+                pa.scalar(end_excl, type=t.column("min").type),
+            )
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        return self._codec._files_from_table(t.filter(mask))
+
+
 class ParquetManifestBackend(PosixRenameBackend, _ParquetFilesCodec):
     """Manifest head as small JSON + file entries as a PARQUET
     sidecar (``_ParquetFilesCodec`` layout) — the documented upgrade
@@ -466,9 +570,10 @@ class ParquetManifestBackend(PosixRenameBackend, _ParquetFilesCodec):
         os.replace(tmp, path)
 
     @classmethod
-    def _files_from_parquet(cls, path: str) -> list[FileEntry]:
-        with open(path, "rb") as fh:
-            return cls._files_from_parquet_bytes(fh.read())
+    def _files_from_parquet(cls, path: str) -> ArrowFileList:
+        import pyarrow.parquet as pq
+
+        return ArrowFileList(pq.read_table(path), cls)
 
     # -- split contract (Manifest's fast path) -------------------------
     def read_split(self, dirpath: str):
@@ -578,7 +683,13 @@ class ObjectStoreParquetBackend(ObjectStoreBackend, _ParquetFilesCodec):
                 f"manifest sidecar {ref} missing under {dirpath} "
                 "(reader stale past the sidecar GC window?)"
             )
-        return payload, self._files_from_parquet_bytes(sidecar[0]), token
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = ArrowFileList(
+            pq.read_table(pa.BufferReader(sidecar[0])), type(self)
+        )
+        return payload, files, token
 
     def commit_split(
         self, dirpath: str, head: dict, files: list[FileEntry],
@@ -796,9 +907,29 @@ class Manifest:
 
     @property
     def n_rows(self) -> int:
+        if isinstance(self.files, ArrowFileList):
+            return self.files.total_rows  # vectorized, no materialization
         return sum(f.n_rows for f in self.files)
 
+    def files_in_range(self, start=None, end_excl=None) -> list[FileEntry]:
+        """Entries whose ``[min, max]`` span intersects
+        ``[start, end_excl)`` — THE read-path file selection. On an
+        Arrow-backed lazy list (parquet-sidecar backends) the
+        selection runs vectorized and materializes only survivors, so
+        a pruned read of a million-file dataset touches a handful of
+        Python objects."""
+        if isinstance(self.files, ArrowFileList):
+            return self.files.prune_range(start, end_excl)
+        entries = self.files
+        if start is not None:
+            entries = [e for e in entries if e.max >= start]
+        if end_excl is not None:
+            entries = [e for e in entries if e.min < end_excl]
+        return list(entries)
+
     def sort_files(self) -> None:
+        if not isinstance(self.files, list):
+            self.files = list(self.files)
         self.files.sort(key=lambda f: (f.min, f.max))
 
     def _head_payload(self) -> dict:

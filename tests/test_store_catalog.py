@@ -1165,3 +1165,66 @@ def test_ordered_dataset_on_object_store_parquet_backend(spark, scratch):
     }
     assert got == {0: 0.0, 1: 1.0, 2: 20.0, 3: 30.0, 4: 4.0, 5: 5.0}
     assert not os.path.exists(os.path.join(path, MANIFEST_NAME))
+
+
+def test_arrow_file_list_prunes_without_materializing(tmp_path):
+    """The lazy Arrow-backed file list (parquet-sidecar backends):
+    range pruning and n_rows run vectorized WITHOUT materializing
+    the million-entry Python object list — only survivors become
+    FileEntry objects — while full iteration and mutation still
+    behave like a plain list."""
+    import pandas as pd
+
+    from oups_spark.store.manifest import (
+        ArrowFileList,
+        FileEntry,
+        Manifest,
+        ParquetManifestBackend,
+    )
+
+    d = str(tmp_path)
+    be = ParquetManifestBackend()
+    t0 = pd.Timestamp("2024-01-01")
+    m = Manifest(ordered_on="ts")
+    m.files = [
+        FileEntry(
+            name=f"f{i:05d}.parquet", n_rows=100,
+            min=t0 + pd.Timedelta(hours=i),
+            max=t0 + pd.Timedelta(hours=i, minutes=59),
+        )
+        for i in range(1000)
+    ]
+    m.save(d, be)
+
+    loaded = Manifest.load(d, be)
+    fl = loaded.files
+    assert isinstance(fl, ArrowFileList)
+    assert fl._materialized is None and len(fl) == 1000
+
+    # vectorized n_rows and range prune: still lazy afterwards
+    assert loaded.n_rows == 100_000
+    hit = loaded.files_in_range(
+        t0 + pd.Timedelta(hours=10), t0 + pd.Timedelta(hours=13)
+    )
+    assert [e.name for e in hit] == [
+        "f00010.parquet", "f00011.parquet", "f00012.parquet",
+    ]
+    # boundary: a file whose max touches start is kept (inclusive)
+    edge = loaded.files_in_range(
+        t0 + pd.Timedelta(hours=10, minutes=59), t0 + pd.Timedelta(hours=11)
+    )
+    assert [e.name for e in edge] == ["f00010.parquet"]
+    assert fl._materialized is None, "prune must not materialize the list"
+
+    # iteration materializes once; mutation then behaves like a list
+    assert sum(1 for _ in fl) == 1000
+    assert fl._materialized is not None
+    fl.append(FileEntry(name="zzz.parquet", n_rows=5,
+                        min=t0 + pd.Timedelta(days=90),
+                        max=t0 + pd.Timedelta(days=91)))
+    assert loaded.n_rows == 100_005
+    late = loaded.files_in_range(t0 + pd.Timedelta(days=89), None)
+    assert [e.name for e in late] == ["zzz.parquet"]
+    # a save after mutation round-trips the appended entry
+    loaded.save(d, be)
+    assert Manifest.load(d, be).files[-1].name == "zzz.parquet"
