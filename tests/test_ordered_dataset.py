@@ -1089,3 +1089,43 @@ def test_delete_where_preserves_time_travel_snapshots(spark, scratch):
     assert ds.read(as_of=g1).count() == 40  # pinned history intact
     assert ds.read(as_of=g2).count() == 32
     assert ds.read().filter("uid = 3").count() == 0
+
+
+def test_dml_commit_rebases_on_disjoint_concurrent_append(spark, scratch):
+    """A delete_where that loses the manifest CAS to a concurrent
+    append touching a DISJOINT range lands via commit rebase — zero
+    merge re-runs, no retry budget consumed — and both effects
+    survive."""
+    import os
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    path = os.path.join(scratch, "dml_rebase")
+    df, pdf = _dml_frame(spark)  # 40 hourly rows
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+
+    a = OrderedDataset(spark, path, deletion_grace_s=0)
+    b = OrderedDataset(spark, path, deletion_grace_s=0)
+    # a appends a range far past the data; b (stale) deletes early rows
+    import pandas as pd
+
+    later = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.date_range("2024-02-01", periods=3, freq="h"),
+                "uid": [7, 7, 7],
+                "v": [1.5, 2.5, 3.5],
+            }
+        )
+    )
+    a.write(df=later)
+    n = b.delete_where([
+        ("ts", ">=", pdf["ts"][0]), ("ts", "<", pdf["ts"][4]),
+    ])
+    assert n == 4
+    assert b.conflict_rebases == 1 and b.conflict_reruns == 0
+    got = OrderedDataset(spark, path).read()
+    assert got.count() == 40 - 4 + 3
+    assert got.filter("v = 2.5").count() == 1  # the append survived
+    assert got.filter(f"ts < '{pdf['ts'][4]}'").count() == 0
