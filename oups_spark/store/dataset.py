@@ -1753,7 +1753,16 @@ class OrderedDataset:
 
     # ----------------------------------------------------------- delete
     def delete(self) -> None:
-        """Drop the dataset directory (reference: ``base.py:405-438``)."""
+        """Drop the dataset directory (reference: ``base.py:405-438``);
+        on object-store backends also delete the dataset's manifest
+        objects (head + sidecars), so membership checks and discovery
+        stop seeing it."""
+        if self.backend is not None and hasattr(self.backend, "_list"):
+            try:
+                for k in self.backend._list(self.path + "/"):
+                    self.backend._delete(k)
+            except NotImplementedError:
+                pass  # lifecycle rules own reclamation on such stores
         shutil.rmtree(self.path, ignore_errors=True)
         self._manifest = None
 

@@ -39,18 +39,35 @@ class Store:
         os.makedirs(self.basepath, exist_ok=True)
 
     # --------------------------------------------------------- discovery
+    def _manifest_dirs(self) -> list[str]:
+        """Paths (relative to basepath) of every manifest object: a
+        bucket LIST on object-store backends, an ``os.walk`` on posix
+        (incl. posix-parquet backends, whose head lives on disk)."""
+        be = self.backend
+        if be is not None and hasattr(be, "_list"):
+            try:
+                keys = be._list(self.basepath + "/")
+            except NotImplementedError:
+                keys = None
+            if keys is not None:
+                return [
+                    os.path.relpath(os.path.dirname(k), self.basepath)
+                    for k in keys
+                    if os.path.basename(k) == MANIFEST_NAME
+                ]
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(self.basepath):
+            if MANIFEST_NAME in filenames:
+                out.append(os.path.relpath(dirpath, self.basepath))
+        return out
+
     def keys(self) -> list:
         """Scan for dataset manifests at the indexer's depth
         (reference: ``store.py:22-64``)."""
         depth = self.indexer.depth()
         found = []
-        for dirpath, _dirnames, filenames in os.walk(self.basepath):
-            if MANIFEST_NAME not in filenames:
-                continue
-            rel = os.path.relpath(dirpath, self.basepath)
-            if rel == ".":
-                continue
-            if len(rel.split(os.sep)) != depth:
+        for rel in self._manifest_dirs():
+            if rel == "." or len(rel.split(os.sep)) != depth:
                 continue
             try:
                 found.append(self.indexer.from_path(rel.replace(os.sep, "/")))
@@ -73,7 +90,11 @@ class Store:
         return self[key]
 
     def __contains__(self, key) -> bool:
-        return os.path.exists(os.path.join(self._path_of(key), MANIFEST_NAME))
+        path = os.path.join(self._path_of(key), MANIFEST_NAME)
+        be = self.backend
+        if be is not None and hasattr(be, "_get"):
+            return be._get(path) is not None  # one object GET, no load
+        return os.path.exists(path)
 
     def __iter__(self) -> Iterator:
         return iter(self.keys())

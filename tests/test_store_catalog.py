@@ -1228,3 +1228,42 @@ def test_arrow_file_list_prunes_without_materializing(tmp_path):
     # a save after mutation round-trips the appended entry
     loaded.save(d, be)
     assert Manifest.load(d, be).files[-1].name == "zzz.parquet"
+
+
+def test_store_catalog_over_object_store_backend(spark, scratch):
+    """Store discovery / membership / delete on an object-store
+    backend: manifests live as bucket objects (no posix manifest
+    file), so keys() lists by prefix, __contains__ is one object GET,
+    and __delitem__ removes the manifest objects with the data."""
+    import os
+
+    from oups_spark.store.manifest import (
+        MANIFEST_NAME,
+        InMemoryParquetObjectStore,
+    )
+
+    be = InMemoryParquetObjectStore()
+    st = Store(spark, os.path.join(scratch, "osstore"), WeatherKey, backend=be)
+    berlin = WeatherKey("germany", "berlin")
+    paris = WeatherKey("france", "paris")
+    assert len(st) == 0 and berlin not in st
+    st[berlin].write(
+        df=spark.createDataFrame(_weather("2024-01-01", 5)), ordered_on="ts"
+    )
+    st[paris].write(
+        df=spark.createDataFrame(_weather("2024-01-03", 5)), ordered_on="ts"
+    )
+    # no posix manifest anywhere — discovery went through the bucket
+    assert not any(
+        MANIFEST_NAME in files for _, _, files in os.walk(st.basepath)
+    )
+    assert st.keys() == [paris, berlin] and len(st) == 2
+    assert berlin in st and paris in st
+
+    # catalog handles read through the same backend
+    assert st[berlin].n_rows == 5
+
+    del st[berlin]
+    assert berlin not in st and st.keys() == [paris]
+    # the deleted dataset's manifest objects are gone from the bucket
+    assert not any("berlin" in k for k in be._objects)
