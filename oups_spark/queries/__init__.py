@@ -67,6 +67,7 @@ _WINDOW_PRIORITY = [
     "streaming_native_weekly",
     "streaming_native_snapshots_ffill",
     "streaming_native_monthly",
+    "streaming_native_quarterly",
     "store_delete_where",
     "store_update_where",
     # (2) all 35 r8-stale queries (round 10's scheduled head)

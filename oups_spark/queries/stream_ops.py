@@ -906,6 +906,96 @@ def streaming_native_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_native_quarterly",
+    oracle="""
+    WITH wm AS (
+      SELECT date_trunc('day', max(o_orderdate) - INTERVAL 1 DAY)
+             + INTERVAL 1 DAY AS final
+      FROM orders
+    ), q AS (
+      SELECT date_trunc('quarter', o_orderdate) AS quarter,
+             arg_min(o_totalprice,
+                     printf('%020d-%012d', epoch_us(o_orderdate),
+                            o_orderkey)) AS first_price,
+             arg_max(o_totalprice,
+                     printf('%020d-%012d', epoch_us(o_orderdate),
+                            o_orderkey)) AS last_price,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT quarter, first_price, last_price, n_orders
+    FROM q, wm
+    WHERE quarter + INTERVAL 3 MONTH <= wm.final
+    ORDER BY quarter
+    """,
+)
+def streaming_native_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly native streaming through the SAME two-level shape as
+    ``streaming_native_monthly`` (daily windows + exact calendar
+    rollup, bin_by='3MS'), but exercising the ORDER-DEPENDENT fold
+    paths in the driver gate: quarterly first/last are min_by/max_by
+    of the daily first/last partials over the day label, with an
+    o_orderkey tiebreak inside each day (many orders share a date).
+    The oracle keys arg_min/arg_max on the padded
+    (epoch, orderkey) string — lexicographically identical to the
+    engine's (ts, orderkey) struct ordering."""
+    from oups_spark.streaming.native import (
+        rollup_closed_bins,
+        streaming_segment_agg,
+        write_stream_to_dataset,
+    )
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_quarterly")
+    path = os.path.join(base, "daily_ds")
+    src = os.path.join(sf_dir, "orders.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    rs = spark.readStream.schema(raw_schema)
+    stream = (
+        rs.parquet(src)
+        if os.path.isdir(src)
+        else rs.option("pathGlobFilter", "orders.parquet").parquet(sf_dir)
+    )
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn(
+        "ts", F.col("o_orderdate").cast("timestamp")
+    ).withColumn("__one", F.lit(1).cast("long"))
+    daily = streaming_segment_agg(
+        stream,
+        "ts",
+        {
+            "first_price": ("o_totalprice", "first"),
+            "last_price": ("o_totalprice", "last"),
+            "n_orders": ("__one", "sum"),
+        },
+        bin_by="1D",
+        watermark="0 seconds",
+        tiebreak=["o_orderkey"],
+    )
+    write_stream_to_dataset(
+        agged=daily, path=path, bin_col="bin",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    out = rollup_closed_bins(
+        OrderedDataset(spark, path).read(),
+        {
+            "first_price": ("first_price", "first"),
+            "last_price": ("last_price", "last"),
+            "n_orders": ("n_orders", "sum"),
+        },
+        bin_by="3MS",
+        bin_col="quarter",
+    )
+    return out.select(
+        "quarter", "first_price", "last_price", "n_orders"
+    ).orderBy("quarter")
+
+
+@register(
     "streaming_native_snapshots_ffill",
     oracle="""
     WITH fanned AS (
