@@ -1129,3 +1129,37 @@ def test_dml_commit_rebases_on_disjoint_concurrent_append(spark, scratch):
     assert got.count() == 40 - 4 + 3
     assert got.filter("v = 2.5").count() == 1  # the append survived
     assert got.filter(f"ts < '{pdf['ts'][4]}'").count() == 0
+
+
+def test_delete_where_on_schema_evolved_dataset(spark, scratch):
+    """DML over a dataset whose files straddle a schema evolution: a
+    predicate on the evolved column never matches pre-evolution rows
+    (their value reads back NULL), and a rewrite of a pre-evolution
+    file materializes the union schema without changing what a read
+    returns."""
+    ds = OrderedDataset(spark, f"{scratch}/evo_dml")
+    ds.write(
+        df=make_df(spark, [(ts(1), 1.0, "a"), (ts(2), 2.0, "b")]),
+        ordered_on="ts",
+        row_group_target_size=1,
+    )
+    ds.write(
+        df=make_df(
+            spark,
+            [(ts(3), 3.0, "c", 30), (ts(4), 4.0, "d", 40)],
+            cols=("ts", "val", "sym", "extra"),
+        ),
+        evolve_schema=True,
+        row_group_target_size=1,
+    )
+    # evolved-column predicate: only the post-evolution match goes
+    assert ds.delete_where([("extra", "==", 30)]) == 1
+    out = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    assert out["val"].tolist() == [1.0, 2.0, 4.0]
+
+    # predicate matching a PRE-evolution row: its rewrite keeps the
+    # union schema and the surviving rows' nulls
+    assert ds.update_where([("sym", "==", "a")], {"val": -1.0}) == 1
+    out2 = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    assert out2["val"].tolist() == [-1.0, 2.0, 4.0]
+    assert out2["extra"].isna().tolist() == [True, True, False]
