@@ -46,83 +46,26 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Round-11 window (evidence ages going in: 50 r10-green, 50 r9-green,
-# 35 r8-green; registry = 135 + this round's registrations), in
-# priority order:
-#   1. the round-11 registrations (never checked — the standing rule:
+# Round-12 window (evidence ages going in: 6 r11-green registrations,
+# 44 r11-green rotations, 41 r9-green, 50 r10-green; registry = 141 +
+# this round's registrations), in priority order:
+#   1. the round-12 registrations (never checked — the standing rule:
 #      new queries take slots in their landing round);
-#   2. ALL 35 queries whose last driver-green row is round 8 — the
-#      oldest evidence anywhere, exactly the list round 10's boundary
-#      comment scheduled as this round's head;
-#   3. the first r9-greens in import order, filling slot 50.
-# Below the boundary: the remaining r9-greens follow, then the
-# r10-greens — the r9-greens are the head of round 12's window.
+#   2. ALL 41 queries whose last driver-green row is round 9 — the
+#      oldest evidence anywhere, exactly the list round 11's tripwire
+#      failure message scheduled as this round's head;
+#   3. the remaining registry oldest-evidence-first (r10-greens, then
+#      r11-greens) — the r10-greens are the head of round 13's window.
 # tests/test_window_schedule.py COMPUTES the boundary from the
 # CORRECTNESS_r*.json history and fails if any query's evidence would
-# age past 2 rounds outside the window — the arithmetic this comment
-# used to do by hand (and round 8 got wrong).
+# age past 2 rounds outside the window.
 _WINDOW_PRIORITY = [
-    # (1) round-11 registrations (never checked) — names are appended
+    # (1) round-12 registrations (never checked) — names are appended
     # here as each lands this round
-    "streaming_native_weekly",
-    "streaming_native_snapshots_ffill",
-    "streaming_native_monthly",
-    "streaming_native_quarterly",
-    "store_delete_where",
-    "store_update_where",
-    # (2) all 35 r8-stale queries (round 10's scheduled head)
-    "label_centroids",
-    "lm_quality_score",
-    "ccnet_quality_buckets",
-    "quality_classifier_scores",
-    "hll_distinct_tokens",
-    "gopher_quality_rules",
-    "domain_url_stats",
-    "corpus_curation",
-    "token_pack_assignment",
-    "stratified_sample_mix",
-    "ann_pq_topk",
-    "incremental_neardup_ingest",
-    "neardup_keep_best",
-    "leakage_safe_splits",
-    "neardup_pagerank",
-    "lsh_recall_eval",
-    "crossencoder_rerank_topk",
-    "bm25_topk",
-    "deterministic_shuffle",
-    "source_quota_topk",
-    "segment_bins_4h_right",
-    "segment_bins_month_right",
-    "segment_bins_quarter_right",
-    "segment_bins_4h_0930_offset",
-    "snapshot_1y_1ms",
-    "snapshot_irregular_edges",
-    "duplicate_span_removal",
-    "temperature_source_mix",
-    "packed_training_sequences",
-    "weighted_sample_wor",
-    "weighted_sample_by_source",
-    "zorder_box_scan",
-    "streaming_native_sessions",
-    "streaming_stateful_ffill",
-    "streaming_sliding_hourly",
-    # (3) r9-greens in import order — fills slot 50 (the count-taken
-    # prefix adapts to how many round-11 registrations land above;
-    # tests/test_window_schedule.py asserts coverage either way)
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "order_priority_counts",
-    "shipping_priority",
-    "promo_revenue_monthly",
-    "regional_supplier_volume",
-    "bucketed_colocated_join",
-    "salted_join_order_customer",
+    # (2) all 41 r9-stale queries (round 11's scheduled head), then
+    # (3) the rest oldest-evidence-first
     "interval_overlap_pairs",
     "minhash_signatures",
-    # --- ~slot-50 boundary (exact slot depends on (1)'s final count;
-    # the schedule test computes it). Round 12's window head = the
-    # remaining r9-greens in import order, then the r10-greens.
     "simhash_signatures",
     "embedding_neardup_pairs",
     "knn_graph_topk",
@@ -161,8 +104,107 @@ _WINDOW_PRIORITY = [
     "streaming_dedup_ingest",
     "cdc_upsert_stream",
     "cdc_incremental_agg",
-    "cdc_incremental_minmax",
     "session_windows",
+    "cdc_incremental_minmax",
+    "asof_click_before_purchase",
+    "asof_nearest_tolerance",
+    "range_join_first_week",
+    "text_stats",
+    "lang_id",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_neardup_pairs",
+    "neardup_clusters",
+    "embedding_cosine_topk",
+    "ann_lsh_topk",
+    "repetition_stats",
+    "decontamination_overlap",
+    "pii_scan",
+    "embedding_quantize",
+    "kmeans_clusters",
+    "countmin_heavy_hitters",
+    "histogram_quantiles_by_type",
+    "bloom_decontamination",
+    "hll_source_overlap",
+    "ann_ivf_topk",
+    "mmr_diverse_topk",
+    "bpe_token_counts",
+    "bpe_merges",
+    "cohort_retention_weekly",
+    "ewma_user_values",
+    "text_feature_vectors",
+    "source_quota_twophase",
+    "corpus_pipeline_end2end",
+    "topic_clusters",
+    "segment_bins_explicit_edges",
+    "sliding_window_1h_15m",
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "semdedup_prune",
+    "store_bloom_skipping",
+    "csv_ingest_roundtrip",
+    "orc_ingest_roundtrip",
+    "streaming_native_hourly",
+    "streaming_interval_join",
+    "streaming_native_snapshots",
+    "streaming_quantile_ingest",
+    "streaming_countmin_ingest",
+    "streaming_hll_ingest",
+    "volume_bars_10k",
+    "aggstream_filter_fanout",
+    "intersections_bucket_align",
+    "rollup_pricing",
+    "twap_hourly",
+    "streaming_native_weekly",
+    "streaming_native_snapshots_ffill",
+    "streaming_native_monthly",
+    "streaming_native_quarterly",
+    "store_delete_where",
+    "store_update_where",
+    "label_centroids",
+    "lm_quality_score",
+    "ccnet_quality_buckets",
+    "quality_classifier_scores",
+    "hll_distinct_tokens",
+    "gopher_quality_rules",
+    "domain_url_stats",
+    "corpus_curation",
+    "token_pack_assignment",
+    "stratified_sample_mix",
+    "ann_pq_topk",
+    "incremental_neardup_ingest",
+    "neardup_keep_best",
+    "leakage_safe_splits",
+    "neardup_pagerank",
+    "lsh_recall_eval",
+    "crossencoder_rerank_topk",
+    "bm25_topk",
+    "deterministic_shuffle",
+    "source_quota_topk",
+    "segment_bins_4h_right",
+    "segment_bins_month_right",
+    "segment_bins_quarter_right",
+    "segment_bins_4h_0930_offset",
+    "snapshot_1y_1ms",
+    "snapshot_irregular_edges",
+    "duplicate_span_removal",
+    "temperature_source_mix",
+    "packed_training_sequences",
+    "weighted_sample_wor",
+    "weighted_sample_by_source",
+    "zorder_box_scan",
+    "streaming_native_sessions",
+    "streaming_stateful_ffill",
+    "streaming_sliding_hourly",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority_counts",
+    "shipping_priority",
+    "promo_revenue_monthly",
+    "regional_supplier_volume",
+    "bucketed_colocated_join",
+    "salted_join_order_customer",
 ]
 
 
