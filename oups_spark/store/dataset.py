@@ -1622,7 +1622,12 @@ class OrderedDataset:
             .withColumn(_POS, F.monotonically_increasing_id())
         )
         if assignments is None:
-            out = df.filter(~pred)
+            # SQL DELETE semantics: remove only pred=TRUE rows. A NULL
+            # predicate (null column values, or pre-schema-evolution
+            # rows reading an evolved column as NULL) is NOT a match —
+            # keep the row, consistent with the hit-count scan above
+            # and with update_where's when(pred, ...).otherwise(...).
+            out = df.filter(~F.coalesce(pred, F.lit(False)))
         else:
             sel = []
             for fld in schema.fields:

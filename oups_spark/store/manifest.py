@@ -460,7 +460,11 @@ class ArrowFileList:
         return self._all()[i]
 
     def __eq__(self, other):
-        return list(self) == list(other)
+        try:
+            other_items = list(other)
+        except TypeError:
+            return NotImplemented
+        return list(self) == other_items
 
     def __repr__(self) -> str:
         state = "lazy" if self._materialized is None else "materialized"

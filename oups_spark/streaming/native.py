@@ -263,8 +263,15 @@ def rollup_closed_bins(
 
     bounds = daily.agg(F.max(day_col).alias("mx")).collect()[0]
     if bounds["mx"] is None:
+        # schema-stable empty frame: cast the null aggregates to the
+        # daily partial columns' dtypes (a bare F.lit(None) would be
+        # NullType and break downstream unions / dtype inspection)
         return daily.select(
-            F.col(day_col).alias(bin_col), *[F.lit(None).alias(o) for o in agg]
+            F.col(day_col).alias(bin_col),
+            *[
+                F.lit(None).cast(daily.schema[col].dataType).alias(out)
+                for out, (col, _func) in agg.items()
+            ],
         ).limit(0)
     import datetime as _dt
 

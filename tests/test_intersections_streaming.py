@@ -715,3 +715,17 @@ def test_rollup_closed_bins_equals_batch_monthly(spark):
     ].sort_values("bin", ignore_index=True)[got.columns]
     assert len(got) >= 2  # at least two complete months in the data
     pd.testing.assert_frame_equal(got, exp)
+
+    # empty daily input -> schema-STABLE empty frame: aggregate dtypes
+    # match the daily partials', never NullType (unions downstream)
+    empty = rollup_closed_bins(
+        daily.limit(0),
+        {"sum_val": ("sum_val", "sum"), "n": ("n", "sum")},
+        bin_by="1MS",
+        bin_col="bin",
+    )
+    assert empty.count() == 0
+    dtypes = dict(empty.dtypes)
+    assert dtypes["sum_val"] == dict(daily.dtypes)["sum_val"]
+    assert dtypes["n"] == dict(daily.dtypes)["n"]
+    assert "void" not in set(dtypes.values())

@@ -1131,6 +1131,52 @@ def test_dml_commit_rebases_on_disjoint_concurrent_append(spark, scratch):
     assert got.filter(f"ts < '{pdf['ts'][4]}'").count() == 0
 
 
+def test_delete_where_null_predicate_rows_survive(spark, scratch):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL
+    are NOT matches and must survive, even when they share a file with
+    true matches (the rewrite path, not the drop-whole-file path).
+    Exercises both a null column value and a pre-schema-evolution row
+    reading an evolved column as NULL inside a rewritten file."""
+    ds = OrderedDataset(spark, f"{scratch}/null_pred_dml")
+    # one file holding a TRUE match, a FALSE row, and a NULL-sym row
+    ds.write(
+        df=make_df(
+            spark, [(ts(1), 1.0, "a"), (ts(2), 2.0, None), (ts(3), 3.0, "b")]
+        ),
+        ordered_on="ts",
+        row_group_target_size=10,
+    )
+    assert ds.delete_where([("sym", "==", "a")]) == 1
+    out = ds.read().toPandas().sort_values("ts", ignore_index=True)
+    # the NULL-sym row survived alongside the FALSE row, and the
+    # reported count equals the rows actually removed
+    assert out["val"].tolist() == [2.0, 3.0]
+    assert out["sym"].isna().tolist() == [True, False]
+
+    # schema-evolution variant: pre-evolution rows read the evolved
+    # column as NULL; a file holding both them and a true match must
+    # keep them through the rewrite
+    ds2 = OrderedDataset(spark, f"{scratch}/null_pred_evo")
+    ds2.write(
+        df=make_df(spark, [(ts(1), 1.0, "a"), (ts(2), 2.0, "b")]),
+        ordered_on="ts",
+        row_group_target_size=10,
+    )
+    ds2.write(
+        df=make_df(
+            spark,
+            [(ts(3), 3.0, "c", 30)],
+            cols=("ts", "val", "sym", "extra"),
+        ),
+        evolve_schema=True,
+        row_group_target_size=10,
+    )
+    ds2.compact()  # co-locate pre- and post-evolution rows in one file
+    assert ds2.delete_where([("extra", "==", 30)]) == 1
+    out2 = ds2.read().toPandas().sort_values("ts", ignore_index=True)
+    assert out2["val"].tolist() == [1.0, 2.0]
+
+
 def test_delete_where_on_schema_evolved_dataset(spark, scratch):
     """DML over a dataset whose files straddle a schema evolution: a
     predicate on the evolved column never matches pre-evolution rows

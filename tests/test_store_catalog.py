@@ -1229,6 +1229,12 @@ def test_arrow_file_list_prunes_without_materializing(tmp_path):
     loaded.save(d, be)
     assert Manifest.load(d, be).files[-1].name == "zzz.parquet"
 
+    # well-behaved equality: non-iterable comparand -> NotImplemented
+    # (so == is False, not TypeError), iterable list compares by value
+    assert fl.__eq__(42) is NotImplemented
+    assert (fl == 42) is False
+    assert fl == list(fl)
+
 
 def test_store_catalog_over_object_store_backend(spark, scratch):
     """Store discovery / membership / delete on an object-store
