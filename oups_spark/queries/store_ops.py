@@ -666,3 +666,79 @@ def store_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.read().orderBy("ts", "event_id").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+@register(
+    "store_merge_into",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_id, user_id, value
+        FROM events
+        WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+    )
+    SELECT e.event_id, e.ts, e.user_id,
+           CASE WHEN m.event_id IS NOT NULL THEN 'merged'
+                ELSE e.event_type END AS event_type,
+           CASE WHEN m.event_id IS NOT NULL THEN e.value * 2
+                ELSE e.value END AS value,
+           e.props
+    FROM events e LEFT JOIN m ON e.event_id = m.event_id
+    WHERE m.event_id IS NULL OR m.user_id % 3 <> 0
+    UNION ALL
+    SELECT e.event_id + 10000000 AS event_id,
+           e.ts + INTERVAL 45 DAY AS ts,
+           e.user_id,
+           'inserted' AS event_type,
+           e.value + 1000 AS value,
+           CAST(NULL AS VARCHAR) AS props
+    FROM m JOIN events e ON e.event_id = m.event_id
+    ORDER BY ts, event_id
+    """,
+)
+def store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO — conditional upsert + delete as ONE atomic commit
+    (beyond reference; Delta-style ``WHEN MATCHED UPDATE/DELETE WHEN
+    NOT MATCHED INSERT``, ``dataset.py merge_into``). The source is
+    the window's click events twice over: once keyed to MATCH
+    (delete every third user's row, re-label and double the rest)
+    and once under fresh keys to INSERT at shifted timestamps —
+    exercising the stats/bloom candidate pruning, the true-hit COW
+    rewrite, and the overlapping-insert file path in a single
+    tombstone/CAS commit. The oracle replays the same clauses as a
+    LEFT JOIN + anti-filter + UNION ALL."""
+    path = os.path.join(_fresh("store_merge_into"), "events_ds")
+    events = load(spark, sf_dir, "events")
+    ds = OrderedDataset(spark, path)
+    ds.write(df=events, ordered_on="ts", row_group_target_size=2500)
+    base = events.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit(T1).cast("timestamp"))
+        & (F.col("ts") < F.lit(T2).cast("timestamp"))
+    ).select("event_id", "ts", "user_id", "value")
+    matched_src = base.select(
+        "event_id", "ts", "user_id", "value",
+        F.when(F.col("user_id") % 3 == 0, "D").otherwise("U").alias("op"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    insert_src = base.select(
+        (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 45 DAYS")).alias("ts"),
+        "user_id",
+        (F.col("value") + F.lit(1000.0)).alias("value"),
+        F.lit("I").alias("op"),
+        F.lit("inserted").alias("event_type"),
+    )
+    ds.merge_into(
+        matched_src.unionByName(insert_src),
+        on="event_id",
+        when_matched_update={
+            "event_type": "merged",
+            "value": F.col("t.value") * 2,
+        },
+        when_matched_delete=F.col("s.op") == "D",
+        when_not_matched_insert=True,
+    )
+    return ds.read().orderBy("ts", "event_id").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

@@ -27,6 +27,7 @@ manifest prunes before any Spark job is launched, so an append to a
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import urllib.parse
@@ -1517,6 +1518,373 @@ class OrderedDataset:
             raise ValueError("update_where needs at least one assignment")
         return self._dml(filters, assignments, conflict_retries)
 
+    _MERGE_IN_KEYS_CAP = 2048
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str] | str,
+        *,
+        when_matched_update: dict | str | None = None,
+        when_matched_delete=False,
+        when_not_matched_insert: bool = True,
+        row_group_target_size: int = DEFAULT_ROW_GROUP_TARGET_SIZE,
+        conflict_retries: int = 0,
+    ) -> dict:
+        """MERGE INTO: conditional upsert + delete as ONE atomic
+        commit (beyond reference — the reference's closest shape is
+        keep-last dedup on the write path,
+        ``iter_merge_split_data.py:113-119``; this is the Delta/SQL
+        ``WHEN MATCHED ... WHEN NOT MATCHED ...`` lakehouse op).
+
+        ``on``: equi-join key column(s), present on both sides. The
+        source must be UNIQUE on them and carry no NULL keys (the
+        multiple-matches case SQL MERGE rejects).
+
+        ``when_matched_update``: ``{target_col: value}`` applied to
+        matched target rows. A Column value is an expression over the
+        matched pair — reference source columns as ``F.col("s.<col>")``
+        and target columns as ``F.col("t.<col>")`` (bare names work
+        when unambiguous); any other value is a literal (the
+        ``update_where`` rule). The dict sentinel ``"source"`` sets
+        every common non-key column from the source row. The ordering
+        column cannot be assigned (same rule as ``update_where``).
+
+        ``when_matched_delete``: ``True`` deletes every matched row;
+        a Column / expression string deletes matched rows satisfying
+        it (evaluated before the update, like a ``WHEN MATCHED AND
+        <cond> THEN DELETE`` clause listed first).
+
+        ``when_not_matched_insert``: insert source rows with no match,
+        projected onto the target schema (absent target columns read
+        NULL; extra source columns are dropped — they remain available
+        to the update expressions).
+
+        Plan (cost ∝ matched files + insert volume, never table size):
+        (1) one source pass collects count/uniqueness/per-key bounds;
+        (2) candidate target files are pruned DRIVER-side from the
+        manifest's per-file [min, max] stats on every key column —
+        and per-file Blooms, when the source's distinct key set is
+        small enough to collect; (3) one scan of the candidates joined
+        to the source finds the files truly holding matches and the
+        delete/update split; (4) those files are rewritten
+        copy-on-write (one replacement per source file, the
+        ``delete_where`` shape); (5) not-matched source rows are
+        anti-joined against the candidates only (pruning is
+        conservative, so no other file can hold a matching key) and
+        written as NEW size-controlled files — they may overlap
+        existing files' ordering ranges, which the store tolerates
+        (``read(ordered=True)`` sorts; a later ``compact`` or
+        overlapping ``write`` re-merges), exactly Delta's MERGE file
+        shape; (6) replacements + inserts commit in ONE
+        tombstone/CAS/rebase manifest swap.
+
+        Returns ``{"updated": n, "deleted": n, "inserted": n}``.
+        """
+        attempt = 0
+        while True:
+            try:
+                return self._merge_into_attempt(
+                    source, on,
+                    when_matched_update=when_matched_update,
+                    when_matched_delete=when_matched_delete,
+                    when_not_matched_insert=when_not_matched_insert,
+                    row_group_target_size=row_group_target_size,
+                )
+            except ManifestConflictError:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
+                self.conflict_reruns += 1
+                self._manifest = Manifest.load(self.path, self.backend)
+
+    def _merge_into_attempt(
+        self,
+        source: DataFrame,
+        on,
+        *,
+        when_matched_update,
+        when_matched_delete,
+        when_not_matched_insert,
+        row_group_target_size,
+    ) -> dict:
+        from pyspark.sql import Column
+
+        from oups_spark.functions.filters import dnf_file_can_match
+
+        on = [on] if isinstance(on, str) else list(on)
+        if not on:
+            raise ValueError("merge_into needs at least one key column")
+        if (
+            when_matched_update is None
+            and not when_matched_delete
+            and not when_not_matched_insert
+        ):
+            raise ValueError("merge_into with no clauses is a no-op")
+        if not self.exists:
+            raise FileNotFoundError(f"no ordered dataset at {self.path}")
+        man = self._manifest
+        o = man.ordered_on
+        schema = self.schema()
+        if schema is None:
+            raise ValueError("dataset has no recorded schema")
+        tcols = {f.name: f for f in schema.fields}
+        missing_t = [c for c in on if c not in tcols]
+        missing_s = [c for c in on if c not in source.columns]
+        if missing_t or missing_s:
+            raise ValueError(
+                f"merge keys absent from target {missing_t} / source {missing_s}"
+            )
+        if when_not_matched_insert and o not in source.columns:
+            raise ValueError(
+                f"when_not_matched_insert needs the ordering column {o!r} "
+                "in the source"
+            )
+
+        # normalize the matched clauses
+        def _cond(v):
+            if v is None or v is False:
+                return None
+            if v is True:
+                return F.lit(True)
+            return F.expr(v) if isinstance(v, str) else v
+
+        delcond = _cond(when_matched_delete)
+        if when_matched_update == "source":
+            when_matched_update = {
+                c: F.col(f"s.{c}")
+                for c in source.columns
+                if c in tcols and c not in on and c != o
+            }
+            if not when_matched_update:
+                raise ValueError(
+                    "when_matched_update='source': no common non-key "
+                    "columns to set"
+                )
+        upd = None
+        if when_matched_update is not None:
+            if o in when_matched_update:
+                raise ValueError(
+                    f"merge_into cannot assign the ordering column {o!r}"
+                )
+            unknown = set(when_matched_update) - set(tcols)
+            if unknown:
+                raise ValueError(
+                    f"unknown columns in when_matched_update: {sorted(unknown)}"
+                )
+            # non-Column values are LITERALS (update_where's rule);
+            # expressions over s./t. come in as Columns (F.col/F.expr)
+            upd = {
+                c: (v if isinstance(v, Column) else F.lit(v))
+                for c, v in when_matched_update.items()
+            }
+
+        # (1) one source pass: count, key uniqueness, per-key bounds
+        sstats = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in on]).alias("nd"),
+            F.sum(
+                F.when(
+                    functools.reduce(
+                        lambda a, b: a | b, [F.col(c).isNull() for c in on]
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("nnull"),
+            *[
+                e
+                for c in on
+                for e in (
+                    F.min(c).alias(f"__mn_{c}"),
+                    F.max(c).alias(f"__mx_{c}"),
+                )
+            ],
+        ).collect()[0]
+        n_src = int(sstats["n"])
+        zeros = {"updated": 0, "deleted": 0, "inserted": 0}
+        if n_src == 0:
+            return zeros
+        if int(sstats["nnull"] or 0):
+            raise ValueError("merge source has NULL values in the merge keys")
+        if int(sstats["nd"]) < n_src:
+            raise ValueError(
+                "merge source is not unique on the merge keys "
+                f"({n_src} rows, {int(sstats['nd'])} distinct keys)"
+            )
+
+        # (2) driver-side candidate pruning: per-key [min, max] overlap
+        # on every key column; a small distinct key set upgrades to an
+        # IN filter, which also engages the per-file Blooms
+        filters = [
+            [
+                c_op
+                for c in on
+                for c_op in (
+                    (c, ">=", sstats[f"__mn_{c}"]),
+                    (c, "<=", sstats[f"__mx_{c}"]),
+                )
+            ]
+        ]
+        if len(on) == 1 and int(sstats["nd"]) <= self._MERGE_IN_KEYS_CAP:
+            keys = [
+                r[0] for r in source.select(on[0]).distinct().collect()
+            ]
+            filters = [[(on[0], "in", keys)]]
+        cands = [
+            e for e in man.files
+            if dnf_file_can_match(
+                {o: (e.min, e.max), **(e.cols or {})}, filters,
+                blooms=e.blooms,
+            )
+        ]
+        reader = self.spark.read.schema(schema)
+        basename = F.substring_index(F.input_file_name(), "/", -1)
+        key_cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{c}") == F.col(f"s.{c}") for c in on],
+        )
+        cand_paths = [os.path.join(self.path, e.name) for e in cands]
+
+        # (3) which candidates REALLY hold matches, and the
+        # delete/update split — one scan of the candidates
+        n_del = n_upd = 0
+        touched: list[FileEntry] = []
+        want_matched = delcond is not None or upd is not None
+        if want_matched and cands:
+            dflag = (
+                F.coalesce(delcond, F.lit(False))
+                if delcond is not None
+                else F.lit(False)
+            )
+            hits = {
+                r["__f"]: (int(r["n"]), int(r["nd"]))
+                for r in (
+                    reader.parquet(*cand_paths)
+                    .withColumn("__f", basename)
+                    .alias("t")
+                    .join(source.alias("s"), key_cond, "inner")
+                    .groupBy("__f")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            F.when(dflag, 1).otherwise(0)
+                        ).alias("nd"),
+                    )
+                    .collect()
+                )
+            }
+            touched = [e for e in cands if e.name in hits]
+            n_matched = sum(n for n, _ in hits.values())
+            n_del = sum(nd for _, nd in hits.values())
+            n_upd = (n_matched - n_del) if upd is not None else 0
+
+        # (4) copy-on-write rewrite of the truly-matched files
+        rewritten: list[FileEntry] = []
+        if touched:
+            fid_map = F.create_map(
+                *[
+                    lit
+                    for i, e in enumerate(touched)
+                    for lit in (F.lit(e.name), F.lit(i))
+                ]
+            )
+            tgt = (
+                reader.parquet(
+                    *[os.path.join(self.path, e.name) for e in touched]
+                )
+                .withColumn(_FID, fid_map[basename])
+                .withColumn(_POS, F.monotonically_increasing_id())
+            )
+            j = tgt.alias("t").join(source.alias("s"), key_cond, "left")
+            # source keys are non-null (validated), so a non-null key
+            # on the s side IS the match indicator
+            matched = F.col(f"s.{on[0]}").isNotNull()
+            survive = ~(
+                matched & F.coalesce(delcond, F.lit(False))
+                if delcond is not None
+                else F.lit(False)
+            )
+            sel = []
+            for fld in schema.fields:
+                tcol = F.col(f"t.{fld.name}")
+                if upd is not None and fld.name in upd:
+                    sel.append(
+                        F.when(matched, upd[fld.name].cast(fld.dataType))
+                        .otherwise(tcol)
+                        .alias(fld.name)
+                    )
+                else:
+                    sel.append(tcol.alias(fld.name))
+            out = j.filter(survive).select(*sel, F.col(_FID), F.col(_POS))
+            rewritten = self._stage_cow_rewrite(out, len(touched), o)
+
+        # (5) not-matched source rows -> NEW files (anti-join against
+        # the candidates only: pruning is conservative, no other file
+        # can hold a matching key)
+        inserts: list[FileEntry] = []
+        n_ins = 0
+        if when_not_matched_insert:
+            ins = source.alias("s")
+            if cands:
+                ins = ins.join(
+                    reader.parquet(*cand_paths).select(*on).alias("t"),
+                    key_cond,
+                    "left_anti",
+                )
+            istats = ins.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col(o).isNull(), 1).otherwise(0)
+                ).alias("nnull"),
+            ).collect()[0]
+            n_ins = int(istats["n"])
+            if n_ins and int(istats["nnull"] or 0):
+                raise ValueError(
+                    "null values in ordered_on are not allowed"
+                )
+            if n_ins:
+                proj = ins.select(
+                    *[
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in source.columns
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in schema.fields
+                    ]
+                ).withColumns(
+                    {
+                        _POS: F.monotonically_increasing_id(),
+                        _SRC: F.lit(1),
+                        _FIDX: F.lit(0),
+                    }
+                )
+                inserts = self._write_files(
+                    proj, o, row_group_target_size, n_ins
+                )
+
+        if not touched and not inserts:
+            return {"updated": n_upd, "deleted": n_del, "inserted": n_ins}
+
+        # (6) ONE commit: replacements + inserts in a single
+        # tombstone/CAS/rebase manifest swap
+        new_entries = rewritten + inserts
+        self._attach_blooms(
+            new_entries, man.kv.get(_BLOOM_COLS_KV), schema
+        )
+        replaced = {e.name for e in touched}
+        self._commit(
+            o,
+            df=None,
+            target_schema=schema,
+            kept=[e for e in man.files if e.name not in replaced],
+            replaced_names=sorted(replaced),
+            new_entries=new_entries,
+            key_value_metadata=None,
+            cmidx=man.cmidx,
+        )
+        return {"updated": n_upd, "deleted": n_del, "inserted": n_ins}
+
     def _dml(self, filters, assignments, conflict_retries: int) -> int:
         attempt = 0
         while True:
@@ -1644,6 +2012,32 @@ class OrderedDataset:
             # one select: every assignment and the predicate see the
             # PRE-update values, whatever columns they share
             out = df.select(*sel, F.col(_FID), F.col(_POS))
+        new_entries = self._stage_cow_rewrite(out, len(touched), o)
+        self._attach_blooms(
+            new_entries, man.kv.get(_BLOOM_COLS_KV), schema
+        )
+        replaced = {e.name for e in touched}
+        self._commit(
+            o,
+            df=None,
+            target_schema=schema,
+            kept=[e for e in man.files if e.name not in replaced],
+            replaced_names=sorted(replaced),
+            new_entries=new_entries,
+            key_value_metadata=None,
+            cmidx=man.cmidx,
+        )
+        return n_affected
+
+    def _stage_cow_rewrite(self, out, n_files: int, o: str) -> list[FileEntry]:
+        """Stage a copy-on-write rewrite: ``out`` carries ``_FID``
+        (0..n_files-1, one replacement file per source file) and
+        ``_POS`` (stable order among equal ordering values); each fid
+        lands in exactly one partition, is sorted ``(ordered_on,
+        pos)``, and becomes one staged file — a fid whose every row
+        was dropped simply writes nothing. Returns the finalized
+        manifest entries (files already moved into the dataset under
+        fresh opaque names; an aborted commit removes them)."""
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex[:12]}")
         os.makedirs(staging, exist_ok=True)
         ts_conf = "spark.sql.parquet.outputTimestampType"
@@ -1656,7 +2050,7 @@ class OrderedDataset:
             pass
         try:
             (
-                out.repartition(len(touched), F.col(_FID))
+                out.repartition(n_files, F.col(_FID))
                 .sortWithinPartitions(_FID, o, _POS)
                 .drop(_POS)
                 .write.partitionBy(_FID)
@@ -1684,7 +2078,7 @@ class OrderedDataset:
                     )
                     for r in rows
                 ]
-            new_entries = self._finalize_staged(stats)
+            return self._finalize_staged(stats)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
             try:
@@ -1694,21 +2088,6 @@ class OrderedDataset:
                     self.spark.conf.unset(ts_conf)
             except Exception:  # noqa: BLE001
                 pass
-        self._attach_blooms(
-            new_entries, man.kv.get(_BLOOM_COLS_KV), schema
-        )
-        replaced = {e.name for e in touched}
-        self._commit(
-            o,
-            df=None,
-            target_schema=schema,
-            kept=[e for e in man.files if e.name not in replaced],
-            replaced_names=sorted(replaced),
-            new_entries=new_entries,
-            key_value_metadata=None,
-            cmidx=man.cmidx,
-        )
-        return n_affected
 
     # ------------------------------------------------------ time travel
     def versions(self) -> list[int]:

@@ -1131,6 +1131,192 @@ def test_dml_commit_rebases_on_disjoint_concurrent_append(spark, scratch):
     assert got.filter(f"ts < '{pdf['ts'][4]}'").count() == 0
 
 
+def test_merge_into_update_delete_insert_one_commit(spark, scratch):
+    """MERGE INTO: update + delete + insert land in ONE manifest
+    commit; only files truly holding matches are rewritten (untouched
+    files keep their physical identity); inserts become new files;
+    counts are exact."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    path = os.path.join(scratch, "merge_into")
+    df, pdf = _dml_frame(spark)  # 40 hourly rows, 4 files of 10
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+    before = {e.name for e in ds.manifest.files}
+    gen0 = ds.manifest.generation
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # rows 2,3 (file 0) match; 35 (file 3) matches;
+                # two brand-new keys insert, one mid-range one past-end
+                "ts": [pdf["ts"][2], pdf["ts"][3], pdf["ts"][35],
+                       pd.Timestamp("2024-01-01 05:30"),
+                       pd.Timestamp("2024-03-01")],
+                "uid": [100, 101, 102, 103, 104],
+                "key": [2, 3, 35, 500, 501],
+                "v": [-2.0, -3.0, -35.0, 77.0, 88.0],
+                "op": ["U", "D", "U", "I", "I"],
+            }
+        )
+    )
+    # the dataset's key is its row index encoded in v (v == float(i))
+    ds2 = OrderedDataset(spark, path, deletion_grace_s=0)
+    res = ds2.merge_into(
+        src.withColumn("k", SF.col("key")),
+        on="ts",
+        when_matched_update={"v": SF.col("s.v"), "uid": SF.col("s.uid")},
+        when_matched_delete=SF.col("s.op") == "D",
+        when_not_matched_insert=True,
+    )
+    assert res == {"updated": 2, "deleted": 1, "inserted": 2}
+    after = {e.name for e in ds2.manifest.files}
+    # ONE commit for the whole merge
+    assert ds2.manifest.generation == gen0 + 1
+    # files 1 and 2 held no matches: physical identity preserved
+    assert len(before & after) == 2
+    got = ds2.read(ordered=True).toPandas()
+    assert len(got) == 40 - 1 + 2
+    assert got[got["uid"] == 100]["v"].tolist() == [-2.0]
+    assert got[got["uid"] == 102]["v"].tolist() == [-35.0]
+    assert pdf["ts"][3] not in set(got["ts"])  # deleted
+    assert got[got["uid"] == 104]["v"].tolist() == [88.0]
+    # extra source columns (key, op) were dropped, not inserted
+    assert set(got.columns) == {"ts", "uid", "v"}
+
+
+def test_merge_into_source_sentinel_and_insert_only(spark, scratch):
+    """The 'source' update sentinel sets every common non-key column
+    from the source row; an insert-only merge (no matched clauses)
+    rewrites NOTHING — matched source rows are simply ignored."""
+    import os
+
+    path = os.path.join(scratch, "merge_sentinel")
+    df, pdf = _dml_frame(spark)
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+    before = {e.name for e in ds.manifest.files}
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [pdf["ts"][5], pd.Timestamp("2024-03-01")],
+                "uid": [200, 201],
+                "v": [-5.0, 99.0],
+            }
+        )
+    )
+    # insert-only: the matched row (ts[5]) is ignored, no rewrite
+    res = ds.merge_into(
+        src, on="ts",
+        when_matched_update=None,
+        when_matched_delete=False,
+        when_not_matched_insert=True,
+    )
+    assert res == {"updated": 0, "deleted": 0, "inserted": 1}
+    assert before <= {e.name for e in ds.manifest.files}
+    assert ds.read().filter("uid = 200").count() == 0  # not updated
+    assert ds.read().filter("uid = 201").count() == 1
+
+    # 'source' sentinel: uid and v both come from the source row
+    res2 = ds.merge_into(
+        src, on="ts",
+        when_matched_update="source",
+        when_not_matched_insert=False,
+    )
+    assert res2 == {"updated": 2, "deleted": 0, "inserted": 0}
+    got = ds.read().filter(f"ts = '{pdf['ts'][5]}'").toPandas()
+    assert got["uid"].tolist() == [200] and got["v"].tolist() == [-5.0]
+
+
+def test_merge_into_validations(spark, scratch):
+    """MERGE INTO rejects: no clauses, non-unique source keys, NULL
+    source keys, assigning the ordering column, inserts without the
+    ordering column, and unknown update columns."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    path = os.path.join(scratch, "merge_valid")
+    df, pdf = _dml_frame(spark)
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=20)
+
+    src = spark.createDataFrame(
+        pd.DataFrame({"ts": [pdf["ts"][0]], "uid": [9], "v": [1.0]})
+    )
+    with pytest.raises(ValueError, match="no-op"):
+        ds.merge_into(src, on="ts", when_not_matched_insert=False)
+    dup = src.union(src)
+    with pytest.raises(ValueError, match="not unique"):
+        ds.merge_into(dup, on="ts", when_matched_update={"v": 0.0})
+    nullk = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.NaT], "uid": [9], "v": [1.0]})
+    )
+    with pytest.raises(ValueError, match="NULL values in the merge keys"):
+        ds.merge_into(nullk, on="ts", when_matched_update={"v": 0.0})
+    with pytest.raises(ValueError, match="ordering column"):
+        ds.merge_into(
+            src, on="uid",
+            when_matched_update={"ts": SF.col("s.ts")},
+        )
+    with pytest.raises(ValueError, match="needs the ordering column"):
+        ds.merge_into(
+            src.drop("ts"), on="uid", when_not_matched_insert=True
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        ds.merge_into(
+            src, on="ts", when_matched_update={"nope": 1.0},
+            when_not_matched_insert=False,
+        )
+
+
+def test_merge_into_rebases_on_disjoint_concurrent_append(spark, scratch):
+    """A merge_into that loses the manifest CAS to a concurrent
+    append touching a DISJOINT range lands via commit rebase — the
+    same zero-re-run conflict path writes and row-level DML use —
+    and both effects survive."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    path = os.path.join(scratch, "merge_rebase")
+    df, pdf = _dml_frame(spark)
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+
+    a = OrderedDataset(spark, path, deletion_grace_s=0)
+    b = OrderedDataset(spark, path, deletion_grace_s=0)
+    later = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.date_range("2024-02-01", periods=3, freq="h"),
+                "uid": [7, 7, 7],
+                "v": [1.5, 2.5, 3.5],
+            }
+        )
+    )
+    a.write(df=later)  # b's manifest is now stale
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {"ts": [pdf["ts"][2]], "uid": [300], "v": [-2.0]}
+        )
+    )
+    res = b.merge_into(
+        src, on="ts",
+        when_matched_update={"v": SF.col("s.v"), "uid": SF.col("s.uid")},
+        when_not_matched_insert=False,
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 0}
+    assert b.conflict_rebases == 1 and b.conflict_reruns == 0
+    got = OrderedDataset(spark, path).read()
+    assert got.count() == 43
+    assert got.filter("uid = 300").count() == 1
+    assert got.filter("v = 2.5").count() == 1  # the append survived
+
+
 def test_delete_where_null_predicate_rows_survive(spark, scratch):
     """SQL DELETE semantics: rows where the predicate evaluates NULL
     are NOT matches and must survive, even when they share a file with

@@ -724,3 +724,97 @@ def test_dml_matches_pandas_ground_truth_property(
     )
     truth = truth.sort_values(["ts", "sym", "val"], ignore_index=True)
     pd.testing.assert_frame_equal(got, truth)
+
+
+# ---------------------------------------------------------- MERGE INTO
+_merge_target_rows = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    min_size=4,
+    max_size=20,
+)
+# source ops keyed by int key: key space [0, 30) so some keys match the
+# target (keys 0..len-1) and some don't; op D deletes, anything else
+# updates; unmatched keys insert
+_merge_src_ops = st.dictionaries(
+    st.integers(min_value=0, max_value=29),
+    st.tuples(
+        st.sampled_from(["U", "D"]),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=_merge_target_rows,
+    ops=_merge_src_ops,
+    target=st.sampled_from([3, 7, 100]),
+)
+def test_merge_into_matches_pandas_ground_truth_property(
+    spark, tmp_path_factory, vals, ops, target
+):
+    """PROPERTY: for any dataset layout and any unique-keyed source of
+    update/delete/insert ops, `merge_into` reads back exactly the
+    pandas ground truth — whichever of the stats/bloom candidate
+    pruning, true-hit detection, per-file COW rewrite, whole-file
+    drop, and overlapping-insert paths engage."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    t0 = pd.Timestamp(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0 + pd.Timedelta(minutes=k) for k in range(len(vals))],
+            "k": list(range(len(vals))),
+            "val": vals,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("merge_prop"))
+    ds = OrderedDataset(spark, os.path.join(d, "ds"), deletion_grace_s=0)
+    ds.write(
+        df=spark.createDataFrame(pdf), ordered_on="ts",
+        row_group_target_size=target, validate_monotonic=False,
+    )
+
+    src = pd.DataFrame(
+        {
+            # inserts interleave INSIDE the existing minute grid (the
+            # overlapping-new-file path) via the +30s offset
+            "ts": [t0 + pd.Timedelta(minutes=k, seconds=30) for k in ops],
+            "k": list(ops),
+            "val": [v for _, v in ops.values()],
+            "op": [o for o, _ in ops.values()],
+        }
+    )
+    res = ds.merge_into(
+        spark.createDataFrame(src),
+        on="k",
+        when_matched_update={"val": SF.col("s.val")},
+        when_matched_delete=SF.col("s.op") == "D",
+        when_not_matched_insert=True,
+    )
+
+    matched = {k: ov for k, ov in ops.items() if k < len(vals)}
+    truth = pdf[~pdf["k"].isin([k for k, (o, _) in matched.items() if o == "D"])].copy()
+    upd = {k: v for k, (o, v) in matched.items() if o != "D"}
+    truth.loc[truth["k"].isin(upd), "val"] = truth.loc[
+        truth["k"].isin(upd), "k"
+    ].map(upd)
+    ins = src[~src["k"].isin(matched)][["ts", "k", "val"]]
+    truth = pd.concat([truth, ins], ignore_index=True)
+
+    assert res == {
+        "updated": len(upd),
+        "deleted": len(matched) - len(upd),
+        "inserted": len(ins),
+    }
+    got = ds.read().toPandas().sort_values(["ts", "k"], ignore_index=True)
+    truth = truth.sort_values(["ts", "k"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, truth)
