@@ -145,26 +145,129 @@ def bpe_train(
 
 
 def segment_words(
-    words: DataFrame, merges, word_col: str = "w"
+    words: DataFrame,
+    merges,
+    word_col: str = "w",
+    *,
+    engine: str = "auto",
+    fold_chunk: int = 64,
 ) -> DataFrame:
     """Segment ARBITRARY words (unseen at training included) with a
-    learned merge table: replay the merges in rank order as chained
-    JVM ``aggregate`` folds composed into ONE lazy plan — no
-    per-merge job, and the work is vocabulary-sized, never
-    corpus-sized. ``merges`` is the :func:`bpe_train` table (or an
-    ordered ``[(left_sym, right_sym), ...]`` list); collecting it is
-    n_merges 2-string rows of driver state. Adds a ``syms`` column."""
+    learned merge table, replaying the merges in rank order (each
+    greedy left-to-right non-overlapping — the sequential-replay
+    contract the DuckDB oracles replay). ``merges`` is the
+    :func:`bpe_train` table (or an ordered ``[(left_sym,
+    right_sym), ...]`` list); collecting it is n_merges 2-string rows
+    of driver state. Adds a ``syms`` column; work is
+    vocabulary-sized, never corpus-sized.
+
+    Engines — a realistic tokenizer has 30k+ merges, and composing
+    every merge into one lazy plan of chained ``aggregate`` folds
+    blows Janino/codegen limits (and plan-analysis cost grows with
+    chunked re-plans: measured ~0.1 s per merge even cut into
+    ``localCheckpoint``-ed chunks):
+
+    - ``"jvm"``: the chained-fold plan, cut every ``fold_chunk``
+      merges with a ``localCheckpoint`` so any merge count compiles.
+      No Python worker; right for small tables (the default below
+      ``fold_chunk``, where it stays ONE lazy plan with no
+      materialization) and as the cross-engine check.
+    - ``"python"``: one Arrow-batched ``mapInPandas`` pass whose
+      per-word cost is O(len²) INDEPENDENT of merge count. It
+      exploits that sequential replay ≡ repeatedly applying the
+      lowest-rank pair PRESENT among ranks not yet visited (ranks
+      ascend; a pass for rank r leaves no (a,b) adjacency behind and
+      symbols only concatenate, so earlier ranks can never re-fire).
+      The merge table rides the task closure (30k pairs ≈ a few
+      hundred kB broadcast), the batch is Arrow-columnar, and
+      per-batch memoization collapses repeated words.
+    - ``"auto"``: ``"jvm"`` up to ``fold_chunk`` merges, else
+      ``"python"``.
+    """
     if isinstance(merges, DataFrame):
         pairs = [
             (r["left_sym"], r["right_sym"])
             for r in merges.orderBy("rank").collect()
         ]
     else:
-        pairs = list(merges)
+        pairs = [tuple(p) for p in merges]
+    if engine == "auto":
+        engine = "jvm" if len(pairs) <= fold_chunk else "python"
+    if engine == "python":
+        return _segment_words_python(words, pairs, word_col)
+    if engine != "jvm":
+        raise ValueError(f"unknown segment_words engine {engine!r}")
     syms = F.concat(F.split(word_col, ""), F.array(F.lit(END_MARK)))
-    for a, b in pairs:
-        syms = _apply_merge(syms, a, b)
+    for i in range(0, len(pairs), fold_chunk):
+        for a, b in pairs[i : i + fold_chunk]:
+            syms = _apply_merge(syms, a, b)
+        if i + fold_chunk < len(pairs):
+            words = words.withColumn("syms", syms).localCheckpoint()
+            syms = F.col("syms")
     return words.withColumn("syms", syms)
+
+
+def _segment_words_python(
+    words: DataFrame, pairs: list, word_col: str
+) -> DataFrame:
+    """Arrow-batched sequential-replay BPE segmentation (see
+    :func:`segment_words` ``engine="python"`` for the equivalence
+    argument). O(len²) per distinct word, merge-count-independent."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # first occurrence wins; later duplicates could only re-fire on a
+    # re-formed adjacency, which the docstring argument rules out
+    rank: dict[tuple, int] = {}
+    for i, p in enumerate(pairs):
+        rank.setdefault(p, i)
+
+    def encode_one(w: str) -> list[str]:
+        syms = list(w) + [END_MARK]
+        last = -1
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and r > last and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = pairs[best]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            last = best
+        return syms
+
+    out_schema = StructType(
+        list(words.schema.fields)
+        + [StructField("syms", ArrayType(StringType()))]
+    )
+
+    def seg_batches(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["syms"] = [
+                None if w is None else (
+                    cache.get(w) or cache.setdefault(w, encode_one(w))
+                )
+                for w in pdf[word_col]
+            ]
+            yield pdf
+
+    return words.mapInPandas(seg_batches, schema=out_schema)
 
 
 def bpe_token_counts(

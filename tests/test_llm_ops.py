@@ -699,3 +699,77 @@ def test_bpe_encode_with_pretrained_table_never_retrains(spark):
         spark.createDataFrame([("cabana",)], "w string"), merges_df
     ).collect()[0]["syms"]
     assert seg == encode("cabana")
+
+
+def test_segment_words_thousand_merges_compiles_and_matches(spark):
+    """A realistic tokenizer has thousands of merges: segment_words
+    must COMPILE and run with a 1,000-merge table (the chained-fold
+    expression tree is cut every fold_chunk merges — an uncut 1,000
+    deep tree blows Janino/codegen limits) and equal the pure-Python
+    greedy left-to-right reference replay."""
+    import itertools
+    import string
+
+    from oups_spark.operators.bpe import segment_words
+
+    letters = string.ascii_lowercase
+    # 676 two-letter merges, then three-letter chain merges to 1,000:
+    # enough real structure that long words genuinely fold many times
+    pairs = list(itertools.product(letters, letters))
+    pairs += [
+        (a + b, c)
+        for (a, b), c in itertools.product(
+            itertools.product(letters[:5], letters[:5]), letters
+        )
+    ]
+    merges = [(a, b) for a, b in pairs][:1000]
+    assert len(merges) == 1000
+
+    words = [
+        "abcdefghij",
+        "aaabacadae",
+        "zzyzxzwzvz",
+        "banana",
+        "a",
+        "qqqqqqqqqqqqqqqqqqqq",
+    ]
+
+    def encode(word):
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    # auto -> the merge-count-independent Arrow-batched engine
+    got = {r["w"]: r["syms"] for r in segment_words(wdf, merges).collect()}
+    exp = {w: encode(w) for w in words}
+    assert got == exp
+    # sanity: the merges really fired (no trivially-unmerged words)
+    assert got["banana"] != list("banana") + ["</w>"]
+
+    # the chunked-JVM fold (two localCheckpoint-cut chunks) agrees
+    # with the python engine on the same prefix of the table — the
+    # cross-engine equivalence check for the sequential-replay
+    # contract
+    got_jvm = {
+        r["w"]: r["syms"]
+        for r in segment_words(
+            wdf, merges[:150], engine="jvm", fold_chunk=64
+        ).collect()
+    }
+    got_py = {
+        r["w"]: r["syms"]
+        for r in segment_words(
+            wdf, merges[:150], engine="python"
+        ).collect()
+    }
+    assert got_jvm == got_py
