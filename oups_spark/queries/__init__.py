@@ -63,6 +63,7 @@ _WINDOW_PRIORITY = [
     # (1) round-12 registrations (never checked) — names are appended
     # here as each lands this round
     "store_merge_into",
+    "streaming_native_volume_bars",
     # (2) all 41 r9-stale queries (round 11's scheduled head), then
     # (3) the rest oldest-evidence-first
     "interval_overlap_pairs",

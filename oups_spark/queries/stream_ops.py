@@ -1541,3 +1541,75 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_buckets=16,
         )
     return read_agg(spark, aggp).orderBy("g")
+
+
+@register(
+    "streaming_native_volume_bars",
+    oracle="""
+    WITH x AS (
+      SELECT ts, event_id, value,
+             coalesce(sum(value) OVER (
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cv
+      FROM events
+    ), y AS (
+      SELECT *, CAST(floor(cv / 5000) AS BIGINT) AS bin_id FROM x
+    )
+    SELECT bin_id,
+           min(ts)              AS bin_start,
+           max(ts)              AS bin_end,
+           count(*)             AS n_rows,
+           round(sum(value), 6) AS sum_vol
+    FROM y
+    GROUP BY bin_id
+    HAVING bin_id < (SELECT CAST(floor(sum(value) / 5000) AS BIGINT)
+                     FROM events)
+    ORDER BY bin_id
+    """,
+)
+def streaming_native_volume_bars(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSTOM segmentation on the NATIVE streaming path — the last
+    aggstream concept whose native twin was the foreachBatch bridge
+    (reference W4 custom ``bin_by``, ``segmentby.py:735-800``).
+    ``streaming_volume_bars`` carries the accumulator and the open
+    bar's partial aggregates in the checkpointed state store
+    (``applyInPandasWithState``, seven scalars per key); each
+    micro-batch emits only bars that CLOSED (the accumulator is
+    non-decreasing, so bars below the open one are final), and the
+    open bar is withheld — T5 carry + T6 last-bin withholding on the
+    native path. Result == batch ``volume_bars`` minus the still-open
+    last bar; the oracle replays exactly that with a window prefix
+    sum."""
+    from oups_spark.streaming.native import write_stream_to_dataset
+    from oups_spark.streaming.stateful import streaming_volume_bars
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_volume_bars")
+    path = os.path.join(base, "bars_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream = _events_stream_reader(spark, sf_dir, raw_schema)
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    barred = streaming_volume_bars(
+        stream.select("ts", "event_id", "value"),
+        ordered_on="ts",
+        volume_col="value",
+        threshold=5000.0,
+        tiebreak="event_id",
+    )
+    write_stream_to_dataset(
+        barred, path, bin_col="bin_id",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    out = OrderedDataset(spark, path).read()
+    return out.select(
+        "bin_id", "bin_start", "bin_end", "n_rows",
+        F.round("sum_vol", 6).alias("sum_vol"),
+    ).orderBy("bin_id")

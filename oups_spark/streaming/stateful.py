@@ -67,3 +67,156 @@ def stateful_ffill(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_volume_bars(
+    stream_df: DataFrame,
+    *,
+    ordered_on: str,
+    volume_col: str,
+    threshold: float,
+    tiebreak: list[str] | str | None = None,
+    value_col: str | None = None,
+    key: str | None = None,
+    bin_col: str = "bin_id",
+    initial_volume: float = 0.0,
+) -> DataFrame:
+    """Watermark-managed VOLUME BARS on the native streaming path —
+    the reference's custom ``bin_by`` contract (W4,
+    ``oups/aggstream/segmentby.py:735-800``) re-expressed on Spark's
+    checkpointed state store instead of kv-metadata buffers.
+
+    Semantics match the batch operator
+    (:func:`oups_spark.operators.sessionize.volume_bars`): a row's
+    bar is ``floor(cum_before / threshold)`` where ``cum_before`` is
+    the accumulated ``volume_col`` over strictly-preceding rows
+    (global order ``(ordered_on, *tiebreak)``), carried ACROSS
+    micro-batches and restarts. Each batch emits the bars that CLOSED
+    (no future row can join them — volumes are non-negative, so the
+    accumulator is non-decreasing and every bar below the current
+    open one is final); the open bar's partial aggregates are
+    withheld in the state store and re-enter the fold when later rows
+    close it — the T5/T6 accumulator-carry + last-bin-withholding
+    contract on the native path. Result == batch ``volume_bars``
+    MINUS the still-open last bar.
+
+    ``key=None`` accumulates one global series (the reference's
+    single-stream shape — inherently sequential, one state
+    partition); pass a column name for independent per-key bars (the
+    scalable fan-out form, like AggStream's filter fan-out). State
+    per key is O(1): seven scalars, never row-proportional.
+
+    Output: ``(key?, bin_col, bin_start, bin_end, n_rows, sum_vol
+    [, sum_val])`` — timestamps are the bar's first/last event times.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if isinstance(tiebreak, str):
+        tiebreak = [tiebreak]
+    tiebreak = list(tiebreak or [])
+    grouped_key = key
+    if key is None:
+        stream_df = stream_df.withColumn("__k", F.lit(0))
+        grouped_key = "__k"
+    has_val = value_col is not None
+    out_cols = ([key] if key is not None else []) + [
+        bin_col, "bin_start", "bin_end", "n_rows", "sum_vol",
+    ] + (["sum_val"] if has_val else [])
+    key_type = (
+        dict(stream_df.dtypes)[key] if key is not None else None
+    )
+    out_schema = (
+        (f"{key} {key_type}, " if key is not None else "")
+        + f"{bin_col} long, bin_start timestamp, bin_end timestamp, "
+        + "n_rows long, sum_vol double"
+        + (", sum_val double" if has_val else "")
+    )
+
+    def bars(group_key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            acc, ob, o_start, o_end, o_n, o_vol, o_val = state.get
+        else:
+            acc, ob = float(initial_volume), -1
+            o_start = o_end = o_n = 0
+            o_vol = o_val = 0.0
+        chunks = [pdf for pdf in pdf_iter]
+        rows = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        rows = rows.sort_values([ordered_on, *tiebreak], ignore_index=True)
+        vol = rows[volume_col].astype(float)
+        cum_before = acc + vol.cumsum().shift(1, fill_value=0.0)
+        bins = np.floor(cum_before / threshold).astype("int64")
+        acc = float(acc + vol.sum())
+        open_bin = int(acc // threshold)
+
+        ts_ns = rows[ordered_on].astype("datetime64[ns]").astype("int64")
+        g = pd.DataFrame(
+            {
+                "b": bins,
+                "n": 1,
+                "vol": vol.to_numpy(),
+                "val": (
+                    rows[value_col].astype(float).to_numpy()
+                    if has_val
+                    else 0.0
+                ),
+                "t0": ts_ns,
+                "t1": ts_ns,
+            }
+        ).groupby("b", sort=True).agg(
+            n=("n", "sum"), vol=("vol", "sum"), val=("val", "sum"),
+            t0=("t0", "min"), t1=("t1", "max"),
+        )
+        # fold the carried open-bar partial into its bin
+        if ob >= 0:
+            if ob in g.index:
+                g.loc[ob, "n"] += o_n
+                g.loc[ob, "vol"] += o_vol
+                g.loc[ob, "val"] += o_val
+                if o_n:
+                    g.loc[ob, "t0"] = min(g.loc[ob, "t0"], o_start)
+                    g.loc[ob, "t1"] = max(g.loc[ob, "t1"], o_end)
+            elif o_n:
+                g.loc[ob] = [o_n, o_vol, o_val, o_start, o_end]
+                g = g.sort_index()
+        closed = g[g.index < open_bin]
+        if open_bin in g.index:
+            oo = g.loc[open_bin]
+            o_n, o_vol, o_val = int(oo["n"]), float(oo["vol"]), float(oo["val"])
+            o_start, o_end = int(oo["t0"]), int(oo["t1"])
+        else:
+            o_n, o_vol, o_val, o_start, o_end = 0, 0.0, 0.0, 0, 0
+        state.update(
+            (acc, open_bin, o_start, o_end, o_n, o_vol, o_val)
+        )
+        out = pd.DataFrame(
+            {
+                bin_col: closed.index.to_numpy(),
+                "bin_start": pd.to_datetime(closed["t0"].to_numpy()),
+                "bin_end": pd.to_datetime(closed["t1"].to_numpy()),
+                "n_rows": closed["n"].to_numpy().astype("int64"),
+                "sum_vol": closed["vol"].to_numpy(),
+            }
+        )
+        if has_val:
+            out["sum_val"] = closed["val"].to_numpy()
+        if key is not None:
+            out.insert(0, key, group_key[0])
+        yield out[out_cols]
+
+    return stream_df.groupBy(grouped_key).applyInPandasWithState(
+        bars,
+        outputStructType=out_schema,
+        stateStructType=(
+            "acc double, open_bin long, o_start long, o_end long, "
+            "o_n long, o_vol double, o_val double"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -77,3 +77,97 @@ def test_stateful_ffill_carries_across_microbatches(spark, scratch):
     assert got.loc[5] == 5.0  # state carried across the batch boundary
     assert got.loc[6] == 7.0
     assert pd.isna(got.loc[7])  # user 3 never had a value
+
+
+def test_streaming_volume_bars_carry_and_close(spark, scratch):
+    """Native-path volume bars (W4 custom bin_by): a bar spanning a
+    micro-batch boundary folds its carried partial when it closes;
+    only CLOSED bars emit (the open bar is withheld in state); the
+    result equals the batch operator minus the open bar — including
+    a boundary-exact accumulator (open bar with zero rows so far)."""
+    from oups_spark.operators.sessionize import volume_bars
+    from oups_spark.streaming.stateful import streaming_volume_bars
+
+    src = os.path.join(scratch, "vb_src")
+    os.makedirs(src, exist_ok=True)
+    cols = ["ts", "eid", "qty", "price"]
+    t0 = pd.Timestamp("2024-01-01")
+    # threshold 10: a row's bar is floor(cum_before / 10)
+    rows = [
+        # batch 1: cum-before 0,4,7 -> all bar 0; acc ends at 8, so
+        # bar 0 stays OPEN across the boundary (the carried partial)
+        (t0 + pd.Timedelta(hours=1), 1, 4.0, 1.0),
+        (t0 + pd.Timedelta(hours=2), 2, 3.0, 2.0),
+        (t0 + pd.Timedelta(hours=3), 3, 1.0, 3.0),
+        # batch 2: cum 8, 9 -> still bar 0 (closes here with 5 rows);
+        # cum 11 -> bar 1; acc lands EXACTLY on 20 -> open bar 2 is
+        # empty at the boundary
+        (t0 + pd.Timedelta(hours=4), 4, 1.0, 4.0),
+        (t0 + pd.Timedelta(hours=5), 5, 2.0, 5.0),
+        (t0 + pd.Timedelta(hours=6), 6, 9.0, 6.0),
+        # batch 3: cum 20 -> bar 2 (closing the empty-opened bar);
+        # bar 3 is jumped clean over; cum 45 -> bar 4 stays open
+        (t0 + pd.Timedelta(hours=7), 7, 25.0, 7.0),
+        (t0 + pd.Timedelta(hours=8), 8, 1.0, 8.0),
+    ]
+    schema = "ts timestamp, eid long, qty double, price double"
+    for i, sl in enumerate((rows[:3], rows[3:6], rows[6:])):
+        spark.createDataFrame(
+            pd.DataFrame(sl, columns=cols), schema
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "*"))
+    )
+    barred = streaming_volume_bars(
+        stream,
+        ordered_on="ts",
+        volume_col="qty",
+        threshold=10.0,
+        tiebreak="eid",
+        value_col="price",
+    )
+    q = (
+        barred.writeStream.format("memory")
+        .queryName("vb_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "vb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("vb_out")
+        .orderBy("bin_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+    # batch ground truth: same rows, one shot; drop the OPEN last bar
+    bdf = spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
+    batch = (
+        volume_bars(bdf, "ts", "qty", threshold=10.0, tiebreak=["eid"])
+        .groupBy("bin_id")
+        .agg(
+            F.min("ts").alias("bin_start"),
+            F.max("ts").alias("bin_end"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").alias("sum_vol"),
+            F.sum("price").alias("sum_val"),
+        )
+        .orderBy("bin_id")
+        .toPandas()
+    )
+    exp = batch.iloc[:-1].reset_index(drop=True)  # open bar withheld
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    # the bar spanning batches 1-2 folded its carried partial
+    bar0 = got[got["bin_id"] == 0].iloc[0]
+    assert bar0["n_rows"] == 5 and bar0["sum_vol"] == 11.0
+    # bar 2 (opened empty at the exact acc=20 boundary) closed w/ row 7
+    assert 2 in set(got["bin_id"])
+    # the jumped-over bar 3 has no rows on either side
+    assert 3 not in set(got["bin_id"])
+    # bar 4 (open) is withheld
+    assert got["bin_id"].max() == 2
