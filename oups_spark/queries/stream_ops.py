@@ -844,16 +844,11 @@ def streaming_native_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar grid. count/sum/min/max fold losslessly from daily
     partials; the oracle is the one-shot monthly aggregation under
     the same cutoff."""
-    from oups_spark.streaming.native import (
-        rollup_closed_bins,
-        streaming_segment_agg,
-        write_stream_to_dataset,
-    )
+    from oups_spark.streaming.native import streaming_calendar_agg
     from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
 
     ensure_session_confs(spark)
     base = _fresh("streaming_native_monthly")
-    path = os.path.join(base, "daily_ds")
     src = os.path.join(sf_dir, "orders.parquet")
     raw_schema = spark.read.parquet(src).schema
     rs = spark.readStream.schema(raw_schema)
@@ -869,7 +864,9 @@ def streaming_native_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream.withColumn(
         "ts", F.col("o_orderdate").cast("timestamp")
     ).withColumn("__one", F.lit(1).cast("long"))
-    daily = streaming_segment_agg(
+    # ONE restartable unit: daily stream + rollup behind a single
+    # driver call with a shared checkpoint story (idempotent stages)
+    out = streaming_calendar_agg(
         stream,
         "ts",
         {
@@ -878,24 +875,10 @@ def streaming_native_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price": ("o_totalprice", "min"),
             "max_price": ("o_totalprice", "max"),
         },
-        bin_by="1D",
-        watermark="0 seconds",
-    )
-    write_stream_to_dataset(
-        agged=daily, path=path, bin_col="bin",
-        checkpoint_dir=os.path.join(base, "ckpt"),
-    )
-    out = rollup_closed_bins(
-        OrderedDataset(spark, path).read(),
-        {
-            "n_orders": ("n_orders", "sum"),
-            "sum_price": ("sum_price", "sum"),
-            "min_price": ("min_price", "min"),
-            "max_price": ("max_price", "max"),
-        },
         bin_by="1MS",
+        base_path=base,
         bin_col="month",
-    )
+    ).read()
     return out.select(
         "month",
         "n_orders",
@@ -939,16 +922,11 @@ def streaming_native_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle keys arg_min/arg_max on the padded
     (epoch, orderkey) string — lexicographically identical to the
     engine's (ts, orderkey) struct ordering."""
-    from oups_spark.streaming.native import (
-        rollup_closed_bins,
-        streaming_segment_agg,
-        write_stream_to_dataset,
-    )
+    from oups_spark.streaming.native import streaming_calendar_agg
     from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
 
     ensure_session_confs(spark)
     base = _fresh("streaming_native_quarterly")
-    path = os.path.join(base, "daily_ds")
     src = os.path.join(sf_dir, "orders.parquet")
     raw_schema = spark.read.parquet(src).schema
     rs = spark.readStream.schema(raw_schema)
@@ -964,7 +942,7 @@ def streaming_native_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream.withColumn(
         "ts", F.col("o_orderdate").cast("timestamp")
     ).withColumn("__one", F.lit(1).cast("long"))
-    daily = streaming_segment_agg(
+    out = streaming_calendar_agg(
         stream,
         "ts",
         {
@@ -972,24 +950,11 @@ def streaming_native_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_price": ("o_totalprice", "last"),
             "n_orders": ("__one", "sum"),
         },
-        bin_by="1D",
-        watermark="0 seconds",
-        tiebreak=["o_orderkey"],
-    )
-    write_stream_to_dataset(
-        agged=daily, path=path, bin_col="bin",
-        checkpoint_dir=os.path.join(base, "ckpt"),
-    )
-    out = rollup_closed_bins(
-        OrderedDataset(spark, path).read(),
-        {
-            "first_price": ("first_price", "first"),
-            "last_price": ("last_price", "last"),
-            "n_orders": ("n_orders", "sum"),
-        },
         bin_by="3MS",
+        base_path=base,
         bin_col="quarter",
-    )
+        tiebreak=["o_orderkey"],
+    ).read()
     return out.select(
         "quarter", "first_price", "last_price", "n_orders"
     ).orderBy("quarter")

@@ -729,3 +729,93 @@ def test_rollup_closed_bins_equals_batch_monthly(spark):
     assert dtypes["sum_val"] == dict(daily.dtypes)["sum_val"]
     assert dtypes["n"] == dict(daily.dtypes)["n"]
     assert "void" not in set(dtypes.values())
+
+
+def test_calendar_streaming_restart_between_stages(spark, scratch, monkeypatch):
+    """The one-unit calendar streaming API survives a crash BETWEEN
+    its stages: the first invocation dies after the daily sink
+    committed but before the rollup ran (injected), the re-invocation
+    resumes from the stream checkpoint (no-op) and folds the
+    already-sunk days — equal to a one-shot run. A later invocation
+    with NEW data stays equal to the one-shot over everything (the
+    rollup's keep-last merge replaces stale bins)."""
+    import os
+
+    import oups_spark.streaming.native as native
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.streaming.native import streaming_calendar_agg
+
+    src = os.path.join(scratch, "cal_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "ts timestamp, k long, val double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "k", "val"]), schema
+        )
+
+    t = pd.Timestamp
+    batch1 = [
+        (t("2024-01-03"), 1, 1.0), (t("2024-01-20"), 2, 2.0),
+        (t("2024-02-05"), 3, 3.0), (t("2024-02-25"), 4, 4.0),
+        (t("2024-03-10"), 5, 5.0),
+    ]
+    batch2 = [
+        (t("2024-03-15"), 6, 6.0), (t("2024-04-02"), 7, 7.0),
+        (t("2024-04-20"), 8, 8.0), (t("2024-05-06"), 9, 9.0),
+    ]
+    mk(batch1).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    agg = {"n": ("k", "sum"), "sum_val": ("val", "sum")}
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(
+            os.path.join(src, "*")
+        )
+
+    base = os.path.join(scratch, "cal_unit")
+
+    # invocation 1 "crashes" between the stages
+    real_rollup = native.rollup_closed_bins
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash between stages")
+
+    monkeypatch.setattr(native, "rollup_closed_bins", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        streaming_calendar_agg(
+            stream(), "ts", agg, bin_by="1MS", base_path=base
+        )
+    monkeypatch.setattr(native, "rollup_closed_bins", real_rollup)
+    # the daily sink committed; the bins dataset never materialized
+    assert OrderedDataset(spark, os.path.join(base, "daily")).exists
+    assert not OrderedDataset(spark, os.path.join(base, "bins")).exists
+
+    # invocation 2 restarts: checkpointed stream is a no-op, rollup
+    # folds the already-sunk days
+    out = streaming_calendar_agg(
+        stream(), "ts", agg, bin_by="1MS", base_path=base
+    )
+    got = out.read().toPandas().sort_values("bin", ignore_index=True)
+
+    def one_shot(rows, tag):
+        b2 = os.path.join(scratch, f"cal_ref_{tag}")
+        s2 = os.path.join(scratch, f"cal_ref_src_{tag}")
+        os.makedirs(s2, exist_ok=True)
+        mk(rows).coalesce(1).write.parquet(os.path.join(s2, "b"))
+        ref = streaming_calendar_agg(
+            spark.readStream.schema(schema).parquet(os.path.join(s2, "*")),
+            "ts", agg, bin_by="1MS", base_path=b2,
+        )
+        return ref.read().toPandas().sort_values("bin", ignore_index=True)
+
+    pd.testing.assert_frame_equal(got, one_shot(batch1, "a"))
+
+    # invocation 3: new data arrives, the unit re-runs end to end and
+    # equals the one-shot over everything
+    mk(batch2).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    out2 = streaming_calendar_agg(
+        stream(), "ts", agg, bin_by="1MS", base_path=base
+    )
+    got2 = out2.read().toPandas().sort_values("bin", ignore_index=True)
+    pd.testing.assert_frame_equal(got2, one_shot(batch1 + batch2, "b"))
+    assert len(got2) > len(got)  # later months actually closed
