@@ -742,3 +742,73 @@ def store_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.read().orderBy("ts", "event_id").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+
+
+from oups_spark.store.indexer import toplevel as _toplevel  # noqa: E402
+from oups_spark.store.store import Store as _Store  # noqa: E402
+
+
+@_toplevel
+class _EventTypeKey:
+    event_type: str
+
+
+@register(
+    "store_catalog_objectstore",
+    oracle="""
+    SELECT event_type,
+           count(*)             AS n_rows,
+           min(ts)              AS first_ts,
+           max(ts)              AS last_ts,
+           round(sum(value), 6) AS sum_val
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def store_catalog_objectstore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store catalog on an OBJECT-STORE backend, end to end (S2/S3/S9
+    over ``InMemoryParquetObjectStore``): one dataset per event type
+    written through the parquet-sidecar conditional-put backend (no
+    posix manifest exists anywhere), DISCOVERY via bucket prefix
+    listing (``keys()``), membership via one object GET, and
+    ``del store[key]`` removing the dataset's manifest objects with
+    its data. The result unions every dataset the catalog still
+    discovers after deleting the 'error' key — so the oracle is the
+    source table minus that type."""
+    from oups_spark.store.manifest import InMemoryParquetObjectStore
+
+    base = _fresh("store_catalog_objectstore")
+    st = _Store(
+        spark, os.path.join(base, "catalog"), _EventTypeKey,
+        backend=InMemoryParquetObjectStore(),
+    )
+    events = load(spark, sf_dir, "events")
+    types = sorted(
+        r[0] for r in events.select("event_type").distinct().collect()
+    )
+    for t in types:
+        st[_EventTypeKey(t)].write(
+            df=events.filter(F.col("event_type") == t),
+            ordered_on="ts",
+            row_group_target_size=2500,
+        )
+    assert _EventTypeKey("error") in st
+    del st[_EventTypeKey("error")]
+    # discovery after delete: bucket listing, not a posix walk
+    keys = st.keys()
+    out = None
+    for k in keys:
+        part = st[k].read()
+        out = part if out is None else out.unionByName(part)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 6).alias("sum_val"),
+        )
+        .orderBy("event_type")
+    )
