@@ -1273,3 +1273,82 @@ def test_store_catalog_over_object_store_backend(spark, scratch):
     assert berlin not in st and st.keys() == [paris]
     # the deleted dataset's manifest objects are gone from the bucket
     assert not any("berlin" in k for k in be._objects)
+
+
+def test_sidecar_gc_window_invariant_across_commits(tmp_path):
+    """GC WINDOW INVARIANT, asserted after EVERY commit of a 50-commit
+    run: the surviving sidecar generations are exactly the newest
+    ``keep_generations`` committed ones (orphan count bounded by the
+    window, never growing with commit count); a reader holding the
+    IMMEDIATELY-PREVIOUS head still resolves its sidecar; a reader
+    stale past the window fails loudly."""
+    import pandas as pd
+    import pytest
+
+    from oups_spark.store.manifest import (
+        FileEntry,
+        InMemoryParquetObjectStore,
+        Manifest,
+    )
+
+    be = InMemoryParquetObjectStore()
+    d = "/bucket/gc_win"
+    t0 = pd.Timestamp("2024-01-01")
+    m = Manifest(ordered_on="ts")
+    m.files = [
+        FileEntry(name="f0.parquet", n_rows=1, min=t0, max=t0)
+    ]
+    m.save(d, be)
+
+    def side_gens():
+        out = []
+        for k in be._objects:
+            if ".files.g" in k:
+                out.append(int(k.split(".files.g")[1].split(".")[0]))
+        return sorted(out)
+
+    prev_head = None
+    stale_heads: list[int] = []  # generations we hold old readers at
+    for i in range(50):
+        cur = Manifest.load(d, be)
+        if i == 25:
+            # park a reader's head 1 generation back for the check below
+            prev_head = cur
+        cur.files = list(cur.files) + [
+            FileEntry(
+                name=f"f{i + 1}.parquet", n_rows=1,
+                min=t0 + pd.Timedelta(days=i + 1),
+                max=t0 + pd.Timedelta(days=i + 1),
+            )
+        ]
+        cur.save(d, be)
+        gen = cur.generation
+        gens = side_gens()
+        # invariant: exactly the newest keep_generations sidecars
+        # survive — count bounded by the window, not the commit count
+        expect = [
+            g for g in range(gen - be.keep_generations + 1, gen + 1)
+            if g >= 1
+        ]
+        assert gens == expect, (i, gens, expect)
+        if prev_head is not None and prev_head.generation == gen - 1:
+            # one-generation-stale reader resolves inside the window
+            assert be.read_split(d) is not None
+            got = Manifest.load(d, be)
+            assert len(got.files) == len(cur.files)
+    # a reader stale past the window fails LOUDLY (missing sidecar),
+    # never silently empty: rewrite the head to reference a swept ref
+    import json as _json
+
+    head_key = [
+        k for k in be._objects if k.endswith("_oups_manifest.json")
+    ][0]
+    head = _json.loads(be._objects[head_key][0])
+    head["files_ref"] = (
+        "_oups_manifest.files.g00000001.deadbeefdead.parquet"
+    )
+    be._objects[head_key] = (
+        _json.dumps(head).encode(), be._objects[head_key][1],
+    )
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        Manifest.load(d, be)
