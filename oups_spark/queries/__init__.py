@@ -65,6 +65,7 @@ _WINDOW_PRIORITY = [
     "store_merge_into",
     "streaming_native_volume_bars",
     "store_catalog_objectstore",
+    "store_merge_full_sync",
     # (2) all 41 r9-stale queries (round 11's scheduled head), then
     # (3) the rest oldest-evidence-first
     "interval_overlap_pairs",

@@ -812,3 +812,80 @@ def store_catalog_objectstore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "store_merge_full_sync",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, ts, user_id, value
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+    )
+    SELECT e.event_id, e.ts, e.user_id,
+           CASE WHEN p.event_id IS NOT NULL THEN 'synced'
+                ELSE e.event_type END AS event_type,
+           CASE WHEN p.event_id IS NOT NULL THEN round(e.value * 3, 6)
+                ELSE round(e.value, 6) END AS value
+    FROM events e LEFT JOIN p ON e.event_id = p.event_id
+    WHERE p.event_id IS NOT NULL
+       OR e.ts < TIMESTAMP '{T1}' OR e.ts >= TIMESTAMP '{T2}'
+    UNION ALL
+    SELECT event_id + 10000000 AS event_id,
+           ts + INTERVAL 45 DAY AS ts,
+           user_id,
+           'inserted' AS event_type,
+           round(value + 1000, 6) AS value
+    FROM p
+    ORDER BY ts, event_id
+    """,
+)
+def store_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with the WHEN NOT MATCHED BY SOURCE clause — the
+    full-snapshot sync shape (beyond reference; SQL 2023 / Delta):
+    the source is the window's purchases, declared to be the COMPLETE
+    state of the [T1, T2) scope — matched rows re-label and triple,
+    scoped rows ABSENT from the snapshot are deleted by the by-source
+    clause, fresh keys insert at shifted timestamps, and everything
+    outside the scope is untouched even inside shared files (the
+    scope gates the clause row-level AND prunes the scanned files
+    driver-side). One tombstone/CAS commit; the oracle replays the
+    sync as LEFT JOIN + scope filter + UNION ALL."""
+    path = os.path.join(_fresh("store_merge_full_sync"), "events_ds")
+    events = load(spark, sf_dir, "events")
+    ds = OrderedDataset(spark, path)
+    ds.write(df=events, ordered_on="ts", row_group_target_size=2500)
+    snap = events.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit(T1).cast("timestamp"))
+        & (F.col("ts") < F.lit(T2).cast("timestamp"))
+    ).select("event_id", "ts", "user_id", "value")
+    insert_src = snap.select(
+        (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 45 DAYS")).alias("ts"),
+        "user_id",
+        (F.col("value") + F.lit(1000.0)).alias("value"),
+        F.lit("inserted").alias("event_type"),
+    )
+    src = snap.withColumn(
+        "event_type", F.lit(None).cast("string")
+    ).unionByName(insert_src)
+    ds.merge_into(
+        src,
+        on="event_id",
+        when_matched_update={
+            "event_type": "synced",
+            "value": F.col("t.value") * 3,
+        },
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+        by_source_scope=[
+            ("ts", ">=", pd.Timestamp(T1)),
+            ("ts", "<", pd.Timestamp(T2)),
+        ],
+    )
+    return ds.read().orderBy("ts", "event_id").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round("value", 6).alias("value"),
+    )

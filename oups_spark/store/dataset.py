@@ -1528,6 +1528,9 @@ class OrderedDataset:
         when_matched_update: dict | str | None = None,
         when_matched_delete=False,
         when_not_matched_insert: bool = True,
+        when_not_matched_by_source_update: dict | None = None,
+        when_not_matched_by_source_delete=False,
+        by_source_scope=None,
         row_group_target_size: int = DEFAULT_ROW_GROUP_TARGET_SIZE,
         conflict_retries: int = 0,
     ) -> dict:
@@ -1535,7 +1538,8 @@ class OrderedDataset:
         commit (beyond reference — the reference's closest shape is
         keep-last dedup on the write path,
         ``iter_merge_split_data.py:113-119``; this is the Delta/SQL
-        ``WHEN MATCHED ... WHEN NOT MATCHED ...`` lakehouse op).
+        ``WHEN MATCHED ... WHEN NOT MATCHED ... WHEN NOT MATCHED BY
+        SOURCE ...`` lakehouse op).
 
         ``on``: equi-join key column(s), present on both sides. The
         source must be UNIQUE on them and carry no NULL keys (the
@@ -1560,7 +1564,26 @@ class OrderedDataset:
         NULL; extra source columns are dropped — they remain available
         to the update expressions).
 
-        Plan (cost ∝ matched files + insert volume, never table size):
+        ``when_not_matched_by_source_update`` / ``_delete``: the SQL
+        2023 / Delta clause family for TARGET rows with no source
+        match — the full-snapshot sync shape (source = the complete
+        current state of a scope; target rows the snapshot no longer
+        contains are deleted or flagged). There is no source row, so
+        update values reference target columns only and the delete
+        condition is a Column over ``t.``/bare target names (``True``
+        = every not-matched row in scope). By SQL semantics these
+        clauses consider the WHOLE target, which no key pruning can
+        bound — so ``by_source_scope`` (a DNF filter over target
+        columns) both prunes the scanned files driver-side AND gates
+        the clauses row-level (a row outside the scope is never
+        touched, keeping semantics independent of file layout). Pass
+        no scope only when a full-table sweep is intended. Delete is
+        evaluated before update, mirroring the matched side. Counts
+        fold into the returned ``updated``/``deleted`` totals
+        (Delta's top-level metrics convention).
+
+        Plan (cost ∝ matched files + insert volume + scoped files,
+        never unscoped table size):
         (1) one source pass collects count/uniqueness/per-key bounds;
         (2) candidate target files are pruned DRIVER-side from the
         manifest's per-file [min, max] stats on every key column —
@@ -1589,6 +1612,9 @@ class OrderedDataset:
                     when_matched_update=when_matched_update,
                     when_matched_delete=when_matched_delete,
                     when_not_matched_insert=when_not_matched_insert,
+                    nbs_update=when_not_matched_by_source_update,
+                    nbs_delete=when_not_matched_by_source_delete,
+                    by_source_scope=by_source_scope,
                     row_group_target_size=row_group_target_size,
                 )
             except ManifestConflictError:
@@ -1606,11 +1632,17 @@ class OrderedDataset:
         when_matched_update,
         when_matched_delete,
         when_not_matched_insert,
-        row_group_target_size,
+        nbs_update=None,
+        nbs_delete=False,
+        by_source_scope=None,
+        row_group_target_size=DEFAULT_ROW_GROUP_TARGET_SIZE,
     ) -> dict:
         from pyspark.sql import Column
 
-        from oups_spark.functions.filters import dnf_file_can_match
+        from oups_spark.functions.filters import (
+            dnf_condition,
+            dnf_file_can_match,
+        )
 
         on = [on] if isinstance(on, str) else list(on)
         if not on:
@@ -1619,6 +1651,8 @@ class OrderedDataset:
             when_matched_update is None
             and not when_matched_delete
             and not when_not_matched_insert
+            and nbs_update is None
+            and not nbs_delete
         ):
             raise ValueError("merge_into with no clauses is a no-op")
         if not self.exists:
@@ -1679,6 +1713,45 @@ class OrderedDataset:
                 for c, v in when_matched_update.items()
             }
 
+        # normalize the not-matched-by-source clauses
+        nbs_delcond = _cond(nbs_delete)
+        nbs_upd = None
+        if nbs_update is not None:
+            if o in nbs_update:
+                raise ValueError(
+                    f"merge_into cannot assign the ordering column {o!r}"
+                )
+            unknown = set(nbs_update) - set(tcols)
+            if unknown:
+                raise ValueError(
+                    "unknown columns in when_not_matched_by_source_update: "
+                    f"{sorted(unknown)}"
+                )
+            nbs_upd = {
+                c: (v if isinstance(v, Column) else F.lit(v))
+                for c, v in nbs_update.items()
+            }
+        want_nbs = nbs_delcond is not None or nbs_upd is not None
+        # the scope gates the clauses ROW-level (so semantics never
+        # depend on file layout) and prunes the scanned files below;
+        # columns are t.-prefixed — on the joined frame a bare name
+        # shared with the source would be ambiguous
+        scope_cond = (
+            dnf_condition(
+                [
+                    [(f"t.{c}", op, v) for c, op, v in grp]
+                    for grp in (
+                        by_source_scope
+                        if by_source_scope
+                        and isinstance(by_source_scope[0], list)
+                        else [by_source_scope]
+                    )
+                ]
+            )
+            if by_source_scope
+            else F.lit(True)
+        )
+
         # (1) one source pass: count, key uniqueness, per-key bounds
         sstats = source.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1702,7 +1775,13 @@ class OrderedDataset:
         ).collect()[0]
         n_src = int(sstats["n"])
         zeros = {"updated": 0, "deleted": 0, "inserted": 0}
-        if n_src == 0:
+        want_nbs_early = (
+            nbs_delete is not None and nbs_delete is not False
+        ) or nbs_update is not None
+        if n_src == 0 and not want_nbs_early:
+            # an EMPTY source still drives the not-matched-by-source
+            # clauses (a full-snapshot sync of an emptied scope), so
+            # only short-circuit without them
             return zeros
         if int(sstats["nnull"] or 0):
             raise ValueError("merge source has NULL values in the merge keys")
@@ -1715,28 +1794,30 @@ class OrderedDataset:
         # (2) driver-side candidate pruning: per-key [min, max] overlap
         # on every key column; a small distinct key set upgrades to an
         # IN filter, which also engages the per-file Blooms
-        filters = [
-            [
-                c_op
-                for c in on
-                for c_op in (
-                    (c, ">=", sstats[f"__mn_{c}"]),
-                    (c, "<=", sstats[f"__mx_{c}"]),
+        cands: list[FileEntry] = []
+        if n_src:
+            filters = [
+                [
+                    c_op
+                    for c in on
+                    for c_op in (
+                        (c, ">=", sstats[f"__mn_{c}"]),
+                        (c, "<=", sstats[f"__mx_{c}"]),
+                    )
+                ]
+            ]
+            if len(on) == 1 and int(sstats["nd"]) <= self._MERGE_IN_KEYS_CAP:
+                keys = [
+                    r[0] for r in source.select(on[0]).distinct().collect()
+                ]
+                filters = [[(on[0], "in", keys)]]
+            cands = [
+                e for e in man.files
+                if dnf_file_can_match(
+                    {o: (e.min, e.max), **(e.cols or {})}, filters,
+                    blooms=e.blooms,
                 )
             ]
-        ]
-        if len(on) == 1 and int(sstats["nd"]) <= self._MERGE_IN_KEYS_CAP:
-            keys = [
-                r[0] for r in source.select(on[0]).distinct().collect()
-            ]
-            filters = [[(on[0], "in", keys)]]
-        cands = [
-            e for e in man.files
-            if dnf_file_can_match(
-                {o: (e.min, e.max), **(e.cols or {})}, filters,
-                blooms=e.blooms,
-            )
-        ]
         reader = self.spark.read.schema(schema)
         basename = F.substring_index(F.input_file_name(), "/", -1)
         key_cond = functools.reduce(
@@ -1745,40 +1826,92 @@ class OrderedDataset:
         )
         cand_paths = [os.path.join(self.path, e.name) for e in cands]
 
-        # (3) which candidates REALLY hold matches, and the
-        # delete/update split — one scan of the candidates
-        n_del = n_upd = 0
+        # files the not-matched-by-source clauses must consider:
+        # scope-pruned driver-side (every file when no scope is given —
+        # the SQL whole-target semantics, opted into explicitly)
+        nbs_cands: list[FileEntry] = []
+        if want_nbs:
+            nbs_cands = [
+                e for e in man.files
+                if dnf_file_can_match(
+                    {o: (e.min, e.max), **(e.cols or {})},
+                    by_source_scope,
+                    blooms=e.blooms,
+                )
+            ]
+
+        # (3) which candidates REALLY hold affected rows, and the
+        # per-clause split — ONE scan over the union of both
+        # candidate sets (a matching row can only live in `cands`:
+        # the key pruning is conservative)
+        n_del = n_upd = n_nbs_del = n_nbs_upd = 0
         touched: list[FileEntry] = []
         want_matched = delcond is not None or upd is not None
-        if want_matched and cands:
-            dflag = (
+        scan_by_name = {e.name: e for e in (cands if want_matched else [])}
+        for e in nbs_cands:
+            scan_by_name.setdefault(e.name, e)
+        if scan_by_name:
+            matched = F.col(f"s.{on[0]}").isNotNull()
+            dflag = matched & (
                 F.coalesce(delcond, F.lit(False))
                 if delcond is not None
                 else F.lit(False)
             )
+            in_scope = ~matched & scope_cond
+            nbs_dflag = in_scope & (
+                F.coalesce(nbs_delcond, F.lit(False))
+                if nbs_delcond is not None
+                else F.lit(False)
+            )
+            nbs_uflag = (
+                in_scope & ~nbs_dflag
+                if nbs_upd is not None
+                else F.lit(False)
+            )
+            cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
             hits = {
-                r["__f"]: (int(r["n"]), int(r["nd"]))
+                r["__f"]: r
                 for r in (
-                    reader.parquet(*cand_paths)
+                    reader.parquet(
+                        *[
+                            os.path.join(self.path, n)
+                            for n in scan_by_name
+                        ]
+                    )
                     .withColumn("__f", basename)
                     .alias("t")
-                    .join(source.alias("s"), key_cond, "inner")
+                    .join(source.alias("s"), key_cond, "left")
                     .groupBy("__f")
                     .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(
-                            F.when(dflag, 1).otherwise(0)
-                        ).alias("nd"),
+                        cnt(matched).alias("n_m"),
+                        cnt(dflag).alias("n_dm"),
+                        cnt(nbs_dflag).alias("n_nd"),
+                        cnt(nbs_uflag).alias("n_nu"),
                     )
                     .collect()
                 )
             }
-            touched = [e for e in cands if e.name in hits]
-            n_matched = sum(n for n, _ in hits.values())
-            n_del = sum(nd for _, nd in hits.values())
-            n_upd = (n_matched - n_del) if upd is not None else 0
 
-        # (4) copy-on-write rewrite of the truly-matched files
+            def _hit(r) -> bool:
+                return bool(
+                    (want_matched and r["n_m"])
+                    or r["n_nd"]
+                    or r["n_nu"]
+                )
+
+            touched = [
+                e
+                for e in scan_by_name.values()
+                if e.name in hits and _hit(hits[e.name])
+            ]
+            hit_rows = [hits[e.name] for e in touched]
+            n_matched = sum(int(r["n_m"]) for r in hit_rows)
+            n_del = sum(int(r["n_dm"]) for r in hit_rows)
+            n_upd = (n_matched - n_del) if upd is not None else 0
+            n_nbs_del = sum(int(r["n_nd"]) for r in hit_rows)
+            n_nbs_upd = sum(int(r["n_nu"]) for r in hit_rows)
+
+        # (4) copy-on-write rewrite of the truly-affected files
         rewritten: list[FileEntry] = []
         if touched:
             fid_map = F.create_map(
@@ -1799,23 +1932,28 @@ class OrderedDataset:
             # source keys are non-null (validated), so a non-null key
             # on the s side IS the match indicator
             matched = F.col(f"s.{on[0]}").isNotNull()
-            survive = ~(
-                matched & F.coalesce(delcond, F.lit(False))
-                if delcond is not None
-                else F.lit(False)
-            )
+            in_scope = ~matched & scope_cond
+            drop = F.lit(False)
+            if delcond is not None:
+                drop = drop | (matched & F.coalesce(delcond, F.lit(False)))
+            if nbs_delcond is not None:
+                drop = drop | (
+                    in_scope & F.coalesce(nbs_delcond, F.lit(False))
+                )
             sel = []
             for fld in schema.fields:
                 tcol = F.col(f"t.{fld.name}")
+                expr = tcol
+                if nbs_upd is not None and fld.name in nbs_upd:
+                    expr = F.when(
+                        in_scope, nbs_upd[fld.name].cast(fld.dataType)
+                    ).otherwise(expr)
                 if upd is not None and fld.name in upd:
-                    sel.append(
-                        F.when(matched, upd[fld.name].cast(fld.dataType))
-                        .otherwise(tcol)
-                        .alias(fld.name)
-                    )
-                else:
-                    sel.append(tcol.alias(fld.name))
-            out = j.filter(survive).select(*sel, F.col(_FID), F.col(_POS))
+                    expr = F.when(
+                        matched, upd[fld.name].cast(fld.dataType)
+                    ).otherwise(expr)
+                sel.append(expr.alias(fld.name))
+            out = j.filter(~drop).select(*sel, F.col(_FID), F.col(_POS))
             rewritten = self._stage_cow_rewrite(out, len(touched), o)
 
         # (5) not-matched source rows -> NEW files (anti-join against
@@ -1863,8 +2001,15 @@ class OrderedDataset:
                     proj, o, row_group_target_size, n_ins
                 )
 
+        # counts fold the by-source clauses into the totals (Delta's
+        # top-level metrics convention)
+        result = {
+            "updated": n_upd + n_nbs_upd,
+            "deleted": n_del + n_nbs_del,
+            "inserted": n_ins,
+        }
         if not touched and not inserts:
-            return {"updated": n_upd, "deleted": n_del, "inserted": n_ins}
+            return result
 
         # (6) ONE commit: replacements + inserts in a single
         # tombstone/CAS/rebase manifest swap
@@ -1883,7 +2028,7 @@ class OrderedDataset:
             key_value_metadata=None,
             cmidx=man.cmidx,
         )
-        return {"updated": n_upd, "deleted": n_del, "inserted": n_ins}
+        return result
 
     def _dml(self, filters, assignments, conflict_retries: int) -> int:
         attempt = 0

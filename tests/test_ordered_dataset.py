@@ -1273,6 +1273,91 @@ def test_merge_into_validations(spark, scratch):
         )
 
 
+def test_merge_into_not_matched_by_source(spark, scratch):
+    """WHEN NOT MATCHED BY SOURCE (full-snapshot sync): scoped target
+    rows absent from the source are deleted (or updated), matched rows
+    update, source-only rows insert — one commit; rows OUTSIDE the
+    scope are never touched even when they share a file with affected
+    rows, and an EMPTY source still clears the scope."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    path = os.path.join(scratch, "merge_nbs")
+    df, pdf = _dml_frame(spark)  # 40 hourly rows, 4 files of 10
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+    t10, t20 = pdf["ts"][10], pdf["ts"][20]
+    scope = [("ts", ">=", t10), ("ts", "<", t20)]
+
+    # snapshot of the scope: keeps rows 12 and 14 (updated), adds one
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [pdf["ts"][12], pdf["ts"][14],
+                       pd.Timestamp("2024-01-01 16:30")],
+                "uid": [400, 401, 402],
+                "v": [-12.0, -14.0, 77.0],
+            }
+        )
+    )
+    res = ds.merge_into(
+        src, on="ts",
+        when_matched_update={"v": SF.col("s.v"), "uid": SF.col("s.uid")},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+        by_source_scope=scope,
+    )
+    # scope rows 10..19: 12/14 matched-update, the other 8 deleted
+    assert res == {"updated": 2, "deleted": 8, "inserted": 1}
+    got = ds.read(ordered=True).toPandas()
+    assert len(got) == 40 - 8 + 1
+    in_scope = got[(got["ts"] >= t10) & (got["ts"] < t20)]
+    assert sorted(in_scope["uid"].tolist()) == [400, 401, 402]
+    # rows outside the scope untouched (row 9 shares file 0 with 10s)
+    assert got[got["ts"] == pdf["ts"][9]]["v"].tolist() == [9.0]
+    assert got[got["ts"] == pdf["ts"][20]]["v"].tolist() == [20.0]
+
+    # by-source UPDATE variant (flag instead of delete)
+    ds2 = OrderedDataset(
+        spark, os.path.join(scratch, "merge_nbs_upd"), deletion_grace_s=0
+    )
+    ds2.write(df=df, ordered_on="ts", row_group_target_size=10)
+    res2 = ds2.merge_into(
+        src, on="ts",
+        when_matched_update={"v": SF.col("s.v")},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"v": -999.0},
+        by_source_scope=scope,
+    )
+    assert res2 == {"updated": 2 + 8, "deleted": 0, "inserted": 0}
+    got2 = ds2.read(ordered=True).toPandas()
+    flagged = got2[(got2["ts"] >= t10) & (got2["ts"] < t20)]
+    assert (flagged["v"] == -999.0).sum() == 8
+    assert set(flagged["v"]) == {-999.0, -12.0, -14.0}
+    assert got2[got2["ts"] == pdf["ts"][5]]["v"].tolist() == [5.0]
+
+    # EMPTY source + by-source delete clears the scope in one commit
+    ds3 = OrderedDataset(
+        spark, os.path.join(scratch, "merge_nbs_empty"), deletion_grace_s=0
+    )
+    ds3.write(df=df, ordered_on="ts", row_group_target_size=10)
+    res3 = ds3.merge_into(
+        src.limit(0), on="ts",
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=True,
+        by_source_scope=scope,
+    )
+    assert res3 == {"updated": 0, "deleted": 10, "inserted": 0}
+    assert ds3.read().count() == 30
+    assert (
+        ds3.read().filter(
+            (SF.col("ts") >= t10) & (SF.col("ts") < t20)
+        ).count()
+        == 0
+    )
+
+
 def test_merge_into_rebases_on_disjoint_concurrent_append(spark, scratch):
     """A merge_into that loses the manifest CAS to a concurrent
     append touching a DISJOINT range lands via commit rebase — the

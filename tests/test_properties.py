@@ -818,3 +818,90 @@ def test_merge_into_matches_pandas_ground_truth_property(
     got = ds.read().toPandas().sort_values(["ts", "k"], ignore_index=True)
     truth = truth.sort_values(["ts", "k"], ignore_index=True)
     pd.testing.assert_frame_equal(got, truth)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=_merge_target_rows,
+    snap=st.dictionaries(
+        st.integers(min_value=0, max_value=29),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=0,
+        max_size=10,
+    ),
+    lo=st.integers(min_value=0, max_value=10),
+    span=st.integers(min_value=1, max_value=15),
+    target=st.sampled_from([3, 7, 100]),
+)
+def test_merge_full_sync_matches_pandas_ground_truth_property(
+    spark, tmp_path_factory, vals, snap, lo, span, target
+):
+    """PROPERTY: full-snapshot sync (WHEN NOT MATCHED BY SOURCE
+    DELETE + matched update + insert, scoped) reads back exactly the
+    pandas ground truth for any layout, snapshot, and scope — scoped
+    rows absent from the snapshot vanish, matched rows take the
+    snapshot value, snapshot-only keys insert, out-of-scope rows are
+    untouched."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    t0 = pd.Timestamp(2024, 1, 1)
+    n = len(vals)
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0 + pd.Timedelta(minutes=k) for k in range(n)],
+            "k": list(range(n)),
+            "val": vals,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("sync_prop"))
+    ds = OrderedDataset(spark, os.path.join(d, "ds"), deletion_grace_s=0)
+    ds.write(
+        df=spark.createDataFrame(pdf), ordered_on="ts",
+        row_group_target_size=target, validate_monotonic=False,
+    )
+    t_lo = t0 + pd.Timedelta(minutes=lo)
+    t_hi = t0 + pd.Timedelta(minutes=lo + span)
+    src = pd.DataFrame(
+        {
+            "ts": [t0 + pd.Timedelta(minutes=k, seconds=30) for k in snap],
+            "k": list(snap),
+            "val": list(snap.values()),
+        }
+    )
+    res = ds.merge_into(
+        spark.createDataFrame(
+            src, "ts timestamp, k long, val double"
+        ),
+        on="k",
+        when_matched_update={"val": SF.col("s.val")},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+        by_source_scope=[("ts", ">=", t_lo), ("ts", "<", t_hi)],
+    )
+
+    in_scope = (pdf["ts"] >= t_lo) & (pdf["ts"] < t_hi)
+    matched = pdf["k"].isin(snap)
+    truth = pdf[~(in_scope & ~matched)].copy()
+    upd_keys = {k for k in snap if k < n}
+    truth.loc[truth["k"].isin(upd_keys), "val"] = truth.loc[
+        truth["k"].isin(upd_keys), "k"
+    ].map(snap)
+    ins = src[~src["k"].isin(range(n))][["ts", "k", "val"]]
+    truth = pd.concat([truth, ins], ignore_index=True).astype(
+        {"k": "int64", "val": "float64"}  # empty-concat dtype promotion
+    )
+
+    assert res == {
+        "updated": len(upd_keys),
+        "deleted": int((in_scope & ~matched).sum()),
+        "inserted": len(ins),
+    }
+    got = ds.read().toPandas().sort_values(["ts", "k"], ignore_index=True)
+    truth = truth.sort_values(["ts", "k"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, truth)
