@@ -1402,6 +1402,70 @@ def test_merge_into_rebases_on_disjoint_concurrent_append(spark, scratch):
     assert got.filter("v = 2.5").count() == 1  # the append survived
 
 
+def test_merge_commit_hammer_interleaved_conflicts(spark, scratch):
+    """Merge-commit conflict hammer: two handles alternate merge_into
+    and append commits while each is STALE from the other's wins —
+    every commit must land through the rebase-or-rerun path (range-
+    disjoint losses rebase at zero Spark cost, overlapping ones
+    re-run), the generation advances once per logical commit, and the
+    final state equals the serial application."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    path = os.path.join(scratch, "merge_hammer")
+    df, pdf = _dml_frame(spark)  # 40 hourly rows
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+    gen0 = ds.manifest.generation
+
+    a = OrderedDataset(spark, path, deletion_grace_s=0)
+    b = OrderedDataset(spark, path, deletion_grace_s=0)
+    # 3 rounds: a appends a fresh far range (making b stale), then b
+    # merges an update into the ORIGINAL range without reloading
+    for i in range(3):
+        later = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "ts": pd.date_range(
+                        f"2024-0{2 + i}-01", periods=2, freq="h"
+                    ),
+                    "uid": [900 + i] * 2,
+                    "v": [float(1000 + i)] * 2,
+                }
+            )
+        )
+        a.write(df=later, conflict_retries=5)
+        src = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "ts": [pdf["ts"][2 * i]],
+                    "uid": [700 + i],
+                    "v": [-float(i + 1)],
+                }
+            )
+        )
+        res = b.merge_into(
+            src, on="ts",
+            when_matched_update={
+                "v": SF.col("s.v"), "uid": SF.col("s.uid"),
+            },
+            when_not_matched_insert=False,
+            conflict_retries=5,
+        )
+        assert res == {"updated": 1, "deleted": 0, "inserted": 0}
+    # every loser landed via rebase (disjoint ranges) or re-run;
+    # nothing was lost and the generation counted every commit
+    final = OrderedDataset(spark, path, deletion_grace_s=0)
+    assert final.manifest.generation == gen0 + 6
+    got = final.read().toPandas()
+    assert len(got) == 40 + 6
+    for i in range(3):
+        assert got[got["uid"] == 700 + i]["v"].tolist() == [-float(i + 1)]
+        assert (got["uid"] == 900 + i).sum() == 2
+    assert (b.conflict_rebases + b.conflict_reruns) >= 1
+
+
 def test_delete_where_null_predicate_rows_survive(spark, scratch):
     """SQL DELETE semantics: rows where the predicate evaluates NULL
     are NOT matches and must survive, even when they share a file with
