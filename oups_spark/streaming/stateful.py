@@ -183,8 +183,25 @@ def streaming_volume_bars(
                     g.loc[ob, "t0"] = min(g.loc[ob, "t0"], o_start)
                     g.loc[ob, "t1"] = max(g.loc[ob, "t1"], o_end)
             elif o_n:
-                g.loc[ob] = [o_n, o_vol, o_val, o_start, o_end]
-                g = g.sort_index()
+                # defensive: a non-empty batch's first row always has
+                # cum_before == acc, i.e. lands IN the open bin, so
+                # this branch is unreachable through the stream API —
+                # kept for direct/edge callers. dtype-preserving
+                # concat, NOT loc-enlargement: a new row via .loc
+                # upcasts every column to float64, which silently
+                # corrupts ns-precision timestamps (int64 ns exceeds
+                # float64's 2^53 integer range)
+                carry = pd.DataFrame(
+                    {
+                        "n": pd.array([o_n], dtype=g["n"].dtype),
+                        "vol": [float(o_vol)],
+                        "val": [float(o_val)],
+                        "t0": pd.array([o_start], dtype=g["t0"].dtype),
+                        "t1": pd.array([o_end], dtype=g["t1"].dtype),
+                    },
+                    index=pd.Index([ob], name="b"),
+                )
+                g = pd.concat([g, carry]).sort_index()
         closed = g[g.index < open_bin]
         if open_bin in g.index:
             oo = g.loc[open_bin]
