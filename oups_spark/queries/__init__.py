@@ -66,6 +66,7 @@ _WINDOW_PRIORITY = [
     "streaming_native_volume_bars",
     "store_catalog_objectstore",
     "store_merge_full_sync",
+    "streaming_native_rowcount_bins",
     # (2) all 41 r9-stale queries (round 11's scheduled head), then
     # (3) the rest oldest-evidence-first
     "interval_overlap_pairs",

@@ -1578,3 +1578,74 @@ def streaming_native_volume_bars(
         "bin_id", "bin_start", "bin_end", "n_rows",
         F.round("sum_vol", 6).alias("sum_vol"),
     ).orderBy("bin_id")
+
+
+@register(
+    "streaming_native_rowcount_bins",
+    oracle="""
+    WITH x AS (
+      SELECT ts, event_id, value,
+             row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    ), y AS (
+      SELECT *, CAST(floor(rn / 500) AS BIGINT) AS bin_id FROM x
+    )
+    SELECT bin_id,
+           min(ts)              AS bin_start,
+           max(ts)              AS bin_end,
+           count(*)             AS n_rows,
+           round(sum(value), 6) AS sum_val
+    FROM y
+    GROUP BY bin_id
+    HAVING bin_id < (SELECT CAST(floor(count(*) / 500) AS BIGINT)
+                     FROM events)
+    ORDER BY bin_id
+    """,
+)
+def streaming_native_rowcount_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROW-COUNT bins on the NATIVE streaming path (reference W3's
+    streaming twin): every 500 rows open a new bin, counted ACROSS
+    micro-batches and restarts. Falls out of the volume-bar state
+    machine with unit volume — bin = floor(rows_before / 500) — so the
+    carried accumulator IS the global row count and the same
+    closed-bars-only emission applies (the open, under-filled tail bin
+    is withheld exactly like batch ``row_count_bins``' trailing
+    partial under discard_last). Oracle replays the assignment with a
+    window row_number minus the open bin."""
+    from oups_spark.streaming.native import write_stream_to_dataset
+    from oups_spark.streaming.stateful import streaming_volume_bars
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_rowcount_bins")
+    path = os.path.join(base, "bins_ds")
+    src = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream = _events_stream_reader(spark, sf_dir, raw_schema)
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    barred = streaming_volume_bars(
+        stream.select(
+            "ts", "event_id", "value", F.lit(1.0).alias("__one")
+        ),
+        ordered_on="ts",
+        volume_col="__one",
+        threshold=500.0,
+        tiebreak="event_id",
+        value_col="value",
+    )
+    write_stream_to_dataset(
+        barred, path, bin_col="bin_id",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    out = OrderedDataset(spark, path).read()
+    return out.select(
+        "bin_id", "bin_start", "bin_end",
+        F.col("sum_vol").cast("long").alias("n_rows"),
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("bin_id")

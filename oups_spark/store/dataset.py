@@ -1825,6 +1825,14 @@ class OrderedDataset:
             [F.col(f"t.{c}") == F.col(f"s.{c}") for c in on],
         )
         cand_paths = [os.path.join(self.path, e.name) for e in cands]
+        # a CDC-sized source joins broadcast on every pass (hit scan,
+        # rewrite, anti-join) — declared explicitly so the plan never
+        # depends on AQE's runtime size estimate of a computed source
+        src_hinted = (
+            F.broadcast(source)
+            if n_src <= _DRIVER_MERGE_MAX_ROWS
+            else source
+        )
 
         # files the not-matched-by-source clauses must consider:
         # scope-pruned driver-side (every file when no scope is given —
@@ -1880,7 +1888,7 @@ class OrderedDataset:
                     )
                     .withColumn("__f", basename)
                     .alias("t")
-                    .join(source.alias("s"), key_cond, "left")
+                    .join(src_hinted.alias("s"), key_cond, "left")
                     .groupBy("__f")
                     .agg(
                         cnt(matched).alias("n_m"),
@@ -1928,7 +1936,7 @@ class OrderedDataset:
                 .withColumn(_FID, fid_map[basename])
                 .withColumn(_POS, F.monotonically_increasing_id())
             )
-            j = tgt.alias("t").join(source.alias("s"), key_cond, "left")
+            j = tgt.alias("t").join(src_hinted.alias("s"), key_cond, "left")
             # source keys are non-null (validated), so a non-null key
             # on the s side IS the match indicator
             matched = F.col(f"s.{on[0]}").isNotNull()
