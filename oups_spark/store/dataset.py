@@ -1531,6 +1531,7 @@ class OrderedDataset:
         when_not_matched_by_source_update: dict | None = None,
         when_not_matched_by_source_delete=False,
         by_source_scope=None,
+        evolve_schema: bool = False,
         row_group_target_size: int = DEFAULT_ROW_GROUP_TARGET_SIZE,
         conflict_retries: int = 0,
     ) -> dict:
@@ -1562,7 +1563,14 @@ class OrderedDataset:
         ``when_not_matched_insert``: insert source rows with no match,
         projected onto the target schema (absent target columns read
         NULL; extra source columns are dropped — they remain available
-        to the update expressions).
+        to the update expressions — unless ``evolve_schema=True``).
+
+        ``evolve_schema``: Delta-style automatic schema evolution —
+        source columns absent from the target EXTEND the dataset
+        schema (existing rows read back NULL, the store's
+        metadata-only evolution model; same-typed collisions are
+        always enforced). Inserts carry the new columns and update
+        clauses may assign them.
 
         ``when_not_matched_by_source_update`` / ``_delete``: the SQL
         2023 / Delta clause family for TARGET rows with no source
@@ -1615,6 +1623,7 @@ class OrderedDataset:
                     nbs_update=when_not_matched_by_source_update,
                     nbs_delete=when_not_matched_by_source_delete,
                     by_source_scope=by_source_scope,
+                    evolve_schema=evolve_schema,
                     row_group_target_size=row_group_target_size,
                 )
             except ManifestConflictError:
@@ -1635,6 +1644,7 @@ class OrderedDataset:
         nbs_update=None,
         nbs_delete=False,
         by_source_scope=None,
+        evolve_schema=False,
         row_group_target_size=DEFAULT_ROW_GROUP_TARGET_SIZE,
     ) -> dict:
         from pyspark.sql import Column
@@ -1674,6 +1684,27 @@ class OrderedDataset:
                 f"when_not_matched_insert needs the ordering column {o!r} "
                 "in the source"
             )
+        # same-named columns must keep their type (the write path's
+        # rule — a differently-typed file would explode at read time)
+        src_by = {f.name: f for f in source.schema.fields}
+        for c in set(src_by) & set(tcols):
+            if src_by[c].dataType != tcols[c].dataType:
+                raise ValueError(
+                    f"merge source cannot change column {c!r}: "
+                    f"{tcols[c].dataType} -> {src_by[c].dataType}"
+                )
+        if evolve_schema:
+            # Delta-style automatic schema evolution: source columns
+            # absent from the target extend the schema (existing rows
+            # read back NULL — the store's metadata-only evolution
+            # model, no file rewritten just for the schema change);
+            # inserts carry them, and update clauses may assign them
+            new_fields = [
+                f for f in source.schema.fields if f.name not in tcols
+            ]
+            if new_fields:
+                schema = StructType(list(schema.fields) + new_fields)
+                tcols = {f.name: f for f in schema.fields}
 
         # normalize the matched clauses
         def _cond(v):

@@ -1402,6 +1402,64 @@ def test_merge_into_rebases_on_disjoint_concurrent_append(spark, scratch):
     assert got.filter("v = 2.5").count() == 1  # the append survived
 
 
+def test_merge_into_evolve_schema(spark, scratch):
+    """merge_into(evolve_schema=True): source-only columns extend the
+    dataset schema metadata-only — untouched rows read back NULL,
+    inserts carry the new column, the 'source' sentinel assigns it on
+    matched rows, and without the flag extra columns are dropped (the
+    documented default). Type collisions are rejected either way."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    path = os.path.join(scratch, "merge_evo")
+    df, pdf = _dml_frame(spark)
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [pdf["ts"][3], pd.Timestamp("2024-03-01")],
+                "uid": [500, 501],
+                "v": [-3.0, 99.0],
+                "grade": ["A", "B"],  # not in the target schema
+            }
+        )
+    )
+    # default: extra source columns are DROPPED
+    res = ds.merge_into(
+        src, on="ts", when_matched_update="source",
+        when_not_matched_insert=True,
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    assert "grade" not in ds.read().columns
+
+    # evolve_schema: the column lands in the schema; matched rows get
+    # it via the sentinel, inserts carry it, untouched rows read NULL
+    ds2 = OrderedDataset(spark, os.path.join(scratch, "merge_evo2"),
+                         deletion_grace_s=0)
+    ds2.write(df=df, ordered_on="ts", row_group_target_size=10)
+    res2 = ds2.merge_into(
+        src, on="ts", when_matched_update="source",
+        when_not_matched_insert=True, evolve_schema=True,
+    )
+    assert res2 == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = ds2.read(ordered=True).toPandas()
+    assert "grade" in got.columns
+    assert got[got["uid"] == 500]["grade"].tolist() == ["A"]
+    assert got[got["uid"] == 501]["grade"].tolist() == ["B"]
+    assert got["grade"].isna().sum() == 39  # everyone else reads NULL
+
+    # a later plain read/merge sees the evolved schema; a type
+    # collision is rejected with or without the flag
+    bad = spark.createDataFrame(
+        pd.DataFrame({"ts": [pdf["ts"][0]], "uid": [1], "v": [1]})
+    ).withColumn("v", SF.col("v").cast("int"))
+    with pytest.raises(ValueError, match="cannot change column"):
+        ds2.merge_into(bad, on="ts", when_matched_update={"v": 0.0})
+
+
 def test_merge_commit_hammer_interleaved_conflicts(spark, scratch):
     """Merge-commit conflict hammer: two handles alternate merge_into
     and append commits while each is STALE from the other's wins —
