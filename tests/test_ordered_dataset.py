@@ -1402,6 +1402,52 @@ def test_merge_into_rebases_on_disjoint_concurrent_append(spark, scratch):
     assert got.filter("v = 2.5").count() == 1  # the append survived
 
 
+def test_merge_into_preserves_time_travel_snapshots(spark, scratch):
+    """A merge commit participates in time travel like any write: the
+    pre-merge generation stays pinned and fully readable (updated,
+    deleted, AND inserted rows all absent from it), the new generation
+    reads merged, and the whole merge is ONE generation step."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    path = os.path.join(scratch, "merge_tt")
+    df, pdf = _dml_frame(spark)
+    ds = OrderedDataset(spark, path, retain_versions=True)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+    g1 = ds.versions()[-1]
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [pdf["ts"][1], pdf["ts"][2],
+                       pd.Timestamp("2024-03-01")],
+                "uid": [600, 601, 602],
+                "v": [-1.0, -2.0, 55.0],
+                "op": ["U", "D", "I"],
+            }
+        )
+    )
+    res = ds.merge_into(
+        src, on="ts",
+        when_matched_update={"v": SF.col("s.v"), "uid": SF.col("s.uid")},
+        when_matched_delete=SF.col("s.op") == "D",
+        when_not_matched_insert=True,
+    )
+    assert res == {"updated": 1, "deleted": 1, "inserted": 1}
+    g2 = ds.versions()[-1]
+    assert g2 == g1 + 1  # the whole merge is one generation step
+    old = ds.read(as_of=g1)
+    assert old.count() == 40
+    assert old.filter("uid >= 600").count() == 0  # no merge effects
+    assert old.filter(f"ts = '{pdf['ts'][2]}'").count() == 1
+    new = ds.read(as_of=g2)
+    assert new.count() == 40
+    assert new.filter("uid = 600").count() == 1
+    assert new.filter(f"ts = '{pdf['ts'][2]}'").count() == 0
+    assert new.filter("uid = 602").count() == 1
+
+
 def test_merge_into_evolve_schema(spark, scratch):
     """merge_into(evolve_schema=True): source-only columns extend the
     dataset schema metadata-only — untouched rows read back NULL,
