@@ -171,3 +171,91 @@ def test_streaming_volume_bars_carry_and_close(spark, scratch):
     assert 3 not in set(got["bin_id"])
     # bar 4 (open) is withheld
     assert got["bin_id"].max() == 2
+
+
+def test_streaming_volume_bars_per_key_fanout(spark, scratch):
+    """The scalable per-key form: independent accumulators per key
+    (state fan-out like AggStream's filter fan-out), each key's bars
+    equal to its own batch volume_bars minus its open bar — keys
+    accumulate independently across micro-batch boundaries."""
+    from oups_spark.operators.sessionize import volume_bars
+    from oups_spark.streaming.stateful import streaming_volume_bars
+
+    src = os.path.join(scratch, "vbk_src")
+    os.makedirs(src, exist_ok=True)
+    cols = ["sym", "ts", "eid", "qty"]
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    # two symbols with different volume profiles; threshold 10
+    for h, (qa, qb) in enumerate([(4, 7), (4, 7), (4, 7), (4, 7), (9, 2)]):
+        rows.append(("a", t0 + pd.Timedelta(hours=h), (eid := eid + 1), float(qa)))
+        rows.append(("b", t0 + pd.Timedelta(hours=h), (eid := eid + 1), float(qb)))
+    schema = "sym string, ts timestamp, eid long, qty double"
+    for i, sl in enumerate((rows[:4], rows[4:])):
+        spark.createDataFrame(
+            pd.DataFrame(sl, columns=cols), schema
+        ).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "*"))
+    )
+    barred = streaming_volume_bars(
+        stream,
+        ordered_on="ts",
+        volume_col="qty",
+        threshold=10.0,
+        tiebreak="eid",
+        key="sym",
+    )
+    q = (
+        barred.writeStream.format("memory")
+        .queryName("vbk_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "vbk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("vbk_out")
+        .orderBy("sym", "bin_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert set(got.columns) == {
+        "sym", "bin_id", "bin_start", "bin_end", "n_rows", "sum_vol"
+    }
+
+    # per-key batch ground truth, open bar dropped per key
+    bdf = spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
+    frames = []
+    for sym in ("a", "b"):
+        one = (
+            volume_bars(
+                bdf.filter(F.col("sym") == sym),
+                "ts", "qty", threshold=10.0, tiebreak=["eid"],
+            )
+            .groupBy("bin_id")
+            .agg(
+                F.min("ts").alias("bin_start"),
+                F.max("ts").alias("bin_end"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("qty").alias("sum_vol"),
+            )
+            .orderBy("bin_id")
+            .toPandas()
+        )
+        one.insert(0, "sym", sym)
+        # each key's OPEN bar = floor(total volume / threshold); here
+        # both keys' accumulators sit exactly in a fresh empty bar, so
+        # every row-bearing bar is closed and none is withheld
+        total = sum(q for s, _, _, q in rows if s == sym)
+        frames.append(one[one["bin_id"] < int(total // 10)])
+    exp = pd.concat(frames, ignore_index=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    # the keys genuinely diverged (different bar boundaries)
+    assert got[got["sym"] == "a"]["n_rows"].tolist() != \
+        got[got["sym"] == "b"]["n_rows"].tolist()
