@@ -1402,6 +1402,72 @@ def test_merge_into_rebases_on_disjoint_concurrent_append(spark, scratch):
     assert got.filter("v = 2.5").count() == 1  # the append survived
 
 
+def test_merge_into_conflict_abort_leaves_no_orphans(spark, scratch):
+    """A merge that loses the manifest CAS to an OVERLAPPING winner
+    (rebase impossible) with no retry budget aborts cleanly: the
+    dataset reads exactly the winner's state, none of the merge's
+    effects leak, and the aborted attempt's staged files are removed
+    (no orphan parquet outside the manifest)."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    path = os.path.join(scratch, "merge_abort")
+    df, pdf = _dml_frame(spark)
+    # a reader-isolation grace window (the deployment default): the
+    # winner's replaced files stay on disk as tombstones, so the stale
+    # merge reaches the CAS instead of failing its scan
+    ds = OrderedDataset(spark, path, deletion_grace_s=3600)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+
+    a = OrderedDataset(spark, path, deletion_grace_s=3600)
+    b = OrderedDataset(spark, path, deletion_grace_s=3600)
+    # a rewrites the SAME range b's merge will touch -> no rebase
+    a.update_where(
+        [("ts", ">=", pdf["ts"][0]), ("ts", "<", pdf["ts"][5])],
+        {"v": -100.0},
+    )
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {"ts": [pdf["ts"][1], pd.Timestamp("2024-03-01")],
+             "uid": [800, 801], "v": [-1.0, 50.0]}
+        )
+    )
+    from oups_spark.store.manifest import ManifestConflictError
+
+    with pytest.raises(ManifestConflictError):
+        b.merge_into(
+            src, on="ts",
+            when_matched_update={"v": SF.col("s.v")},
+            when_not_matched_insert=True,
+            conflict_retries=0,
+        )
+    # winner's state intact, no merge effects
+    fresh = OrderedDataset(spark, path, deletion_grace_s=3600)
+    got = fresh.read().toPandas()
+    assert len(got) == 40
+    assert (got["v"] == -100.0).sum() == 5
+    assert got[got["uid"] >= 800].empty
+    # no orphan parquet files: on-disk set == manifest set
+    on_disk = {
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    }
+    referenced = {e.name for e in fresh.manifest.files} | {
+        t["name"] if isinstance(t, dict) else t
+        for t in (fresh.manifest.tombstones or [])
+    }
+    assert on_disk <= referenced, on_disk - referenced
+    # and a retry budget makes the same merge land
+    res = b.merge_into(
+        src, on="ts",
+        when_matched_update={"v": SF.col("s.v")},
+        when_not_matched_insert=True,
+        conflict_retries=1,
+    )
+    assert res == {"updated": 1, "deleted": 0, "inserted": 1}
+    assert OrderedDataset(spark, path).read().count() == 41
+
+
 def test_merge_into_preserves_time_travel_snapshots(spark, scratch):
     """A merge commit participates in time travel like any write: the
     pre-merge generation stays pinned and fully readable (updated,
