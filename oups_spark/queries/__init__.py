@@ -46,74 +46,27 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Round-12 window (evidence ages going in: 6 r11-green registrations,
-# 44 r11-green rotations, 41 r9-green, 50 r10-green; registry = 141 +
-# this round's registrations), in priority order:
-#   1. the round-12 registrations (never checked — the standing rule:
+# Round-13 window (evidence ages going in: registry = 146 + this
+# round's registrations; 46 queries are r10-green — the oldest
+# evidence anywhere — and round 12's tripwire scheduled exactly that
+# list as this round's head), in priority order:
+#   1. the round-13 registrations (never checked — the standing rule:
 #      new queries take slots in their landing round);
-#   2. ALL 41 queries whose last driver-green row is round 9 — the
-#      oldest evidence anywhere, exactly the list round 11's tripwire
-#      failure message scheduled as this round's head;
-#   3. the remaining registry oldest-evidence-first (r10-greens, then
-#      r11-greens) — the r10-greens are the head of round 13's window.
+#   2. ALL 46 queries whose last driver-green row is round 10 (the
+#      list round 12's tripwire failure message scheduled);
+#   3. the remaining registry oldest-evidence-first (r11-greens, then
+#      r12-greens) — the r11-greens are the head of round 14's window.
 # tests/test_window_schedule.py COMPUTES the boundary from the
 # CORRECTNESS_r*.json history and fails if any query's evidence would
 # age past 2 rounds outside the window.
 _WINDOW_PRIORITY = [
-    # (1) round-12 registrations (never checked) — names are appended
+    # (1) round-13 registrations (never checked) — names are appended
     # here as each lands this round
-    "store_merge_into",
-    "streaming_native_volume_bars",
-    "store_catalog_objectstore",
-    "store_merge_full_sync",
-    "streaming_native_rowcount_bins",
-    # (2) all 41 r9-stale queries (round 11's scheduled head), then
-    # (3) the rest oldest-evidence-first
-    "interval_overlap_pairs",
-    "minhash_signatures",
-    "simhash_signatures",
-    "embedding_neardup_pairs",
-    "knn_graph_topk",
-    "json_props_extract",
-    "duplicated_windows",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "simhash_neardup_pairs",
-    "simhash_neardup_pairs_64",
-    "ffill_bfill_user_values",
-    "customers_without_orders",
-    "calendar_floor_ceil",
-    "moving_avg_per_user",
-    "value_percentiles_by_type",
-    "daily_type_pivot",
-    "trailing_24h_per_user",
-    "conversion_funnel",
-    "interpolate_resample_6h",
-    "doc_chunk_overlap",
-    "segment_bins_1h",
-    "row_count_bins_500",
-    "snapshot_1d_6h",
-    "store_merge_keep_last",
-    "store_append_range_read",
-    "dnf_filter_events",
-    "store_compact_roundtrip",
-    "store_time_travel",
-    "store_schema_evolution",
-    "store_stats_skipping",
-    "jsonl_ingest_roundtrip",
-    "incremental_hll_ingest",
-    "store_cmidx_roundtrip",
-    "aggstream_hourly_restart",
-    "aggstream_snapshots_restart",
-    "aggstream_edge_bins_restart",
-    "streaming_dedup_ingest",
-    "cdc_upsert_stream",
-    "cdc_incremental_agg",
-    "session_windows",
-    "cdc_incremental_minmax",
-    "asof_click_before_purchase",
-    "asof_nearest_tolerance",
-    "range_join_first_week",
+    "cdc_merge_stream",
+    "streaming_native_snapshots_calendar",
+    "zorder_compact_scan",
+    "streaming_native_objectstore",
+    # (2) all 46 r10-stale queries (round 12's scheduled head)
     "text_stats",
     "lang_id",
     "dedup_exact",
@@ -160,6 +113,7 @@ _WINDOW_PRIORITY = [
     "intersections_bucket_align",
     "rollup_pricing",
     "twap_hourly",
+    # (3) the rest oldest-evidence-first: r11-greens ...
     "streaming_native_weekly",
     "streaming_native_snapshots_ffill",
     "streaming_native_monthly",
@@ -210,6 +164,57 @@ _WINDOW_PRIORITY = [
     "regional_supplier_volume",
     "bucketed_colocated_join",
     "salted_join_order_customer",
+    # ... then r12-greens
+    "store_merge_into",
+    "streaming_native_volume_bars",
+    "store_catalog_objectstore",
+    "store_merge_full_sync",
+    "streaming_native_rowcount_bins",
+    "interval_overlap_pairs",
+    "minhash_signatures",
+    "simhash_signatures",
+    "embedding_neardup_pairs",
+    "knn_graph_topk",
+    "json_props_extract",
+    "duplicated_windows",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "simhash_neardup_pairs",
+    "simhash_neardup_pairs_64",
+    "ffill_bfill_user_values",
+    "customers_without_orders",
+    "calendar_floor_ceil",
+    "moving_avg_per_user",
+    "value_percentiles_by_type",
+    "daily_type_pivot",
+    "trailing_24h_per_user",
+    "conversion_funnel",
+    "interpolate_resample_6h",
+    "doc_chunk_overlap",
+    "segment_bins_1h",
+    "row_count_bins_500",
+    "snapshot_1d_6h",
+    "store_merge_keep_last",
+    "store_append_range_read",
+    "dnf_filter_events",
+    "store_compact_roundtrip",
+    "store_time_travel",
+    "store_schema_evolution",
+    "store_stats_skipping",
+    "jsonl_ingest_roundtrip",
+    "incremental_hll_ingest",
+    "store_cmidx_roundtrip",
+    "aggstream_hourly_restart",
+    "aggstream_snapshots_restart",
+    "aggstream_edge_bins_restart",
+    "streaming_dedup_ingest",
+    "cdc_upsert_stream",
+    "cdc_incremental_agg",
+    "session_windows",
+    "cdc_incremental_minmax",
+    "asof_click_before_purchase",
+    "asof_nearest_tolerance",
+    "range_join_first_week",
 ]
 
 

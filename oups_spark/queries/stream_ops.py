@@ -1394,6 +1394,82 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_merge_stream",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           round(value, 6) AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC through the store's MERGE INTO (round-13
+    unification — one store, one commit protocol): the same keyed
+    changelog replay as ``cdc_upsert_stream`` (user_id key, 'error'
+    rows are DELETE tombstones, THREE micro-batches), but the sink is
+    a foreachBatch ``OrderedDataset.merge_into`` — matched rows
+    update to the source values gated on keep-last order, unmatched
+    rows insert, deletes persist as tombstone rows, and each batch is
+    one tombstone/CAS/rebase commit with stats-pruned rewrites (time
+    travel and conflict rebase apply automatically). A final
+    ``delete_where`` vacuum GCs the tombstones (the stream is fully
+    drained, so none still guards late data). Oracle = the one-shot
+    keep-last statement — identical to the bucketed sink's, proving
+    the two sinks compute the same state."""
+    from oups_spark.streaming.cdc import (
+        cdc_merge_sink,
+        cdc_merge_vacuum,
+        read_current_ds,
+    )
+    from oups_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("cdc_merge_stream")
+    src_dir = os.path.join(base, "changelog_src")
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    chunks = _replay_cuts(events)
+    for i, cond in enumerate(chunks):
+        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, f"chunk{i}")
+        )
+    schema = spark.read.parquet(os.path.join(src_dir, "chunk0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .withColumn("is_delete", F.col("event_type") == "error")
+        .drop("event_type")
+    )
+    ds = OrderedDataset(spark, os.path.join(base, "state_ds"))
+    cdc_merge_sink(
+        stream,
+        ds,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        delete_col="is_delete",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    cdc_merge_vacuum(ds, delete_col="is_delete")
+    cur = read_current_ds(ds, delete_col="is_delete")
+    return cur.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 6).alias("last_value"),
+    ).orderBy("user_id")
+
+
+@register(
     "cdc_incremental_minmax",
     oracle="""
     WITH ranked AS (

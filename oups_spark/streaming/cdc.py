@@ -212,3 +212,138 @@ def cdc_vacuum(
             os.path.join(path, f"{_BUCKET}={b}"), ignore_errors=True
         )
     return n_dropped
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO-backed CDC sink (round-13): the store IS the state table
+# ---------------------------------------------------------------------------
+
+def cdc_merge_batch_into(
+    batch_df: DataFrame,
+    ds,
+    *,
+    key: str,
+    order_cols: list[str],
+    delete_col: str,
+    row_group_target_size: int = 100_000,
+    conflict_retries: int = 5,
+) -> None:
+    """Merge one changelog micro-batch into an :class:`OrderedDataset`
+    via ``merge_into`` — the unification of the CDC sink with the
+    store's commit protocol (one store, one tombstone/CAS/rebase
+    commit per batch; time travel, per-file stats/bloom pruning and
+    conflict rebase all apply automatically, unlike the parallel
+    bucket-table in :func:`cdc_merge_batch`).
+
+    Semantics (idempotent + order-insensitive keep-last):
+
+    1. the batch is reduced to its LATEST op per key
+       (``max_by(struct(payload), struct(order_cols))`` — the same
+       keep-last the bucketed sink uses), so the merge source is
+       unique on the key as SQL MERGE requires;
+    2. deletes persist as TOMBSTONE ROWS (``delete_col`` true), never
+       physical deletes — a redelivered or late-arriving batch can
+       therefore never resurrect a deleted key, and replaying ANY
+       prefix-complete batch converges to the same state;
+    3. matched rows update to the source values ONLY when the source
+       op is at-or-after the target row in ``order_cols`` (a CASE per
+       column over the matched pair), so re-merging an old batch is a
+       no-op — exactly-once under checkpoint-recovery redelivery.
+
+    The dataset is ordered (and thus min/max-indexed) on the KEY, so
+    merge_into's driver-side stats pruning bounds each batch's
+    rewrite to the files holding touched keys — O(batch + touched
+    files), never O(table), the same scale shape as the bucketed
+    sink but with real commit isolation.
+
+    Tombstone GC is a normal ``delete_where`` on ``delete_col`` (see
+    :func:`cdc_merge_vacuum`).
+    """
+    payload = [c for c in batch_df.columns if c != key]
+    latest = (
+        batch_df.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("__row")
+        )
+        .select(F.col(key), "__row.*")
+    )
+    if not ds.exists:
+        ds.write(
+            df=latest.orderBy(key),
+            ordered_on=key,
+            duplicates_on=[key],
+            row_group_target_size=row_group_target_size,
+            conflict_retries=conflict_retries,
+        )
+        return
+    newer = F.struct(
+        *[F.col(f"s.{c}") for c in order_cols]
+    ) >= F.struct(*[F.col(f"t.{c}") for c in order_cols])
+    ds.merge_into(
+        latest,
+        on=key,
+        when_matched_update={
+            c: F.when(newer, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+            for c in payload
+        },
+        when_not_matched_insert=True,
+        row_group_target_size=row_group_target_size,
+        conflict_retries=conflict_retries,
+    )
+
+
+def cdc_merge_sink(
+    changelog: DataFrame,
+    ds,
+    *,
+    key: str,
+    order_cols: list[str],
+    delete_col: str,
+    row_group_target_size: int = 100_000,
+    conflict_retries: int = 5,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Run a streaming changelog into an OrderedDataset through
+    ``merge_into`` (``foreachBatch``; see :func:`cdc_merge_batch_into`
+    for the per-batch semantics). Blocks until the available data is
+    processed when ``available_now``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            cdc_merge_batch_into(
+                batch_df, ds,
+                key=key, order_cols=order_cols, delete_col=delete_col,
+                row_group_target_size=row_group_target_size,
+                conflict_retries=conflict_retries,
+            )
+
+    writer = changelog.writeStream.outputMode("append").foreachBatch(sink)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def cdc_merge_vacuum(ds, *, delete_col: str, extra_filters=None) -> int:
+    """Tombstone GC for the merge_into-backed CDC table: DELETE rows
+    whose ``delete_col`` is true (optionally AND ``extra_filters``,
+    e.g. "older than the ingest watermark" — the point past which no
+    out-of-order update the tombstone still guards against can
+    arrive). A plain bounded-rewrite ``delete_where`` commit; cost ∝
+    files holding droppable tombstones."""
+    clause = [(delete_col, "==", True)] + list(extra_filters or [])
+    return ds.delete_where([clause])
+
+
+def read_current_ds(ds, *, delete_col: str) -> DataFrame:
+    """Current state of the merge_into-backed CDC table: every row is
+    already the latest per key; tombstones filtered."""
+    return ds.read().filter(~F.col(delete_col)).drop(delete_col)
