@@ -889,6 +889,97 @@ def streaming_native_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_native_snapshots_calendar",
+    oracle="""
+    WITH wm AS (
+      SELECT date_trunc('day', max(o_orderdate) - INTERVAL 1 DAY)
+             + INTERVAL 1 DAY AS final
+      FROM orders
+    ), base AS (
+      SELECT CAST(o_orderdate AS TIMESTAMP) AS ts, o_totalprice AS value
+      FROM orders, wm WHERE o_orderdate < wm.final
+    ), partials AS (
+      SELECT date_trunc('year', ts) AS bin,
+             least(date_trunc('month', ts) + INTERVAL 1 MONTH,
+                   date_trunc('year', ts) + INTERVAL 1 YEAR) AS snap,
+             CAST(count(*) AS BIGINT) AS p_n,
+             max(value) AS p_max,
+             sum(value) AS p_sum
+      FROM base GROUP BY 1, 2
+    ), grid AS (
+      SELECT bin, bin + to_months(CAST(k AS INT)) AS snap
+      FROM (SELECT unnest(generate_series((SELECT min(bin) FROM partials),
+                                          (SELECT max(bin) FROM partials),
+                                          INTERVAL 1 YEAR)) AS bin),
+           (SELECT unnest(generate_series(1, 12)) AS k)
+    )
+    SELECT bin, snap,
+           CAST(coalesce(sum(p_n) OVER w, 0) AS BIGINT) AS n_orders,
+           round(max(p_max) OVER w, 2)                  AS max_price,
+           round(sum(p_sum) OVER w, 2)                  AS sum_price
+    FROM grid LEFT JOIN partials USING (bin, snap), wm
+    WHERE snap <= wm.final
+    WINDOW w AS (PARTITION BY bin ORDER BY snap
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bin, snap
+    """,
+)
+def streaming_native_snapshots_calendar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CALENDAR snapshots on the NATIVE streaming path (round-13 lift
+    of the fixed-frequency restriction): monthly year-to-date
+    snapshots inside yearly bins — both grids calendar-exact — from a
+    stream, via the daily-tile two-level shape: fixed daily windows
+    stream into a tiles dataset, then the batch ``snapshot_agg``
+    re-observes the closed tiles at every month start (closed-left on
+    the tile label ≡ whole-tile observation on the day-aligned month
+    grid), cut at the final watermark. The oracle is the batch
+    calendar-in-calendar snapshot statement (``snapshot_1y_1ms``'s)
+    under the same cutoff — proving streamed == batch cut at the
+    watermark."""
+    from oups_spark.streaming.native import streaming_snapshot_calendar_agg
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_snapshots_calendar")
+    src = os.path.join(sf_dir, "orders.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    rs = spark.readStream.schema(raw_schema)
+    stream = (
+        rs.parquet(src)
+        if os.path.isdir(src)
+        else rs.option("pathGlobFilter", "orders.parquet").parquet(sf_dir)
+    )
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn(
+        "ts", F.col("o_orderdate").cast("timestamp")
+    ).withColumn("__one", F.lit(1).cast("long"))
+    out = streaming_snapshot_calendar_agg(
+        stream,
+        "ts",
+        {
+            "n_orders": ("__one", "sum"),
+            "max_price": ("o_totalprice", "max"),
+            "sum_price": ("o_totalprice", "sum"),
+        },
+        bin_by="1Y",
+        snap_by="MS",
+        base_path=base,
+    ).read()
+    return out.select(
+        "bin",
+        "snap",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.round("max_price", 2).alias("max_price"),
+        F.round("sum_price", 2).alias("sum_price"),
+    ).orderBy("bin", "snap")
+
+
+@register(
     "streaming_native_quarterly",
     oracle="""
     WITH wm AS (

@@ -195,10 +195,15 @@ def streaming_snapshot_agg(
     )
     from oups_spark.operators.segment import _agg_exprs
 
-    if not (is_fixed_freq(bin_by) and is_fixed_freq(snap_by)):
+    if not (
+        isinstance(snap_by, str)
+        and is_fixed_freq(bin_by)
+        and is_fixed_freq(snap_by)
+    ):
         raise ValueError(
             "streaming snapshots need fixed bin_by and snap_by, got "
-            f"{bin_by!r}/{snap_by!r}"
+            f"{bin_by!r}/{snap_by!r} — calendar frequencies and explicit "
+            "edge grids stream through streaming_snapshot_calendar_agg"
         )
     bin_us = int(period_duration(bin_by) * 1_000_000)
     snap_us = int(period_duration(snap_by) * 1_000_000)
@@ -338,8 +343,11 @@ def streaming_calendar_agg(
     and the rollup fold (first = earliest day's first, min/max/sum
     fold losslessly, per :func:`rollup_closed_bins`).
 
-    Returns the ``bins/`` OrderedDataset handle (exists only once at
-    least one calendar bin has closed).
+    Returns the ``bins/`` OrderedDataset handle, or ``None`` when no
+    calendar bin has closed yet (empty source, or the sunk days all
+    belong to the still-open bin) AND no previous invocation created
+    the dataset — callers chaining ``.read()`` must handle ``None``
+    rather than hit a missing-dataset error.
     """
     import os as _os
 
@@ -360,15 +368,159 @@ def streaming_calendar_agg(
     ds_daily = OrderedDataset(spark, daily_path)
     out = OrderedDataset(spark, bins_path)
     if not ds_daily.exists or ds_daily.n_rows == 0:
-        return out
+        return out if out.exists else None
     rolled = rollup_closed_bins(
         ds_daily.read(),
         {o: (o, func) for o, (_c, func) in agg.items()},
         bin_by=bin_by,
         bin_col=bin_col,
     )
+    if rolled.isEmpty():
+        # every sunk day belongs to a still-open calendar bin — a
+        # previous run's dataset (if any) is already current
+        return out if out.exists else None
     out.write(
         df=rolled, ordered_on=bin_col, duplicates_on=[],
+        row_group_target_size=row_group_target_size,
+        validate_monotonic=False,
+    )
+    return out
+
+
+def streaming_snapshot_calendar_agg(
+    stream_df: DataFrame,
+    ordered_on: str,
+    agg: dict,
+    *,
+    bin_by: str,
+    snap_by,
+    base_path: str,
+    tile_by: str = "1D",
+    bin_col: str = "bin",
+    snap_col: str = "snap",
+    watermark: str = "0 seconds",
+    tiebreak: list | None = None,
+    row_group_target_size: int | str = 100_000,
+):
+    """CALENDAR-frequency and EXPLICIT-EDGE snapshots on the native
+    streaming path (round-13 lift of ``streaming_snapshot_agg``'s
+    fixed-frequency restriction; reference ``by_scale`` Series
+    snapshots, ``segmentby.py:227-234``): point-in-time cumulative
+    aggregates of in-progress calendar bins — monthly snaps in yearly
+    bins, irregular market-close edges — where Spark's constant-
+    duration window operator cannot stream the grids directly.
+
+    Same two-level shape as :func:`streaming_calendar_agg`: stream
+    FIXED ``tile_by`` windows (state bounded, each tile emits once at
+    watermark passage) into a ``tiles/`` dataset, then an EXACT batch
+    re-observation of the closed tiles at the calendar/edge snapshot
+    instants, cut at the final watermark. The re-observation is the
+    batch :func:`snapshot_agg` itself applied to TILE PARTIALS with
+    the tile label as the ordering column — closed-left observation
+    of a tile's label is exactly whole-tile observation when snapshot
+    instants are tile-aligned (a snapshot at instant s observes tiles
+    with label < s ⟺ tile_end <= s ⟺ every row ts < s), so the result
+    equals batch ``snapshot_agg`` over the raw rows, filtered to
+    ``snap <= final watermark`` (max emitted tile end; any row the
+    stream withheld lies at ts >= that instant, so no emitted
+    snapshot can observe it, under any watermark delay). Folds are
+    lossless per function: first = earliest tile's first (``min_by``
+    on the tile label), last = latest tile's last, min/max/sum fold.
+
+    Tile alignment contract (checked): ``tile_by`` is fixed and
+    divides a day — calendar bin/snap edges land on whole days, hence
+    on the tile grid; a fixed ``snap_by`` must be a multiple of
+    ``tile_by``; explicit ``snap_by`` edges must each lie on the tile
+    grid (pick a finer ``tile_by`` for sub-day edges). Closed-left
+    snapshots only (the reference default): closed-right would need
+    row-level, not tile-level, observation at the edges.
+
+    Restart story — both stages idempotent, re-invocation after a
+    crash anywhere converges: the tile stage resumes from Spark's
+    checkpoint (redelivered micro-batches absorbed by the sink's
+    keep-last merge on the tile label), and the snapshot stage
+    recomputes every emitted (bin, snap) row from the tiles — work ∝
+    tiles x snaps-per-bin, never corpus size — replacing stale rows
+    through the same keep-last merge (``snap`` instants are unique
+    across bins: a bin-end snapshot belongs to the CLOSING bin).
+
+    Returns the ``snaps/`` OrderedDataset handle, or ``None`` when no
+    snapshot instant has passed the watermark yet and no previous
+    invocation created the dataset.
+    """
+    import os as _os
+
+    import pandas as pd
+
+    from oups_spark.functions.dates import is_fixed_freq, period_duration
+    from oups_spark.operators.segment import snapshot_agg
+    from oups_spark.store.dataset import OrderedDataset
+
+    tile_us = int(period_duration(tile_by) * 1_000_000)
+    if not is_fixed_freq(tile_by) or (86400 * 1_000_000) % tile_us:
+        raise ValueError(
+            f"tile_by must be a fixed frequency dividing a day, got {tile_by!r}"
+        )
+    if is_fixed_freq(bin_by):
+        bin_us = int(period_duration(bin_by) * 1_000_000)
+        if bin_us % tile_us:
+            raise ValueError(
+                f"fixed bin_by {bin_by!r} must be a multiple of "
+                f"tile_by {tile_by!r}"
+            )
+    if isinstance(snap_by, str):
+        if is_fixed_freq(snap_by):
+            snap_us = int(period_duration(snap_by) * 1_000_000)
+            if snap_us % tile_us:
+                raise ValueError(
+                    f"fixed snap_by {snap_by!r} must be a multiple of "
+                    f"tile_by {tile_by!r}"
+                )
+    else:
+        off = [
+            e for e in snap_by
+            if (pd.Timestamp(e).value // 1000) % tile_us
+        ]
+        if off:
+            raise ValueError(
+                f"explicit snap_by edges must lie on the {tile_by!r} tile "
+                f"grid (offenders: {off[:3]}); use a finer tile_by"
+            )
+
+    spark = stream_df.sparkSession
+    tiles_path = _os.path.join(base_path, "tiles")
+    snaps_path = _os.path.join(base_path, "snaps")
+    tiles = streaming_segment_agg(
+        stream_df, ordered_on, agg,
+        bin_by=tile_by, watermark=watermark, tiebreak=tiebreak,
+        bin_col="__tile",
+    )
+    write_stream_to_dataset(
+        tiles, tiles_path, bin_col="__tile",
+        checkpoint_dir=_os.path.join(base_path, "ckpt"),
+        row_group_target_size=row_group_target_size,
+    )
+    ds_tiles = OrderedDataset(spark, tiles_path)
+    out = OrderedDataset(spark, snaps_path)
+    if not ds_tiles.exists or ds_tiles.n_rows == 0:
+        return out if out.exists else None
+    tiles_df = ds_tiles.read()
+    hi = tiles_df.agg(F.max("__tile").alias("mx")).collect()[0]["mx"]
+    final_wm = pd.Timestamp(hi) + pd.Timedelta(microseconds=tile_us)
+    snaps = snapshot_agg(
+        tiles_df,
+        "__tile",
+        {o: (o, func) for o, (_c, func) in agg.items()},
+        bin_by=bin_by,
+        snap_by=snap_by,
+        snap_closed="left",
+        bin_col=bin_col,
+        snap_col=snap_col,
+    ).filter(F.col(snap_col) <= F.lit(final_wm))
+    if snaps.isEmpty():
+        return out if out.exists else None
+    out.write(
+        df=snaps, ordered_on=snap_col, duplicates_on=[],
         row_group_target_size=row_group_target_size,
         validate_monotonic=False,
     )
