@@ -633,6 +633,35 @@ class AggStream:
                 "binner_state": st.binner_state,
                 "config": _config_fingerprint(self.ordered_on, cfg),
             }
+            # Dual-sink crash atomicity (T8): the two sinks are two
+            # separate commits, and restart state (restart_index +
+            # accumulator) lives in the BINS dataset's metadata alone
+            # — so the snaps commit must land FIRST (WAL ordering:
+            # data before the cursor). A crash between the commits
+            # then leaves snaps AHEAD of the recorded restart_index;
+            # the re-invocation reprocesses that window (seed trim is
+            # driven by the bins metadata) and the deterministic
+            # recomputation re-emits identical snap rows, which the
+            # keep-last merge on (snap, bin) absorbs. The reverse
+            # order would advance the cursor with the snaps missing —
+            # the window's rows are trimmed on restart and those
+            # snapshots are lost for good
+            # (test_dual_sink_crash_between_commits_converges).
+            if snap_out is not None and len(snap_out) and cfg.snap_path:
+                sds = OrderedDataset(self.spark, cfg.snap_path)
+                sds.write(
+                    df=self.spark.createDataFrame(snap_out),
+                    ordered_on=cfg.snap_col,
+                    duplicates_on=[cfg.bin_col],
+                    row_group_target_size=cfg.row_group_target_size,
+                    key_value_metadata={_META_KEY: {"restart_index": st.restart_index}},
+                    validate_monotonic=False,
+                    known_stats=(
+                        snap_out[cfg.snap_col].min(),
+                        snap_out[cfg.snap_col].max(),
+                        len(snap_out),
+                    ),
+                )
             if bin_out is not None and len(bin_out):
                 ds = OrderedDataset(self.spark, cfg.path)
                 ds.write(
@@ -647,21 +676,6 @@ class AggStream:
                         bin_out[cfg.bin_col].min(),
                         bin_out[cfg.bin_col].max(),
                         len(bin_out),
-                    ),
-                )
-            if snap_out is not None and len(snap_out) and cfg.snap_path:
-                sds = OrderedDataset(self.spark, cfg.snap_path)
-                sds.write(
-                    df=self.spark.createDataFrame(snap_out),
-                    ordered_on=cfg.snap_col,
-                    duplicates_on=[cfg.bin_col],
-                    row_group_target_size=cfg.row_group_target_size,
-                    key_value_metadata={_META_KEY: {"restart_index": st.restart_index}},
-                    validate_monotonic=False,
-                    known_stats=(
-                        snap_out[cfg.snap_col].min(),
-                        snap_out[cfg.snap_col].max(),
-                        len(snap_out),
                     ),
                 )
             st.bin_acc = combined.iloc[[-1]]

@@ -613,3 +613,72 @@ def test_foreign_dataset_and_shared_path_rejected(spark, scratch):
     c2 = KeyConfig(path=shared, agg=AGG, bin_by="4h")
     with pytest.raises(ValueError, match="share a dataset path"):
         AggStream(spark, ordered_on="ts", keys={"a": c1, "b": c2})
+
+
+def test_dual_sink_crash_between_commits_converges(spark, scratch, monkeypatch):
+    """T8 dual-sink atomicity: bins and snapshots are two separate
+    commits, with restart state carried by the BINS dataset alone —
+    so the snaps commit lands first, and a crash BETWEEN the commits
+    leaves snaps ahead of the recorded restart_index. Re-invocation
+    must reprocess that window (the bins cursor never advanced) and
+    converge to the one-shot result on BOTH sinks, the re-emitted
+    snap rows absorbed by the keep-last merge."""
+    from oups_spark.store.dataset import OrderedDataset
+
+    pdf = make_ticks()
+    chunks = np.split(pdf, [35, 70])
+    run_stream(spark, f"{scratch}/one", [pdf],
+               snap_path=f"{scratch}/one_snap", snap_by="15min")
+
+    bins_path = f"{scratch}/c_bins"
+    snap_path = f"{scratch}/c_snaps"
+
+    def mk():
+        cfg = KeyConfig(
+            path=bins_path, agg=AGG, bin_by="1h", snap_by="15min",
+            snap_path=snap_path, tiebreak=["id"],
+        )
+        return AggStream(spark, ordered_on="ts", keys={"k": cfg})
+
+    mk().agg(spark.createDataFrame(chunks[0]), discard_last=False)
+    ri_before = OrderedDataset(spark, bins_path).key_value_metadata[
+        "aggstream"
+    ]["restart_index"]
+
+    # inject a crash exactly between the two commits of chunk 2's
+    # flush: the snaps write (first) succeeds, the bins write raises
+    armed = {"on": True}
+    real_write = OrderedDataset.write
+
+    def boom(self, *a, **k):
+        if armed["on"] and str(self.path).endswith("c_bins"):
+            armed["on"] = False
+            raise RuntimeError("injected crash between dual-sink commits")
+        return real_write(self, *a, **k)
+
+    monkeypatch.setattr(OrderedDataset, "write", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        mk().agg(spark.createDataFrame(chunks[1]), discard_last=False)
+    monkeypatch.setattr(OrderedDataset, "write", real_write)
+
+    # the torn state is real: snaps are AHEAD of the bins cursor
+    snaps_mid = OrderedDataset(spark, snap_path).read().toPandas()
+    ri_mid = OrderedDataset(spark, bins_path).key_value_metadata[
+        "aggstream"
+    ]["restart_index"]
+    assert ri_mid == ri_before
+    assert snaps_mid["snap"].max() > ri_mid
+
+    # restart re-feeds from the (unadvanced) cursor: chunk 2 re-enters
+    # fully via trim_start, chunk 3 follows
+    mk().agg([spark.createDataFrame(chunks[1]),
+              spark.createDataFrame(chunks[2])], discard_last=False)
+
+    pd.testing.assert_frame_equal(
+        read_bins(spark, bins_path), read_bins(spark, f"{scratch}/one")
+    )
+    got_snaps = OrderedDataset(spark, snap_path).read().toPandas(
+    ).sort_values(["bin", "snap"], ignore_index=True)
+    exp_snaps = OrderedDataset(spark, f"{scratch}/one_snap").read().toPandas(
+    ).sort_values(["bin", "snap"], ignore_index=True)
+    pd.testing.assert_frame_equal(got_snaps, exp_snaps)
