@@ -555,6 +555,43 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zorder_compact_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_val,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id BETWEEN 100 AND 220 AND value BETWEEN 10.0 AND 60.0
+    """,
+)
+def zorder_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-PLACE re-clustering maintenance (``OPTIMIZE ZORDER``
+    equivalent, round-13): events land in the store time-ordered —
+    the layout every ordered append produces, on which a
+    (user_id, value) box predicate prunes nothing — then
+    ``compact(zorder_by=...)`` rewrites the live files along the
+    Morton curve through the same tombstone/CAS/rebase commit as any
+    write, preserving time travel and snapshot isolation, and the
+    same box scan now prunes most files from the manifest's per-file
+    column stats (asymmetry pinned in tests/test_ordered_dataset.py).
+    The oracle states the layout changes the scan, never the answer."""
+    path = os.path.join(_fresh("zorder_compact_scan"), "events_ds")
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ds = OrderedDataset(spark, path)
+    ds.write(df=events, ordered_on="ts", row_group_target_size=700)
+    ds.compact(zorder_by=["user_id", "value"], row_group_target_size=700)
+    box = [
+        ("user_id", ">=", 100), ("user_id", "<=", 220),
+        ("value", ">=", 10.0), ("value", "<=", 60.0),
+    ]
+    return ds.read(filters=[box]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_val"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "store_cmidx_roundtrip",
     oracle="""
     SELECT ts AS t, event_id AS e, event_type, value

@@ -71,6 +71,7 @@ _SRC = "__oups_src"
 _FIDX = "__oups_fidx"
 _FNAME = "__oups_fname"
 _POS = "__oups_pos"
+_ZCOL = "__oups_zorder"  # transient Morton-curve layout key
 # manifest kv key remembering write(bloom_cols=...) so later appends
 # keep indexing (plain name: dunder-keyed kv dicts read as codec tags)
 _BLOOM_COLS_KV = "oups.bloom_cols"
@@ -1255,8 +1256,17 @@ class OrderedDataset:
         target,
         approx_rows: int,
         cache: bool = False,
+        cluster_col: str | None = None,
     ) -> list[FileEntry]:
         """Write merged data into size-controlled files, return stats.
+
+        ``cluster_col``: optional alternative LAYOUT key (a column
+        already on ``merged``, e.g. a Morton curve) — files are
+        range-partitioned and sorted on it instead of ``ordered_on``
+        and it is dropped before writing. Per-file stats still record
+        the ordering column's [min, max] (ranges may then overlap,
+        which the store tolerates) plus every column's bounds for the
+        data-skipping index. Row-count targets only.
 
         Row-count target: ``repartitionByRange`` into
         ``ceil(rows/target)`` splits + ``maxRecordsPerFile`` cap.
@@ -1291,15 +1301,21 @@ class OrderedDataset:
                 merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
             if isinstance(target, int):
                 n_out = max(1, -(-approx_rows // target))
+                layout_key = cluster_col or ordered_on
                 if n_out == 1:
                     # one output split: the range partitioner would
                     # only add its child-re-executing sample pass
                     out = merged.coalesce(1)
                 else:
-                    out = merged.repartitionByRange(n_out, F.col(ordered_on))
+                    out = merged.repartitionByRange(n_out, F.col(layout_key))
+                sort_cols = (
+                    [cluster_col, ordered_on] if cluster_col else [ordered_on]
+                )
                 out = out.sortWithinPartitions(
-                    ordered_on, _SRC, _FIDX, _POS
+                    *sort_cols, _SRC, _FIDX, _POS
                 ).drop(_SRC, _FIDX, _POS)
+                if cluster_col:
+                    out = out.drop(cluster_col)
                 (
                     out.write.option("maxRecordsPerFile", target)
                     .mode("overwrite")
@@ -1359,7 +1375,11 @@ class OrderedDataset:
 
     # ---------------------------------------------------------- compact
     def compact(
-        self, *, row_group_target_size: int | str = DEFAULT_ROW_GROUP_TARGET_SIZE
+        self,
+        *,
+        row_group_target_size: int | str = DEFAULT_ROW_GROUP_TARGET_SIZE,
+        zorder_by: list[str] | None = None,
+        conflict_retries: int = 0,
     ) -> int:
         """Coalesce runs of off-target files without new data — the
         reference's off-target coalescing as a standalone maintenance
@@ -1373,7 +1393,42 @@ class OrderedDataset:
         (reference one-file-per-period rule,
         ``time_period_strategy.py:166-199``); a run of 1 is rewritten
         when that lone file straddles periods (the rewrite splits it).
+
+        ``zorder_by``: IN-PLACE RE-CLUSTERING (Delta ``OPTIMIZE
+        ZORDER BY`` equivalent; beyond reference) — rewrite EVERY
+        file along the Morton curve over the named columns
+        (equi-depth rank buckets, bit-interleaved, range-partitioned
+        into row-count-targeted files), through the same
+        tombstone/CAS/rebase commit as every other write: readers see
+        either the old layout or the new one, ``as_of`` time travel
+        keeps resolving the pre-compact generation, and a concurrent
+        writer's commit triggers reload-and-re-run (bounded by
+        ``conflict_retries``; the re-run re-clusters the winner's
+        files too, so no rows are lost). At 100 TB this is the weekly
+        maintenance pass: clustering degrades under ordered appends
+        and DML, and the per-file [min, max] the manifest records on
+        every column is only as tight as the layout. File ranges on
+        the ordering column widen/overlap after re-clustering — the
+        store tolerates overlap (``read`` sorts; range reads stay
+        correct, just less pruned), which is the explicit trade for
+        tight multi-column boxes. Returns the number of files
+        rewritten. Row-count targets only; files rewritten here lose
+        their Bloom indexes (same degrade as plain compaction —
+        re-index with a later ``write(bloom_cols=...)``).
         """
+        if zorder_by is not None:
+            attempt = 0
+            while True:
+                try:
+                    return self._compact_zorder_attempt(
+                        zorder_by, row_group_target_size
+                    )
+                except ManifestConflictError:
+                    if attempt >= conflict_retries:
+                        raise
+                    attempt += 1
+                    self.conflict_reruns += 1
+                    self._manifest = Manifest.load(self.path, self.backend)
         if not self.exists or not self._manifest.files:
             return 0
         files = self._manifest.files
@@ -1472,6 +1527,71 @@ class OrderedDataset:
             raise
         self._remove_files(expired)
         return rewritten
+
+    def _compact_zorder_attempt(self, zorder_by: list[str], target) -> int:
+        """One optimistic attempt of ``compact(zorder_by=...)`` — see
+        :meth:`compact`. Reads every live file through the manifest
+        schema, lays the rows along the Morton curve
+        (``store/zorder.py`` — one approx-percentile sketch pass, then
+        map-side bucket fold + interleave, all JVM expressions), and
+        swaps the full file set in one manifest commit."""
+        from oups_spark.store.zorder import zorder_column
+
+        if not isinstance(target, int):
+            raise ValueError(
+                "compact(zorder_by=...) needs a row-count target (a "
+                "period target would re-impose the single-column layout "
+                "the re-clustering replaces)"
+            )
+        if not self.exists or not self._manifest.files:
+            return 0
+        man = self._manifest
+        ordered_on = man.ordered_on
+        schema = self.schema()
+        known = {f.name for f in schema.fields} if schema is not None else set()
+        missing = [c for c in zorder_by if c not in known]
+        if missing:
+            raise ValueError(f"zorder_by columns absent from dataset: {missing}")
+        old = list(man.files)
+        reader = self.spark.read
+        if man.schema_json:
+            reader = reader.schema(
+                StructType.fromJson(__import__("json").loads(man.schema_json))
+            )
+        df = reader.parquet(*[os.path.join(self.path, e.name) for e in old])
+        z = zorder_column(df, zorder_by)
+        merged = _with_file_rank(
+            self.spark,
+            df.withColumn(_POS, F.monotonically_increasing_id())
+            .withColumn(_SRC, F.lit(0))
+            .withColumn(_ZCOL, z),
+            old,
+        )
+        total = sum(e.n_rows for e in old)
+        new_entries = self._write_files(
+            merged, ordered_on, target, total, cluster_col=_ZCOL
+        )
+        names = {e.name for e in old}
+        self._manifest.files = [
+            e for e in self._manifest.files if e.name not in names
+        ] + new_entries
+        expired = self._stage_tombstones(self._manifest, [e.name for e in old])
+        try:
+            self._manifest.save(
+                self.path, self.backend, snapshot=self.retain_versions
+            )
+        except ManifestConflictError:
+            # staged rewrites were never referenced — remove them and
+            # restore the handle so compact()'s retry loop can
+            # reload-and-re-run against the winner's manifest
+            for e in new_entries:
+                p = os.path.join(self.path, e.name)
+                if os.path.exists(p):
+                    os.remove(p)
+            self._manifest = Manifest.load(self.path, self.backend)
+            raise
+        self._remove_files(expired)
+        return len(old)
 
     # ------------------------------------------------------------- DML
     def delete_where(

@@ -48,15 +48,16 @@ def _interleave(cols: list[Column], bits: int = _ZBITS) -> Column:
     return z
 
 
-def zorder_write(
-    df: DataFrame,
-    path: str,
-    *,
-    cols: list[str],
-    n_files: int = 16,
-    n_buckets: int = 2**_ZBITS,
-) -> None:
-    """Write ``df`` to ``path`` z-order-clustered on ``cols``."""
+def zorder_column(
+    df: DataFrame, cols: list[str], *, n_buckets: int = 2**_ZBITS
+) -> Column:
+    """The Morton-curve expression over ``cols`` for ``df``'s value
+    distribution: equi-depth bucket boundaries from ONE eager
+    ``approx_percentile`` sketch pass over ``df`` (driver receives
+    ``n_buckets`` doubles per column), then a map-side codegen'd
+    bucket fold + bit interleave. Shared by :func:`zorder_write`
+    (fresh layout) and ``OrderedDataset.compact(zorder_by=...)``
+    (in-place re-clustering)."""
     if len(cols) < 2:
         raise ValueError("z-ordering needs at least two columns")
     pcts = [i / (n_buckets - 1) for i in range(1, n_buckets - 1)]
@@ -82,7 +83,19 @@ def zorder_write(
                 lambda acc, b: acc + (v >= b).cast("int"),
             )
         )
-    z = _interleave(idx_cols)
+    return _interleave(idx_cols)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    *,
+    cols: list[str],
+    n_files: int = 16,
+    n_buckets: int = 2**_ZBITS,
+) -> None:
+    """Write ``df`` to ``path`` z-order-clustered on ``cols``."""
+    z = zorder_column(df, cols, n_buckets=n_buckets)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

@@ -1714,3 +1714,131 @@ def test_delete_where_on_schema_evolved_dataset(spark, scratch):
     out2 = ds.read().toPandas().sort_values("ts", ignore_index=True)
     assert out2["val"].tolist() == [-1.0, 2.0, 4.0]
     assert out2["extra"].isna().tolist() == [True, True, False]
+
+
+def test_compact_zorder_prunes_preserves_and_time_travels(spark, scratch):
+    """compact(zorder_by=...) — in-place OPTIMIZE ZORDER: (1) the
+    rows are layout-independent (same read before/after, same box
+    answer), (2) the pruning ASYMMETRY is real — the time-ordered
+    layout's per-file stats cannot skip anything for a (uid, v) box
+    while the re-clustered layout skips most files, (3) time travel
+    to the pre-compact generation still resolves, (4) range reads on
+    the ordering column stay correct over the now-overlapping file
+    ranges."""
+    import os
+
+    import pandas as pd
+
+    from oups_spark.functions.filters import dnf_file_can_match
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+            # uid/v deliberately uncorrelated with ts so the ordered
+            # layout's footers are useless for the box
+            "uid": [(i * 7919) % 500 for i in range(n)],
+            "v": [float((i * 104729) % 1000) / 10 for i in range(n)],
+        }
+    )
+    ds = OrderedDataset(
+        spark, os.path.join(scratch, "zc"), retain_versions=True
+    )
+    ds.write(df=spark.createDataFrame(pdf), ordered_on="ts",
+             row_group_target_size=250)
+    gen0 = ds.manifest.generation
+    box = [
+        ("uid", ">=", 100), ("uid", "<=", 160),
+        ("v", ">=", 20.0), ("v", "<=", 45.0),
+    ]
+    match_before = sum(
+        dnf_file_can_match(e.cols, [box], blooms=e.blooms)
+        for e in ds.manifest.files
+    )
+    n_files = len(ds.manifest.files)
+    exp_box = ds.read(filters=[box]).toPandas().sort_values(
+        ["ts"], ignore_index=True
+    )
+    assert match_before == n_files  # ordered layout: zero skipping
+
+    rewritten = ds.compact(zorder_by=["uid", "v"], row_group_target_size=250)
+    assert rewritten == n_files
+    assert ds.manifest.generation == gen0 + 1
+
+    match_after = sum(
+        dnf_file_can_match(e.cols, [box], blooms=e.blooms)
+        for e in ds.manifest.files
+    )
+    assert match_after <= n_files // 2  # the asymmetry is the point
+    got_box = ds.read(filters=[box]).toPandas().sort_values(
+        ["ts"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got_box, exp_box)
+    # full contents unchanged, ordering-column range read still exact
+    got_all = ds.read(ordered=True).toPandas()
+    pd.testing.assert_frame_equal(
+        got_all.sort_values("ts", ignore_index=True), pdf
+    )
+    lo, hi = pdf["ts"][1000], pdf["ts"][2000]
+    assert ds.read(start=lo, end_excl=hi).count() == 1000
+    # time travel: pre-compact generation resolves to identical rows
+    tt = ds.read(as_of=gen0).toPandas().sort_values("ts", ignore_index=True)
+    pd.testing.assert_frame_equal(tt, pdf)
+    # validation: period targets and unknown columns are rejected
+    with pytest.raises(ValueError, match="row-count target"):
+        ds.compact(zorder_by=["uid", "v"], row_group_target_size="1D")
+    with pytest.raises(ValueError, match="absent"):
+        ds.compact(zorder_by=["uid", "nope"])
+
+
+def test_compact_zorder_conflict_hammer(spark, scratch):
+    """The re-clustering commit goes through the same CAS path as
+    every write: a concurrent append between the z-order read and its
+    commit forces reload-and-re-run (conflict_retries), and the final
+    state holds BOTH the re-clustered rows and the winner's append —
+    the re-run re-clusters the winner's files too."""
+    import os
+
+    import pandas as pd
+
+    from oups_spark.store.dataset import ManifestConflictError
+
+    path = os.path.join(scratch, "zc_hammer")
+    df, pdf = _dml_frame(spark)
+    ds = OrderedDataset(spark, path, deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+
+    writer = OrderedDataset(spark, path, deletion_grace_s=0)
+    later = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.date_range("2024-03-01", periods=4, freq="h"),
+                "uid": [99] * 4,
+                "v": [500.0] * 4,
+            }
+        )
+    )
+
+    # make the compacting handle stale, then compact WITHOUT retries:
+    # must surface the conflict (the failed attempt reloads, so a
+    # followup would see the winner)
+    writer.write(df=later.limit(2), conflict_retries=0)
+    with pytest.raises(ManifestConflictError):
+        ds.compact(zorder_by=["uid", "v"], row_group_target_size=10)
+    # retry path: stale AGAIN (second concurrent append), the retried
+    # attempt conflicts once, reloads and re-runs over the winner's
+    # files
+    import pyspark.sql.functions as SF
+
+    cut = pd.Timestamp("2024-03-01 02:00")
+    writer.write(
+        df=later.filter(SF.col("ts") >= SF.lit(cut)), conflict_retries=0
+    )
+    n = ds.compact(
+        zorder_by=["uid", "v"], row_group_target_size=10, conflict_retries=3
+    )
+    assert n >= 1 and ds.conflict_reruns >= 1
+    final = OrderedDataset(spark, path, deletion_grace_s=0)
+    got = final.read().toPandas()
+    assert len(got) == len(pdf) + 4
+    assert (got["uid"] == 99).sum() == 4
