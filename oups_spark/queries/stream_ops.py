@@ -889,6 +889,85 @@ def streaming_native_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_native_objectstore",
+    oracle="""
+    WITH agged AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+             arg_min(value, ts)   AS first_val,
+             arg_max(value, ts)   AS last_val,
+             round(min(value), 6) AS min_val,
+             round(max(value), 6) AS max_val,
+             round(sum(value), 6) AS sum_val
+      FROM events GROUP BY 1
+    ), mx AS (SELECT max(ts) AS m FROM events)
+    SELECT bin, first_val, last_val, min_val, max_val, sum_val
+    FROM agged, mx
+    WHERE bin + INTERVAL 1 HOUR <= m
+    ORDER BY bin
+    """,
+)
+def streaming_native_objectstore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sink on the OBJECT-STORE backend (round-13:
+    checkpoint-resume + conditional-put CAS compose): the hourly
+    windowed aggregation streams in THREE micro-batches
+    (maxFilesPerTrigger=1 over time-chunked copies), each batch's
+    manifest commit going through ``InMemoryParquetObjectStore``'s
+    put-if-match protocol — no POSIX manifest exists anywhere — then
+    a SECOND invocation resumes from the same checkpoint as a no-op
+    (nothing new to commit; redelivery would be absorbed by the
+    keep-last merge + CAS). Oracle = the batch hourly aggregation
+    minus the unclosed final bin, identical to the POSIX-backend
+    twin's (``streaming_native_hourly``) — the backend changes the
+    commit transport, never the result."""
+    from oups_spark.store.manifest import InMemoryParquetObjectStore
+    from oups_spark.streaming.native import (
+        streaming_segment_agg,
+        write_stream_to_dataset,
+    )
+    from oups_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_objectstore")
+    path = os.path.join(base, "bins_ds")
+    src_dir = os.path.join(base, "chunks")
+    events = load(spark, sf_dir, "events").select("ts", "value")
+    for i, cond in enumerate(_replay_cuts(events)):
+        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, f"chunk{i}")
+        )
+    schema = spark.read.parquet(os.path.join(src_dir, "chunk0")).schema
+    backend = InMemoryParquetObjectStore()
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agged = streaming_segment_agg(
+            stream, "ts", _AGG, bin_by="1h", watermark="0 seconds"
+        )
+        write_stream_to_dataset(
+            agged, path, checkpoint_dir=os.path.join(base, "ckpt"),
+            backend=backend, conflict_retries=3,
+        )
+
+    run()
+    run()  # checkpoint resume: a no-op second invocation
+    out = OrderedDataset(spark, path, backend=backend).read()
+    return out.select(
+        "bin",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("bin")
+
+
+@register(
     "streaming_native_snapshots_calendar",
     oracle="""
     WITH wm AS (

@@ -599,13 +599,26 @@ def write_stream_to_dataset(
     checkpoint_dir: str | None = None,
     row_group_target_size: int | str = 100_000,
     available_now: bool = True,
+    backend=None,
+    conflict_retries: int = 0,
 ):
     """Sink a streaming aggregation into an OrderedDataset: each
     append-mode micro-batch (closed bins only) goes through the
     ordered merge write, so the dataset stays one sorted,
     size-controlled parquet sequence with exactly-once bins (the
     keep-last dedup on the bin label absorbs Spark's at-least-once
-    redelivery after a checkpoint recovery)."""
+    redelivery after a checkpoint recovery).
+
+    ``backend``: optional ManifestBackend routing each micro-batch's
+    manifest commit — an :class:`ObjectStoreBackend` makes the sink's
+    exactly-once story compose with conditional-put CAS on S3/GCS:
+    Spark's checkpoint replays at-least-once, the keep-last merge
+    absorbs redelivery, and the CAS (with ``conflict_retries`` for
+    concurrent batch writers) serializes each batch commit against
+    any other writer of the same dataset. The sink runs on the
+    driver (``foreachBatch``), so the backend instance is shared
+    across batches and restarts within a process; on a real object
+    store the backend is stateless against the bucket anyway."""
     from oups_spark.store.dataset import OrderedDataset
 
     spark = agged.sparkSession
@@ -616,12 +629,13 @@ def write_stream_to_dataset(
             # column itself, and within one append-mode micro-batch
             # bin labels are unique (one row per expired window), so
             # the keep-last tiebreak never depends on batch row order
-            OrderedDataset(spark, path).write(
+            OrderedDataset(spark, path, backend=backend).write(
                 df=batch_df,
                 ordered_on=bin_col,
                 duplicates_on=[],
                 row_group_target_size=row_group_target_size,
                 validate_monotonic=False,
+                conflict_retries=conflict_retries,
             )
 
     writer = agged.writeStream.outputMode("append").foreachBatch(sink)
