@@ -191,6 +191,23 @@ def segment_words(
         ]
     else:
         pairs = [tuple(p) for p in merges]
+    seen: set = set()
+    dupes = []
+    for p in pairs:
+        if p in seen:
+            dupes.append(p)
+        seen.add(p)
+    if dupes:
+        # one contract for both engines: the JVM chained fold replays
+        # every occurrence at its rank while the python engine keeps
+        # the first — a table where a later merge re-forms an earlier
+        # pair's adjacency would then segment differently per engine
+        # (and engine="auto" switches engines at fold_chunk merges).
+        # bpe_train never emits a pair twice, so duplicates are a
+        # malformed table, rejected up front.
+        raise ValueError(
+            f"duplicate merge pairs in table: {sorted(set(dupes))[:5]}"
+        )
     if engine == "auto":
         engine = "jvm" if len(pairs) <= fold_chunk else "python"
     if engine == "python":
@@ -220,11 +237,8 @@ def _segment_words_python(
         StructType,
     )
 
-    # first occurrence wins; later duplicates could only re-fire on a
-    # re-formed adjacency, which the docstring argument rules out
-    rank: dict[tuple, int] = {}
-    for i, p in enumerate(pairs):
-        rank.setdefault(p, i)
+    # pairs are unique (segment_words rejects duplicates up front)
+    rank: dict[tuple, int] = {p: i for i, p in enumerate(pairs)}
 
     def encode_one(w: str) -> list[str]:
         syms = list(w) + [END_MARK]

@@ -2117,76 +2117,92 @@ class OrderedDataset:
 
         # (5) not-matched source rows -> NEW files (anti-join against
         # the candidates only: pruning is conservative, no other file
-        # can hold a matching key)
+        # can hold a matching key). Steps 5-6 run under a cleanup
+        # guard: the step-4 replacement files are already FINALIZED
+        # into the dataset dir but referenced by no manifest until the
+        # commit lands, so any failure here (the null-ordered_on
+        # raise, an insert-write error) must delete them — and any
+        # finalized inserts — or every failed/retried merge leaks
+        # orphan data files (no read impact, reads are
+        # manifest-driven; disk only). A CAS conflict inside _commit
+        # already cleans its new entries (idempotent: exists-guarded),
+        # and a successful rebase returns normally, keeping its files.
         inserts: list[FileEntry] = []
         n_ins = 0
-        if when_not_matched_insert:
-            ins = source.alias("s")
-            if cands:
-                ins = ins.join(
-                    reader.parquet(*cand_paths).select(*on).alias("t"),
-                    key_cond,
-                    "left_anti",
-                )
-            istats = ins.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.when(F.col(o).isNull(), 1).otherwise(0)
-                ).alias("nnull"),
-            ).collect()[0]
-            n_ins = int(istats["n"])
-            if n_ins and int(istats["nnull"] or 0):
-                raise ValueError(
-                    "null values in ordered_on are not allowed"
-                )
-            if n_ins:
-                proj = ins.select(
-                    *[
-                        (
-                            F.col(f.name).cast(f.dataType)
-                            if f.name in source.columns
-                            else F.lit(None).cast(f.dataType)
-                        ).alias(f.name)
-                        for f in schema.fields
-                    ]
-                ).withColumns(
-                    {
-                        _POS: F.monotonically_increasing_id(),
-                        _SRC: F.lit(1),
-                        _FIDX: F.lit(0),
-                    }
-                )
-                inserts = self._write_files(
-                    proj, o, row_group_target_size, n_ins
-                )
+        try:
+            if when_not_matched_insert:
+                ins = source.alias("s")
+                if cands:
+                    ins = ins.join(
+                        reader.parquet(*cand_paths).select(*on).alias("t"),
+                        key_cond,
+                        "left_anti",
+                    )
+                istats = ins.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(F.col(o).isNull(), 1).otherwise(0)
+                    ).alias("nnull"),
+                ).collect()[0]
+                n_ins = int(istats["n"])
+                if n_ins and int(istats["nnull"] or 0):
+                    raise ValueError(
+                        "null values in ordered_on are not allowed"
+                    )
+                if n_ins:
+                    proj = ins.select(
+                        *[
+                            (
+                                F.col(f.name).cast(f.dataType)
+                                if f.name in source.columns
+                                else F.lit(None).cast(f.dataType)
+                            ).alias(f.name)
+                            for f in schema.fields
+                        ]
+                    ).withColumns(
+                        {
+                            _POS: F.monotonically_increasing_id(),
+                            _SRC: F.lit(1),
+                            _FIDX: F.lit(0),
+                        }
+                    )
+                    inserts = self._write_files(
+                        proj, o, row_group_target_size, n_ins
+                    )
 
-        # counts fold the by-source clauses into the totals (Delta's
-        # top-level metrics convention)
-        result = {
-            "updated": n_upd + n_nbs_upd,
-            "deleted": n_del + n_nbs_del,
-            "inserted": n_ins,
-        }
-        if not touched and not inserts:
-            return result
+            # counts fold the by-source clauses into the totals (Delta's
+            # top-level metrics convention)
+            result = {
+                "updated": n_upd + n_nbs_upd,
+                "deleted": n_del + n_nbs_del,
+                "inserted": n_ins,
+            }
+            if not touched and not inserts:
+                return result
 
-        # (6) ONE commit: replacements + inserts in a single
-        # tombstone/CAS/rebase manifest swap
-        new_entries = rewritten + inserts
-        self._attach_blooms(
-            new_entries, man.kv.get(_BLOOM_COLS_KV), schema
-        )
-        replaced = {e.name for e in touched}
-        self._commit(
-            o,
-            df=None,
-            target_schema=schema,
-            kept=[e for e in man.files if e.name not in replaced],
-            replaced_names=sorted(replaced),
-            new_entries=new_entries,
-            key_value_metadata=None,
-            cmidx=man.cmidx,
-        )
+            # (6) ONE commit: replacements + inserts in a single
+            # tombstone/CAS/rebase manifest swap
+            new_entries = rewritten + inserts
+            self._attach_blooms(
+                new_entries, man.kv.get(_BLOOM_COLS_KV), schema
+            )
+            replaced = {e.name for e in touched}
+            self._commit(
+                o,
+                df=None,
+                target_schema=schema,
+                kept=[e for e in man.files if e.name not in replaced],
+                replaced_names=sorted(replaced),
+                new_entries=new_entries,
+                key_value_metadata=None,
+                cmidx=man.cmidx,
+            )
+        except BaseException:
+            for e in rewritten + inserts:
+                p = os.path.join(self.path, e.name)
+                if os.path.exists(p):
+                    os.remove(p)
+            raise
         return result
 
     def _dml(self, filters, assignments, conflict_retries: int) -> int:

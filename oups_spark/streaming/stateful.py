@@ -137,11 +137,12 @@ def streaming_volume_bars(
         import numpy as np
 
         if state.exists:
-            acc, ob, o_start, o_end, o_n, o_vol, o_val = state.get
+            acc, ob, o_start, o_end, o_n, o_vol, o_val, seen = state.get
         else:
             acc, ob = float(initial_volume), -1
             o_start = o_end = o_n = 0
             o_vol = o_val = 0.0
+            seen = -(2**63)  # min int64: nothing seen yet
         chunks = [pdf for pdf in pdf_iter]
         rows = (
             pd.concat(chunks, ignore_index=True)
@@ -149,6 +150,26 @@ def streaming_volume_bars(
             else chunks[0]
         )
         rows = rows.sort_values([ordered_on, *tiebreak], ignore_index=True)
+        # GLOBAL-ORDER GUARD: rows are sorted within each micro-batch
+        # only, and closed bars are emitted irrevocably — a batch that
+        # starts BEFORE the last row already folded (an out-of-order
+        # multi-part source, late data after a restart) would silently
+        # misassign bars. The reference AggStream raises on
+        # non-monotonic ordered_on seed input (aggstream.py disorder
+        # check); mirror it here from one carried scalar. Ties on the
+        # boundary instant are allowed (same contract as the batch
+        # operator's tiebreak within one instant).
+        first_ns = int(
+            rows[ordered_on].astype("datetime64[ns]").astype("int64").iloc[0]
+        )
+        if first_ns < seen:
+            raise ValueError(
+                f"streaming_volume_bars: micro-batch starts at "
+                f"{rows[ordered_on].iloc[0]} before the last folded row "
+                f"({pd.Timestamp(seen)}); the source must deliver batches "
+                "in global (ordered_on, tiebreak) order — use an ordered "
+                "file source or re-sort upstream"
+            )
         vol = rows[volume_col].astype(float)
         cum_before = acc + vol.cumsum().shift(1, fill_value=0.0)
         bins = np.floor(cum_before / threshold).astype("int64")
@@ -209,8 +230,9 @@ def streaming_volume_bars(
             o_start, o_end = int(oo["t0"]), int(oo["t1"])
         else:
             o_n, o_vol, o_val, o_start, o_end = 0, 0.0, 0.0, 0, 0
+        seen = max(seen, int(ts_ns.iloc[-1]))  # rows are sorted
         state.update(
-            (acc, open_bin, o_start, o_end, o_n, o_vol, o_val)
+            (acc, open_bin, o_start, o_end, o_n, o_vol, o_val, seen)
         )
         out = pd.DataFrame(
             {
@@ -232,7 +254,7 @@ def streaming_volume_bars(
         outputStructType=out_schema,
         stateStructType=(
             "acc double, open_bin long, o_start long, o_end long, "
-            "o_n long, o_vol double, o_val double"
+            "o_n long, o_vol double, o_val double, seen long"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

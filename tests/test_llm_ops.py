@@ -773,3 +773,27 @@ def test_segment_words_thousand_merges_compiles_and_matches(spark):
         ).collect()
     }
     assert got_jvm == got_py
+
+
+def test_segment_words_rejects_duplicate_merge_pairs(spark):
+    """One contract for both engines (round-13 ADVICE): the JVM
+    chained fold replays a duplicate pair at every listed rank while
+    the python engine keeps only the first, so a table where a later
+    merge re-forms an earlier pair's adjacency would segment
+    differently per engine — and engine='auto' silently switches
+    engines at fold_chunk merges. bpe_train never emits a pair twice;
+    duplicates are rejected up front, identically on every engine."""
+    import pytest
+
+    from oups_spark.operators.bpe import segment_words
+
+    words = spark.createDataFrame([("abcd",)], "w string")
+    dup = [("a", "b"), ("c", "d"), ("a", "b")]
+    for eng in ("jvm", "python", "auto"):
+        with pytest.raises(ValueError, match="duplicate merge pairs"):
+            segment_words(words, dup, engine=eng)
+    # unique tables still work on both engines, identically
+    ok = [("a", "b"), ("ab", "c")]
+    got_j = segment_words(words, ok, engine="jvm").collect()[0]["syms"]
+    got_p = segment_words(words, ok, engine="python").collect()[0]["syms"]
+    assert got_j == got_p == ["abc", "d", "</w>"]

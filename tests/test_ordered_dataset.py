@@ -1842,3 +1842,55 @@ def test_compact_zorder_conflict_hammer(spark, scratch):
     got = final.read().toPandas()
     assert len(got) == len(pdf) + 4
     assert (got["uid"] == 99).sum() == 4
+
+
+def test_merge_into_failure_leaves_no_orphan_files(spark, scratch):
+    """A merge that fails AFTER the copy-on-write replacements are
+    finalized (here: the step-5 null-ordered_on insert raise) must
+    delete the staged-but-uncommitted files — reads were never at
+    risk (manifest-driven) but every failed/retried merge used to
+    leak disk. After the failure: same manifest generation, same
+    rows, and the dataset dir holds exactly the manifest's files
+    (plus manifest artifacts)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    df, pdf = _dml_frame(spark)
+    ds = OrderedDataset(spark, os.path.join(scratch, "mo"), deletion_grace_s=0)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+    gen0 = ds.manifest.generation
+
+    # source keyed on uid: one matched update (forces the COW rewrite
+    # to stage replacement files) and one not-matched row whose
+    # ordered_on is NULL — the step-5 raise fires AFTER staging
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [pdf["ts"][0], pd.NaT],
+                "uid": [0, 777],
+                "v": [1.5, 2.5],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="null values in ordered_on"):
+        ds.merge_into(
+            src, on="uid",
+            when_matched_update={"v": 99.0},
+            when_not_matched_insert=True,
+        )
+
+    ds2 = OrderedDataset(spark, os.path.join(scratch, "mo"))
+    assert ds2.manifest.generation == gen0
+    got = ds2.read().toPandas().sort_values("ts", ignore_index=True)
+    pd.testing.assert_frame_equal(got[["ts", "uid", "v"]], pdf)
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(scratch, "mo", "*.parquet"))
+    }
+    referenced = {os.path.basename(e.name) for e in ds2.manifest.files}
+    orphans = {
+        f for f in on_disk - referenced if not f.startswith("manifest")
+    }
+    assert orphans == set(), f"leaked files: {orphans}"

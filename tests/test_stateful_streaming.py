@@ -7,6 +7,7 @@ import os
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pytest
 
 
 def test_stateful_ffill_carries_across_microbatches(spark, scratch):
@@ -259,3 +260,46 @@ def test_streaming_volume_bars_per_key_fanout(spark, scratch):
     # the keys genuinely diverged (different bar boundaries)
     assert got[got["sym"] == "a"]["n_rows"].tolist() != \
         got[got["sym"] == "b"]["n_rows"].tolist()
+
+
+def test_streaming_volume_bars_rejects_out_of_order_batch(spark, scratch):
+    """Global-order guard (round-13 ADVICE): closed bars emit
+    irrevocably, so a micro-batch starting BEFORE the last folded row
+    must raise (the reference AggStream's disorder rejection), not
+    silently misassign bars. Delivered here via latestFirst=true,
+    which feeds the newest source file first."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from oups_spark.streaming.stateful import streaming_volume_bars
+
+    src = os.path.join(scratch, "ooo_src")
+    os.makedirs(src, exist_ok=True)
+    cols = ["ts", "eid", "qty"]
+    t0 = pd.Timestamp("2024-01-01")
+    schema = "ts timestamp, eid long, qty double"
+    early = [(t0 + pd.Timedelta(hours=h), h, 6.0) for h in range(1, 4)]
+    late = [(t0 + pd.Timedelta(hours=h), h, 6.0) for h in range(4, 7)]
+    for name, sl in (("b0", early), ("b1", late)):
+        spark.createDataFrame(
+            pd.DataFrame(sl, columns=cols), schema
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "true")  # newest file first = disorder
+        .parquet(os.path.join(src, "*"))
+    )
+    barred = streaming_volume_bars(
+        stream, ordered_on="ts", volume_col="qty", threshold=10.0,
+        tiebreak="eid",
+    )
+    q = (
+        barred.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="before the last folded row"):
+        q.awaitTermination()
