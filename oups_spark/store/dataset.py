@@ -1962,8 +1962,23 @@ class OrderedDataset:
                     r[0] for r in source.select(on[0]).distinct().collect()
                 ]
                 filters = [[(on[0], "in", keys)]]
+            # wide-manifest fast path: an Arrow-lazy file list
+            # pre-prunes on the key-column [min, max] ranges in
+            # vectorized compute, materializing only survivors — the
+            # candidate set (and the Python exact filter below, which
+            # adds the IN/bloom precision) is then pinned by the
+            # source's key span, never the manifest width
+            pre = man.files
+            prune_keys = getattr(pre, "prune_key_range", None)
+            if prune_keys is not None:
+                pre = prune_keys(
+                    {
+                        c: (sstats[f"__mn_{c}"], sstats[f"__mx_{c}"])
+                        for c in on
+                    }
+                )
             cands = [
-                e for e in man.files
+                e for e in pre
                 if dnf_file_can_match(
                     {o: (e.min, e.max), **(e.cols or {})}, filters,
                     blooms=e.blooms,

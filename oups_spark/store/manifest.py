@@ -523,6 +523,48 @@ class ArrowFileList:
             mask = m2 if mask is None else pc.and_(mask, m2)
         return self._codec._files_from_table(t.filter(mask))
 
+    def prune_key_range(self, bounds: dict) -> list[FileEntry]:
+        """Vectorized pre-prune on PER-COLUMN skip stats: entries
+        whose typed ``c_min:<col>``/``c_max:<col>`` sidecar stats can
+        intersect every ``{col: (lo, hi)}`` range — the wide-manifest
+        fast path for ``merge_into``'s candidate selection, so a CDC
+        merge against a 100k-file manifest prunes in Arrow compute
+        and materializes only survivors, instead of building 100k
+        ``FileEntry`` objects to reject in Python. Conservative:
+        entries with missing/untyped stats for a column are KEPT, and
+        columns with no typed stats at all cannot prune. Falls back
+        to full materialization when the list was already
+        materialized (the caller's exact filter re-checks every
+        survivor anyway)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = self._table
+        if self._materialized is not None or not bounds:
+            return self._all()
+        mask = None
+        for c, (lo, hi) in bounds.items():
+            cmin_name, cmax_name = f"c_min:{c}", f"c_max:{c}"
+            if (
+                cmin_name not in t.column_names
+                or lo is None
+                or hi is None
+            ):
+                continue
+            cmin, cmax = t.column(cmin_name), t.column(cmax_name)
+            try:
+                inter = pc.and_kleene(
+                    pc.greater_equal(cmax, pa.scalar(lo, type=cmax.type)),
+                    pc.less_equal(cmin, pa.scalar(hi, type=cmin.type)),
+                )
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                continue  # incomparable scalar: cannot prune on this col
+            keep = pc.or_kleene(pc.is_null(cmin), inter)
+            mask = keep if mask is None else pc.and_(mask, keep)
+        if mask is None:
+            return self._all()
+        return self._codec._files_from_table(t.filter(mask))
+
 
 class ParquetManifestBackend(PosixRenameBackend, _ParquetFilesCodec):
     """Manifest head as small JSON + file entries as a PARQUET

@@ -1352,3 +1352,83 @@ def test_sidecar_gc_window_invariant_across_commits(tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="sidecar"):
         Manifest.load(d, be)
+
+
+def test_merge_into_wide_manifest_prunes_synthetic_entries(spark, tmp_path):
+    """merge_into candidate pruning at wide manifests (round-13):
+    20k synthetic entries with disjoint key/time spans share the
+    parquet manifest with a handful of real files — their data files
+    DO NOT EXIST, so any candidate that survives pruning would
+    FileNotFound in the hit scan. The merge must succeed (vectorized
+    ArrowFileList.prune_key_range rejects them in Arrow compute before
+    a single FileEntry materializes) and update exactly the real
+    rows. Also pins prune_key_range's contract directly: conservative
+    on missing stats, exact on typed ranges, lazy until survivors."""
+    import pandas as pd
+    import pyspark.sql.functions as SF
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import (
+        ArrowFileList,
+        FileEntry,
+        Manifest,
+        ParquetManifestBackend,
+    )
+
+    d = str(tmp_path / "wide")
+    be = ParquetManifestBackend()
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=400, freq="min"),
+            "uid": range(400),
+            "v": [float(i) for i in range(400)],
+        }
+    )
+    ds = OrderedDataset(spark, d, backend=be)
+    ds.write(
+        df=spark.createDataFrame(pdf), ordered_on="ts",
+        row_group_target_size=100, use_driver_merge=False,
+    )
+    n_real = ds.n_files
+    man = ds.manifest
+    t_far = pd.Timestamp("2030-01-01")
+    man.files = list(man.files) + [
+        FileEntry(
+            name=f"synthetic{i:05d}.parquet", n_rows=100,
+            min=t_far + pd.Timedelta(hours=i),
+            max=t_far + pd.Timedelta(minutes=59, hours=i),
+            cols={"uid": (1_000_000 + i * 100, 1_000_000 + i * 100 + 99),
+                  "v": (0.0, 1.0)},
+        )
+        for i in range(20_000)
+    ]
+    man.save(d, be)
+
+    ds2 = OrderedDataset(spark, d, backend=be)
+    fl = ds2.manifest.files
+    assert isinstance(fl, ArrowFileList) and len(fl) == n_real + 20_000
+
+    # direct prune_key_range pin: a key range inside the real span
+    # keeps only real entries; a range in synthetic territory keeps
+    # only the covering synthetics; lazy until then
+    hit = fl.prune_key_range({"uid": (10, 20)})
+    assert all(not e.name.startswith("synthetic") for e in hit)
+    assert 1 <= len(hit) <= 2
+    syn = fl.prune_key_range({"uid": (1_000_050, 1_000_060)})
+    assert [e.name for e in syn] == ["synthetic00000.parquet"]
+
+    src = spark.createDataFrame(
+        pd.DataFrame({"uid": [10, 150, 399], "v": [-1.0, -2.0, -3.0]})
+    )
+    res = OrderedDataset(spark, d, backend=be).merge_into(
+        src, on="uid", when_matched_update={"v": SF.col("s.v")},
+        when_not_matched_insert=False,
+    )
+    assert res == {"updated": 3, "deleted": 0, "inserted": 0}
+    got = (
+        OrderedDataset(spark, d, backend=be)
+        .read(end_excl=pd.Timestamp("2029-01-01"))
+        .filter(SF.col("uid").isin([10, 150, 399]))
+        .toPandas().sort_values("uid")
+    )
+    assert got["v"].tolist() == [-1.0, -2.0, -3.0]

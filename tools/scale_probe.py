@@ -229,9 +229,102 @@ def write_probe() -> int:
     return 0
 
 
+def merge_wide_probe() -> int:
+    """Wide-manifest merge_into probe (VERDICT r12 ask #7): a keyed
+    CDC merge against a dataset whose PARQUET manifest carries 0 /
+    10k / 100k extra synthetic entries (disjoint key + time spans,
+    files never created on disk — any un-pruned candidate would
+    FileNotFound). Asserts wall time and the candidate set are pinned
+    by stats pruning, not manifest width: the ArrowFileList
+    `prune_key_range` vectorized pre-prune rejects the synthetic
+    entries in Arrow compute, so the merge never materializes them.
+
+    `python tools/scale_probe.py merge_wide`
+    """
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from oups_spark.session import get_spark
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import (
+        FileEntry,
+        Manifest,
+        ParquetManifestBackend,
+    )
+    from oups_spark.tables import load as load_table
+
+    spark = get_spark("merge-wide-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch", f"mergewide_pid{os.getpid()}",
+    )
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "ts", "event_id", "value"
+    )
+    t_far = pd.Timestamp("2030-01-01")
+    for rep in (0, 1):  # rep 0 absorbs plan compiles; report rep 1
+        for extra in (0, 10_000, 100_000):
+            path = os.path.join(root, f"ds_x{extra}_r{rep}")
+            be = ParquetManifestBackend()
+            ds = OrderedDataset(spark, path, backend=be)
+            ds.write(
+                df=ev.orderBy("ts"), ordered_on="ts",
+                row_group_target_size=2_500, validate_monotonic=False,
+                use_driver_merge=False,
+            )
+            if extra:
+                man = ds.manifest
+                files = list(man.files)
+                files += [
+                    FileEntry(
+                        name=f"synthetic{i:06d}.parquet", n_rows=1000,
+                        min=t_far + pd.Timedelta(hours=i),
+                        max=t_far + pd.Timedelta(hours=i, minutes=59),
+                        cols={
+                            "event_id": (
+                                10_000_000 + i * 1000,
+                                10_000_000 + i * 1000 + 999,
+                            ),
+                            "value": (0.0, 1.0),
+                        },
+                    )
+                    for i in range(extra)
+                ]
+                man.files = files
+                man.save(path, be)
+            ds2 = OrderedDataset(spark, path, backend=be)
+            src = ev.filter(F.col("event_id") % 997 == 0).select(
+                "event_id", F.lit(-1.0).alias("value"),
+            ).limit(100).localCheckpoint()
+            n_src = src.count()
+            t0 = time.time()
+            res = ds2.merge_into(
+                src, on="event_id",
+                when_matched_update={"value": F.col("s.value")},
+                when_not_matched_insert=False,
+            )
+            dt = round(time.time() - t0, 3)
+            assert res["updated"] == n_src, res
+            if rep:
+                print(
+                    f"[merge_wide] extra_entries={extra:>6}: merge "
+                    f"{dt}s (updated {res['updated']}; real files "
+                    f"{ds2.n_files - extra})",
+                    flush=True,
+                )
+    import shutil as _sh
+
+    _sh.rmtree(root, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "write":
         return write_probe()
+    if len(sys.argv) > 1 and sys.argv[1] == "merge_wide":
+        return merge_wide_probe()
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     names = sys.argv[2:] or DEFAULT_QUERIES
 
