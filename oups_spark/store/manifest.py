@@ -692,6 +692,183 @@ class ParquetManifestBackend(PosixRenameBackend, _ParquetFilesCodec):
                 continue  # concurrent sweeper got it first
 
 
+class DeltaLogParquetBackend(ParquetManifestBackend):
+    """DELTA-ENCODED manifest commits — O(changed entries) commit I/O
+    instead of a full sidecar rewrite per commit (the one remaining
+    manifest-width-proportional write cost, measured at ~+1.4 s per
+    commit at 100k entries in SCALE.md's round-13 probe). The
+    Delta-Lake log architecture proper: JSON actions per commit,
+    periodic parquet checkpoints — here with the actions themselves
+    typed parquet.
+
+    Layout: the head JSON (same flock CAS as the parent) points at a
+    BASE checkpoint sidecar (``files_ref``) plus an ordered chain
+    ``deltas: [{"ref": <adds sidecar|null>, "removed": [names]} ...]``
+    — each commit writes ONLY its added entries as a parquet object
+    and lists its removed names inline in the head (both bounded by
+    the commit's touched files, never table width). Readers
+    reconstruct vectorized: one global removed-name filter is EXACT
+    because data-file names are uuid-fresh and never reused (a name
+    can never be re-added after removal), then concat with schema
+    promotion and a typed sort on (min, max) restores the manifest
+    order invariant.
+
+    The writer proves its delta against the true predecessor via the
+    CAS itself: the delta is computed vs the name-set this handle
+    last read/committed (cached per dirpath), and the head commit
+    carries ``expect_token`` from that same state — so the CAS
+    succeeds only when that state IS the committed predecessor. Any
+    doubt (foreign token, no cache) and every ``checkpoint_interval``
+    commits, the chain folds into a fresh full checkpoint;
+    correctness never depends on the fast path.
+    """
+
+    checkpoint_interval = 20
+
+    def __init__(self):
+        # dirpath -> (token, frozenset(names), base_ref, deltas_payload)
+        self._seen: dict[str, tuple] = {}
+
+    # -- read ----------------------------------------------------------
+    def read_split(self, dirpath: str):
+        hit = PosixRenameBackend.read(self, dirpath)
+        if hit is None:
+            return None
+        data, token = hit
+        payload = json.loads(_plain(data))
+        ref = payload.pop("files_ref", None)
+        deltas = payload.pop("deltas", [])
+        if ref is None:  # legacy inline-JSON manifest
+            files = [FileEntry.from_json(d) for d in payload.pop("files")]
+            return payload, files, token
+        files, names = self._resolve_chain(dirpath, ref, deltas)
+        self._seen[dirpath] = (token, names, ref, deltas)
+        return payload, files, token
+
+    def _resolve_chain(self, dirpath: str, ref: str, deltas: list):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(os.path.join(dirpath, ref))]
+        removed: set = set()
+        for d in deltas:
+            if d.get("ref"):
+                tables.append(pq.read_table(os.path.join(dirpath, d["ref"])))
+            removed.update(d.get("removed", []))
+        if removed:
+            rm = pa.array(sorted(removed), type=pa.string())
+            tables = [
+                t.filter(
+                    pc.invert(pc.is_in(t.column("name"), value_set=rm))
+                )
+                for t in tables
+            ]
+        table = (
+            pa.concat_tables(tables, promote_options="default")
+            if len(tables) > 1
+            else tables[0]
+        )
+        names = frozenset(table.column("name").to_pylist())
+        if "min" in table.column_names and "max" in table.column_names:
+            table = table.take(
+                pc.sort_indices(
+                    table,
+                    sort_keys=[("min", "ascending"), ("max", "ascending")],
+                )
+            )
+            return ArrowFileList(table, type(self)), names
+        # mixed-type (JSON-fallback) ordering stats: materialize and
+        # sort in Python — rare, and the exact filter above still ran
+        entries = self._files_from_table(table)
+        entries.sort(key=lambda f: (f.min, f.max))
+        return entries, names
+
+    # -- commit --------------------------------------------------------
+    def commit_split(
+        self, dirpath: str, head: dict, files: list[FileEntry],
+        *, expect_token,
+    ) -> Any:
+        import uuid
+
+        gen = head.get("generation", 0)
+        seen = self._seen.get(dirpath)
+        nonce = uuid.uuid4().hex[:12]
+        if (
+            seen is None
+            or seen[0] != expect_token
+            or len(seen[3]) + 1 >= self.checkpoint_interval
+        ):
+            # FULL CHECKPOINT: no provable predecessor, or the chain
+            # is due for folding
+            ref = f"{self._FILES_PREFIX}{gen:08d}.{nonce}.parquet"
+            ref_path = os.path.join(dirpath, ref)
+            self._files_to_parquet(files, ref_path)
+            new_head = {**head, "files_ref": ref}
+            keep = {ref}
+            new_deltas: list = []
+        else:
+            _tok, prev_names, base_ref, deltas = seen
+            cur_names = {f.name for f in files}
+            added = [f for f in files if f.name not in prev_names]
+            removed = sorted(prev_names - cur_names)
+            if added:
+                ref = f"{self._FILES_PREFIX}{gen:08d}.{nonce}.delta.parquet"
+                self._files_to_parquet(added, os.path.join(dirpath, ref))
+            else:
+                ref = None  # removal-only / head-only commit
+            new_deltas = list(deltas) + (
+                [{"ref": ref, "removed": removed}]
+                if (added or removed)
+                else []
+            )
+            new_head = {**head, "files_ref": base_ref, "deltas": new_deltas}
+            keep = {base_ref} | {
+                d["ref"] for d in new_deltas if d.get("ref")
+            }
+            ref = base_ref
+        data = _maybe_compress(json.dumps(new_head).encode())
+        try:
+            token = PosixRenameBackend.commit(
+                self, dirpath, data, expect_token=expect_token
+            )
+        except ManifestConflictError:
+            staged = new_head.get("deltas", [])
+            staged_refs = (
+                {d["ref"] for d in staged if d.get("ref")} - (
+                    {d["ref"] for d in (seen[3] if seen else []) if d.get("ref")}
+                )
+                if "deltas" in new_head
+                else {new_head["files_ref"]}
+            )
+            for r in staged_refs:
+                p = os.path.join(dirpath, r)
+                if os.path.exists(p):
+                    os.remove(p)
+            raise
+        self._seen[dirpath] = (
+            token, frozenset(f.name for f in files), ref, new_deltas,
+        )
+        self._sweep_chain(dirpath, keep=keep)
+        return token
+
+    def _sweep_chain(self, dirpath: str, *, keep: set) -> None:
+        import time
+
+        now = time.time()
+        for n in os.listdir(dirpath):
+            if n in keep or not (
+                n.startswith(self._FILES_PREFIX) and n.endswith(".parquet")
+            ):
+                continue
+            p = os.path.join(dirpath, n)
+            try:
+                if now - os.path.getmtime(p) >= self.gc_grace_s:
+                    os.remove(p)
+            except FileNotFoundError:
+                continue  # concurrent sweeper got it first
+
+
 class ObjectStoreParquetBackend(ObjectStoreBackend, _ParquetFilesCodec):
     """Split-layout manifest on an OBJECT STORE: the same typed
     parquet sidecar as :class:`ParquetManifestBackend`, with the head

@@ -1,0 +1,277 @@
+"""DeltaLogParquetBackend: delta-encoded manifest commits (round-13).
+
+Commit I/O must be O(changed entries) — each commit writes only its
+added entries (plus removed names inline in the head) — while readers
+reconstruct the exact same manifest the full-sidecar backend would
+hold: same entries, same (min, max) order, same typed stats, same CAS
+contract under the two-process hammer."""
+
+import json
+import multiprocessing as mp
+import os
+
+import pandas as pd
+import pytest
+
+from oups_spark.store.manifest import (
+    MANIFEST_NAME,
+    DeltaLogParquetBackend,
+    FileEntry,
+    Manifest,
+    ManifestConflictError,
+    ParquetManifestBackend,
+)
+
+
+def _entry(i, name=None):
+    t0 = pd.Timestamp("2024-01-01")
+    return FileEntry(
+        name=name or f"f{i:04d}.parquet", n_rows=10 + i,
+        min=t0 + pd.Timedelta(days=i),
+        max=t0 + pd.Timedelta(days=i, hours=23),
+        cols={"v": (float(i), float(i) + 1.0)},
+    )
+
+
+def _head(d):
+    return json.loads(open(os.path.join(d, MANIFEST_NAME), "rb").read())
+
+
+def test_delta_commits_and_exact_reconstruction(tmp_path):
+    d = str(tmp_path)
+    be = DeltaLogParquetBackend()
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(i) for i in range(5)]
+    m.save(d, be)  # gen 1: full checkpoint (no predecessor)
+    base_ref = _head(d)["files_ref"]
+    assert "deltas" not in _head(d)
+
+    # gen 2: add 2 entries -> ONE delta sidecar, base untouched
+    m.files.extend([_entry(10), _entry(11)])
+    m.save(d, be)
+    h = _head(d)
+    assert h["files_ref"] == base_ref
+    assert len(h["deltas"]) == 1 and h["deltas"][0]["removed"] == []
+    assert ".delta.parquet" in h["deltas"][0]["ref"]
+
+    # gen 3: replace f0001 with a new name (add+remove in one commit)
+    m.files = [e for e in m.files if e.name != "f0001.parquet"] + [
+        _entry(1, name="f0001_v2.parquet")
+    ]
+    m.save(d, be)
+    h = _head(d)
+    assert len(h["deltas"]) == 2
+    assert h["deltas"][1]["removed"] == ["f0001.parquet"]
+
+    # gen 4: removal-only commit -> no new sidecar object
+    m.files = [e for e in m.files if e.name != "f0004.parquet"]
+    m.save(d, be)
+    h = _head(d)
+    assert h["deltas"][2]["ref"] is None
+    assert h["deltas"][2]["removed"] == ["f0004.parquet"]
+
+    # gen 5: head-only commit (kv change) -> chain unchanged
+    m.kv["note"] = 1
+    m.save(d, be)
+    assert len(_head(d)["deltas"]) == 3
+
+    # FRESH reader reconstructs exactly what the full backend holds
+    back = Manifest.load(d, DeltaLogParquetBackend())
+    names = [f.name for f in back.files]
+    assert "f0001.parquet" not in names and "f0004.parquet" not in names
+    assert "f0001_v2.parquet" in names and len(names) == 6
+    # manifest order invariant: sorted by (min, max); typed stats and
+    # per-column skip stats survive the chain
+    mins = [f.min for f in back.files]
+    assert mins == sorted(mins)
+    by = {f.name: f for f in back.files}
+    assert by["f0010.parquet"].cols == {"v": (10.0, 11.0)}
+    assert isinstance(by["f0010.parquet"].min, pd.Timestamp)
+    assert back.kv["note"] == 1 and back.generation == 5
+    # vectorized prune paths work on the reconstructed list
+    hit = back.files_in_range(
+        pd.Timestamp("2024-01-11"), pd.Timestamp("2024-01-13")
+    )
+    assert {e.name for e in hit} == {"f0010.parquet", "f0011.parquet"}
+
+
+def test_chain_folds_into_checkpoint_and_sweep_keeps_chain(tmp_path):
+    d = str(tmp_path)
+    be = DeltaLogParquetBackend()
+    be.checkpoint_interval = 3  # chain may hold at most 2 deltas
+    be.gc_grace_s = 0.0
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(0)]
+    m.save(d, be)  # checkpoint
+    for i in range(1, 3):
+        m.files.append(_entry(i))
+        m.save(d, be)  # deltas 1, 2
+    h = _head(d)
+    assert len(h["deltas"]) == 2
+    # all chain objects survive the zero-grace sweep (still referenced)
+    on_disk = {n for n in os.listdir(d) if ".files.g" in n}
+    assert h["files_ref"] in on_disk
+    assert all(dd["ref"] in on_disk for dd in h["deltas"] if dd["ref"])
+
+    m.files.append(_entry(3))
+    m.save(d, be)  # would be the 3rd delta -> chain folds: checkpoint
+    h = _head(d)
+    assert "deltas" not in h or h["deltas"] == []
+    # zero grace: ONLY the fresh checkpoint survives
+    assert {n for n in os.listdir(d) if ".files.g" in n} == {h["files_ref"]}
+    back = Manifest.load(d, DeltaLogParquetBackend())
+    assert len(back.files) == 4 and back.generation == 4
+
+
+def test_cas_conflict_cleans_staged_objects_both_paths(tmp_path):
+    """A losing writer leaves no orphan sidecar whichever attempt
+    shape it took: the DELTA attempt (its backend cache matches its
+    read token) and the FULL-CHECKPOINT attempt (foreign/absent
+    cache) both remove their staged object on the CAS loss, and a
+    reload-retry lands as a delta on the winner."""
+    d = str(tmp_path)
+    be = DeltaLogParquetBackend()
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(0)]
+    m.save(d, be)
+
+    be_f = DeltaLogParquetBackend()
+    stale_delta = Manifest.load(d, be_f)      # be_f cache at gen 1
+    stale_ckpt = Manifest.load(d, DeltaLogParquetBackend())  # cache lost
+    winner = Manifest.load(d, be)
+    winner.files.append(_entry(1))
+    winner.save(d, be)                         # gen 2
+
+    n_objs = lambda: sum(1 for n in os.listdir(d) if ".files.g" in n)  # noqa: E731
+    before = n_objs()
+    # delta-attempt loser (be_f cache token == its read token)
+    stale_delta.files.append(_entry(2))
+    with pytest.raises(ManifestConflictError):
+        stale_delta.save(d, be_f)
+    assert n_objs() == before
+    # checkpoint-attempt loser (fresh instance, no cache)
+    stale_ckpt.files.append(_entry(3))
+    with pytest.raises(ManifestConflictError):
+        stale_ckpt.save(d, DeltaLogParquetBackend())
+    assert n_objs() == before
+    # reload-retry lands as a delta on the winner's state
+    retry = Manifest.load(d, be_f)
+    retry.files.append(_entry(2))
+    retry.save(d, be_f)
+    assert len(_head(d)["deltas"]) >= 1
+    final = Manifest.load(d, DeltaLogParquetBackend())
+    assert {f.name for f in final.files} == {
+        "f0000.parquet", "f0001.parquet", "f0002.parquet"
+    }
+
+
+def test_reads_interop_with_full_parquet_backend(tmp_path):
+    """A dataset committed by the FULL parquet backend reads as-is,
+    and the next deltalog commit chains on top of its checkpoint;
+    the full backend can read a CHECKPOINT-state deltalog manifest
+    (chain folded), never silently-empty on a chained one."""
+    d = str(tmp_path)
+    full = ParquetManifestBackend()
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(0), _entry(1)]
+    m.save(d, full)
+
+    dl = DeltaLogParquetBackend()
+    back = Manifest.load(d, dl)
+    assert len(back.files) == 2
+    back.files.append(_entry(2))
+    back.save(d, dl)
+    assert len(_head(d)["deltas"]) == 1
+    assert len(Manifest.load(d, DeltaLogParquetBackend()).files) == 3
+
+
+def _dl_contender(dirpath: str, tag: str, n: int) -> None:
+    from oups_spark.store.manifest import (
+        DeltaLogParquetBackend,
+        FileEntry,
+        Manifest,
+        ManifestConflictError,
+    )
+
+    be = DeltaLogParquetBackend()
+    for i in range(n):
+        while True:
+            m = Manifest.load(dirpath, be) or Manifest(ordered_on="ts")
+            m.files.append(
+                FileEntry(
+                    name=f"{tag}_{i}.parquet", n_rows=1,
+                    min=i * 10, max=i * 10 + 9,
+                )
+            )
+            try:
+                m.save(dirpath, be)
+                break
+            except ManifestConflictError:
+                continue
+
+
+def test_deltalog_hammer_zero_lost_updates(tmp_path):
+    """The adversarial two-process hammer: every appended entry lands
+    exactly once through the delta chain, the generation is the
+    commit count, and the reconstruction equals the serial union —
+    the delta encoding changes commit I/O, not the CAS contract."""
+    d = str(tmp_path)
+    n = 15
+    ctx = mp.get_context("fork")
+    ps = [
+        ctx.Process(target=_dl_contender, args=(d, tag, n))
+        for tag in ("p1", "p2")
+    ]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    final = Manifest.load(d, DeltaLogParquetBackend())
+    names = [f.name for f in final.files]
+    expect = {f"{tag}_{i}.parquet" for tag in ("p1", "p2") for i in range(n)}
+    assert set(names) == expect and len(names) == 2 * n
+    assert final.generation == 2 * n
+
+
+def test_ordered_dataset_end_to_end_on_deltalog(spark, scratch):
+    """Full store stack over the delta-log backend: ordered writes,
+    keep-last merge, DML, merge_into and compact all commit through
+    the chain; reads (range, filters) reconstruct correctly at every
+    step."""
+    import pyspark.sql.functions as SF
+
+    from oups_spark.store.dataset import OrderedDataset
+
+    be = DeltaLogParquetBackend()
+    path = os.path.join(scratch, "dl_ds")
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=200, freq="h"),
+            "uid": [i % 7 for i in range(200)],
+            "v": [float(i) for i in range(200)],
+        }
+    )
+    ds = OrderedDataset(spark, path, backend=be, deletion_grace_s=0)
+    ds.write(df=spark.createDataFrame(pdf[:120]), ordered_on="ts",
+             row_group_target_size=30)
+    ds.write(df=spark.createDataFrame(pdf[120:]),
+             row_group_target_size=30)
+    assert len(_head(path).get("deltas", [])) >= 1  # chained commit
+    assert ds.delete_where([("uid", "==", 3)]) == len(pdf[pdf.uid == 3])
+    target_ts = pdf["ts"][11]  # uid 4 — survives the uid==3 delete
+    src = spark.createDataFrame(
+        pd.DataFrame({"ts": [target_ts], "uid": [99], "v": [-1.0]})
+    )
+    res = ds.merge_into(
+        src, on="ts", when_matched_update={"uid": SF.col("s.uid")},
+        when_not_matched_insert=False,
+    )
+    assert res["updated"] == 1
+    ds.compact(row_group_target_size=100)
+
+    fresh = OrderedDataset(spark, path, backend=DeltaLogParquetBackend())
+    got = fresh.read(ordered=True).toPandas()
+    exp = pdf[pdf.uid != 3].copy().reset_index(drop=True)
+    exp.loc[exp["ts"] == target_ts, "uid"] = 99
+    pd.testing.assert_frame_equal(got, exp)
