@@ -692,16 +692,15 @@ class ParquetManifestBackend(PosixRenameBackend, _ParquetFilesCodec):
                 continue  # concurrent sweeper got it first
 
 
-class DeltaLogParquetBackend(ParquetManifestBackend):
+class _DeltaLogMixin:
     """DELTA-ENCODED manifest commits — O(changed entries) commit I/O
     instead of a full sidecar rewrite per commit (the one remaining
-    manifest-width-proportional write cost, measured at ~+1.4 s per
-    commit at 100k entries in SCALE.md's round-13 probe). The
-    Delta-Lake log architecture proper: JSON actions per commit,
-    periodic parquet checkpoints — here with the actions themselves
-    typed parquet.
+    manifest-width-proportional write cost, measured at ~5–6 s per
+    commit at 1M entries in SCALE.md's round-13 probe). The
+    Delta-Lake log architecture proper: actions per commit, periodic
+    checkpoints — here with the actions themselves typed parquet.
 
-    Layout: the head JSON (same flock CAS as the parent) points at a
+    Layout: the head (same CAS as the transport parent) points at a
     BASE checkpoint sidecar (``files_ref``) plus an ordered chain
     ``deltas: [{"ref": <adds sidecar|null>, "removed": [names]} ...]``
     — each commit writes ONLY its added entries as a parquet object
@@ -721,6 +720,10 @@ class DeltaLogParquetBackend(ParquetManifestBackend):
     doubt (foreign token, no cache) and every ``checkpoint_interval``
     commits, the chain folds into a fresh full checkpoint;
     correctness never depends on the fast path.
+
+    Transport primitives supplied by the concrete class:
+    ``_head_read`` / ``_head_commit`` (the CAS), ``_sidecar_table``
+    / ``_sidecar_write`` / ``_sidecar_drop``, ``_chain_sweep``.
     """
 
     checkpoint_interval = 20
@@ -728,10 +731,15 @@ class DeltaLogParquetBackend(ParquetManifestBackend):
     def __init__(self):
         # dirpath -> (token, frozenset(names), base_ref, deltas_payload)
         self._seen: dict[str, tuple] = {}
+        # dirpath -> the PREVIOUS commit's reachable refs: kept for one
+        # extra commit so a reader that loaded the previous head can
+        # still resolve its chain (the keep_generations=2 posture; the
+        # POSIX twin additionally has its mtime grace window)
+        self._prev_keep: dict[str, set] = {}
 
     # -- read ----------------------------------------------------------
     def read_split(self, dirpath: str):
-        hit = PosixRenameBackend.read(self, dirpath)
+        hit = self._head_read(dirpath)
         if hit is None:
             return None
         data, token = hit
@@ -748,13 +756,12 @@ class DeltaLogParquetBackend(ParquetManifestBackend):
     def _resolve_chain(self, dirpath: str, ref: str, deltas: list):
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
-        tables = [pq.read_table(os.path.join(dirpath, ref))]
+        tables = [self._sidecar_table(dirpath, ref)]
         removed: set = set()
         for d in deltas:
             if d.get("ref"):
-                tables.append(pq.read_table(os.path.join(dirpath, d["ref"])))
+                tables.append(self._sidecar_table(dirpath, d["ref"]))
             removed.update(d.get("removed", []))
         if removed:
             rm = pa.array(sorted(removed), type=pa.string())
@@ -802,11 +809,11 @@ class DeltaLogParquetBackend(ParquetManifestBackend):
             # FULL CHECKPOINT: no provable predecessor, or the chain
             # is due for folding
             ref = f"{self._FILES_PREFIX}{gen:08d}.{nonce}.parquet"
-            ref_path = os.path.join(dirpath, ref)
-            self._files_to_parquet(files, ref_path)
+            self._sidecar_write(dirpath, ref, files)
             new_head = {**head, "files_ref": ref}
             keep = {ref}
             new_deltas: list = []
+            staged = ref
         else:
             _tok, prev_names, base_ref, deltas = seen
             cur_names = {f.name for f in files}
@@ -814,9 +821,11 @@ class DeltaLogParquetBackend(ParquetManifestBackend):
             removed = sorted(prev_names - cur_names)
             if added:
                 ref = f"{self._FILES_PREFIX}{gen:08d}.{nonce}.delta.parquet"
-                self._files_to_parquet(added, os.path.join(dirpath, ref))
+                self._sidecar_write(dirpath, ref, added)
+                staged = ref
             else:
                 ref = None  # removal-only / head-only commit
+                staged = None
             new_deltas = list(deltas) + (
                 [{"ref": ref, "removed": removed}]
                 if (added or removed)
@@ -829,30 +838,49 @@ class DeltaLogParquetBackend(ParquetManifestBackend):
             ref = base_ref
         data = _maybe_compress(json.dumps(new_head).encode())
         try:
-            token = PosixRenameBackend.commit(
-                self, dirpath, data, expect_token=expect_token
-            )
+            token = self._head_commit(dirpath, data, expect_token)
         except ManifestConflictError:
-            staged = new_head.get("deltas", [])
-            staged_refs = (
-                {d["ref"] for d in staged if d.get("ref")} - (
-                    {d["ref"] for d in (seen[3] if seen else []) if d.get("ref")}
-                )
-                if "deltas" in new_head
-                else {new_head["files_ref"]}
-            )
-            for r in staged_refs:
-                p = os.path.join(dirpath, r)
-                if os.path.exists(p):
-                    os.remove(p)
+            if staged is not None:  # never referenced by any head
+                self._sidecar_drop(dirpath, staged)
             raise
         self._seen[dirpath] = (
             token, frozenset(f.name for f in files), ref, new_deltas,
         )
-        self._sweep_chain(dirpath, keep=keep)
+        self._chain_sweep(
+            dirpath, keep=keep | self._prev_keep.get(dirpath, set())
+        )
+        self._prev_keep[dirpath] = keep
         return token
 
-    def _sweep_chain(self, dirpath: str, *, keep: set) -> None:
+
+class DeltaLogParquetBackend(_DeltaLogMixin, ParquetManifestBackend):
+    """Delta-log manifest on POSIX (flock-CAS head, sidecars as local
+    parquet files) — see :class:`_DeltaLogMixin` for the protocol and
+    SCALE.md for the measured commit-cost table."""
+
+    # -- transport primitives -------------------------------------
+    def _head_read(self, dirpath: str):
+        return PosixRenameBackend.read(self, dirpath)
+
+    def _head_commit(self, dirpath: str, data: bytes, expect_token) -> Any:
+        return PosixRenameBackend.commit(
+            self, dirpath, data, expect_token=expect_token
+        )
+
+    def _sidecar_table(self, dirpath: str, ref: str):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(os.path.join(dirpath, ref))
+
+    def _sidecar_write(self, dirpath: str, ref: str, files) -> None:
+        self._files_to_parquet(files, os.path.join(dirpath, ref))
+
+    def _sidecar_drop(self, dirpath: str, ref: str) -> None:
+        p = os.path.join(dirpath, ref)
+        if os.path.exists(p):
+            os.remove(p)
+
+    def _chain_sweep(self, dirpath: str, *, keep: set) -> None:
         import time
 
         now = time.time()
@@ -971,6 +999,76 @@ class ObjectStoreParquetBackend(ObjectStoreBackend, _ParquetFilesCodec):
                     self._delete(k)
                 except NotImplementedError:
                     return
+
+
+class DeltaLogObjectStoreBackend(_DeltaLogMixin, ObjectStoreParquetBackend):
+    """Delta-log manifest on an OBJECT STORE (conditional-put head,
+    sidecars as immutable put-if-absent objects) — same chain
+    protocol as the POSIX twin (:class:`_DeltaLogMixin`), composed
+    with S3/GCS CAS semantics. The sweep is reachability-based (keep
+    every ref in the current head's chain) rather than
+    generation-based: a chain's BASE checkpoint legitimately carries
+    an old generation and must survive any number of delta commits.
+    Stores without LIST/DELETE primitives skip the sweep and leave
+    reclamation to a bucket lifecycle rule."""
+
+    def __init__(self):
+        _DeltaLogMixin.__init__(self)
+
+    # -- transport primitives -------------------------------------
+    def _head_read(self, dirpath: str):
+        return self._get(self._key(dirpath))
+
+    def _head_commit(self, dirpath: str, data: bytes, expect_token) -> Any:
+        return ObjectStoreBackend.commit(
+            self, dirpath, data, expect_token=expect_token
+        )
+
+    def _sidecar_table(self, dirpath: str, ref: str):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        hit = self._get(os.path.join(dirpath, ref))
+        if hit is None:
+            raise FileNotFoundError(
+                f"manifest sidecar {ref} missing under {dirpath} "
+                "(reader stale past the sidecar GC window?)"
+            )
+        return pq.read_table(pa.BufferReader(hit[0]))
+
+    def _sidecar_write(self, dirpath: str, ref: str, files) -> None:
+        self._put_if_absent(
+            os.path.join(dirpath, ref), self._files_to_parquet_bytes(files)
+        )
+
+    def _sidecar_drop(self, dirpath: str, ref: str) -> None:
+        try:
+            self._delete(os.path.join(dirpath, ref))
+        except NotImplementedError:
+            pass
+
+    def _chain_sweep(self, dirpath: str, *, keep: set) -> None:
+        prefix = os.path.join(dirpath, self._FILES_PREFIX)
+        try:
+            keys = self._list(prefix)
+        except NotImplementedError:
+            return
+        keep_keys = {os.path.join(dirpath, r) for r in keep}
+        for k in keys:
+            if k in keep_keys:
+                continue
+            try:
+                self._delete(k)
+            except NotImplementedError:
+                return
+
+
+class InMemoryDeltaLogObjectStore(DeltaLogObjectStoreBackend, InMemoryObjectStore):
+    """Dict-backed mock of the delta-log object-store backend."""
+
+    def __init__(self):
+        DeltaLogObjectStoreBackend.__init__(self)
+        InMemoryObjectStore.__init__(self)
 
 
 class InMemoryParquetObjectStore(ObjectStoreParquetBackend, InMemoryObjectStore):

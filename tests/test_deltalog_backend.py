@@ -117,10 +117,16 @@ def test_chain_folds_into_checkpoint_and_sweep_keeps_chain(tmp_path):
     m.save(d, be)  # would be the 3rd delta -> chain folds: checkpoint
     h = _head(d)
     assert "deltas" not in h or h["deltas"] == []
-    # zero grace: ONLY the fresh checkpoint survives
-    assert {n for n in os.listdir(d) if ".files.g" in n} == {h["files_ref"]}
+    # the superseded chain survives ONE commit (a reader that loaded
+    # the previous head can still resolve it), then sweeps
+    assert h["files_ref"] in {n for n in os.listdir(d) if ".files.g" in n}
+    m.files.append(_entry(4))
+    m.save(d, be)  # first delta on the new checkpoint
+    h = _head(d)
+    expect = {h["files_ref"], h["deltas"][0]["ref"]}
+    assert {n for n in os.listdir(d) if ".files.g" in n} == expect
     back = Manifest.load(d, DeltaLogParquetBackend())
-    assert len(back.files) == 4 and back.generation == 4
+    assert len(back.files) == 5 and back.generation == 5
 
 
 def test_cas_conflict_cleans_staged_objects_both_paths(tmp_path):
@@ -275,3 +281,124 @@ def test_ordered_dataset_end_to_end_on_deltalog(spark, scratch):
     exp = pdf[pdf.uid != 3].copy().reset_index(drop=True)
     exp.loc[exp["ts"] == target_ts, "uid"] = 99
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_objectstore_deltalog_chain_cas_and_reachability_sweep(tmp_path):
+    """The object-store twin: same chain protocol over conditional
+    puts — delta commits, exact reconstruction, stale-writer CAS loss
+    with orphan delete, and the reachability sweep keeping the
+    previous head's chain for one commit."""
+    from oups_spark.store.manifest import InMemoryDeltaLogObjectStore
+
+    d = str(tmp_path / "bucket/ds")
+    be = InMemoryDeltaLogObjectStore()
+    be.checkpoint_interval = 3
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(0)]
+    m.save(d, be)
+    m.files.extend([_entry(1), _entry(2)])
+    m.save(d, be)  # delta 1
+    m.files = [e for e in m.files if e.name != "f0000.parquet"]
+    m.save(d, be)  # delta 2... interval 3 folds -> checkpoint
+    heads = [k for k in be._objects if k.endswith("_oups_manifest.json")]
+    head = json.loads(be._objects[heads[0]][0])
+    sidecars = lambda: {  # noqa: E731
+        k for k in be._objects if ".files.g" in k
+    }
+    # gen 2's delta chain survives gen 3's fold for one commit
+    assert len(sidecars()) >= 2
+
+    be_reader = InMemoryDeltaLogObjectStore()
+    be_reader._objects = be._objects  # same "bucket", fresh reader
+    back = Manifest.load(d, be_reader)
+    assert {f.name for f in back.files} == {"f0001.parquet", "f0002.parquet"}
+    assert back.generation == 3
+
+    # stale writer: CAS loss deletes the staged delta object
+    be2 = InMemoryDeltaLogObjectStore()
+    be2._objects = be._objects  # same "bucket"
+    stale = Manifest.load(d, be2)
+    winner = Manifest.load(d, be)
+    winner.files.append(_entry(5))
+    winner.save(d, be)
+    n_before = len(sidecars())
+    stale.files.append(_entry(6))
+    with pytest.raises(ManifestConflictError):
+        stale.save(d, be2)
+    assert len(sidecars()) == n_before
+    # one more winner commit: reachability sweep drops everything but
+    # the current chain + the previous head's
+    winner.files.append(_entry(7))
+    winner.save(d, be)
+    h = json.loads(be._objects[heads[0]][0])
+    reachable = {h["files_ref"]} | {
+        dd["ref"] for dd in h.get("deltas", []) if dd.get("ref")
+    }
+    on_store = {os.path.basename(k) for k in sidecars()}
+    assert {os.path.basename(r) for r in reachable} <= on_store
+    final = Manifest.load(d, be)
+    assert {f.name for f in final.files} == {
+        "f0001.parquet", "f0002.parquet", "f0005.parquet", "f0007.parquet"
+    }
+
+
+def test_streaming_sink_composes_with_objectstore_deltalog(spark, scratch):
+    """Cross-feature: the native streaming sink's per-micro-batch
+    commits route through the delta-log object-store backend — each
+    batch is ONE delta commit (O(batch files)), the chain reconstructs
+    the full bins dataset, and the result equals the POSIX twin's."""
+    import pyspark.sql.functions as F
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.store.manifest import InMemoryDeltaLogObjectStore
+    from oups_spark.streaming.native import (
+        streaming_segment_agg,
+        write_stream_to_dataset,
+    )
+
+    src = os.path.join(scratch, "src")
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta([i * 25 for i in range(72)], "min"),
+            "val": [float(i % 13) for i in range(72)],
+        }
+    )
+    cut = pd.Timestamp("2024-01-01 12:00")
+    schema = "ts timestamp, val double"
+    for name, sl in (("b1", pdf[pdf.ts < cut]), ("b2", pdf[pdf.ts >= cut])):
+        spark.createDataFrame(sl, schema).coalesce(1).write.parquet(
+            os.path.join(src, name)
+        )
+    be = InMemoryDeltaLogObjectStore()
+    path = os.path.join(scratch, "bins")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(os.path.join(src, "*"))
+    )
+    agged = streaming_segment_agg(
+        stream, "ts", {"sum_val": ("val", "sum")}, bin_by="1h",
+    )
+    write_stream_to_dataset(
+        agged, path, checkpoint_dir=os.path.join(scratch, "ckpt"),
+        backend=be, conflict_retries=3,
+    )
+    got = (
+        OrderedDataset(spark, path, backend=be)
+        .read().toPandas().sort_values("bin", ignore_index=True)
+    )
+    wm = pdf["ts"].max()
+    exp = (
+        spark.createDataFrame(pdf, schema)
+        .groupBy(F.date_trunc("hour", "ts").alias("bin"))
+        .agg(F.sum("val").alias("sum_val"))
+        .filter(F.col("bin") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+        .orderBy("bin").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # the second batch landed as a DELTA on the first's checkpoint
+    heads = [k for k in be._objects if k.endswith("_oups_manifest.json")]
+    h = json.loads(be._objects[heads[0]][0])
+    assert h.get("deltas"), "micro-batch commits should chain"
