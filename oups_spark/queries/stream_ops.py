@@ -878,7 +878,8 @@ def streaming_native_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_by="1MS",
         base_path=base,
         bin_col="month",
-    ).read()
+    )
+    out = _read_or_fail(out, "streaming_native_monthly")
     return out.select(
         "month",
         "n_orders",
@@ -1048,7 +1049,8 @@ def streaming_native_snapshots_calendar(
         bin_by="1Y",
         snap_by="MS",
         base_path=base,
-    ).read()
+    )
+    out = _read_or_fail(out, "streaming_native_snapshots_calendar")
     return out.select(
         "bin",
         "snap",
@@ -1124,7 +1126,8 @@ def streaming_native_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_path=base,
         bin_col="quarter",
         tiebreak=["o_orderkey"],
-    ).read()
+    )
+    out = _read_or_fail(out, "streaming_native_quarterly")
     return out.select(
         "quarter", "first_price", "last_price", "n_orders"
     ).orderBy("quarter")
@@ -1477,6 +1480,19 @@ def streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(
         OrderedDataset(spark, path).read(), ["source"], p=8
     ).orderBy("source")
+
+
+def _read_or_fail(ds, qname: str):
+    """Calendar-streaming units return None when no bin/snapshot has
+    closed yet (empty source, or all rows in the still-open first
+    bin) — surface that as a clear error instead of an
+    AttributeError; real callers decide between retrying later and
+    treating it as an empty result."""
+    if ds is None:
+        raise ValueError(
+            f"{qname}: no calendar bin has closed yet — nothing to read"
+        )
+    return ds.read()
 
 
 def _replay_cuts(events):

@@ -1571,19 +1571,24 @@ class OrderedDataset:
         new_entries = self._write_files(
             merged, ordered_on, target, total, cluster_col=_ZCOL
         )
-        names = {e.name for e in old}
-        self._manifest.files = [
-            e for e in self._manifest.files if e.name not in names
-        ] + new_entries
-        expired = self._stage_tombstones(self._manifest, [e.name for e in old])
         try:
+            names = {e.name for e in old}
+            self._manifest.files = [
+                e for e in self._manifest.files if e.name not in names
+            ] + new_entries
+            expired = self._stage_tombstones(
+                self._manifest, [e.name for e in old]
+            )
             self._manifest.save(
                 self.path, self.backend, snapshot=self.retain_versions
             )
-        except ManifestConflictError:
-            # staged rewrites were never referenced — remove them and
-            # restore the handle so compact()'s retry loop can
-            # reload-and-re-run against the winner's manifest
+        except BaseException:
+            # finalized rewrites were never referenced by a committed
+            # manifest — remove them on ANY failure (a conflict, but
+            # also disk-full / transient I/O: this path rewrites the
+            # WHOLE table, so a leak here is table-sized) and reload
+            # so the handle's in-memory manifest matches the committed
+            # one; compact()'s retry loop re-runs on conflicts
             for e in new_entries:
                 p = os.path.join(self.path, e.name)
                 if os.path.exists(p):
@@ -1975,7 +1980,8 @@ class OrderedDataset:
                     {
                         c: (sstats[f"__mn_{c}"], sstats[f"__mx_{c}"])
                         for c in on
-                    }
+                    },
+                    ordered_on=o,
                 )
             cands = [
                 e for e in pre

@@ -523,7 +523,7 @@ class ArrowFileList:
             mask = m2 if mask is None else pc.and_(mask, m2)
         return self._codec._files_from_table(t.filter(mask))
 
-    def prune_key_range(self, bounds: dict) -> list[FileEntry]:
+    def prune_key_range(self, bounds: dict, *, ordered_on: str | None = None) -> list[FileEntry]:
         """Vectorized pre-prune on PER-COLUMN skip stats: entries
         whose typed ``c_min:<col>``/``c_max:<col>`` sidecar stats can
         intersect every ``{col: (lo, hi)}`` range — the wide-manifest
@@ -535,7 +535,13 @@ class ArrowFileList:
         columns with no typed stats at all cannot prune. Falls back
         to full materialization when the list was already
         materialized (the caller's exact filter re-checks every
-        survivor anyway)."""
+        survivor anyway).
+
+        ``ordered_on``: the manifest's ordering column, whose bounds
+        live in the top-level ``min``/``max`` sidecar columns (never
+        ``c_min:*`` — ``_footer_stats`` excludes it from the skip
+        stats) — without it a merge keyed ON the ordering column (the
+        CDC state-table layout) could not prune at all."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -544,7 +550,10 @@ class ArrowFileList:
             return self._all()
         mask = None
         for c, (lo, hi) in bounds.items():
-            cmin_name, cmax_name = f"c_min:{c}", f"c_max:{c}"
+            if c == ordered_on:
+                cmin_name, cmax_name = "min", "max"
+            else:
+                cmin_name, cmax_name = f"c_min:{c}", f"c_max:{c}"
             if (
                 cmin_name not in t.column_names
                 or lo is None
@@ -629,12 +638,29 @@ class ParquetManifestBackend(PosixRenameBackend, _ParquetFilesCodec):
             return None
         data, token = hit
         payload = json.loads(_plain(data))
+        self._reject_delta_chain(dirpath, payload)
         ref = payload.pop("files_ref", None)
         if ref is None:  # legacy inline-JSON manifest
             files = [FileEntry.from_json(d) for d in payload.pop("files")]
             return payload, files, token
         files = self._files_from_parquet(os.path.join(dirpath, ref))
         return payload, files, token
+
+    @staticmethod
+    def _reject_delta_chain(dirpath: str, payload: dict) -> None:
+        # reader-feature guard (Delta's reader-version idea): a head
+        # carrying an unfolded delta chain is unreadable here — the
+        # base checkpoint alone is a STALE view, and committing from
+        # it would silently drop every entry added since. Fail loudly
+        # instead of losing data.
+        if payload.get("deltas"):
+            raise ValueError(
+                f"manifest at {dirpath} carries a delta-log chain "
+                f"({len(payload['deltas'])} deltas); read it with "
+                "DeltaLogParquetBackend / DeltaLogObjectStoreBackend "
+                "(or fold the chain with a checkpoint commit) — a "
+                "base-checkpoint-only view would be stale"
+            )
 
     def commit_split(
         self, dirpath: str, head: dict, files: list[FileEntry],
@@ -736,6 +762,11 @@ class _DeltaLogMixin:
         # still resolve its chain (the keep_generations=2 posture; the
         # POSIX twin additionally has its mtime grace window)
         self._prev_keep: dict[str, set] = {}
+        # dirpath -> refs THIS instance released at its previous
+        # commit: the only objects the object-store sweep may delete
+        # (deleting by listing would race a concurrent writer's
+        # staged-but-not-yet-CASed sidecar)
+        self._pending_drop: dict[str, set] = {}
 
     # -- read ----------------------------------------------------------
     def read_split(self, dirpath: str):
@@ -771,6 +802,22 @@ class _DeltaLogMixin:
                 )
                 for t in tables
             ]
+        # heterogeneous skip-stat encodings across the chain (one
+        # sidecar typed c_min:*, another demoted to cols_json — e.g. a
+        # post-schema-evolution column whose type defies clean typing)
+        # cannot concat losslessly: _files_from_table's typed branch
+        # would silently null the cols_json rows' stats. Decode each
+        # self-consistent sidecar separately and merge in Python —
+        # rare, and only this path pays the materialization.
+        has_json = any("cols_json" in t.column_names for t in tables)
+        has_typed = any(
+            any(c.startswith("c_min:") for c in t.column_names)
+            for t in tables
+        )
+        if has_json and has_typed:
+            entries = [e for t in tables for e in self._files_from_table(t)]
+            entries.sort(key=lambda f: (f.min, f.max))
+            return entries, frozenset(e.name for e in entries)
         table = (
             pa.concat_tables(tables, promote_options="default")
             if len(tables) > 1
@@ -846,9 +893,20 @@ class _DeltaLogMixin:
         self._seen[dirpath] = (
             token, frozenset(f.name for f in files), ref, new_deltas,
         )
+        # two-phase reclamation: refs released by THIS commit are only
+        # deleted at the NEXT one (a reader on the just-replaced head
+        # can still resolve its chain), and only refs this instance
+        # itself released are ever dropped — never a listing sweep,
+        # which could delete a concurrent writer's staged sidecar
+        # between its put and its head CAS
+        released = self._prev_keep.get(dirpath, set()) - keep
+        drop_now = self._pending_drop.get(dirpath, set()) - keep
         self._chain_sweep(
-            dirpath, keep=keep | self._prev_keep.get(dirpath, set())
+            dirpath,
+            keep=keep | released,
+            drop=drop_now,
         )
+        self._pending_drop[dirpath] = released
         self._prev_keep[dirpath] = keep
         return token
 
@@ -880,7 +938,7 @@ class DeltaLogParquetBackend(_DeltaLogMixin, ParquetManifestBackend):
         if os.path.exists(p):
             os.remove(p)
 
-    def _chain_sweep(self, dirpath: str, *, keep: set) -> None:
+    def _chain_sweep(self, dirpath: str, *, keep: set, drop: set = frozenset()) -> None:
         import time
 
         now = time.time()
@@ -924,6 +982,7 @@ class ObjectStoreParquetBackend(ObjectStoreBackend, _ParquetFilesCodec):
             return None
         data, token = hit
         payload = json.loads(_plain(data))
+        ParquetManifestBackend._reject_delta_chain(dirpath, payload)
         ref = payload.pop("files_ref", None)
         if ref is None:  # manifest committed by the inline-JSON backend
             files = [FileEntry.from_json(d) for d in payload.pop("files")]
@@ -1047,18 +1106,17 @@ class DeltaLogObjectStoreBackend(_DeltaLogMixin, ObjectStoreParquetBackend):
         except NotImplementedError:
             pass
 
-    def _chain_sweep(self, dirpath: str, *, keep: set) -> None:
-        prefix = os.path.join(dirpath, self._FILES_PREFIX)
-        try:
-            keys = self._list(prefix)
-        except NotImplementedError:
-            return
-        keep_keys = {os.path.join(dirpath, r) for r in keep}
-        for k in keys:
-            if k in keep_keys:
+    def _chain_sweep(self, dirpath: str, *, keep: set, drop: set = frozenset()) -> None:
+        # delete ONLY the refs this instance released two commits ago
+        # (see _DeltaLogMixin two-phase reclamation) — a listing sweep
+        # would race a concurrent writer's staged-but-uncommitted
+        # sidecar. Other writers' superseded objects fall to the
+        # bucket lifecycle rule, like stores without LIST/DELETE.
+        for r in drop:
+            if r in keep:
                 continue
             try:
-                self._delete(k)
+                self._delete(os.path.join(dirpath, r))
             except NotImplementedError:
                 return
 

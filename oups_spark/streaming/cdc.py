@@ -259,6 +259,12 @@ def cdc_merge_batch_into(
     Tombstone GC is a normal ``delete_where`` on ``delete_col`` (see
     :func:`cdc_merge_vacuum`).
     """
+    if delete_col not in batch_df.columns:
+        raise ValueError(
+            f"cdc_merge_batch_into: delete_col {delete_col!r} absent from "
+            f"the changelog columns {batch_df.columns} — tombstone rows "
+            "must carry it"
+        )
     payload = [c for c in batch_df.columns if c != key]
     latest = (
         batch_df.groupBy(key)

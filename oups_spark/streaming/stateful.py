@@ -108,6 +108,11 @@ def streaming_volume_bars(
 
     Output: ``(key?, bin_col, bin_start, bin_end, n_rows, sum_vol
     [, sum_val])`` — timestamps are the bar's first/last event times.
+
+    State-schema note: round 13 added the ``seen`` field (the
+    global-order guard) — a checkpoint written by the 7-field version
+    cannot restart under this one (Spark rejects the state-schema
+    change); drain the old query and start a fresh checkpoint.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -402,3 +402,110 @@ def test_streaming_sink_composes_with_objectstore_deltalog(spark, scratch):
     heads = [k for k in be._objects if k.endswith("_oups_manifest.json")]
     h = json.loads(be._objects[heads[0]][0])
     assert h.get("deltas"), "micro-batch commits should chain"
+
+
+def test_plain_backends_reject_unfolded_chain(tmp_path):
+    """Reader-feature guard: a head carrying an unfolded delta chain
+    is REJECTED by the non-delta parquet backends (the base
+    checkpoint alone is a stale view; committing from it would drop
+    every entry added since) — never a silent stale read."""
+    d = str(tmp_path)
+    be = DeltaLogParquetBackend()
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(0)]
+    m.save(d, be)
+    # folded state reads fine on the plain backend
+    assert len(Manifest.load(d, ParquetManifestBackend()).files) == 1
+    m.files.append(_entry(1))
+    m.save(d, be)  # chain now unfolded
+    with pytest.raises(ValueError, match="delta-log chain"):
+        Manifest.load(d, ParquetManifestBackend())
+    # delta reader still fine
+    assert len(Manifest.load(d, DeltaLogParquetBackend()).files) == 2
+
+
+def test_objectstore_sweep_never_touches_foreign_staged_objects(tmp_path):
+    """Own-refs-only two-phase reclamation: the object-store sweep
+    deletes refs THIS instance released, one commit later — a
+    concurrent writer's staged-but-not-yet-CASed sidecar, and the
+    chain a 1-commit-old head points at, both survive."""
+    from oups_spark.store.manifest import InMemoryDeltaLogObjectStore
+
+    d = "bucket/ds"
+    be = InMemoryDeltaLogObjectStore()
+    be.checkpoint_interval = 3
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(0)]
+    m.save(d, be)
+    m.files.append(_entry(1))
+    m.save(d, be)  # delta 1
+    chain_before = {k for k in be._objects if ".files.g" in k}
+
+    # a concurrent writer stages its sidecar but has NOT CASed yet
+    foreign = os.path.join(d, "_oups_manifest.files.g00000003.feedfeedfeed.delta.parquet")
+    be._objects[foreign] = (b"staged", 1)
+
+    m.files.append(_entry(2))
+    m.save(d, be)  # delta 2 (chain at interval-1)
+    m.files.append(_entry(3))
+    m.save(d, be)  # FOLDS -> releases the whole old chain
+    after_fold = {k for k in be._objects if ".files.g" in k}
+    # foreign staged object untouched; the replaced chain still
+    # resolvable (released, not yet dropped)
+    assert foreign in after_fold
+    assert chain_before <= after_fold
+
+    m.files.append(_entry(4))
+    m.save(d, be)  # next commit drops the released chain — only it
+    final = {k for k in be._objects if ".files.g" in k}
+    assert foreign in final  # never listed, never deleted
+    assert not (chain_before & final)  # own released refs reclaimed
+
+
+def test_prune_key_range_on_ordering_column(tmp_path):
+    """A merge keyed ON the ordering column (the CDC state-table
+    layout) must prune from the top-level min/max sidecar stats —
+    c_min:* never exists for ordered_on."""
+    from oups_spark.store.manifest import ArrowFileList
+
+    d = str(tmp_path)
+    be = ParquetManifestBackend()
+    m = Manifest(ordered_on="uid")
+    m.files = [
+        FileEntry(
+            name=f"f{i:03d}.parquet", n_rows=100,
+            min=i * 100, max=i * 100 + 99,
+        )
+        for i in range(50)
+    ]
+    m.save(d, be)
+    fl = Manifest.load(d, ParquetManifestBackend()).files
+    assert isinstance(fl, ArrowFileList)
+    hit = fl.prune_key_range({"uid": (250, 320)}, ordered_on="uid")
+    assert [e.name for e in hit] == ["f002.parquet", "f003.parquet"]
+    assert fl._materialized is None  # stayed lazy
+
+
+def test_chain_mixed_stats_encodings_keep_skip_stats(tmp_path):
+    """A chain mixing typed c_min:* sidecars with a cols_json-demoted
+    one must not null out the demoted entries' skip stats."""
+    d = str(tmp_path)
+    be = DeltaLogParquetBackend()
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(0)]  # typed float stats
+    m.save(d, be)
+    # a delta whose per-column stats defy clean typing -> cols_json
+    weird = FileEntry(
+        name="weird.parquet", n_rows=5,
+        min=pd.Timestamp("2024-06-01"), max=pd.Timestamp("2024-06-02"),
+        cols={"v": (0.0, 1.0), "mix": (1, "zz")},  # mixed-type pair
+    )
+    m.files.append(weird)
+    m.save(d, be)
+    back = Manifest.load(d, DeltaLogParquetBackend())
+    by = {f.name: f for f in back.files}
+    assert by["weird.parquet"].cols is not None
+    assert by["weird.parquet"].cols["v"] == (0.0, 1.0)
+    assert by["f0000.parquet"].cols == {"v": (0.0, 1.0)}
+    mins = [f.min for f in back.files]
+    assert mins == sorted(mins)
