@@ -1379,6 +1379,7 @@ class OrderedDataset:
         *,
         row_group_target_size: int | str = DEFAULT_ROW_GROUP_TARGET_SIZE,
         zorder_by: list[str] | None = None,
+        scope=None,
         conflict_retries: int = 0,
     ) -> int:
         """Coalesce runs of off-target files without new data — the
@@ -1415,13 +1416,24 @@ class OrderedDataset:
         rewritten. Row-count targets only; files rewritten here lose
         their Bloom indexes (same degrade as plain compaction —
         re-index with a later ``write(bloom_cols=...)``).
+
+        ``scope``: optional DNF filter bounding the re-clustering to
+        the FILES whose stats can match it (same skipping index the
+        reads use; conservative — a stats-less file is in scope) —
+        the incremental OPTIMIZE shape: at 100 TB a weekly pass never
+        rewrites the whole table, it re-clusters the region recent
+        appends and DML degraded (e.g. ``[("ts", ">=", <last week>)]``).
+        File-granular: every row of an in-scope file is re-clustered
+        (the curve is a LAYOUT, so moving whole files keeps
+        out-of-scope bytes untouched); the sketch pass sizes the
+        curve's buckets from the in-scope rows only.
         """
         if zorder_by is not None:
             attempt = 0
             while True:
                 try:
                     return self._compact_zorder_attempt(
-                        zorder_by, row_group_target_size
+                        zorder_by, row_group_target_size, scope
                     )
                 except ManifestConflictError:
                     if attempt >= conflict_retries:
@@ -1528,13 +1540,16 @@ class OrderedDataset:
         self._remove_files(expired)
         return rewritten
 
-    def _compact_zorder_attempt(self, zorder_by: list[str], target) -> int:
+    def _compact_zorder_attempt(
+        self, zorder_by: list[str], target, scope=None
+    ) -> int:
         """One optimistic attempt of ``compact(zorder_by=...)`` — see
-        :meth:`compact`. Reads every live file through the manifest
-        schema, lays the rows along the Morton curve
+        :meth:`compact`. Reads the in-scope live files through the
+        manifest schema, lays the rows along the Morton curve
         (``store/zorder.py`` — one approx-percentile sketch pass, then
         map-side bucket fold + interleave, all JVM expressions), and
-        swaps the full file set in one manifest commit."""
+        swaps that file subset in one manifest commit."""
+        from oups_spark.functions.filters import dnf_file_can_match
         from oups_spark.store.zorder import zorder_column
 
         if not isinstance(target, int):
@@ -1553,6 +1568,19 @@ class OrderedDataset:
         if missing:
             raise ValueError(f"zorder_by columns absent from dataset: {missing}")
         old = list(man.files)
+        if scope is not None:
+            # incremental OPTIMIZE: bound the rewrite to files whose
+            # stats can match the scope (driver-side, conservative)
+            old = [
+                e for e in old
+                if dnf_file_can_match(
+                    {ordered_on: (e.min, e.max), **(e.cols or {})},
+                    scope,
+                    blooms=e.blooms,
+                )
+            ]
+            if not old:
+                return 0
         reader = self.spark.read
         if man.schema_json:
             reader = reader.schema(

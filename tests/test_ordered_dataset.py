@@ -1894,3 +1894,58 @@ def test_merge_into_failure_leaves_no_orphan_files(spark, scratch):
         f for f in on_disk - referenced if not f.startswith("manifest")
     }
     assert orphans == set(), f"leaked files: {orphans}"
+
+
+def test_compact_zorder_scoped_rewrites_only_in_scope_files(spark, scratch):
+    """Incremental OPTIMIZE (round-13): compact(zorder_by=...,
+    scope=DNF) re-clusters ONLY the files whose stats can match the
+    scope — out-of-scope files keep their physical identity — and the
+    table reads back identical. At 100 TB the weekly pass re-clusters
+    last week's appends, never the table."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "uid": [(i * 7919) % 300 for i in range(n)],
+            "v": [float((i * 104729) % 900) / 9 for i in range(n)],
+        }
+    )
+    ds = OrderedDataset(
+        spark, os.path.join(scratch, "zs"), deletion_grace_s=0
+    )
+    ds.write(df=spark.createDataFrame(pdf), ordered_on="ts",
+             row_group_target_size=250)
+    cut = pd.Timestamp("2024-02-15")
+    before = {
+        e.name: e for e in ds.manifest.files
+    }
+    out_of_scope = {n_ for n_, e in before.items() if e.max < cut}
+    assert out_of_scope and len(out_of_scope) < len(before)
+
+    rewritten = ds.compact(
+        zorder_by=["uid", "v"],
+        scope=[[("ts", ">=", cut)]],
+        row_group_target_size=250,
+    )
+    assert rewritten == len(before) - len(out_of_scope)
+    after = {e.name for e in ds.manifest.files}
+    # out-of-scope files untouched (same manifest entries, same bytes
+    # on disk); in-scope ones replaced
+    assert out_of_scope <= after
+    assert not (set(before) - out_of_scope) & after
+    got = ds.read(ordered=True).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("ts", ignore_index=True), pdf
+    )
+    # a scope matching nothing is a no-op commit-free pass
+    gen = ds.manifest.generation
+    assert ds.compact(
+        zorder_by=["uid", "v"],
+        scope=[[("ts", ">=", pd.Timestamp("2030-01-01"))]],
+    ) == 0
+    assert ds.manifest.generation == gen
