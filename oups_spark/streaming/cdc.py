@@ -227,6 +227,7 @@ def cdc_merge_batch_into(
     delete_col: str,
     row_group_target_size: int = 100_000,
     conflict_retries: int = 5,
+    evolve_schema: bool = False,
 ) -> None:
     """Merge one changelog micro-batch into an :class:`OrderedDataset`
     via ``merge_into`` — the unification of the CDC sink with the
@@ -258,6 +259,14 @@ def cdc_merge_batch_into(
 
     Tombstone GC is a normal ``delete_where`` on ``delete_col`` (see
     :func:`cdc_merge_vacuum`).
+
+    ``evolve_schema``: changelog SCHEMA DRIFT — a batch carrying
+    columns the state table lacks extends its schema through
+    ``merge_into(evolve_schema=True)`` (Delta-style, metadata-only:
+    existing rows read the new columns back NULL); the order-gated
+    update then assigns them like any payload column. Off by default:
+    an unexpected column is more often a producer bug than an
+    intentional evolution.
     """
     if delete_col not in batch_df.columns:
         raise ValueError(
@@ -296,6 +305,7 @@ def cdc_merge_batch_into(
             for c in payload
         },
         when_not_matched_insert=True,
+        evolve_schema=evolve_schema,
         row_group_target_size=row_group_target_size,
         conflict_retries=conflict_retries,
     )
@@ -312,6 +322,7 @@ def cdc_merge_sink(
     conflict_retries: int = 5,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    evolve_schema: bool = False,
 ):
     """Run a streaming changelog into an OrderedDataset through
     ``merge_into`` (``foreachBatch``; see :func:`cdc_merge_batch_into`
@@ -325,6 +336,7 @@ def cdc_merge_sink(
                 key=key, order_cols=order_cols, delete_col=delete_col,
                 row_group_target_size=row_group_target_size,
                 conflict_retries=conflict_retries,
+                evolve_schema=evolve_schema,
             )
 
     writer = changelog.writeStream.outputMode("append").foreachBatch(sink)

@@ -155,3 +155,45 @@ class TestCdcMergeInto:
         )
         run()  # restart from checkpoint picks up only chunk1
         assert _state(ds) == {1: (20, "a2"), 3: (30, "c")}
+
+
+class TestCdcSchemaDrift:
+    def test_evolving_changelog_extends_state_schema(self, spark, scratch):
+        """Changelog schema drift: a later batch carries a NEW column
+        — with evolve_schema the state table extends (old rows read
+        NULL), updates assign it, keep-last gating still holds;
+        without the flag the drifted batch is rejected loudly."""
+        ds = OrderedDataset(spark, os.path.join(scratch, "drift_ds"))
+        _apply(spark, ds, [(1, 10, "a", False), (2, 10, "b", False)])
+
+        drifted = spark.createDataFrame(
+            [(1, 20, "a2", False, "eu"), (3, 20, "c", False, "us")],
+            SCHEMA + ", region string",
+        )
+        with pytest.raises(Exception):
+            cdc_merge_batch_into(
+                drifted, ds, key="k", order_cols=["ord"],
+                delete_col="is_delete", row_group_target_size=10,
+            )
+        cdc_merge_batch_into(
+            drifted, ds, key="k", order_cols=["ord"],
+            delete_col="is_delete", row_group_target_size=10,
+            evolve_schema=True,
+        )
+        cur = {
+            r["k"]: (r["ord"], r["v"], r["region"])
+            for r in read_current_ds(ds, delete_col="is_delete").collect()
+        }
+        assert cur == {
+            1: (20, "a2", "eu"),
+            2: (10, "b", None),  # pre-evolution row reads NULL
+            3: (20, "c", "us"),
+        }
+        # an OLD-schema batch still merges after evolution (absent
+        # column stays untouched on matched rows)
+        _apply(spark, ds, [(2, 30, "b2", False)])
+        cur = {
+            r["k"]: (r["v"], r["region"])
+            for r in read_current_ds(ds, delete_col="is_delete").collect()
+        }
+        assert cur[2] == ("b2", None) and cur[1] == ("a2", "eu")
