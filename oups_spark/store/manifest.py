@@ -809,12 +809,23 @@ class _DeltaLogMixin:
         # would silently null the cols_json rows' stats. Decode each
         # self-consistent sidecar separately and merge in Python —
         # rare, and only this path pays the materialization.
-        has_json = any("cols_json" in t.column_names for t in tables)
-        has_typed = any(
-            any(c.startswith("c_min:") for c in t.column_names)
+        # EMPTY sidecars (a checkpoint of an emptied dataset, or a
+        # filter that dropped every row) carry untyped stats columns —
+        # they contribute no entries, so drop them before concat
+        # (keeping one only when everything is empty, for the names
+        # pass below)
+        non_empty = [t for t in tables if t.num_rows]
+        tables = non_empty or tables[:1]
+        has_json = any(
+            "cols_json" in t.column_names or "min_json" in t.column_names
             for t in tables
         )
-        if has_json and has_typed:
+        has_typed = any(
+            "min" in t.column_names
+            or any(c.startswith("c_min:") for c in t.column_names)
+            for t in tables
+        )
+        if has_json and has_typed and len(tables) > 1:
             entries = [e for t in tables for e in self._files_from_table(t)]
             entries.sort(key=lambda f: (f.min, f.max))
             return entries, frozenset(e.name for e in entries)

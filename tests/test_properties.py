@@ -905,3 +905,179 @@ def test_merge_full_sync_matches_pandas_ground_truth_property(
     got = ds.read().toPandas().sort_values(["ts", "k"], ignore_index=True)
     truth = truth.sort_values(["ts", "k"], ignore_index=True)
     pd.testing.assert_frame_equal(got, truth)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 property pins: CDC-via-MERGE and the delta-log chain
+# ---------------------------------------------------------------------------
+
+cdc_ops_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # key
+        st.integers(min_value=0, max_value=50),   # order value
+        st.integers(min_value=0, max_value=9),    # payload
+        st.booleans(),                            # is_delete
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=cdc_ops_strategy,
+    n_splits=st.integers(min_value=0, max_value=3),
+    redeliver=st.booleans(),
+)
+def test_cdc_merge_equals_one_shot_property(
+    spark, tmp_path_factory, ops, n_splits, redeliver
+):
+    """ANY changelog, ANY batch split, with or without redelivery of
+    the final batch: the merge_into-backed CDC state equals the
+    one-shot keep-last over the whole changelog (ordered by (ord,
+    seq) — seq is the tiebreak within equal order values), with keys
+    whose latest op is a delete absent. The ops are applied in
+    batches split at increasing ORD cuts (the time-ordered replay the
+    sink contracts for)."""
+    import os
+
+    from oups_spark.streaming.cdc import cdc_merge_batch_into, read_current_ds
+
+    # global order = (ord, seq); make batches time-ordered by sorting
+    rows = [
+        (k, o, i, float(p), d) for i, (k, o, p, d) in enumerate(sorted(
+            ops, key=lambda t: (t[1],)
+        ))
+    ]
+    # split points on positions (rows already ord-sorted)
+    cuts = sorted({(i + 1) * len(rows) // (n_splits + 1) for i in range(n_splits)})
+    batches, prev = [], 0
+    for c in cuts + [len(rows)]:
+        if c > prev:
+            batches.append(rows[prev:c])
+            prev = c
+
+    root = tmp_path_factory.mktemp("cdcprop")
+    schema = "k long, ord long, seq long, v double, is_delete boolean"
+    ds = OrderedDataset(spark, str(root / "state"))
+    for b in batches:
+        cdc_merge_batch_into(
+            spark.createDataFrame(b, schema), ds,
+            key="k", order_cols=["ord", "seq"], delete_col="is_delete",
+            row_group_target_size=8,
+        )
+    if redeliver and batches:
+        cdc_merge_batch_into(
+            spark.createDataFrame(batches[-1], schema), ds,
+            key="k", order_cols=["ord", "seq"], delete_col="is_delete",
+            row_group_target_size=8,
+        )
+    got = {
+        r["k"]: (r["ord"], r["seq"], r["v"])
+        for r in read_current_ds(ds, delete_col="is_delete").collect()
+    }
+    # one-shot keep-last oracle in pandas
+    pdf = pd.DataFrame(rows, columns=["k", "ord", "seq", "v", "is_delete"])
+    last = (
+        pdf.sort_values(["ord", "seq"])
+        .groupby("k", as_index=False)
+        .last()
+    )
+    expect = {
+        int(r.k): (int(r.ord), int(r.seq), float(r.v))
+        for r in last.itertuples()
+        if not r.is_delete
+    }
+    assert got == expect
+
+
+deltalog_ops_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just("add"), st.integers(min_value=1, max_value=3)),
+        st.tuples(st.just("remove"), st.integers(min_value=0, max_value=20)),
+        st.tuples(st.just("kv"), st.integers(min_value=0, max_value=9)),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ops=deltalog_ops_strategy,
+    interval=st.sampled_from([2, 3, 20]),
+    fresh_reader_every=st.sampled_from([1, 3]),
+)
+def test_deltalog_equals_full_backend_property(
+    tmp_path_factory, ops, interval, fresh_reader_every
+):
+    """ANY commit sequence (adds, removals, kv-only commits), ANY
+    checkpoint interval, reloaded through fresh readers at arbitrary
+    points: the delta-log backend's reconstructed manifest equals the
+    full-sidecar backend's, entry for entry, order included."""
+    from oups_spark.store.manifest import (
+        DeltaLogParquetBackend,
+        FileEntry,
+        Manifest,
+        ParquetManifestBackend,
+    )
+
+    import os
+
+    root = tmp_path_factory.mktemp("dlprop")
+    d_full, d_delta = str(root / "full"), str(root / "delta")
+    os.makedirs(d_full)
+    os.makedirs(d_delta)
+    be_full = ParquetManifestBackend()
+    be_delta = DeltaLogParquetBackend()
+    be_delta.checkpoint_interval = interval
+
+    def entry(i):
+        t0 = pd.Timestamp("2024-01-01")
+        # non-monotone mins exercise the reconstruction sort
+        return FileEntry(
+            name=f"f{i:04d}.parquet", n_rows=1,
+            min=t0 + pd.Timedelta(hours=(i * 37) % 101),
+            max=t0 + pd.Timedelta(hours=(i * 37) % 101, minutes=30),
+            cols={"uid": (i, i + 1)},
+        )
+
+    m_full = Manifest(ordered_on="ts")
+    m_delta = Manifest(ordered_on="ts")
+    counter = 0
+    for step, (op, arg) in enumerate(ops):
+        if op == "add":
+            new = [entry(counter + j) for j in range(arg)]
+            counter += arg
+            m_full.files = list(m_full.files) + new
+            m_delta.files = list(m_delta.files) + new
+        elif op == "remove":
+            cur = list(m_full.files)
+            if cur:
+                victim = cur[arg % len(cur)].name
+                m_full.files = [e for e in cur if e.name != victim]
+                m_delta.files = [
+                    e for e in m_delta.files if e.name != victim
+                ]
+        else:
+            m_full.kv["x"] = arg
+            m_delta.kv["x"] = arg
+        m_full.save(d_full, be_full)
+        m_delta.save(d_delta, be_delta)
+        if step % fresh_reader_every == 0:
+            got = Manifest.load(d_delta, DeltaLogParquetBackend())
+            exp = Manifest.load(d_full, ParquetManifestBackend())
+            assert [
+                (e.name, e.n_rows, e.min, e.max, e.cols) for e in got.files
+            ] == [
+                (e.name, e.n_rows, e.min, e.max, e.cols) for e in exp.files
+            ]
+            assert got.kv.get("x") == exp.kv.get("x")
+            assert got.generation == exp.generation
+            # the cached-writer view must match the fresh reader too
+            m_delta = Manifest.load(d_delta, be_delta)
+            m_full = Manifest.load(d_full, be_full)
