@@ -290,9 +290,10 @@ class OrderedDataset:
         lookups (``==`` / ``in`` filters) on these columns then prune
         files at read time even though [min, max] stats cannot
         (clustered-but-unordered columns). Costs one extra bounded
-        pass over the NEW files; per-write opt-in, files written
-        without it (or rewritten by ``compact``) degrade to
-        "cannot skip".
+        pass over the NEW files; per-write opt-in and STICKY — later
+        appends, DML rewrites and ``compact`` (plain or z-order)
+        re-index their new files; files written before the setting
+        degrade to "cannot skip".
 
         ``use_driver_merge``: None (default) = automatic — small
         row-count-target writes take the driver-side pyarrow merge
@@ -1413,9 +1414,9 @@ class OrderedDataset:
         store tolerates overlap (``read`` sorts; range reads stay
         correct, just less pruned), which is the explicit trade for
         tight multi-column boxes. Returns the number of files
-        rewritten. Row-count targets only; files rewritten here lose
-        their Bloom indexes (same degrade as plain compaction —
-        re-index with a later ``write(bloom_cols=...)``).
+        rewritten. Row-count targets only; sticky ``bloom_cols``
+        re-index the rewritten files (one bounded pass), so equality
+        skipping survives the re-clustering.
 
         ``scope``: optional DNF filter bounding the re-clustering to
         the FILES whose stats can match it (same skipping index the
@@ -1520,6 +1521,16 @@ class OrderedDataset:
             ] + new_entries
             all_new.extend(new_entries)
             rewritten += len(run)
+        if self._manifest.schema_json:
+            # sticky bloom_cols re-index the coalesced files (one
+            # bounded pass over the new files only)
+            self._attach_blooms(
+                all_new,
+                self._manifest.kv.get(_BLOOM_COLS_KV),
+                StructType.fromJson(
+                    __import__("json").loads(self._manifest.schema_json)
+                ),
+            )
         expired = self._stage_tombstones(
             self._manifest, [e.name for run in runs for e in run]
         )
@@ -1598,6 +1609,12 @@ class OrderedDataset:
         total = sum(e.n_rows for e in old)
         new_entries = self._write_files(
             merged, ordered_on, target, total, cluster_col=_ZCOL
+        )
+        # sticky bloom_cols re-index the replacements (one bounded
+        # pass over the new files) — re-clustering must not silently
+        # degrade equality skipping
+        self._attach_blooms(
+            new_entries, man.kv.get(_BLOOM_COLS_KV), schema
         )
         try:
             names = {e.name for e in old}

@@ -1949,3 +1949,43 @@ def test_compact_zorder_scoped_rewrites_only_in_scope_files(spark, scratch):
         scope=[[("ts", ">=", pd.Timestamp("2030-01-01"))]],
     ) == 0
     assert ds.manifest.generation == gen
+
+
+def test_compact_reindexes_sticky_blooms(spark, scratch):
+    """Sticky bloom_cols survive BOTH compaction paths (round-13: the
+    documented 'rewritten files lose their blooms' degrade removed):
+    after a plain coalescing compact and after a z-order recluster,
+    every live file carries a bloom on the sticky column and a point
+    read still prunes."""
+    import os
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=600, freq="min"),
+            "uid": [(i * 7919) % 400 for i in range(600)],
+            "v": [float(i % 37) for i in range(600)],
+        }
+    )
+    ds = OrderedDataset(spark, os.path.join(scratch, "bl"), deletion_grace_s=0)
+    # many tiny files -> a coalescing run exists for plain compact
+    ds.write(df=spark.createDataFrame(pdf), ordered_on="ts",
+             row_group_target_size=40, bloom_cols=["uid"])
+    assert all(e.blooms for e in ds.manifest.files)
+
+    assert ds.compact(row_group_target_size=200) > 0
+    assert all(e.blooms for e in ds.manifest.files), "plain compact dropped blooms"
+
+    assert ds.compact(zorder_by=["uid", "v"], row_group_target_size=200) > 0
+    assert all(e.blooms for e in ds.manifest.files), "zorder compact dropped blooms"
+    # the bloom still prunes a point probe on a value that exists
+    from oups_spark.functions.filters import dnf_file_can_match
+
+    probe = [[("uid", "==", 123456)]]  # absent value: blooms prove it
+    n_match = sum(
+        dnf_file_can_match(e.cols, probe, blooms=e.blooms)
+        for e in ds.manifest.files
+    )
+    assert n_match == 0
+    assert ds.read(filters=[[("uid", "==", pdf["uid"][5])]]).count() > 0
