@@ -509,3 +509,42 @@ def test_chain_mixed_stats_encodings_keep_skip_stats(tmp_path):
     assert by["f0000.parquet"].cols == {"v": (0.0, 1.0)}
     mins = [f.min for f in back.files]
     assert mins == sorted(mins)
+
+
+def test_store_catalog_over_deltalog_backend(spark, scratch):
+    """The Store catalog composes with the delta-log backend: every
+    keyed dataset commits through its own chain, discovery and
+    deletion behave, and multi-commit datasets read back exactly."""
+    from oups_spark.store.indexer import toplevel
+    from oups_spark.store.store import Store
+
+    @toplevel
+    class Key:
+        name: str
+
+    st = Store(
+        spark, os.path.join(scratch, "cat"), Key,
+        backend=DeltaLogParquetBackend(),
+    )
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=40, freq="h"),
+            "v": [float(i) for i in range(40)],
+        }
+    )
+    for tag, sl in (("a", pdf[:20]), ("b", pdf[20:])):
+        st[Key(tag)].write(
+            df=spark.createDataFrame(sl), ordered_on="ts",
+            row_group_target_size=8,
+        )
+    # a second commit per key -> the chain is exercised
+    extra = pdf.copy()
+    extra["ts"] = extra["ts"] + pd.Timedelta(days=30)
+    st[Key("a")].write(df=spark.createDataFrame(extra[:5]))
+    assert sorted(k.name for k in st.keys()) == ["a", "b"]
+    assert st[Key("a")].read().count() == 25
+    del st[Key("b")]
+    assert sorted(k.name for k in st.keys()) == ["a"]
+    got = st[Key("a")].read(ordered=True).toPandas()
+    exp = pd.concat([pdf[:20], extra[:5]], ignore_index=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
