@@ -46,74 +46,31 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Round-13 window (evidence ages going in: registry = 146 + this
-# round's registrations; 46 queries are r10-green — the oldest
-# evidence anywhere — and round 12's tripwire scheduled exactly that
-# list as this round's head), in priority order:
-#   1. the round-13 registrations (never checked — the standing rule:
+# Round-14 window. Registry = 150 + this round's registrations; 50
+# queries are r11-green (the oldest evidence anywhere — round 13's
+# tripwire scheduled exactly that list). With >150 registered queries
+# a 50-slot window can no longer keep every query within 2 rounds
+# (ceil(N/50) rounds is the attainable cycle), so the schedule is now
+# strictly "stalest first":
+#   1. the round-14 registrations (never checked — the standing rule:
 #      new queries take slots in their landing round);
-#   2. ALL 46 queries whose last driver-green row is round 10 (the
-#      list round 12's tripwire failure message scheduled);
-#   3. the remaining registry oldest-evidence-first (r11-greens, then
-#      r12-greens) — the r11-greens are the head of round 14's window.
-# tests/test_window_schedule.py COMPUTES the boundary from the
-# CORRECTNESS_r*.json history and fails if any query's evidence would
-# age past 2 rounds outside the window.
+#   2. as many of the 50 r11-green queries as fit (46 with 4 new
+#      registrations). The 4 deferred are pure-SQL TPC-H aggregations
+#      (top_customers, order_priority_counts, shipping_priority,
+#      promo_revenue_monthly) whose code paths are frozen and
+#      pytest-covered; they head round 15's window;
+#   3. the rest oldest-evidence-first (deferred r11s, r12-greens,
+#      then r13-greens).
+# tests/test_window_schedule.py COMPUTES this from the
+# CORRECTNESS_r*.json history: the window must be exactly the 50
+# stalest-evidence queries (never-checked stalest of all).
 _WINDOW_PRIORITY = [
-    # (1) round-13 registrations (never checked) — names are appended
-    # here as each lands this round
-    "cdc_merge_stream",
-    "streaming_native_snapshots_calendar",
-    "zorder_compact_scan",
-    "streaming_native_objectstore",
-    # (2) all 46 r10-stale queries (round 12's scheduled head)
-    "text_stats",
-    "lang_id",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_neardup_pairs",
-    "neardup_clusters",
-    "embedding_cosine_topk",
-    "ann_lsh_topk",
-    "repetition_stats",
-    "decontamination_overlap",
-    "pii_scan",
-    "embedding_quantize",
-    "kmeans_clusters",
-    "countmin_heavy_hitters",
-    "histogram_quantiles_by_type",
-    "bloom_decontamination",
-    "hll_source_overlap",
-    "ann_ivf_topk",
-    "mmr_diverse_topk",
-    "bpe_token_counts",
-    "bpe_merges",
-    "cohort_retention_weekly",
-    "ewma_user_values",
-    "text_feature_vectors",
-    "source_quota_twophase",
-    "corpus_pipeline_end2end",
-    "topic_clusters",
-    "segment_bins_explicit_edges",
-    "sliding_window_1h_15m",
-    "dsir_importance_weights",
-    "dsir_gumbel_topk",
-    "semdedup_prune",
-    "store_bloom_skipping",
-    "csv_ingest_roundtrip",
-    "orc_ingest_roundtrip",
-    "streaming_native_hourly",
-    "streaming_interval_join",
-    "streaming_native_snapshots",
-    "streaming_quantile_ingest",
-    "streaming_countmin_ingest",
-    "streaming_hll_ingest",
-    "volume_bars_10k",
-    "aggstream_filter_fanout",
-    "intersections_bucket_align",
-    "rollup_pricing",
-    "twap_hourly",
-    # (3) the rest oldest-evidence-first: r11-greens ...
+    # (1) round-14 registrations (never checked) — each name is added
+    # here IN THE SAME COMMIT as its @register call (listing an
+    # unregistered name trips test_window_priority_is_exact...). As
+    # each lands, one deferred TPC-H row slides out of the window.
+    # (2) the r11-stale queries (round 13's scheduled head), minus the
+    # 4 deferred TPC-H rows
     "streaming_native_weekly",
     "streaming_native_snapshots_ffill",
     "streaming_native_monthly",
@@ -157,13 +114,14 @@ _WINDOW_PRIORITY = [
     "streaming_sliding_hourly",
     "pricing_summary",
     "revenue_by_nation",
+    "regional_supplier_volume",
+    "bucketed_colocated_join",
+    "salted_join_order_customer",
+    # (3) the 4 deferred r11-greens — head of round 15's window
     "top_customers",
     "order_priority_counts",
     "shipping_priority",
     "promo_revenue_monthly",
-    "regional_supplier_volume",
-    "bucketed_colocated_join",
-    "salted_join_order_customer",
     # ... then r12-greens
     "store_merge_into",
     "streaming_native_volume_bars",
@@ -215,6 +173,57 @@ _WINDOW_PRIORITY = [
     "asof_click_before_purchase",
     "asof_nearest_tolerance",
     "range_join_first_week",
+    # ... then r13-greens (freshest evidence)
+    "cdc_merge_stream",
+    "streaming_native_snapshots_calendar",
+    "zorder_compact_scan",
+    "streaming_native_objectstore",
+    "text_stats",
+    "lang_id",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_neardup_pairs",
+    "neardup_clusters",
+    "embedding_cosine_topk",
+    "ann_lsh_topk",
+    "repetition_stats",
+    "decontamination_overlap",
+    "pii_scan",
+    "embedding_quantize",
+    "kmeans_clusters",
+    "countmin_heavy_hitters",
+    "histogram_quantiles_by_type",
+    "bloom_decontamination",
+    "hll_source_overlap",
+    "ann_ivf_topk",
+    "mmr_diverse_topk",
+    "bpe_token_counts",
+    "bpe_merges",
+    "cohort_retention_weekly",
+    "ewma_user_values",
+    "text_feature_vectors",
+    "source_quota_twophase",
+    "corpus_pipeline_end2end",
+    "topic_clusters",
+    "segment_bins_explicit_edges",
+    "sliding_window_1h_15m",
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
+    "semdedup_prune",
+    "store_bloom_skipping",
+    "csv_ingest_roundtrip",
+    "orc_ingest_roundtrip",
+    "streaming_native_hourly",
+    "streaming_interval_join",
+    "streaming_native_snapshots",
+    "streaming_quantile_ingest",
+    "streaming_countmin_ingest",
+    "streaming_hll_ingest",
+    "volume_bars_10k",
+    "aggstream_filter_fanout",
+    "intersections_bucket_align",
+    "rollup_pricing",
+    "twap_hourly",
 ]
 
 
