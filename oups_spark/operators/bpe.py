@@ -191,23 +191,34 @@ def segment_words(
         ]
     else:
         pairs = [tuple(p) for p in merges]
+    # one contract for both engines: the JVM chained fold replays
+    # every occurrence at its rank while the python engine keeps the
+    # first — a table where a later merge re-forms an earlier pair's
+    # adjacency would then segment differently per engine (and
+    # engine="auto" switches engines at fold_chunk merges). bpe_train
+    # never emits a pair twice, but externally-produced merge tables
+    # can (and did, pre-r13, under the python engine's silent
+    # first-occurrence-wins) — so dedupe to that historical contract
+    # with a warning instead of rejecting the table (ADVICE r13: the
+    # r13 ValueError broke callers holding external tables).
     seen: set = set()
     dupes = []
+    uniq = []
     for p in pairs:
         if p in seen:
             dupes.append(p)
+            continue
         seen.add(p)
+        uniq.append(p)
     if dupes:
-        # one contract for both engines: the JVM chained fold replays
-        # every occurrence at its rank while the python engine keeps
-        # the first — a table where a later merge re-forms an earlier
-        # pair's adjacency would then segment differently per engine
-        # (and engine="auto" switches engines at fold_chunk merges).
-        # bpe_train never emits a pair twice, so duplicates are a
-        # malformed table, rejected up front.
-        raise ValueError(
-            f"duplicate merge pairs in table: {sorted(set(dupes))[:5]}"
+        import warnings
+
+        warnings.warn(
+            f"duplicate merge pairs in table (keeping first occurrence, "
+            f"both engines): {sorted(set(dupes))[:5]}",
+            stacklevel=2,
         )
+        pairs = uniq
     if engine == "auto":
         engine = "jvm" if len(pairs) <= fold_chunk else "python"
     if engine == "python":

@@ -134,6 +134,10 @@ class OrderedDataset:
         # computed against a superseded manifest and must re-run)
         self.conflict_rebases = 0
         self.conflict_reruns = 0
+        # True once the most recent commit attempt's CAS landed —
+        # cleanup handlers that delete staged data files on failure
+        # must skip the deletion when this is set (see _commit)
+        self._commit_landed = False
 
     # ------------------------------------------------------------- state
     @property
@@ -691,6 +695,7 @@ class OrderedDataset:
         man.schema_json = (target_schema or df.schema).json()
         _merge_kv(man.kv, key_value_metadata)
         expired = self._stage_tombstones(man, replaced_names)
+        self._commit_landed = False
         try:
             man.save(self.path, self.backend, snapshot=self.retain_versions)
         except ManifestConflictError:
@@ -712,6 +717,18 @@ class OrderedDataset:
                 if os.path.exists(p):
                     os.remove(p)
             raise
+        except BaseException:
+            if man.last_commit_landed:
+                # POST-commit failure (e.g. the time-travel snapshot
+                # write): the CAS accepted this manifest, so the new
+                # files are referenced — adopt the committed state and
+                # propagate WITHOUT deleting data files. Outer cleanup
+                # handlers key off self._commit_landed for the same
+                # reason (a delete here would be permanent data loss).
+                self._commit_landed = True
+                self._manifest = man
+            raise
+        self._commit_landed = True
         self._manifest = man
         self._remove_files(expired)
 
@@ -790,6 +807,15 @@ class OrderedDataset:
             rebased.save(self.path, self.backend, snapshot=self.retain_versions)
         except ManifestConflictError:
             return False
+        except BaseException:
+            if rebased.last_commit_landed:
+                # same post-commit contract as _commit: the rebase CAS
+                # landed, so the staged files are referenced — adopt
+                # and propagate, never delete
+                self._commit_landed = True
+                self._manifest = rebased
+            raise
+        self._commit_landed = True
         self._manifest = rebased
         self._remove_files(expired)
         self.conflict_rebases += 1
@@ -1616,6 +1642,11 @@ class OrderedDataset:
         self._attach_blooms(
             new_entries, man.kv.get(_BLOOM_COLS_KV), schema
         )
+        # explicit reset: self._manifest may carry last_commit_landed
+        # = True from an earlier successful save on the same instance;
+        # the handler below must not mistake a pre-save failure here
+        # for a post-commit one
+        self._manifest.last_commit_landed = False
         try:
             names = {e.name for e in old}
             self._manifest.files = [
@@ -1628,12 +1659,22 @@ class OrderedDataset:
                 self.path, self.backend, snapshot=self.retain_versions
             )
         except BaseException:
-            # finalized rewrites were never referenced by a committed
-            # manifest — remove them on ANY failure (a conflict, but
-            # also disk-full / transient I/O: this path rewrites the
-            # WHOLE table, so a leak here is table-sized) and reload
-            # so the handle's in-memory manifest matches the committed
-            # one; compact()'s retry loop re-runs on conflicts
+            if self._manifest.last_commit_landed:
+                # POST-commit failure (the CAS accepted this rewrite,
+                # then e.g. the snapshot write raised): the committed
+                # manifest references the replacement files — deleting
+                # them would destroy the whole re-clustered table.
+                # The in-memory manifest already matches the committed
+                # state (save assigns token/generation before the
+                # snapshot write), so just propagate.
+                raise
+            # PRE-commit failure: finalized rewrites were never
+            # referenced by a committed manifest — remove them on ANY
+            # failure (a conflict, but also disk-full / transient I/O:
+            # this path rewrites the WHOLE table, so a leak here is
+            # table-sized) and reload so the handle's in-memory
+            # manifest matches the committed one; compact()'s retry
+            # loop re-runs on conflicts
             for e in new_entries:
                 p = os.path.join(self.path, e.name)
                 if os.path.exists(p):
@@ -2195,6 +2236,7 @@ class OrderedDataset:
         # and a successful rebase returns normally, keeping its files.
         inserts: list[FileEntry] = []
         n_ins = 0
+        self._commit_landed = False
         try:
             if when_not_matched_insert:
                 ins = source.alias("s")
@@ -2264,6 +2306,13 @@ class OrderedDataset:
                 cmidx=man.cmidx,
             )
         except BaseException:
+            if self._commit_landed:
+                # the manifest CAS landed before the failure (e.g. a
+                # post-commit snapshot write or expired-file deletion
+                # raised): the committed manifest references the
+                # rewrites + inserts — deleting them would be
+                # PERMANENT DATA LOSS, so propagate untouched
+                raise
             for e in rewritten + inserts:
                 p = os.path.join(self.path, e.name)
                 if os.path.exists(p):

@@ -377,6 +377,12 @@ class _ParquetFilesCodec:
         for cn in have:
             if cn.startswith("c_min:"):
                 c = cn[len("c_min:"):]
+                if ("c_max:" + c) not in have:
+                    # half-populated pair (possible after delta-chain
+                    # concat with schema promotion): an unusable stat
+                    # — drop it rather than KeyError; readers treat a
+                    # missing stat conservatively
+                    continue
                 col_stats.append((
                     c,
                     cls._stat_values(table, "c_min:" + c),
@@ -556,6 +562,9 @@ class ArrowFileList:
                 cmin_name, cmax_name = f"c_min:{c}", f"c_max:{c}"
             if (
                 cmin_name not in t.column_names
+                or cmax_name not in t.column_names  # half-populated
+                # stats are possible after delta-chain concat with
+                # schema promotion — never KeyError on the twin
                 or lo is None
                 or hi is None
             ):
@@ -572,7 +581,14 @@ class ArrowFileList:
             mask = keep if mask is None else pc.and_(mask, keep)
         if mask is None:
             return self._all()
-        return self._codec._files_from_table(t.filter(mask))
+        # keep-on-unknown: a null mask slot (e.g. cmin non-null but
+        # cmax null — kleene leaves the slot null, and Table.filter
+        # DROPS null rows) must KEEP the entry, or a file whose
+        # matched keys the merge then misses gets its rows silently
+        # re-inserted as duplicates
+        return self._codec._files_from_table(
+            t.filter(pc.fill_null(mask, True))
+        )
 
 
 class ParquetManifestBackend(PosixRenameBackend, _ParquetFilesCodec):
@@ -872,6 +888,21 @@ class _DeltaLogMixin:
             keep = {ref}
             new_deltas: list = []
             staged = ref
+            # the REPLACED head's chain (known from this instance's
+            # last read/commit of this dirpath) must survive this
+            # commit's sweep one extra commit: a reader that loaded
+            # that head just before our CAS may still be mid-chain-
+            # resolve, and when the chain is a FOREIGN writer's (not
+            # in our _prev_keep) its BASE checkpoint is typically far
+            # older than gc_grace_s — without this it is deleted
+            # immediately, failing that reader systematically
+            # (ADVICE r13). Mirrors the two-phase posture used for
+            # this instance's own released refs.
+            replaced_chain = (
+                {seen[2]} | {d["ref"] for d in seen[3] if d.get("ref")}
+                if seen is not None and seen[2]
+                else set()
+            )
         else:
             _tok, prev_names, base_ref, deltas = seen
             cur_names = {f.name for f in files}
@@ -894,6 +925,7 @@ class _DeltaLogMixin:
                 d["ref"] for d in new_deltas if d.get("ref")
             }
             ref = base_ref
+            replaced_chain = set()  # delta commit: keep covers the chain
         data = _maybe_compress(json.dumps(new_head).encode())
         try:
             token = self._head_commit(dirpath, data, expect_token)
@@ -910,7 +942,9 @@ class _DeltaLogMixin:
         # itself released are ever dropped — never a listing sweep,
         # which could delete a concurrent writer's staged sidecar
         # between its put and its head CAS
-        released = self._prev_keep.get(dirpath, set()) - keep
+        released = (
+            self._prev_keep.get(dirpath, set()) | replaced_chain
+        ) - keep
         drop_now = self._pending_drop.get(dirpath, set()) - keep
         self._chain_sweep(
             dirpath,
@@ -1294,6 +1328,11 @@ class Manifest:
     # it as the conditional-put precondition, making read-modify-
     # write optimistic CAS on backends that support it
     token: Any = field(default=None, compare=False, repr=False)
+    # True iff the most recent save() got its backend CAS accepted —
+    # distinguishes post-commit failures (snapshot write, expired-file
+    # deletion) from pre-commit ones in callers' cleanup handlers.
+    # Reset to False at the top of every save().
+    last_commit_landed: bool = field(default=False, compare=False, repr=False)
 
     @property
     def n_rows(self) -> int:
@@ -1349,6 +1388,14 @@ class Manifest:
         snapshot: bool = False,
     ) -> None:
         backend = backend or _DEFAULT_BACKEND
+        # post-commit failure discrimination: a caller whose cleanup
+        # handler deletes staged data files MUST NOT do so once the
+        # CAS has landed (the committed manifest references them) —
+        # this flag is False until the backend commit returns, so
+        # handlers can tell pre-commit failures (clean up) from
+        # post-commit ones like a snapshot-write error (propagate,
+        # never touch data files)
+        self.last_commit_landed = False
         self.sort_files()
         self.generation += 1
         try:
@@ -1369,6 +1416,7 @@ class Manifest:
             # generation that never landed — callers retry with it
             self.generation -= 1
             raise
+        self.last_commit_landed = True
         if snapshot:
             # snapshots are always the full inline payload, whatever
             # the backend's live layout — load_snapshot stays

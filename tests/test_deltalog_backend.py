@@ -548,3 +548,106 @@ def test_store_catalog_over_deltalog_backend(spark, scratch):
     got = st[Key("a")].read(ordered=True).toPandas()
     exp = pd.concat([pdf[:20], extra[:5]], ignore_index=True)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_prune_key_range_half_populated_and_null_stats_keep(tmp_path):
+    """ADVICE r13: half-populated stat pairs (c_min:<col> present,
+    c_max:<col> absent — possible after delta-chain concat with
+    schema promotion) must not KeyError, and a null cmax slot must
+    KEEP the entry (kleene leaves the mask slot null and Table.filter
+    DROPS null rows — a silently pruned file would miss its matched
+    keys and re-insert them as duplicates)."""
+    import pyarrow as pa
+
+    from oups_spark.store.manifest import ArrowFileList, _ParquetFilesCodec
+
+    t = pa.table(
+        {
+            "name": pa.array(["a.parquet", "b.parquet", "c.parquet"]),
+            "n_rows": pa.array([10, 10, 10], type=pa.int64()),
+            "min": pa.array([0, 100, 200], type=pa.int64()),
+            "max": pa.array([99, 199, 299], type=pa.int64()),
+            # half-populated pair: c_min:w with NO c_max:w
+            "c_min:w": pa.array([1.0, 2.0, 3.0]),
+            # full pair, but b's cmax is null (cmin known)
+            "c_min:u": pa.array([0, 50, 900], type=pa.int64()),
+            "c_max:u": pa.array([40, None, 950], type=pa.int64()),
+        }
+    )
+    # (1) no KeyError on the half-populated pair; unusable -> keeps
+    # all (that call materializes via the mask-None fallback, so each
+    # probe gets a fresh lazy view)
+    hit = ArrowFileList(t, _ParquetFilesCodec).prune_key_range(
+        {"w": (0.0, 0.5)}
+    )
+    assert [e.name for e in hit] == ["a.parquet", "b.parquet", "c.parquet"]
+
+    # (2) probe (60, 70): a's span [0,40] is provably disjoint (drop);
+    # b has cmin=50 <= 70 but cmax unknown -> MUST be kept; c's
+    # cmin=900 > 70 is provably disjoint even with a known cmax
+    hit = ArrowFileList(t, _ParquetFilesCodec).prune_key_range(
+        {"u": (60, 70)}
+    )
+    assert [e.name for e in hit] == ["b.parquet"]
+
+    # (3) materialization of survivors with the half-populated pair
+    # drops the unusable stat instead of KeyError-ing
+    assert hit[0].cols is not None and "w" not in hit[0].cols
+    assert hit[0].cols["u"] == (50, None)
+
+
+def test_foreign_chain_survives_checkpoint_fold_one_commit(tmp_path):
+    """ADVICE r13: when an instance full-checkpoints over a FOREIGN
+    writer's head (its _prev_keep knows nothing of that chain), the
+    replaced chain's refs — whose BASE checkpoint is typically far
+    older than gc_grace_s — must survive this commit's sweep, so a
+    reader that loaded the just-replaced head mid-chain-resolve still
+    finds them; they are reclaimed one commit later (the same
+    two-phase posture as the instance's own released refs)."""
+    import time
+
+    d = str(tmp_path)
+
+    # "foreign" writer builds a chain: base checkpoint + one delta
+    w1 = DeltaLogParquetBackend()
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(i) for i in range(3)]
+    m.save(d, w1)
+    m.files.append(_entry(10))
+    m.save(d, w1)
+    h = _head(d)
+    foreign_chain = {h["files_ref"]} | {
+        x["ref"] for x in h["deltas"] if x.get("ref")
+    }
+    # age the chain past the gc grace window (the systematic case:
+    # an old base checkpoint)
+    for r in foreign_chain:
+        p = os.path.join(d, r)
+        os.utime(p, (time.time() - 7 * 86400, time.time() - 7 * 86400))
+
+    # a FRESH instance (e.g. another process) loads the head, then
+    # folds it with a full checkpoint (seen is from read only;
+    # _prev_keep is empty -> the old code swept the foreign chain
+    # immediately)
+    w2 = DeltaLogParquetBackend()
+    w2.checkpoint_interval = 1  # force the fold on the next commit
+    m2 = Manifest.load(d, w2)
+    m2.files = list(m2.files) + [_entry(20)]
+    m2.save(d, w2)
+
+    for r in foreign_chain:
+        assert os.path.exists(os.path.join(d, r)), (
+            f"replaced foreign chain ref {r} swept in the same commit"
+        )
+    # a reader holding the REPLACED head can still resolve its chain
+    files, names = w2._resolve_chain(
+        d, h["files_ref"], h.get("deltas", [])
+    )
+    assert len(files) == 4
+
+    # one commit later the replaced chain is reclaimed (two-phase)
+    m2.files = list(m2.files) + [_entry(21)]
+    m2.save(d, w2)
+    assert not any(
+        os.path.exists(os.path.join(d, r)) for r in foreign_chain
+    )

@@ -775,23 +775,33 @@ def test_segment_words_thousand_merges_compiles_and_matches(spark):
     assert got_jvm == got_py
 
 
-def test_segment_words_rejects_duplicate_merge_pairs(spark):
-    """One contract for both engines (round-13 ADVICE): the JVM
-    chained fold replays a duplicate pair at every listed rank while
-    the python engine keeps only the first, so a table where a later
-    merge re-forms an earlier pair's adjacency would segment
-    differently per engine — and engine='auto' silently switches
-    engines at fold_chunk merges. bpe_train never emits a pair twice;
-    duplicates are rejected up front, identically on every engine."""
+def test_segment_words_dedupes_duplicate_merge_pairs(spark):
+    """One contract for both engines (round-13 ADVICE, softened by
+    round-14 ADVICE): the JVM chained fold would replay a duplicate
+    pair at every listed rank while the python engine keeps only the
+    first, so duplicates are DEDUPED to first-occurrence-wins (the
+    historical python-engine behavior, preserving callers holding
+    externally-produced merge tables) with a warning — identically on
+    every engine, so engine='auto' cannot flip results at fold_chunk
+    merges. bpe_train itself never emits a pair twice."""
     import pytest
 
     from oups_spark.operators.bpe import segment_words
 
     words = spark.createDataFrame([("abcd",)], "w string")
     dup = [("a", "b"), ("c", "d"), ("a", "b")]
+    got = {}
     for eng in ("jvm", "python", "auto"):
-        with pytest.raises(ValueError, match="duplicate merge pairs"):
-            segment_words(words, dup, engine=eng)
+        with pytest.warns(UserWarning, match="duplicate merge pairs"):
+            got[eng] = segment_words(
+                words, dup, engine=eng
+            ).collect()[0]["syms"]
+    # all engines agree with the deduped table's segmentation
+    assert got["jvm"] == got["python"] == got["auto"]
+    clean = segment_words(
+        words, [("a", "b"), ("c", "d")], engine="python"
+    ).collect()[0]["syms"]
+    assert got["python"] == clean
     # unique tables still work on both engines, identically
     ok = [("a", "b"), ("ab", "c")]
     got_j = segment_words(words, ok, engine="jvm").collect()[0]["syms"]

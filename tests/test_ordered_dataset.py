@@ -1989,3 +1989,92 @@ def test_compact_reindexes_sticky_blooms(spark, scratch):
     )
     assert n_match == 0
     assert ds.read(filters=[[("uid", "==", pdf["uid"][5])]]).count() > 0
+
+
+def test_merge_into_post_commit_failure_keeps_referenced_files(
+    spark, scratch, monkeypatch
+):
+    """ADVICE r13 (medium): a failure AFTER the manifest CAS lands —
+    here the retain_versions snapshot write — must NOT trigger the
+    staged-file cleanup: the committed manifest references the
+    rewrites + inserts, so deleting them would be permanent data
+    loss. The merge's effects must be fully readable afterwards."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from oups_spark.store import manifest as manifest_mod
+
+    df, pdf = _dml_frame(spark)
+    path = os.path.join(scratch, "pc_merge")
+    ds = OrderedDataset(spark, path, retain_versions=True)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [pdf["ts"][0], pdf["ts"][39] + pd.Timedelta(hours=1)],
+                "uid": [0, 777],
+                "v": [99.0, 2.5],
+            }
+        )
+    )
+
+    def boom(*a, **k):
+        raise OSError("simulated snapshot-write failure (post-CAS)")
+
+    monkeypatch.setattr(manifest_mod, "write_snapshot", boom)
+    with pytest.raises(OSError, match="post-CAS"):
+        ds.merge_into(
+            src, on="uid",
+            when_matched_update={"v": 99.0},
+            when_not_matched_insert=True,
+        )
+    monkeypatch.undo()
+
+    ds2 = OrderedDataset(spark, path, retain_versions=True)
+    # every referenced file survived the failure
+    for e in ds2.manifest.files:
+        assert os.path.exists(os.path.join(path, e.name)), e.name
+    got = ds2.read().toPandas()
+    # insert landed, and all 8 uid==0 rows carry the update
+    assert len(got) == len(pdf) + 1
+    assert (got.loc[got["uid"] == 0, "v"] == 99.0).all()
+    assert (got["uid"] == 777).sum() == 1
+
+
+def test_compact_zorder_post_commit_failure_keeps_rewrite(
+    spark, scratch, monkeypatch
+):
+    """ADVICE r13 (medium), zorder twin: compact(zorder_by=...)
+    rewrites the WHOLE table; a post-CAS snapshot-write failure used
+    to delete every replacement file while the reloaded manifest
+    pointed at them. The committed re-clustered layout must remain
+    fully readable."""
+    import os
+
+    import pandas as pd
+
+    from oups_spark.store import manifest as manifest_mod
+
+    df, pdf = _dml_frame(spark)
+    path = os.path.join(scratch, "pc_z")
+    ds = OrderedDataset(spark, path, retain_versions=True)
+    ds.write(df=df, ordered_on="ts", row_group_target_size=10)
+
+    def boom(*a, **k):
+        raise OSError("simulated snapshot-write failure (post-CAS)")
+
+    monkeypatch.setattr(manifest_mod, "write_snapshot", boom)
+    with pytest.raises(OSError, match="post-CAS"):
+        ds.compact(zorder_by=["uid", "v"], row_group_target_size=20)
+    monkeypatch.undo()
+
+    ds2 = OrderedDataset(spark, path, retain_versions=True)
+    for e in ds2.manifest.files:
+        assert os.path.exists(os.path.join(path, e.name)), e.name
+    got = (
+        ds2.read().toPandas().sort_values("ts", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got[["ts", "uid", "v"]], pdf)
