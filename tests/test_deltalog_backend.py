@@ -640,7 +640,7 @@ def test_foreign_chain_survives_checkpoint_fold_one_commit(tmp_path):
             f"replaced foreign chain ref {r} swept in the same commit"
         )
     # a reader holding the REPLACED head can still resolve its chain
-    files, names = w2._resolve_chain(
+    files = w2._resolve_chain(
         d, h["files_ref"], h.get("deltas", [])
     )
     assert len(files) == 4
@@ -651,3 +651,87 @@ def test_foreign_chain_survives_checkpoint_fold_one_commit(tmp_path):
     assert not any(
         os.path.exists(os.path.join(d, r)) for r in foreign_chain
     )
+
+
+def test_fresh_load_is_lazy_and_fails_loudly_when_stale(tmp_path):
+    """Round-14 lazy fresh load: Manifest.load on a delta chain reads
+    ONLY the head (no sidecar I/O — the reconstruction cost moved to
+    first use), and a handle that outlives the chain's sidecars fails
+    LOUDLY on first use, never silently empty — the same posture as
+    an eagerly stale reader."""
+    from oups_spark.store.manifest import ChainFileList
+
+    d = str(tmp_path)
+    be = DeltaLogParquetBackend()
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(i) for i in range(4)]
+    m.save(d, be)
+    m.files.append(_entry(9))
+    m.save(d, be)
+
+    # remove every sidecar: a LAZY load must still succeed (head only)
+    refs = [n for n in os.listdir(d) if ".files.g" in n]
+    assert refs
+    blob = {r: open(os.path.join(d, r), "rb").read() for r in refs}
+    for r in refs:
+        os.remove(os.path.join(d, r))
+    back = Manifest.load(d, DeltaLogParquetBackend())
+    assert isinstance(back.files, ChainFileList)
+    with pytest.raises(FileNotFoundError):
+        len(back.files)  # first use resolves -> loud failure
+
+    # restore: the same deferred handle states are NOT poisoned for a
+    # fresh load, and reconstruction is exact
+    for r, b in blob.items():
+        open(os.path.join(d, r), "wb").write(b)
+    back = Manifest.load(d, DeltaLogParquetBackend())
+    assert {f.name for f in back.files} == {
+        f"f{i:04d}.parquet" for i in range(4)
+    } | {"f0009.parquet"}
+    # vectorized prune still works through the resolved chain
+    hit = back.files_in_range(
+        pd.Timestamp("2024-01-02"), pd.Timestamp("2024-01-04")
+    )
+    assert {e.name for e in hit} == {"f0001.parquet", "f0002.parquet"}
+
+
+def test_lazy_seen_names_are_mutation_proof(tmp_path):
+    """Round-14: the deferred name-set for the writer's next delta
+    commit resolves from the COMMITTED sidecars, never from the
+    caller-visible list — so mutating manifest.files between load and
+    save cannot corrupt the delta computation (an added entry must
+    appear in the delta, not vanish into a wrong prev-names set)."""
+    d = str(tmp_path)
+    be = DeltaLogParquetBackend()
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(i) for i in range(3)]
+    m.save(d, be)
+
+    # fresh handle: lazy seen; the caller mutates files IN PLACE
+    # (materializes the ChainFileList) before saving
+    be2 = DeltaLogParquetBackend()
+    h = Manifest.load(d, be2)
+    h.files.append(_entry(7))
+    h.save(d, be2)  # delta commit: prev-names resolve AFTER mutation
+    head = _head(d)
+    assert len(head["deltas"]) == 1
+    assert head["deltas"][0]["ref"] is not None  # the add was seen
+
+    back = Manifest.load(d, DeltaLogParquetBackend())
+    assert {f.name for f in back.files} == {
+        "f0000.parquet", "f0001.parquet", "f0002.parquet", "f0007.parquet"
+    }
+
+    # and after a CHECKPOINT commit (lazy next-names bound to the new
+    # ref), a follow-up mutation + delta commit is still exact
+    be3 = DeltaLogParquetBackend()
+    be3.checkpoint_interval = 1  # force fold
+    h3 = Manifest.load(d, be3)
+    h3.files.append(_entry(8))
+    h3.save(d, be3)  # checkpoint (fold)
+    be3.checkpoint_interval = 20
+    h3.files.append(_entry(9))
+    h3.save(d, be3)  # delta on the fold; prev-names from ckpt sidecar
+    final = Manifest.load(d, DeltaLogParquetBackend())
+    assert len(final.files) == 6
+    assert "f0009.parquet" in {f.name for f in final.files}
