@@ -70,6 +70,7 @@ _WINDOW_PRIORITY = [
     # unregistered name trips test_window_priority_is_exact...). As
     # each lands, one deferred TPC-H row slides out of the window.
     "store_deltalog_roundtrip",
+    "streaming_native_autocompact",
     # (2) the r11-stale queries (round 13's scheduled head), minus the
     # 4 deferred TPC-H rows
     "streaming_native_weekly",

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -1911,3 +1912,120 @@ def streaming_native_rowcount_bins(
         F.col("sum_vol").cast("long").alias("n_rows"),
         F.round("sum_val", 6).alias("sum_val"),
     ).orderBy("bin_id")
+
+
+@register(
+    "streaming_native_autocompact",
+    oracle="""
+    WITH agged AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000) AS bin,
+             arg_min(value, ts)   AS first_val,
+             arg_max(value, ts)   AS last_val,
+             round(min(value), 6) AS min_val,
+             round(max(value), 6) AS max_val,
+             round(sum(value), 6) AS sum_val
+      FROM events GROUP BY 1
+    ), mx AS (SELECT max(ts) AS m FROM events)
+    SELECT bin, first_val, last_val, min_val, max_val, sum_val
+    FROM agged, mx
+    WHERE bin + INTERVAL 1 HOUR <= m
+    ORDER BY bin
+    """,
+)
+def streaming_native_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sink AUTO-MAINTENANCE (round-14; reference
+    auto-coalesces off-target row groups on every write,
+    ``write.py:204-217``): the events replay as 4 week-long
+    micro-batches (maxFilesPerTrigger=1 over time-cut chunk files),
+    each committing ~180 closed hourly bins against a 150-row file
+    target — every batch's files are UNDERSIZED (~90-row halves), so
+    an unmaintained sink ends at ~2 small files per batch (~8). With
+    ``max_n_off_target_rgs=3`` each write folds the trailing
+    undersized run once it reaches 3 files, and ``compact_every=4``
+    adds a periodic maintenance commit (here: once, on the final
+    batch): the END-STATE FILE COUNT is pinned near the data-sized
+    count while the rows are bit-identical to the single-shot
+    statement (same oracle as streaming_native_hourly — maintenance
+    commits must never change query results).
+
+    Scale: this is the 100-TB posture for long-running sinks — a
+    week of 1-minute micro-batches is ~10k files/dataset without
+    coalescing; with it, file count tracks data size / target, not
+    commit count, and each fold touches only the adjacent undersized
+    run (bounded work per batch)."""
+    from oups_spark.streaming.native import (
+        streaming_segment_agg,
+        write_stream_to_dataset,
+    )
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_autocompact")
+    path = os.path.join(base, "bins_ds")
+    src_dir = os.path.join(base, "chunks")
+    src = os.path.join(sf_dir, "events.parquet")
+
+    # chunk prep is driver-side pyarrow (a raw slice of the source
+    # file, ns timestamps untouched): 4 sequential Spark write jobs
+    # would cost ~7 s of pure job overhead at this size. Sequential
+    # writes give the file source its modification-time order.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(src)
+    os.makedirs(src_dir, exist_ok=True)
+    cuts = [
+        (pd.Timestamp("2024-01-01") + pd.Timedelta(days=8 * i),
+         pd.Timestamp("2024-01-01") + pd.Timedelta(days=8 * (i + 1)))
+        for i in range(4)
+    ]
+    ts_col = raw.column("ts")
+    for i, (lo, hi) in enumerate(cuts):
+        mask = pc.and_(
+            pc.greater_equal(ts_col, pa.scalar(lo, type=ts_col.type)),
+            pc.less(ts_col, pa.scalar(hi, type=ts_col.type)),
+        )
+        pq.write_table(
+            raw.filter(mask), os.path.join(src_dir, f"chunk{i:02d}.parquet")
+        )
+
+    schema = spark.read.parquet(
+        os.path.join(src_dir, "chunk00.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agged = streaming_segment_agg(
+        stream, "ts", _AGG, bin_by="1h", watermark="0 seconds"
+    )
+    write_stream_to_dataset(
+        agged,
+        path,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        row_group_target_size=150,
+        max_n_off_target_rgs=3,
+        compact_every=4,
+    )
+    ds = OrderedDataset(spark, path)
+    # maintenance pin: 719 closed bins / 150-row target. Unmaintained
+    # = ~2 undersized files per batch (~8); maintained must sit near
+    # the data-sized count (ceil(719/150) = 5, +tail slack)
+    assert ds.n_files <= 6, f"auto-maintenance left {ds.n_files} files"
+    out = ds.read()
+    return out.select(
+        "bin",
+        "first_val",
+        "last_val",
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+        F.round("sum_val", 6).alias("sum_val"),
+    ).orderBy("bin")

@@ -601,6 +601,8 @@ def write_stream_to_dataset(
     available_now: bool = True,
     backend=None,
     conflict_retries: int = 0,
+    max_n_off_target_rgs: int | None = None,
+    compact_every: int | None = None,
 ):
     """Sink a streaming aggregation into an OrderedDataset: each
     append-mode micro-batch (closed bins only) goes through the
@@ -618,7 +620,27 @@ def write_stream_to_dataset(
     any other writer of the same dataset. The sink runs on the
     driver (``foreachBatch``), so the backend instance is shared
     across batches and restarts within a process; on a real object
-    store the backend is stateless against the bucket anyway."""
+    store the backend is stateless against the bucket anyway.
+
+    AUTO-MAINTENANCE (round-14; reference auto-coalesces off-target
+    row groups on every write, ``write.py:204-217``): a long-running
+    sink commits one small file set per micro-batch and would
+    otherwise never coalesce — a week of 1-minute micro-batches is
+    ~10k files per dataset at 100 TB.
+    - ``max_n_off_target_rgs``: passed through to each micro-batch's
+      merge write — when the run of undersized files ADJACENT to the
+      batch's span reaches this length, the write folds it in (for an
+      append-only stream that is the dataset's tail, so the trailing
+      small files self-coalesce as the stream advances).
+    - ``compact_every``: every N-th micro-batch additionally runs a
+      scoped ``compact(row_group_target_size=...)`` maintenance
+      commit after its write. Crash-safe by construction: the compact
+      is its own CAS commit AFTER the batch's data commit, Spark's
+      checkpoint only advances when the sink returns, and a replayed
+      batch re-runs both — the keep-last merge absorbs the data
+      redelivery and compact is idempotent maintenance (a re-run
+      coalesces whatever runs remain, or no-ops).
+    """
     from oups_spark.store.dataset import OrderedDataset
 
     spark = agged.sparkSession
@@ -636,7 +658,15 @@ def write_stream_to_dataset(
                 row_group_target_size=row_group_target_size,
                 validate_monotonic=False,
                 conflict_retries=conflict_retries,
+                max_n_off_target_rgs=max_n_off_target_rgs,
             )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            ds = OrderedDataset(spark, path, backend=backend)
+            if ds.exists:
+                ds.compact(
+                    row_group_target_size=row_group_target_size,
+                    conflict_retries=conflict_retries,
+                )
 
     writer = agged.writeStream.outputMode("append").foreachBatch(sink)
     if available_now:
