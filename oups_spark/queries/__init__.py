@@ -71,6 +71,7 @@ _WINDOW_PRIORITY = [
     # each lands, one deferred TPC-H row slides out of the window.
     "store_deltalog_roundtrip",
     "streaming_native_autocompact",
+    "streaming_native_snapshots_right",
     # (2) the r11-stale queries (round 13's scheduled head), minus the
     # 4 deferred TPC-H rows
     "streaming_native_weekly",

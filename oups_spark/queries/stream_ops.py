@@ -2029,3 +2029,104 @@ def streaming_native_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_val", 6).alias("max_val"),
         F.round("sum_val", 6).alias("sum_val"),
     ).orderBy("bin")
+
+
+@register(
+    "streaming_native_snapshots_right",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    wm AS (
+      SELECT CAST(max(o_orderdate) AS TIMESTAMP) + INTERVAL 1 DAY AS final
+      FROM orders, mx WHERE o_orderdate < mx.m
+    ), base AS (
+      SELECT CAST(o_orderdate AS TIMESTAMP) AS ts, o_totalprice AS value
+      FROM orders, wm WHERE CAST(o_orderdate AS TIMESTAMP) < wm.final
+    ), partials AS (
+      SELECT date_trunc('year', ts) AS bin,
+             CASE WHEN ts = date_trunc('month', ts)
+                       AND ts <> date_trunc('year', ts) THEN ts
+                  ELSE date_trunc('month', ts) + INTERVAL 1 MONTH
+             END AS snap,
+             CAST(count(*) AS BIGINT) AS p_n,
+             max(value) AS p_max,
+             sum(value) AS p_sum
+      FROM base GROUP BY 1, 2
+    ), grid AS (
+      SELECT bin, bin + to_months(CAST(k AS INT)) AS snap
+      FROM (SELECT unnest(generate_series((SELECT min(bin) FROM partials),
+                                          (SELECT max(bin) FROM partials),
+                                          INTERVAL 1 YEAR)) AS bin),
+           (SELECT unnest(generate_series(1, 12)) AS k)
+    )
+    SELECT bin, snap,
+           CAST(coalesce(sum(p_n) OVER w, 0) AS BIGINT) AS n_orders,
+           round(max(p_max) OVER w, 2)                  AS max_price,
+           round(sum(p_sum) OVER w, 2)                  AS sum_price
+    FROM grid LEFT JOIN partials USING (bin, snap), wm
+    WHERE snap < wm.final
+    WINDOW w AS (PARTITION BY bin ORDER BY snap
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bin, snap
+    """,
+)
+def streaming_native_snapshots_right(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLOSED-RIGHT calendar snapshots on the NATIVE streaming path
+    (round-14, the last semantic asymmetry vs batch/AggStream;
+    reference ``cumsegagg.py:243-252``: a snapshot at instant s
+    observes rows ts <= s). On orders every event time is a midnight
+    DATE — every row sits exactly ON the daily tile grid, so this
+    query is ALL boundary cases: each month-start snapshot observes
+    that day's orders (closed-left would not), a row on a YEAR
+    boundary counts toward the opening year and is invisible to that
+    instant's snapshot, and the final cut is strict (a closed-right
+    snapshot AT the watermark would need the unemitted tile).
+    Mechanism: the daily tile stage splits each tile into an EDGE
+    partial (rows at the label, keyed there) and an INTERIOR partial
+    (keyed +1µs) inside one streaming aggregation — one extra group
+    key, no extra pass — then batch ``snapshot_agg`` re-observes
+    closed-right over the synthetic keys. The oracle assigns each
+    row its first closed-right observer (month-start rows observe
+    themselves) and cuts snap < final watermark."""
+    from oups_spark.streaming.native import streaming_snapshot_calendar_agg
+    from oups_spark.tables import _ns_timestamp_cols, ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("streaming_native_snapshots_right")
+    src = os.path.join(sf_dir, "orders.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    rs = spark.readStream.schema(raw_schema)
+    stream = (
+        rs.parquet(src)
+        if os.path.isdir(src)
+        else rs.option("pathGlobFilter", "orders.parquet").parquet(sf_dir)
+    )
+    for c in _ns_timestamp_cols(src):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    stream = stream.withColumn(
+        "ts", F.col("o_orderdate").cast("timestamp")
+    ).withColumn("__one", F.lit(1).cast("long"))
+    out = streaming_snapshot_calendar_agg(
+        stream,
+        "ts",
+        {
+            "n_orders": ("__one", "sum"),
+            "max_price": ("o_totalprice", "max"),
+            "sum_price": ("o_totalprice", "sum"),
+        },
+        bin_by="1Y",
+        snap_by="MS",
+        base_path=base,
+        snap_closed="right",
+    )
+    out = _read_or_fail(out, "streaming_native_snapshots_right")
+    return out.select(
+        "bin",
+        "snap",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+        F.round("max_price", 2).alias("max_price"),
+        F.round("sum_price", 2).alias("sum_price"),
+    ).orderBy("bin", "snap")

@@ -401,6 +401,7 @@ def streaming_snapshot_calendar_agg(
     watermark: str = "0 seconds",
     tiebreak: list | None = None,
     row_group_target_size: int | str = 100_000,
+    snap_closed: str = "left",
 ):
     """CALENDAR-frequency and EXPLICIT-EDGE snapshots on the native
     streaming path (round-13 lift of ``streaming_snapshot_agg``'s
@@ -431,9 +432,28 @@ def streaming_snapshot_calendar_agg(
     divides a day — calendar bin/snap edges land on whole days, hence
     on the tile grid; a fixed ``snap_by`` must be a multiple of
     ``tile_by``; explicit ``snap_by`` edges must each lie on the tile
-    grid (pick a finer ``tile_by`` for sub-day edges). Closed-left
-    snapshots only (the reference default): closed-right would need
-    row-level, not tile-level, observation at the edges.
+    grid (pick a finer ``tile_by`` for sub-day edges).
+
+    ``snap_closed`` (round-14, closing the last native-twin gap vs
+    batch/AggStream; reference ``cumsegagg.py:243-252``): ``'left'``
+    = a snapshot at instant s observes rows ts < s; ``'right'`` =
+    ts <= s. Closed-right needs ROW-level, not tile-level, boundary
+    observation — the only rows a tile-level view cannot resolve are
+    those EXACTLY ON the tile grid (every snapshot instant is
+    tile-aligned; interior rows satisfy ts < s ⟺ ts <= s). So the
+    tile stage splits each tile into at most two partials inside the
+    SAME streaming aggregation (one extra group key, no extra pass or
+    state): an EDGE partial of the rows at exactly the tile label,
+    keyed AT the label, and an INTERIOR partial keyed at label + 1µs.
+    The batch re-observation then runs ``snap_closed='right'`` over
+    those synthetic keys: key <= s includes the edge partial at s
+    (row-exact) and every earlier tile, excludes the observing tile's
+    interior (label + 1µs > s) — and bin assignment of an edge row on
+    a BIN boundary lands in the opening bin, exactly as a raw row
+    would (the snapshot at that boundary observes the closing bin
+    without it). Cut strictly below the final watermark: a
+    closed-right snapshot AT the watermark would need the unemitted
+    tile's edge rows.
 
     Restart story — both stages idempotent, re-invocation after a
     crash anywhere converges: the tile stage resumes from Spark's
@@ -456,6 +476,8 @@ def streaming_snapshot_calendar_agg(
     from oups_spark.operators.segment import snapshot_agg
     from oups_spark.store.dataset import OrderedDataset
 
+    if snap_closed not in ("left", "right"):
+        raise ValueError(f"snap_closed must be left|right, got {snap_closed!r}")
     tile_us = int(period_duration(tile_by) * 1_000_000)
     if not is_fixed_freq(tile_by) or (86400 * 1_000_000) % tile_us:
         raise ValueError(
@@ -490,11 +512,39 @@ def streaming_snapshot_calendar_agg(
     spark = stream_df.sparkSession
     tiles_path = _os.path.join(base_path, "tiles")
     snaps_path = _os.path.join(base_path, "snaps")
-    tiles = streaming_segment_agg(
-        stream_df, ordered_on, agg,
-        bin_by=tile_by, watermark=watermark, tiebreak=tiebreak,
-        bin_col="__tile",
-    )
+    if snap_closed == "left":
+        tiles = streaming_segment_agg(
+            stream_df, ordered_on, agg,
+            bin_by=tile_by, watermark=watermark, tiebreak=tiebreak,
+            bin_col="__tile",
+        )
+    else:
+        # closed-right: split each tile into (edge, interior) partials
+        # in the same watermarked aggregation — one extra boolean
+        # group key, same state bound, both groups emit once when the
+        # tile's window expires
+        from oups_spark.operators.segment import _agg_exprs
+
+        order_key = F.struct(ordered_on, *(tiebreak or []))
+        edge = (F.unix_micros(F.col(ordered_on)) % tile_us) == 0
+        agged = (
+            stream_df.withWatermark(ordered_on, watermark)
+            .groupBy(
+                F.window(
+                    F.col(ordered_on), freq_to_interval(tile_by)
+                ).alias("__w"),
+                edge.alias("__edge"),
+            )
+            .agg(*_agg_exprs(agg, order_key))
+        )
+        tiles = agged.select(
+            F.when(F.col("__edge"), F.col("__w.start"))
+            .otherwise(
+                F.col("__w.start") + F.expr("INTERVAL 1 MICROSECOND")
+            )
+            .alias("__tile"),
+            *[F.col(o) for o in agg],
+        )
     write_stream_to_dataset(
         tiles, tiles_path, bin_col="__tile",
         checkpoint_dir=_os.path.join(base_path, "ckpt"),
@@ -506,17 +556,25 @@ def streaming_snapshot_calendar_agg(
         return out if out.exists else None
     tiles_df = ds_tiles.read()
     hi = tiles_df.agg(F.max("__tile").alias("mx")).collect()[0]["mx"]
-    final_wm = pd.Timestamp(hi) + pd.Timedelta(microseconds=tile_us)
+    # synthetic +1µs interior keys floor back onto the tile grid
+    hi_us = pd.Timestamp(hi).value // 1000
+    final_wm = pd.Timestamp((hi_us - hi_us % tile_us + tile_us) * 1000)
     snaps = snapshot_agg(
         tiles_df,
         "__tile",
         {o: (o, func) for o, (_c, func) in agg.items()},
         bin_by=bin_by,
         snap_by=snap_by,
-        snap_closed="left",
+        snap_closed=snap_closed,
         bin_col=bin_col,
         snap_col=snap_col,
-    ).filter(F.col(snap_col) <= F.lit(final_wm))
+    )
+    if snap_closed == "left":
+        snaps = snaps.filter(F.col(snap_col) <= F.lit(final_wm))
+    else:
+        # a closed-right snapshot AT the watermark would observe the
+        # unemitted tile's edge rows (ts == final_wm) — cut strictly
+        snaps = snaps.filter(F.col(snap_col) < F.lit(final_wm))
     if snaps.isEmpty():
         return out if out.exists else None
     out.write(

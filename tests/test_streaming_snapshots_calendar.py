@@ -182,3 +182,86 @@ def test_grid_validation(spark, scratch):
         streaming_snapshot_agg(
             df, "ts", AGG, bin_by="1MS", snap_by="1D"
         )
+
+
+def test_snap_closed_right_equals_batch_cut(spark, scratch):
+    """Round-14 (VERDICT r13 ask #4): closed-right snapshots on the
+    native streaming path — the last semantic asymmetry vs
+    batch/AggStream (reference cumsegagg.py:243-252). Rows exactly ON
+    tile edges (the only ones a tile-level view cannot resolve),
+    interior rows, and a row exactly on a BIN boundary (must count
+    toward the OPENING bin, invisible to that instant's snapshot)
+    must all match batch snapshot_agg(snap_closed='right') cut
+    STRICTLY below the final watermark (a closed-right snapshot AT
+    the watermark would need the unemitted tile's edge rows)."""
+    import pandas as pd
+
+    from oups_spark.operators.segment import snapshot_agg
+    from oups_spark.streaming.native import streaming_snapshot_calendar_agg
+
+    rows = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",  # exactly on the Jan bin edge
+                    "2024-01-05 00:00:00",  # tile-edge row = snap edge
+                    "2024-01-05 13:00:00",  # interior
+                    "2024-01-20 00:00:00",  # tile-edge row = snap edge
+                    "2024-02-01 00:00:00",  # Feb bin edge row
+                    "2024-02-10 07:30:00",  # interior
+                    "2024-02-20 00:00:00",  # snap-edge row
+                    "2024-03-03 09:00:00",  # advances the watermark
+                ]
+            ),
+            "v": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0],
+        }
+    )
+    src = os.path.join(scratch, "src")
+    os.makedirs(src)
+    spark.createDataFrame(rows, "ts timestamp, v double").coalesce(
+        1
+    ).write.parquet(os.path.join(src, "b0"))
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = {
+        "sum_v": ("v", "sum"),
+        "max_v": ("v", "max"),
+        "first_v": ("v", "first"),
+        "last_v": ("v", "last"),
+    }
+    edges = [
+        pd.Timestamp(x)
+        for x in [
+            "2024-01-05", "2024-01-20", "2024-02-01", "2024-02-10",
+            "2024-02-20", "2024-03-01", "2024-03-05",
+        ]
+    ]
+    out = streaming_snapshot_calendar_agg(
+        stream, "ts", agg, bin_by="MS", snap_by=edges,
+        base_path=os.path.join(scratch, "ds"), snap_closed="right",
+    )
+    got = out.read().orderBy("snap").toPandas()
+
+    # final watermark: max ts 03-03 09:00 -> last EMITTED tile is
+    # [02-20, 02-21) (the 03-03 tile never expires), so the cut is
+    # snap < 02-21
+    batch = (
+        snapshot_agg(
+            spark.createDataFrame(rows, "ts timestamp, v double"),
+            "ts", agg, bin_by="MS", snap_by=edges, snap_closed="right",
+        )
+        .filter(F.col("snap") < F.lit(pd.Timestamp("2024-02-21")))
+        .orderBy("snap")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, batch)
+    # the bin-boundary snapshot (02-01) must NOT include the 02-01
+    # edge row (it opens Feb; the snapshot observes closing Jan)
+    at_feb1 = got[got["snap"] == pd.Timestamp("2024-02-01")]
+    assert at_feb1["sum_v"].iloc[0] == 15.0
+    # but the row IS the Feb bin's first observation
+    at_feb10 = got[got["snap"] == pd.Timestamp("2024-02-10")]
+    assert at_feb10["first_v"].iloc[0] == 16.0
