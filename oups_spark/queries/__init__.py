@@ -72,6 +72,7 @@ _WINDOW_PRIORITY = [
     "store_deltalog_roundtrip",
     "streaming_native_autocompact",
     "streaming_native_snapshots_right",
+    "cdc_schema_drift",
     # (2) the r11-stale queries (round 13's scheduled head), minus the
     # 4 deferred TPC-H rows
     "streaming_native_weekly",

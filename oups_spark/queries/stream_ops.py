@@ -2130,3 +2130,105 @@ def streaming_native_snapshots_right(
         F.round("max_price", 2).alias("max_price"),
         F.round("sum_price", 2).alias("sum_price"),
     ).orderBy("bin", "snap")
+
+
+@register(
+    "cdc_schema_drift",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           round(value, 6) AS last_value,
+           CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                THEN event_type END AS channel
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog SCHEMA DRIFT through the streaming CDC merge sink
+    (round-14; Delta-style metadata-only evolution, ``merge_into
+    (evolve_schema=True)``): the producer upgrades mid-stream — the
+    first two micro-batches carry the original changelog schema, the
+    later two add a NEW ``channel`` column. Two streaming phases (a
+    file stream's schema is fixed per query) share ONE state table
+    and ONE merge sink: phase 2 widens the dataset schema in its
+    first commit (metadata-only — no committed file is rewritten for
+    the evolution itself), pre-drift rows read NULL for the new
+    column, keep-last gating and delete tombstones work identically
+    across the boundary, and a final vacuum GCs the tombstones. The
+    oracle replays the one-shot keep-last statement with the drifted
+    column present exactly on winners at or after the drift cut —
+    users whose latest event precedes the upgrade stay NULL."""
+    from oups_spark.streaming.cdc import (
+        cdc_merge_sink,
+        cdc_merge_vacuum,
+        read_current_ds,
+    )
+    from oups_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    base = _fresh("cdc_schema_drift")
+    drift = pd.Timestamp("2024-01-16 00:00:00")
+    mid1 = pd.Timestamp("2024-01-08 00:00:00")
+    mid2 = pd.Timestamp("2024-01-23 00:00:00")
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    old = events.filter(F.col("ts") < F.lit(drift))
+    new = events.filter(F.col("ts") >= F.lit(drift)).withColumn(
+        "channel", F.col("event_type")
+    )
+    src1 = os.path.join(base, "changelog_v1")
+    src2 = os.path.join(base, "changelog_v2")
+    for i, cond in enumerate(
+        [F.col("ts") < F.lit(mid1), F.col("ts") >= F.lit(mid1)]
+    ):
+        old.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src1, f"chunk{i}")
+        )
+    for i, cond in enumerate(
+        [F.col("ts") < F.lit(mid2), F.col("ts") >= F.lit(mid2)]
+    ):
+        new.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src2, f"chunk{i}")
+        )
+
+    ds = OrderedDataset(spark, os.path.join(base, "state_ds"))
+
+    def run_phase(src_dir, ckpt, evolve):
+        schema = spark.read.parquet(os.path.join(src_dir, "chunk0")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+            .withColumn("is_delete", F.col("event_type") == "error")
+            .drop("event_type")
+        )
+        cdc_merge_sink(
+            stream,
+            ds,
+            key="user_id",
+            order_cols=["ts", "event_id"],
+            delete_col="is_delete",
+            checkpoint_dir=os.path.join(base, ckpt),
+            evolve_schema=evolve,
+        )
+
+    run_phase(src1, "ckpt_v1", False)
+    run_phase(src2, "ckpt_v2", True)  # drifted batches widen the state
+    cdc_merge_vacuum(ds, delete_col="is_delete")
+    cur = read_current_ds(ds, delete_col="is_delete")
+    return cur.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 6).alias("last_value"),
+        "channel",
+    ).orderBy("user_id")
