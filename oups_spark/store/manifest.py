@@ -990,6 +990,26 @@ class _DeltaLogMixin:
         seen = self._seen.get(dirpath)
         nonce = uuid.uuid4().hex[:12]
         if (
+            seen is not None
+            and seen[0] == expect_token
+            and len(seen[3]) + 1 < self.checkpoint_interval
+            and isinstance(seen[1], _LazyNames)
+        ):
+            # the delta path is about to need the predecessor's
+            # name-set, which (round-14 lazy posture) resolves from
+            # sidecars AT COMMIT time. If a foreign writer committed
+            # and its sweep reclaimed our chain in between, that read
+            # fails — and pre-lazy code could not hit this (names
+            # were captured at read time). Treat it as an unprovable
+            # predecessor: fall through to the FULL CHECKPOINT
+            # attempt, whose CAS then loses with the
+            # ManifestConflictError callers' retry loops expect.
+            try:
+                seen = (seen[0], seen[1].get(), seen[2], seen[3])
+                self._seen[dirpath] = seen  # cache the resolution
+            except (FileNotFoundError, OSError):
+                seen = None
+        if (
             seen is None
             or seen[0] != expect_token
             or len(seen[3]) + 1 >= self.checkpoint_interval
@@ -1028,8 +1048,6 @@ class _DeltaLogMixin:
             )
         else:
             _tok, prev_names, base_ref, deltas = seen
-            if isinstance(prev_names, _LazyNames):
-                prev_names = prev_names.get()  # writer pays, once
             cur_names = {f.name for f in files}
             added = [f for f in files if f.name not in prev_names]
             removed = sorted(prev_names - cur_names)

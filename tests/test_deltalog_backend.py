@@ -735,3 +735,54 @@ def test_lazy_seen_names_are_mutation_proof(tmp_path):
     final = Manifest.load(d, DeltaLogParquetBackend())
     assert len(final.files) == 6
     assert "f0009.parquet" in {f.name for f in final.files}
+
+
+def test_commit_with_swept_chain_raises_conflict_not_filenotfound(tmp_path):
+    """Round-14 lazy-names race: the writer resolves its
+    predecessor's name-set from sidecars AT COMMIT time — if a
+    foreign writer committed (making our token stale) and its sweeps
+    reclaimed our chain in between, the stale commit must still
+    raise ManifestConflictError (the retry contract), never leak the
+    resolver's FileNotFoundError."""
+    d = str(tmp_path)
+    w1 = DeltaLogParquetBackend()
+    m = Manifest(ordered_on="ts")
+    m.files = [_entry(0)]
+    m.save(d, w1)
+    m.files.append(_entry(1))
+    m.save(d, w1)  # chain: ckpt + 1 delta
+
+    # stale handle with a LAZY (unresolved) seen cache; its FILE LIST
+    # is materialized now (before the sweep) — the commit-time
+    # sidecar I/O under test is the _seen name-set resolution alone
+    w_stale = DeltaLogParquetBackend()
+    stale = Manifest.load(d, w_stale)
+    assert len(stale.files) == 2
+
+    # foreign writer folds twice with zero grace: the first fold
+    # keeps the replaced chain one commit (two-phase), the second
+    # reclaims it — the stale handle's chain is gone from disk
+    wf = DeltaLogParquetBackend()
+    wf.gc_grace_s = 0.0
+    wf.checkpoint_interval = 1
+    for i in (2, 3):
+        mf = Manifest.load(d, wf)
+        mf.files.append(_entry(i))
+        mf.save(d, wf)
+    import os as _os
+
+    import time as _time
+    _time.sleep(0.01)
+    live = {n for n in _os.listdir(d) if ".files.g" in n}
+
+    stale.files.append(_entry(9))
+    with pytest.raises(ManifestConflictError):
+        stale.save(d, w_stale)
+    # reload-retry lands on the winner's state
+    retry = Manifest.load(d, w_stale)
+    retry.files.append(_entry(9))
+    retry.save(d, w_stale)
+    final = Manifest.load(d, DeltaLogParquetBackend())
+    assert {f.name for f in final.files} == {
+        f"f{i:04d}.parquet" for i in (0, 1, 2, 3, 9)
+    }
