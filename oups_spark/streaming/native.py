@@ -704,20 +704,21 @@ def write_stream_to_dataset(
     spark = agged.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            # no pre-sort: the merge write sorts on the ordering
-            # column itself, and within one append-mode micro-batch
-            # bin labels are unique (one row per expired window), so
-            # the keep-last tiebreak never depends on batch row order
-            OrderedDataset(spark, path, backend=backend).write(
-                df=batch_df,
-                ordered_on=bin_col,
-                duplicates_on=[],
-                row_group_target_size=row_group_target_size,
-                validate_monotonic=False,
-                conflict_retries=conflict_retries,
-                max_n_off_target_rgs=max_n_off_target_rgs,
-            )
+        # no pre-sort: the merge write sorts on the ordering
+        # column itself, and within one append-mode micro-batch
+        # bin labels are unique (one row per expired window), so
+        # the keep-last tiebreak never depends on batch row order.
+        # No isEmpty probe either: the write's single-job collect
+        # detects the empty batch and no-ops without a commit.
+        OrderedDataset(spark, path, backend=backend).write(
+            df=batch_df,
+            ordered_on=bin_col,
+            duplicates_on=[],
+            row_group_target_size=row_group_target_size,
+            validate_monotonic=False,
+            conflict_retries=conflict_retries,
+            max_n_off_target_rgs=max_n_off_target_rgs,
+        )
         if compact_every and batch_id % compact_every == compact_every - 1:
             ds = OrderedDataset(spark, path, backend=backend)
             if ds.exists:

@@ -72,7 +72,10 @@ def test_crash_after_commit_redelivers_and_converges(
 
     def crash_after_commit(self, *a, **k):
         real_write(self, *a, **k)
-        if armed["on"]:
+        # arm on the first write that actually COMMITTED: the sink now
+        # routes empty micro-batches through write() too (they no-op
+        # without a commit), and the pin is crash-after-first-commit
+        if armed["on"] and self.exists:
             armed["on"] = False
             raise RuntimeError("injected crash after batch commit")
 
@@ -197,12 +200,15 @@ def test_live_stream_absorbs_concurrent_compact_and_merge(
 
     target_bin = pd.Timestamp("2024-01-01 01:00")  # a batch-1 bin
     real_write = OrderedDataset.write
-    state = {"n": 0, "conflicts": 0}
+    state = {"n": 0, "conflicts": 0, "injected": False}
 
     def racing_write(self, *a, **k):
         mine = os.path.abspath(self.path) == os.path.abspath(path)
-        if mine and state["n"] == 1:
-            state["n"] += 1
+        # inject on the first sink write AFTER a data commit landed
+        # (the sink now routes empty micro-batches through write()
+        # too, so call order no longer implies a prior commit)
+        if mine and self.exists and not state["injected"]:
+            state["injected"] = True
             # the sink handle already loaded its manifest (in the
             # constructor) — these two commits make it stale, forcing
             # a genuine CAS race on the sink's commit
@@ -218,7 +224,7 @@ def test_live_stream_absorbs_concurrent_compact_and_merge(
                 when_matched_update={"sum_val": SF.lit(999.0)},
                 when_not_matched_insert=False,
             )
-        elif mine:
+        if mine:
             state["n"] += 1
         out = real_write(self, *a, **k)
         if mine:
