@@ -562,6 +562,38 @@ def test_bpe_train_matches_pure_python_reference(spark):
     assert ("a", "a") in {(l, r) for _, l, r, _, _ in got[:3]}
 
 
+def test_bpe_train_driver_equals_distributed(spark, monkeypatch):
+    """The round-14 driver fast path (vocabulary under the cap) and
+    the distributed fallback loop must emit the IDENTICAL merge table
+    and final vocabulary — forcing the fallback via the cap env."""
+    from oups_spark.operators.bpe import bpe_train
+
+    texts = [
+        "aaaa aaaa aaaa banana banana bandana",
+        "a b a b cc cc cc aaaa",
+        "Ba-na-na! banana, the 2nd banana",
+        "zz zz zy yz zyzy 007 007 007 0a0a",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def snap(res):
+        merges, vocab = res
+        m = [
+            tuple(r)
+            for r in merges.orderBy("rank").collect()
+        ]
+        v = sorted(
+            (r["w"], r["cnt"], tuple(r["syms"]))
+            for r in vocab.collect()
+        )
+        return m, v
+
+    fast = snap(bpe_train(df, "text", n_merges=8, return_vocab=True))
+    monkeypatch.setenv("OUPS_BPE_DRIVER_VOCAB_CAP", "0")
+    slow = snap(bpe_train(df, "text", n_merges=8, return_vocab=True))
+    assert fast == slow
+
+
 def test_bpe_token_counts_match_pure_python(spark):
     """Encoding with the learned merges: per-doc word/token counts
     equal applying the reference merges to each document's words."""
