@@ -1696,18 +1696,36 @@ class OrderedDataset:
                 StructType.fromJson(__import__("json").loads(man.schema_json))
             )
         df = reader.parquet(*[os.path.join(self.path, e.name) for e in old])
-        z = zorder_column(df, zorder_by)
-        merged = _with_file_rank(
-            self.spark,
-            df.withColumn(_POS, F.monotonically_increasing_id())
-            .withColumn(_SRC, F.lit(0))
-            .withColumn(_ZCOL, z),
-            old,
+        # the rewrite input is consumed THREE times (percentile
+        # sketch, range-partitioner sample, write) — persist it when
+        # it fits a bounded budget so the file set is scanned once
+        # (guide §5: reuse justifies the cache; MEMORY_AND_DISK spills
+        # rather than OOMs). Oversized scopes stay uncached — at
+        # 100 TB an incremental OPTIMIZE bounds `old` via `scope=`.
+        cache_cap = int(
+            os.environ.get("OUPS_COMPACT_CACHE_MAX_BYTES", str(4 << 30))
         )
-        total = sum(e.n_rows for e in old)
-        new_entries = self._write_files(
-            merged, ordered_on, target, total, cluster_col=_ZCOL
-        )
+        cached = None
+        if self._old_files_bytes(old) <= cache_cap:
+            from pyspark import StorageLevel
+
+            cached = df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            z = zorder_column(df, zorder_by)
+            merged = _with_file_rank(
+                self.spark,
+                df.withColumn(_POS, F.monotonically_increasing_id())
+                .withColumn(_SRC, F.lit(0))
+                .withColumn(_ZCOL, z),
+                old,
+            )
+            total = sum(e.n_rows for e in old)
+            new_entries = self._write_files(
+                merged, ordered_on, target, total, cluster_col=_ZCOL
+            )
+        finally:
+            if cached is not None:
+                cached.unpersist()
         # sticky bloom_cols re-index the replacements (one bounded
         # pass over the new files) — re-clustering must not silently
         # degrade equality skipping

@@ -72,17 +72,18 @@ def zorder_column(
     idx_cols = []
     for c in cols:
         bounds = sorted(set(bounds_row[c] or [0.0]))
-        # bucket = #boundaries <= v, folded over the literal array —
-        # bucket index in [0, len(bounds)] ⊆ [0, n_buckets)
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        # bucket = #boundaries <= v — an UNROLLED sum of comparisons
+        # (bucket index in [0, len(bounds)] ⊆ [0, n_buckets)). The
+        # straight-line expression whole-stage-codegens to flat Java;
+        # the previous ``F.aggregate`` fold over a literal array ran
+        # interpreted per row (~60 lambda steps × columns) and was
+        # the rewrite's dominant CPU cost — 139 CPU-s over 200k rows
+        # at sf0.1, measured round-14 — for identical arithmetic.
         v = F.col(c).cast("double")
-        idx_cols.append(
-            F.aggregate(
-                arr,
-                F.lit(0),
-                lambda acc, b: acc + (v >= b).cast("int"),
-            )
-        )
+        idx = F.lit(0)
+        for b in bounds:
+            idx = idx + (v >= F.lit(float(b))).cast("int")
+        idx_cols.append(idx)
     return _interleave(idx_cols)
 
 
