@@ -14,11 +14,12 @@ Pipeline (all JVM-side expressions):
 1. per column, ~equi-depth bucket boundaries from one
    ``approx_percentile`` row (at 100 TB the approximation is the
    point — one sketch pass, driver gets ``n_buckets`` doubles);
-2. map-side bucket index = #boundaries <= value, a codegen'd fold
-   over the literal boundary array (Spark's ``width_bucket`` is the
-   equi-width 4-arg form; the fold gives equi-DEPTH buckets, which
+2. map-side bucket index = #boundaries <= value via a balanced
+   binary-search CASE tree over the literal boundaries (Spark's
+   ``width_bucket`` is the equi-width 4-arg form; equi-DEPTH buckets
    keep the curve balanced under skewed value distributions);
-3. bit interleave of the bucket indices -> ``__z``;
+3. bit interleave of the bucket indices -> ``__z``, with the spread
+   bits precomputed driver-side into each search-tree leaf;
 4. ``repartitionByRange(n_files, __z)`` + in-partition sort, one
    file per range — parquet footers then carry the tight per-file
    min/max this layout exists for.
@@ -36,15 +37,53 @@ from pyspark.sql import Column, DataFrame
 _ZBITS = 6  # 64 equi-depth rank buckets per column
 
 
-def _interleave(cols: list[Column], bits: int = _ZBITS) -> Column:
-    """Morton-interleave ``len(cols)`` bucket indices of ``bits``
-    bits each: bit i of column j lands at position i*n + j."""
-    n = len(cols)
-    z = F.lit(0).cast("long")
+def _spread(idx: int, n: int, j: int, bits: int = _ZBITS) -> int:
+    """Morton-spread a bucket index driver-side: bit i of column j
+    lands at position i*n + j (same mapping the interleave used)."""
+    z = 0
     for i in range(bits):
-        for j, c in enumerate(cols):
-            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+        z |= ((idx >> i) & 1) << (i * n + j)
+    return z
+
+
+def _bucket_spread_tree(
+    v: Column, bounds: list[float], n: int, j: int, lo: int, hi: int
+) -> Column:
+    """Balanced binary-search CASE tree over sorted ``bounds``
+    yielding the Morton-SPREAD bucket index ``spread(#bounds <= v)``
+    as a literal at each leaf. Equivalent to the fold
+    ``sum((v >= b) for b in bounds)`` + bit interleave, but: the
+    driver-side tree is O(len(bounds)) nodes referenced ONCE (the
+    naive unrolled sum fanned out 6x per interleave bit and blew up
+    Catalyst analysis), and per-row cost is log2(len(bounds))
+    comparisons instead of len(bounds) interpreted lambda steps."""
+    if lo > hi:  # all boundary checks decided -> bucket index == lo
+        return F.lit(_spread(lo, n, j)).cast("long")
+    mid = (lo + hi) // 2
+    # v >= bounds[mid] <=> at least mid+1 boundaries are <= v
+    return F.when(
+        v >= F.lit(float(bounds[mid])),
+        _bucket_spread_tree(v, bounds, n, j, mid + 1, hi),
+    ).otherwise(_bucket_spread_tree(v, bounds, n, j, lo, mid - 1))
+
+
+def _interleave_bucketed(
+    vals: list[Column], all_bounds: list[list[float]]
+) -> Column:
+    """Morton code over per-column equi-depth bucket indices: each
+    column contributes a pre-spread literal from its search tree;
+    disjoint bit positions OR together. Null in ANY value column
+    nulls the whole code (the semantics of the original per-bit
+    shift/AND/OR chain, where null propagates through bitwiseOR)."""
+    n = len(vals)
+    z = F.lit(0).cast("long")
+    for j, (v, bounds) in enumerate(zip(vals, all_bounds)):
+        spread = F.when(
+            v.isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            _bucket_spread_tree(v, bounds, n, j, 0, len(bounds) - 1)
+        )
+        z = z.bitwiseOR(spread)
     return z
 
 
@@ -69,22 +108,9 @@ def zorder_column(
             for c in cols
         ]
     ).first()
-    idx_cols = []
-    for c in cols:
-        bounds = sorted(set(bounds_row[c] or [0.0]))
-        # bucket = #boundaries <= v — an UNROLLED sum of comparisons
-        # (bucket index in [0, len(bounds)] ⊆ [0, n_buckets)). The
-        # straight-line expression whole-stage-codegens to flat Java;
-        # the previous ``F.aggregate`` fold over a literal array ran
-        # interpreted per row (~60 lambda steps × columns) and was
-        # the rewrite's dominant CPU cost — 139 CPU-s over 200k rows
-        # at sf0.1, measured round-14 — for identical arithmetic.
-        v = F.col(c).cast("double")
-        idx = F.lit(0)
-        for b in bounds:
-            idx = idx + (v >= F.lit(float(b))).cast("int")
-        idx_cols.append(idx)
-    return _interleave(idx_cols)
+    vals = [F.col(c).cast("double") for c in cols]
+    all_bounds = [sorted(set(bounds_row[c] or [0.0])) for c in cols]
+    return _interleave_bucketed(vals, all_bounds)
 
 
 def zorder_write(
