@@ -933,11 +933,8 @@ def streaming_native_objectstore(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "bins_ds")
     src_dir = os.path.join(base, "chunks")
     events = load(spark, sf_dir, "events").select("ts", "value")
-    for i, cond in enumerate(_replay_cuts(events)):
-        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src_dir, f"chunk{i}")
-        )
-    schema = spark.read.parquet(os.path.join(src_dir, "chunk0")).schema
+    _write_replay_chunks(events, _replay_cuts(events), src_dir)
+    schema = _chunk_schema(spark, src_dir)
     backend = InMemoryParquetObjectStore()
 
     def run():
@@ -1510,6 +1507,52 @@ def _replay_cuts(events):
     return [us <= c1, (us > c1) & (us <= c2), us > c2]
 
 
+def _write_replay_chunks(df, conds, src_dir: str) -> None:
+    """Write every replay chunk in ONE Spark job: tag each row with
+    its chunk id (``conds`` must be disjoint and exhaustive),
+    repartition by the tag so each chunk lands wholly in one task
+    (=> exactly one file per ``__chunk=i`` dir), and partitionBy-write.
+    Replaces N separate filter+coalesce(1) writes, each of which
+    re-scanned the source (guide §2: one pass instead of N).
+
+    The streaming readers use ``recursiveFileLookup`` with an explicit
+    schema, so the partition dirs are opaque and the per-file rows are
+    identical to the old per-chunk writes. ``maxFilesPerTrigger=1``
+    orders micro-batches by file modification time — pinned here
+    explicitly (chunk i at +i seconds) so time-ordered replays stay
+    time-ordered; a single write job would otherwise leave the tie to
+    the filesystem, and watermarked consumers would drop late rows if
+    a later chunk ever sorted first."""
+    import glob
+    import time as _time
+
+    tag = F.when(conds[0], 0)
+    for i, c in enumerate(conds[1:], start=1):
+        tag = tag.when(c, i)
+    (
+        df.withColumn("__chunk", tag)
+        .repartition(len(conds), "__chunk")
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(src_dir)
+    )
+    now = _time.time()
+    for i in range(len(conds)):
+        for f in glob.glob(os.path.join(src_dir, f"__chunk={i}", "*.parquet")):
+            os.utime(f, (now + i, now + i))
+
+
+def _chunk_schema(spark, src_dir: str):
+    """Data schema of the replay chunk files (recursiveFileLookup
+    disables partition-column inference, so ``__chunk`` stays a
+    directory name, not a column)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .schema
+    )
+
+
 @register(
     "cdc_upsert_stream",
     oracle="""
@@ -1549,12 +1592,8 @@ def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three time-ordered chunk files -> three real merge rounds
     # (users recur across chunks, so later batches genuinely update
     # keys written by earlier ones)
-    chunks = _replay_cuts(events)
-    for i, cond in enumerate(chunks):
-        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src_dir, f"chunk{i}")
-        )
-    schema = spark.read.parquet(os.path.join(src_dir, "chunk0")).schema
+    _write_replay_chunks(events, _replay_cuts(events), src_dir)
+    schema = _chunk_schema(spark, src_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1623,12 +1662,8 @@ def cdc_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
     )
-    chunks = _replay_cuts(events)
-    for i, cond in enumerate(chunks):
-        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src_dir, f"chunk{i}")
-        )
-    schema = spark.read.parquet(os.path.join(src_dir, "chunk0")).schema
+    _write_replay_chunks(events, _replay_cuts(events), src_dir)
+    schema = _chunk_schema(spark, src_dir)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -2186,23 +2221,17 @@ def cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src1 = os.path.join(base, "changelog_v1")
     src2 = os.path.join(base, "changelog_v2")
-    for i, cond in enumerate(
-        [F.col("ts") < F.lit(mid1), F.col("ts") >= F.lit(mid1)]
-    ):
-        old.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src1, f"chunk{i}")
-        )
-    for i, cond in enumerate(
-        [F.col("ts") < F.lit(mid2), F.col("ts") >= F.lit(mid2)]
-    ):
-        new.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src2, f"chunk{i}")
-        )
+    _write_replay_chunks(
+        old, [F.col("ts") < F.lit(mid1), F.col("ts") >= F.lit(mid1)], src1
+    )
+    _write_replay_chunks(
+        new, [F.col("ts") < F.lit(mid2), F.col("ts") >= F.lit(mid2)], src2
+    )
 
     ds = OrderedDataset(spark, os.path.join(base, "state_ds"))
 
     def run_phase(src_dir, ckpt, evolve):
-        schema = spark.read.parquet(os.path.join(src_dir, "chunk0")).schema
+        schema = _chunk_schema(spark, src_dir)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")

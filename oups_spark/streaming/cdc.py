@@ -41,6 +41,10 @@ def _bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     )
 
 
+def _tmp_of(path: str) -> str:
+    return path.rstrip("/") + ".__tmp"
+
+
 def merge_latest(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -49,19 +53,30 @@ def merge_latest(
     key: str,
     order_cols: list[str],
     n_buckets: int,
-) -> tuple[DataFrame | None, DataFrame, list[int]]:
+) -> tuple[DataFrame | None, DataFrame | None, list[int]]:
     """The merge core shared by the plain CDC sink and the
     IVM-maintaining variant: bucketize the batch, read back ONLY the
     buckets it touches (partition pruning), keep the latest row per
     key over existing ∪ batch. Returns ``(cur, flat, touched)``:
     ``cur`` is the pre-merge state of the touched buckets (None on
-    first batch), ``flat`` the merged latest rows — EAGERLY
-    checkpointed, so overwriting the state files it was derived from
-    can never race a lazy re-read (stage retry, speculative task) —
-    and partitioned one-per-bucket so the write emits one file per
-    touched bucket dir, not partitions × buckets slivers."""
+    first batch), ``flat`` the merged latest rows. ``touched`` is
+    empty for an empty batch (cur/flat None) — callers skip the
+    commit, which also folds the sink's old per-batch ``isEmpty``
+    probe job into the touched-bucket collect.
+
+    ``flat`` is MATERIALIZED by writing it (one file per touched
+    bucket dir) to a ``.__tmp`` sibling of ``path``; what comes back
+    is a re-read of those files. :func:`commit_state` later swaps the
+    tmp bucket dirs into the table with driver-side renames. Compared
+    to the previous eager localCheckpoint + dynamic-partition
+    overwrite, this drops one Spark job per batch AND removes the
+    stage-retry hazard structurally: no write job ever replaces files
+    its own lineage reads, because the state files are only renamed
+    after every consuming job has run."""
     b = _bucketed(batch_df, key, n_buckets)
     touched = [r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()]
+    if not touched:
+        return None, None, []
     cur = None
     if os.path.exists(path):
         cur = spark.read.parquet(path).filter(F.col(_BUCKET).isin(touched))
@@ -75,23 +90,47 @@ def merge_latest(
             F.struct(*[F.col(c) for c in order_cols]),
         ).alias("__row")
     )
-    flat = (
+    tmp = _tmp_of(path)
+    (
         latest.select(F.col(key), "__row.*")
-        .repartition(len(touched) or 1, F.col(_BUCKET))
-        .localCheckpoint(eager=True)
+        .repartition(len(touched), F.col(_BUCKET))
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET)
+        .parquet(tmp)
     )
-    return cur, flat, touched
+    return cur, spark.read.parquet(tmp), touched
 
 
-def write_state(spark: SparkSession, flat: DataFrame, path: str) -> None:
-    """Dynamic-partition-overwrite exactly the bucket dirs present
-    in ``flat`` (which must be checkpointed — see merge_latest)."""
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        flat.write.mode("overwrite").partitionBy(_BUCKET).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+def commit_state(path: str, touched: list[int]) -> None:
+    """Swap the tmp-written bucket dirs into the state table —
+    driver-side renames only; every Spark job reading the replaced
+    files must have run by now (see merge_latest)."""
+    import shutil
+
+    tmp = _tmp_of(path)
+    if not os.path.exists(path):
+        os.replace(tmp, path)
+        return
+    for b in touched:
+        src = os.path.join(tmp, f"{_BUCKET}={b}")
+        dst = os.path.join(path, f"{_BUCKET}={b}")
+        if os.path.exists(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def swap_dir(path: str, tmp: str) -> None:
+    """Replace ``path`` wholesale with the tmp-written ``tmp`` dir
+    (small whole-table artifacts, e.g. maintained aggregates)."""
+    import shutil
+
+    trash = path.rstrip("/") + ".__old"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(path):
+        os.replace(path, trash)
+    os.replace(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
 
 
 def cdc_merge_batch(
@@ -105,11 +144,12 @@ def cdc_merge_batch(
 ) -> None:
     """Merge one changelog micro-batch into the state table at
     ``path`` (see module docstring for the bucket-rewrite shape)."""
-    _, flat, _ = merge_latest(
+    _, _, touched = merge_latest(
         spark, batch_df, path,
         key=key, order_cols=order_cols, n_buckets=n_buckets,
     )
-    write_state(spark, flat, path)
+    if touched:
+        commit_state(path, touched)
 
 
 def cdc_upsert_sink(
@@ -128,11 +168,12 @@ def cdc_upsert_sink(
     spark = changelog.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            cdc_merge_batch(
-                spark, batch_df, path,
-                key=key, order_cols=order_cols, n_buckets=n_buckets,
-            )
+        # no isEmpty probe: an empty batch touches no buckets and
+        # cdc_merge_batch skips the commit (one fewer job per batch)
+        cdc_merge_batch(
+            spark, batch_df, path,
+            key=key, order_cols=order_cols, n_buckets=n_buckets,
+        )
 
     writer = changelog.writeStream.outputMode("append").foreachBatch(sink)
     if available_now:
@@ -189,28 +230,29 @@ def cdc_vacuum(
         return 0
     touched = [r[_BUCKET] for r in victims]
     n_dropped = int(sum(r["c"] for r in victims))
-    kept = (
+    # rewrite the touched buckets into the .__tmp sibling (one job;
+    # reads the files it will REPLACE, but the replacement is a
+    # post-job driver-side rename, so no retry hazard), then swap. A
+    # bucket whose every row dropped writes no tmp dir — its live dir
+    # is removed outright (the lakehouse-log remove-file analogue).
+    import shutil
+
+    tmp = _tmp_of(path)
+    (
         cur.filter(F.col(_BUCKET).isin(touched))
         .filter(~droppable)
         .repartition(len(touched), F.col(_BUCKET))
-        # the rewrite reads the files it replaces — same stage-retry
-        # hazard as the merge, same checkpoint guard
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET)
+        .parquet(tmp)
     )
-    # dynamic overwrite can only replace partitions it WRITES — a
-    # bucket whose every row dropped is absent from `kept`, so its
-    # dir must be removed explicitly (an fs/object-store delete; the
-    # lakehouse-log equivalent is a remove-file action)
-    still = {r[_BUCKET] for r in kept.select(_BUCKET).distinct().collect()}
-    emptied = [b for b in touched if b not in still]
-    if len(still) > 0:
-        write_state(spark, kept, path)
-    import shutil
-
-    for b in emptied:
-        shutil.rmtree(
-            os.path.join(path, f"{_BUCKET}={b}"), ignore_errors=True
-        )
+    for b in touched:
+        src = os.path.join(tmp, f"{_BUCKET}={b}")
+        dst = os.path.join(path, f"{_BUCKET}={b}")
+        shutil.rmtree(dst, ignore_errors=True)
+        if os.path.exists(src):
+            os.replace(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
     return n_dropped
 
 

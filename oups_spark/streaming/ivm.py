@@ -39,7 +39,12 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from oups_spark.streaming.cdc import merge_latest, write_state
+from oups_spark.streaming.cdc import (
+    _tmp_of,
+    commit_state,
+    merge_latest,
+    swap_dir,
+)
 
 _GRID = 6  # value quantization decimals for the exact integer sum
 
@@ -77,10 +82,12 @@ def cdc_merge_batch_with_agg(
     """CDC merge (shared core: ``cdc.merge_latest``) that also
     maintains the grouped (count, integer-grid sum) aggregate of the
     current state via the delta rule."""
-    cur, flat, _touched = merge_latest(
+    cur, flat, touched = merge_latest(
         spark, batch_df, state_path,
         key=key, order_cols=order_cols, n_buckets=n_buckets,
     )
+    if not touched:
+        return
     live = ~F.col(delete_col)
     new_contrib = _contrib(flat.filter(live), group_col, value_col, +1)
     delta = (
@@ -122,13 +129,16 @@ def cdc_merge_batch_with_agg(
         )
     # drop groups whose live row count hit zero (all keys deleted)
     merged = merged.filter(F.col("n") > 0)
-    # materialize BEFORE either overwrite: `merged` lazily reads BOTH
-    # the old aggregate files this write replaces AND (via delta ->
-    # cur) the state files write_state replaces — a stage retry after
-    # the overwrites would silently re-read new bytes
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(agg_path)
-    write_state(spark, flat, state_path)
+    # ONE job writes the new aggregate into a .__tmp sibling; its
+    # lineage reads the old aggregate files AND (via delta -> cur)
+    # the old state files, all still in place — both tables then
+    # swap in with driver-side renames, so no write replaces files
+    # its own lineage reads (the hazard the old localCheckpoints
+    # guarded against, minus their two extra jobs per batch)
+    agg_tmp = _tmp_of(agg_path)
+    merged.write.mode("overwrite").parquet(agg_tmp)
+    swap_dir(agg_path, agg_tmp)
+    commit_state(state_path, touched)
 
 
 def read_agg(spark: SparkSession, agg_path: str) -> DataFrame:
@@ -186,10 +196,12 @@ def cdc_merge_batch_with_minmax(
     shape as :func:`cdc_merge_batch_with_agg`: per-batch deltas, a
     full-outer join onto the stored multiset (NULL-safe on the group
     key), no driver-side state."""
-    cur, flat, _touched = merge_latest(
+    cur, flat, touched = merge_latest(
         spark, batch_df, state_path,
         key=key, order_cols=order_cols, n_buckets=n_buckets,
     )
+    if not touched:
+        return
     live = ~F.col(delete_col)
     new_vc = _value_counts(flat.filter(live), group_col, value_col, +1)
     delta = (
@@ -225,11 +237,12 @@ def cdc_merge_batch_with_minmax(
     else:
         merged = delta.select("g", "iv", F.col("dc").alias("c"))
     merged = merged.filter(F.col("c") > 0)
-    # same retry hazard as the sum variant: materialize before either
-    # overwrite so a stage retry cannot re-read replaced bytes
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(hist_path)
-    write_state(spark, flat, state_path)
+    # same shape as the sum variant: one tmp write whose lineage
+    # reads only not-yet-replaced files, then rename both tables in
+    hist_tmp = _tmp_of(hist_path)
+    merged.write.mode("overwrite").parquet(hist_tmp)
+    swap_dir(hist_path, hist_tmp)
+    commit_state(state_path, touched)
 
 
 def read_minmax(spark: SparkSession, hist_path: str) -> DataFrame:
