@@ -2891,6 +2891,21 @@ class OrderedDataset:
         reader = self.spark.read.schema(schema)
         pred = dnf_condition(filters)
         basename = F.substring_index(F.input_file_name(), "/", -1)
+
+        # DRIVER-SIDE DML FAST PATH (round-14, guide §1.2): small
+        # candidate sets run the whole DELETE/UPDATE off ONE Spark job
+        # — the hit-count scan and the copy-on-write rewrite fuse into
+        # a single scan that returns the post-update rows plus a match
+        # flag as Arrow; touched-file detection, counts and the
+        # per-file replacements are then driver-side pyarrow work.
+        # Oversized candidate sets fall through to the classic
+        # two-job plan (the 100-TB shape).
+        res = self._rewrite_where_driver(
+            cands, schema, man, o, reader, pred, basename, assignments
+        )
+        if res is not None:
+            return res
+
         # (2) which candidates REALLY match (stats/bloom pruning is
         # conservative): one agg over the candidate files only
         hits = {
@@ -2979,6 +2994,176 @@ class OrderedDataset:
             key_value_metadata=None,
             cmidx=man.cmidx,
         )
+        return n_affected
+
+    def _rewrite_where_driver(
+        self, cands, schema, man, o, reader, pred, basename, assignments
+    ) -> int | None:
+        """Driver-side DELETE/UPDATE fast path (round-14, guide
+        §1.2): when the candidate files fit the driver-merge gates,
+        ONE scan job evaluates the predicate and the assignment
+        projections in Spark (nothing re-implemented) and returns the
+        flagged post-update rows as Arrow; per-file hit counts, the
+        full-file-delete shortcut, the copy-on-write replacements and
+        the commit are then driver-side pyarrow/fs work. Replaces the
+        hit-count agg + distributed rewrite (2 jobs + shuffle) per
+        DML statement. Returns None to fall back (complex column
+        types, oversized candidates, Arrow collect failure)."""
+        from pyspark.sql import Column
+
+        if any(
+            t in f.dataType.simpleString()
+            for f in schema.fields
+            for t in ("binary", "array", "map", "struct")
+        ):
+            return None
+        if (
+            sum(e.n_rows for e in cands) > _DRIVER_MERGE_MAX_ROWS
+            or self._old_files_bytes(cands) > _DRIVER_MERGE_MAX_BYTES
+        ):
+            return None
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        MATCH = "__oups_match"
+        fid_map = F.create_map(
+            *[
+                lit
+                for i, e in enumerate(cands)
+                for lit in (F.lit(e.name), F.lit(i))
+            ]
+        )
+        df = (
+            reader.parquet(
+                *[os.path.join(self.path, e.name) for e in cands]
+            )
+            .withColumn(_FID, fid_map[basename])
+            .withColumn(_POS, F.monotonically_increasing_id())
+        )
+        # NULL predicate is NOT a match (SQL DML semantics), same
+        # coalesce the distributed paths apply
+        flag = F.coalesce(pred, F.lit(False))
+        if assignments is None:
+            sel = [F.col(f.name) for f in schema.fields]
+        else:
+            sel = []
+            for fld in schema.fields:
+                if fld.name in assignments:
+                    v = assignments[fld.name]
+                    vcol = v if isinstance(v, Column) else F.lit(v)
+                    sel.append(
+                        F.when(pred, vcol.cast(fld.dataType))
+                        .otherwise(F.col(fld.name))
+                        .alias(fld.name)
+                    )
+                else:
+                    sel.append(F.col(fld.name))
+        try:
+            tbl = df.select(
+                *sel, F.col(_FID), F.col(_POS), flag.alias(MATCH)
+            ).toArrow()
+        except Exception:  # noqa: BLE001 — maxResultSize etc.
+            return None
+        if tbl.nbytes > 2 * _DRIVER_MERGE_MAX_BYTES:
+            return None  # decoded far larger than the footer gate
+
+        nf = len(cands)
+        fid = tbl.column(_FID).to_numpy(zero_copy_only=False)
+        bm = tbl.column(MATCH).to_numpy(zero_copy_only=False).astype(bool)
+        n_m_f = np.bincount(fid[bm], minlength=nf)
+        hit = n_m_f > 0
+        n_affected = int(n_m_f.sum())
+        if not n_affected:
+            return 0
+        touched = [cands[i] for i in np.flatnonzero(hit)]
+        replaced = {e.name for e in touched}
+        if assignments is None and all(
+            int(n_m_f[i]) == cands[i].n_rows for i in np.flatnonzero(hit)
+        ):
+            # every row of every touched file is deleted: no rewrite,
+            # the files just leave the manifest
+            self._commit(
+                o, df=None, target_schema=schema,
+                kept=[e for e in man.files if e.name not in replaced],
+                replaced_names=sorted(replaced), new_entries=[],
+                key_value_metadata=None, cmidx=man.cmidx,
+            )
+            return n_affected
+
+        # keep = rows of touched files only (others stay on disk
+        # untouched); DELETE drops matches, UPDATE keeps every row
+        # with the post-update values already projected by the scan
+        keep = hit[fid] & (~bm if assignments is None else True)
+        keep_tbl = tbl.filter(pa.array(keep)).sort_by(
+            [(_FID, "ascending"), (o, "ascending"), (_POS, "ascending")]
+        )
+        data_names = [f.name for f in schema.fields]
+        rewritten: list[FileEntry] = []
+        staging = os.path.join(
+            self.path, f".staging-{uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(staging, exist_ok=True)
+        try:
+            kfid = keep_tbl.column(_FID).to_numpy(zero_copy_only=False)
+            bounds = np.searchsorted(
+                kfid, np.arange(nf + 1), side="left"
+            )
+            for i in range(nf):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                if hi <= lo:
+                    continue
+                pq.write_table(
+                    keep_tbl.slice(lo, hi - lo).select(data_names),
+                    os.path.join(staging, f"part-{i:05d}.parquet"),
+                    compression="snappy",
+                )
+            stats = _footer_stats(staging, o)
+            if stats is None:
+                stats = []
+                for i in range(nf):
+                    lo, hi = int(bounds[i]), int(bounds[i + 1])
+                    if hi <= lo:
+                        continue
+                    chunk = keep_tbl.slice(lo, hi - lo)
+                    col = chunk.column(o)
+                    stats.append(
+                        (
+                            os.path.join(staging, f"part-{i:05d}.parquet"),
+                            chunk.num_rows,
+                            _norm_tz(pc.min(col).as_py()),
+                            _norm_tz(pc.max(col).as_py()),
+                            None,
+                        )
+                    )
+            rewritten = self._finalize_staged(stats)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+        self._commit_landed = False
+        try:
+            self._attach_blooms(
+                rewritten, man.kv.get(_BLOOM_COLS_KV), schema
+            )
+            self._commit(
+                o,
+                df=None,
+                target_schema=schema,
+                kept=[e for e in man.files if e.name not in replaced],
+                replaced_names=sorted(replaced),
+                new_entries=rewritten,
+                key_value_metadata=None,
+                cmidx=man.cmidx,
+            )
+        except BaseException:
+            if self._commit_landed:
+                raise
+            for e in rewritten:
+                p = os.path.join(self.path, e.name)
+                if os.path.exists(p):
+                    os.remove(p)
+            raise
         return n_affected
 
     def _stage_cow_rewrite(self, out, n_files: int, o: str) -> list[FileEntry]:
