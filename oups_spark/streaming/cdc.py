@@ -26,12 +26,108 @@ insensitive to redelivery.
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from oups_spark.store.dataset import (
+    _DRIVER_MERGE_MAX_BYTES,
+    _DRIVER_MERGE_MAX_ROWS,
+)
+
 _BUCKET = "__bucket"
+
+
+def _probe_batch(b: DataFrame):
+    """Row/byte-capped Arrow collect of the bucketed batch (the same
+    probe gate as merge_into's small-source fast path): one
+    CollectLimit job replaces the touched-bucket distinct collect,
+    and — when the touched state is also driver-sized — the keep-last
+    merge itself. Returns None when the batch is oversized or carries
+    nested/binary columns (classic distributed path)."""
+    if any(
+        t in f.dataType.simpleString()
+        for f in b.schema.fields
+        for t in ("binary", "array", "map", "struct")
+    ):
+        return None
+    try:
+        tbl = b.limit(_DRIVER_MERGE_MAX_ROWS + 1).toArrow()
+    except Exception:  # noqa: BLE001 — maxResultSize etc.
+        return None
+    if (
+        tbl.num_rows > _DRIVER_MERGE_MAX_ROWS
+        or tbl.nbytes > _DRIVER_MERGE_MAX_BYTES
+    ):
+        return None
+    return tbl
+
+
+def _read_buckets_arrow(path: str, touched: list[int], schema):
+    """The touched bucket dirs as one Arrow table (``_BUCKET``
+    reattached from the dir name), cast to the batch schema — or None
+    when the state is over the driver caps (distributed fallback) or
+    a file carries a column the cast cannot reconcile."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files: list[tuple[str, int]] = []
+    total = 0
+    for bk in touched:
+        for f in glob.glob(os.path.join(path, f"{_BUCKET}={bk}", "*.parquet")):
+            files.append((f, bk))
+            total += os.path.getsize(f)
+    if total > _DRIVER_MERGE_MAX_BYTES:
+        return None
+    data_names = [n for n in schema.names if n != _BUCKET]
+    parts = []
+    n_rows = 0
+    for f, bk in files:
+        t = pq.read_table(f)
+        try:
+            t = t.select(data_names)
+        except KeyError:
+            return None
+        t = t.append_column(
+            _BUCKET, pa.array([bk] * t.num_rows, schema.field(_BUCKET).type)
+        )
+        try:
+            t = t.select(schema.names).cast(schema)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError):
+            return None
+        parts.append(t)
+        n_rows += t.num_rows
+        if n_rows > _DRIVER_MERGE_MAX_ROWS:
+            return None
+    if not parts:
+        return pa.table(
+            {n: pa.array([], schema.field(n).type) for n in schema.names}
+        )
+    return pa.concat_tables(parts)
+
+
+def _keep_last_arrow(tbl, key: str, order_cols: list[str]):
+    """Latest row per key — the Arrow twin of
+    ``max_by(struct(payload), struct(order_cols))``: sort key asc /
+    order cols desc (nulls smallest, as Spark orders struct fields),
+    keep the first row of each key group. Pure row SELECTION — no
+    value is recomputed, so the surviving rows are byte-identical to
+    the distributed path's."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sort_keys = [(key, "ascending")] + [
+        (c, "descending") for c in order_cols
+    ]
+    idx = pc.sort_indices(tbl, sort_keys=sort_keys, null_placement="at_end")
+    s = tbl.take(idx).combine_chunks()
+    enc = pc.dictionary_encode(s.column(key).combine_chunks())
+    codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+    first = np.r_[True, codes[1:] != codes[:-1]]
+    return s.filter(pa.array(first))
 
 
 def _bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
@@ -72,17 +168,75 @@ def merge_latest(
     overwrite, this drops one Spark job per batch AND removes the
     stage-retry hazard structurally: no write job ever replaces files
     its own lineage reads, because the state files are only renamed
-    after every consuming job has run."""
+    after every consuming job has run.
+
+    A CDC-micro-batch-sized batch takes the DRIVER fast path (the
+    same row/byte-gated Arrow probe as merge_into's small-source
+    path): ONE CollectLimit job collects the bucketed batch, touched
+    buckets derive from the collected table instead of a distinct
+    job, and — when the touched state is also driver-sized —
+    keep-last is a pure Arrow row selection and the tmp bucket dirs
+    are written without a second Spark job. Oversized batches or
+    state fall back to the identical distributed plan."""
     b = _bucketed(batch_df, key, n_buckets)
-    touched = [r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()]
-    if not touched:
-        return None, None, []
+    probe = _probe_batch(b)
+    state_tbl = None
+    if probe is not None:
+        if probe.num_rows == 0:
+            return None, None, []
+        import pyarrow.compute as pc
+
+        touched = sorted(
+            int(v) for v in pc.unique(probe.column(_BUCKET)).to_pylist()
+        )
+        if os.path.exists(path):
+            state_tbl = _read_buckets_arrow(path, touched, probe.schema)
+    else:
+        touched = [r[_BUCKET] for r in b.select(_BUCKET).distinct().collect()]
+        if not touched:
+            return None, None, []
     cur = None
     if os.path.exists(path):
         cur = spark.read.parquet(path).filter(F.col(_BUCKET).isin(touched))
-        merged = cur.unionByName(b)
-    else:
-        merged = b
+    tmp = _tmp_of(path)
+
+    if probe is not None and (cur is None or state_tbl is not None):
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        merged_tbl = (
+            probe.replace_schema_metadata(None)
+            if state_tbl is None
+            else pa.concat_tables(
+                [
+                    state_tbl.replace_schema_metadata(None),
+                    probe.replace_schema_metadata(None),
+                ]
+            )
+        )
+        win = _keep_last_arrow(merged_tbl, key, order_cols)
+        shutil.rmtree(tmp, ignore_errors=True)
+        data = win.drop_columns([_BUCKET])
+        buckets = win.column(_BUCKET)
+        for bk in touched:
+            part = data.filter(pc.equal(buckets, bk))
+            d = os.path.join(tmp, f"{_BUCKET}={bk}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(part, os.path.join(d, "part-00000.parquet"))
+        return cur, spark.read.parquet(tmp), touched
+
+    # distributed keep-last (oversized batch or touched state); a
+    # probed batch still re-enters as a LOCAL relation so the write
+    # job does not re-execute the batch plan
+    local_b = (
+        b
+        if probe is None
+        else spark.createDataFrame(probe, schema=b.schema)
+    )
+    merged = local_b if cur is None else cur.unionByName(local_b)
     payload = [c for c in merged.columns if c != key]
     latest = merged.groupBy(key).agg(
         F.max_by(
@@ -90,7 +244,6 @@ def merge_latest(
             F.struct(*[F.col(c) for c in order_cols]),
         ).alias("__row")
     )
-    tmp = _tmp_of(path)
     (
         latest.select(F.col(key), "__row.*")
         .repartition(len(touched), F.col(_BUCKET))
