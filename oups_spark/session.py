@@ -47,6 +47,17 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # The store reads explicit live-file path lists from its
+        # manifest; above this many paths Spark launches a distributed
+        # listing job, which on a local/POSIX transport costs far more
+        # than the driver stat-ing the files itself (a ~0.6 s job for
+        # 143 paths vs ~ms driver-side). High-latency object-store
+        # deployments set this back down via the env knob so listing
+        # parallelises across the cluster.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("OUPS_PARALLEL_DISCOVERY_THRESHOLD", "10000"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
