@@ -277,6 +277,69 @@ def leakage_safe_splits(
     return clustered.select(id_col, "cluster_id", split.alias("split"))
 
 
+def _round_half_up(x: float, decimals: int) -> float:
+    """Exact Python twin of Spark's ``Round`` on DoubleType:
+    ``BigDecimal.valueOf(x).setScale(decimals, HALF_UP).toDouble``.
+    ``repr(x)`` is the same shortest round-trip decimal
+    ``Double.toString`` produces, so the two parses are
+    value-identical; a float trick (``floor(abs(x)*f + 0.5)``) is NOT
+    — the ``+ 0.5`` add can cross a representability boundary exactly
+    on the half-way inputs where HALF_UP matters."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-decimals)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _round_long(x: float) -> int:
+    """Exact twin of Spark's ``round(x)`` (scale 0) + ``cast long``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _pagerank_driver(
+    sym_rows,
+    *,
+    iters: int,
+    damping: float,
+    decimals: int,
+    grid: int,
+) -> list:
+    """Driver-side replay of the distributed PageRank loop over a
+    collected symmetrized edge list. Every arithmetic step is the
+    same IEEE operation sequence as the Catalyst plan — ``r/deg``
+    then ``* 10^grid`` rounded onto the integer grid (order-free long
+    sum), then ``teleport + damping * (csum / 10^grid)`` rounded to
+    ``decimals`` — with :func:`_round_half_up` standing in for
+    Spark's BigDecimal HALF_UP round, so ranks are bit-identical to
+    the distributed trajectory (which the DuckDB oracle replays)."""
+    deg: dict = {}
+    for s, _d in sym_rows:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    teleport = (1.0 - damping) / n
+    gfac = float(10**grid)
+    r0 = _round_half_up(1.0 / float(n), decimals)
+    rank = {node: r0 for node in deg}
+    for _ in range(iters):
+        cval = {
+            node: _round_long((rank[node] / deg[node]) * gfac)
+            for node in deg
+        }
+        contrib: dict = {}
+        for s, d in sym_rows:
+            contrib[d] = contrib.get(d, 0) + cval[s]
+        rank = {
+            node: _round_half_up(
+                teleport + damping * (contrib.get(node, 0) / gfac),
+                decimals,
+            )
+            for node in deg
+        }
+    return [(node, deg[node], rank[node]) for node in deg]
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -286,6 +349,7 @@ def pagerank(
     damping: float = 0.85,
     decimals: int = 6,
     grid: int = 9,
+    driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """PageRank over an UNDIRECTED pair graph (edges symmetrized),
     fixed iteration count — the centrality pass that picks canonical
@@ -319,12 +383,45 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.count()
-    if n == 0:
+    # Small-graph fast path (the connected_components recipe): a
+    # count() over the checkpointed edges is metadata-cheap, and a
+    # driver-sized graph skips the whole iterative machinery — the
+    # distributed loop costs ~10 tiny jobs per iteration (join + agg
+    # + checkpoint under AQE), pure scheduler floor when the graph is
+    # small. Bounded: threshold × 2 longs collected; the Decimal
+    # round twin costs ~2 quantizes per node per iteration, which
+    # caps the sensible threshold well below union-find's. Pass 0 to
+    # force the distributed path.
+    n_sym = sym.count()
+    if n_sym == 0:
         return edges.sparkSession.createDataFrame(
             [], "node long, deg long, rank double"
         )
+    if n_sym <= driver_edge_threshold:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        rows = _pagerank_driver(
+            [(r["s"], r["d"]) for r in sym.collect()],
+            iters=iters,
+            damping=damping,
+            decimals=decimals,
+            grid=grid,
+        )
+        schema = StructType(
+            [
+                StructField("node", sym.schema["s"].dataType),
+                StructField("deg", LongType()),
+                StructField("rank", DoubleType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(rows, schema)
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
     teleport = (1.0 - damping) / n
     gfac = float(10**grid)
     ranks = deg.select(

@@ -647,6 +647,33 @@ class TestPagerank:
         edges = spark.createDataFrame([], "id_a long, id_b long")
         assert pagerank(edges).count() == 0
 
+    def test_driver_fast_path_equals_distributed(self, spark):
+        """driver_edge_threshold=0 forces the distributed loop; the
+        default takes the driver replay. Ranks must be bit-identical
+        (same HALF_UP rounds, same integer-grid contributions)."""
+        import random
+
+        from oups_spark.operators.components import pagerank
+
+        rng = random.Random(7)
+        raw = {
+            tuple(sorted(rng.sample(range(40), 2))) for _ in range(120)
+        }
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in raw], "id_a long, id_b long"
+        )
+        fast = {
+            r["node"]: (r["deg"], r["rank"])
+            for r in pagerank(edges, iters=3).collect()
+        }
+        dist = {
+            r["node"]: (r["deg"], r["rank"])
+            for r in pagerank(
+                edges, iters=3, driver_edge_threshold=0
+            ).collect()
+        }
+        assert fast == dist
+
 
 def test_interpolate_property_matches_python_twin(spark):
     """Random observation sets: the distributed lerp equals a
