@@ -816,15 +816,35 @@ def _kmeans_init_ids(ids, k: int, seed):
     return sorted(sorted(ids), key=lambda i: (h(i), i))[:k]
 
 
+def _round_cell(m, f: float) -> float:
+    """Exact Python twin of the distributed centroid update
+    ``F.round(avg * factor) / factor``: Spark's scale-0 ``Round`` on
+    DoubleType is ``BigDecimal.valueOf(y).setScale(0, HALF_UP)``, and
+    ``Decimal(repr(y))`` parses the same shortest round-trip decimal
+    ``Double.toString`` yields. A float trick (``floor(abs(y)+0.5)``)
+    is NOT the same — the add can cross a representability boundary
+    exactly on the half-way inputs where HALF_UP matters."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    y = float(m) * f
+    return (
+        float(Decimal(repr(y)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        / f
+    )
+
+
 def kmeans_lloyd_np(
     X, ids, *, k: int, iters: int, seed: int, center_decimals: int | None = None
 ):
     """Numpy twin of :func:`kmeans_lloyd` — same init, same update
-    rule, float64 throughout; used in tests as the sequential
-    reference. With ``center_decimals`` (matching the distributed
-    call) the per-iteration rounding absorbs summation-order ulps, so
-    twin and distributed trajectories agree exactly rather than
-    "up to ulps on near-tie assignments"."""
+    rule, float64 throughout; the sequential reference, and the
+    training loop behind :func:`kmeans_lloyd`'s driver fast path.
+    With ``center_decimals`` (matching the distributed call) the
+    per-iteration rounding absorbs summation-order ulps, so twin and
+    distributed trajectories agree exactly rather than "up to ulps on
+    near-tie assignments"; the round itself is the exact
+    :func:`_round_cell` twin of the distributed
+    ``round(avg * factor) / factor``."""
     import numpy as np
 
     X = np.asarray(X, dtype=np.float64)
@@ -838,10 +858,8 @@ def kmeans_lloyd_np(
             if len(m):
                 C[j] = m.mean(axis=0)  # empty cluster keeps its centroid
                 if center_decimals is not None:
-                    # half-away-from-zero to match Spark/DuckDB round
-                    # (np.round is half-to-even)
                     f = 10.0**center_decimals
-                    C[j] = np.sign(C[j]) * np.floor(np.abs(C[j]) * f + 0.5) / f
+                    C[j] = [_round_cell(x, f) for x in C[j]]
     return C
 
 
@@ -908,6 +926,7 @@ def kmeans_lloyd(
     seed: int = 42,
     center_decimals: int | None = None,
     materialize: str | None = "persist",
+    driver_train_threshold: int = 100_000,
 ) -> DataFrame:
     """DISTRIBUTED Lloyd's k-means over the full table (unlike the
     IVF quantizer, which trains on a bounded driver sample): each
@@ -937,6 +956,46 @@ def kmeans_lloyd(
     assignment.
     """
     from oups_spark.operators.text import md5_int
+
+    # Small-input fast path: when the (id, vector) table fits under
+    # ``driver_train_threshold`` rows, training runs as the numpy twin
+    # on the driver — one early-stopping CollectLimit job replaces the
+    # init TakeOrdered + one collect per iteration (each a full job
+    # with scheduler floor), and the persist round-trip disappears.
+    # Upstream scan count is unchanged (probe + final assignment = 2,
+    # exactly what persist-materialize + post-unpersist recompute
+    # cost). Trajectory equality with the distributed loop holds for
+    # the same reason the DuckDB oracle replay holds: per-iteration
+    # centroid rounding (the exact ``_round_cell`` twin) absorbs
+    # summation-order ulps, init and argmin tie-breaks are identical
+    # by construction — so the gate is ``center_decimals`` set; an
+    # unrounded trajectory is only ulp-reproducible within one engine
+    # and must stay on the distributed path. Pass 0 to force the
+    # distributed loop. Oversized inputs pay one early-stopped probe
+    # (CollectLimit scans partitions incrementally) and fall through.
+    if center_decimals is not None and driver_train_threshold > 0:
+        probe = (
+            df.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>")
+            )
+            .limit(driver_train_threshold + 1)
+            .collect()
+        )
+        if 0 < len(probe) <= driver_train_threshold:
+            # sort by id: pins the driver trajectory run-to-run
+            # (collect order is partition order, not deterministic)
+            probe.sort(key=lambda r: r[0])
+            C = kmeans_lloyd_np(
+                [list(r[1]) for r in probe],
+                [r[0] for r in probe],
+                k=k,
+                iters=iters,
+                seed=seed,
+                center_decimals=center_decimals,
+            )
+            return kmeans_assign(
+                df, [[float(x) for x in c] for c in C], vec_col=vec_col
+            )
 
     # Materialize the input ONCE: the loop reads it iters+1 times
     # (init TakeOrdered, per-iteration agg, final assign), and callers

@@ -220,3 +220,39 @@ def test_semdedup_default_k_scales_with_sqrt_n(spark, monkeypatch):
         except RuntimeError:
             pass
         assert captured["k"] == want, (n, captured["k"], want)
+
+
+def test_kmeans_driver_train_equals_distributed(spark):
+    """kmeans_lloyd's driver-train fast path (numpy twin + exact
+    HALF_UP round) must land every vector in the same final cluster
+    as the distributed loop (driver_train_threshold=0 forces it)."""
+    import random
+
+    from oups_spark.operators.similarity import kmeans_lloyd
+
+    rng = random.Random(3)
+    rows = [
+        (i, [round(rng.gauss(c, 1.0), 3) for _ in range(6)])
+        for i, c in ((i, float(i % 5)) for i in range(300))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    fast = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd(
+            df, k=5, iters=3, seed=42, center_decimals=6
+        ).collect()
+    }
+    dist = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_lloyd(
+            df,
+            k=5,
+            iters=3,
+            seed=42,
+            center_decimals=6,
+            driver_train_threshold=0,
+        ).collect()
+    }
+    assert fast == dist
