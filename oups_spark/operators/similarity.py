@@ -1078,6 +1078,70 @@ def kmeans_lloyd(
     return kmeans_assign(df, C, vec_col=vec_col)
 
 
+def _double_total_key(x: float) -> int:
+    """Java ``Double.compare`` total order as an int key (non-NaN):
+    sign-magnitude bits flipped for negatives, so ``-0.0 < +0.0`` —
+    the ordering Spark's sort/greatest use on DoubleType. Plain
+    Python ``<`` treats the zeros as equal and would fall through to
+    the tiebreaker where Spark would not."""
+    import struct
+
+    b = struct.unpack("<q", struct.pack("<d", x))[0]
+    return b if b >= 0 else b ^ 0x7FFFFFFFFFFFFFFF
+
+
+def _mmr_driver(rows, *, k: int, lam: float) -> list:
+    """Driver replay of the unrolled MMR loop over the collected
+    (qid, cid, cv, rel) candidate table. Same IEEE sequence as the
+    Catalyst plan: the cosine is the guarded left-to-right dim fold
+    of :func:`cosine_expr`, the per-step pick is
+    ``desc(score), asc(cid)`` under Double.compare total order, and
+    ``greatest`` keeps the incumbent on ties. Emits
+    (qid, cid, mmr_rank, rel) tuples, bit-identical to the
+    distributed trajectory."""
+    import math
+
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(
+            [r["cid"], list(r["cv"]), r["rel"], -1.0]
+        )
+    out = []
+    for qid, cands in by_q.items():
+        for t in range(1, k + 1):
+            if not cands:
+                break
+            best = min(
+                cands,
+                key=lambda c: (
+                    -_double_total_key(lam * c[2] - (1.0 - lam) * c[3]),
+                    c[0],
+                ),
+            )
+            out.append((qid, best[0], t, best[2]))
+            cands = [c for c in cands if c[0] != best[0]]
+            if t < k and cands:
+                bv = best[1]
+                nb = 0.0
+                for y in bv:
+                    nb = nb + y * y
+                for c in cands:
+                    cv = c[1]
+                    na = 0.0
+                    for x in cv:
+                        na = na + x * x
+                    if na * nb > 0:
+                        dt = 0.0
+                        for x, y in zip(cv, bv):
+                            dt = dt + x * y
+                        cos = dt / math.sqrt(na * nb)
+                    else:
+                        cos = 0.0
+                    if _double_total_key(cos) > _double_total_key(c[3]):
+                        c[3] = cos
+    return out
+
+
 def mmr_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1087,6 +1151,7 @@ def mmr_rerank(
     n_candidates: int = 20,
     k: int = 5,
     lam: float = 0.7,
+    driver_threshold: int = 10_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance reranking: per query, greedily pick
     ``k`` of the top-``n_candidates`` most relevant vectors, each step
@@ -1138,6 +1203,40 @@ def mmr_rerank(
         .drop("__rn")
         .localCheckpoint(eager=True)
     )
+    # Driver fast path: the greedy loop's k unrolled stages are each
+    # a full job (window + join + eager checkpoint) over this tiny
+    # (queries × ≤n_candidates) relation — pure scheduler floor when
+    # it is driver-sized. One capped collect of the checkpoint (no
+    # recompute on fallback) feeds the bit-identical Python replay;
+    # the threshold stays modest because the replay's pairwise cosine
+    # work is O(rows × k × dim) pure-Python floats. Pass 0 to force
+    # the distributed loop.
+    if driver_threshold > 0:
+        probe = top.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            from pyspark.sql.types import (
+                DoubleType,
+                IntegerType,
+                StructField,
+                StructType,
+            )
+
+            schema = StructType(
+                [
+                    StructField("qid", top.schema["qid"].dataType),
+                    StructField("cid", top.schema["cid"].dataType),
+                    StructField("mmr_rank", IntegerType(), False),
+                    StructField("rel", DoubleType()),
+                ]
+            )
+            return top.sparkSession.createDataFrame(
+                _mmr_driver(probe, k=k, lam=lam), schema
+            ).select(
+                F.col("qid").alias("query_id"),
+                F.col("cid").alias("vec_id"),
+                "mmr_rank",
+                F.round("rel", 6).alias("rel_sim"),
+            )
     rem = top.withColumn("maxsim", F.lit(-1.0))
     picks = []
     for t in range(1, k + 1):

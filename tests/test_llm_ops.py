@@ -396,6 +396,39 @@ def test_mmr_zero_norm_vector_scores_zero_not_null(spark):
     assert by_id[2]["rel_sim"] == 0.0       # guarded cosine, not NULL
 
 
+def test_mmr_driver_fast_path_equals_distributed(spark):
+    """The driver replay (default threshold) must match the unrolled
+    distributed loop (driver_threshold=0) row-for-row, including
+    rel_sim bits, on a many-query random set."""
+    import random
+
+    from oups_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(5)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id < 6")
+
+    def runs(thr):
+        return sorted(
+            (
+                r["query_id"],
+                r["vec_id"],
+                r["mmr_rank"],
+                r["rel_sim"],
+            )
+            for r in mmr_rerank(
+                df, q, n_candidates=10, k=4, lam=0.7,
+                driver_threshold=thr,
+            ).collect()
+        )
+
+    assert runs(10_000) == runs(0)
+
+
 def test_decode_backends_stub_and_optional_pil(spark):
     """decode_stub backend selection: 'stub' is the deterministic
     formula over raw bytes; 'auto' falls back to the stub when PIL is
