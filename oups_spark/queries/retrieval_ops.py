@@ -380,15 +380,24 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     ).filter(n >= _P_MIN_TOK)
     w = Window.partitionBy("fp").orderBy("doc_id")
+    # materialize the two narrow intermediates ONCE: the composition
+    # runs THREE driver actions (shuffle's bucket-count collect,
+    # pack's bucket-sum collect, the final result), and without the
+    # checkpoints each re-executes the tokenize + dedup-window
+    # upstream — 3 corpus scans instead of 1 (profiled: 6 of the
+    # query's ~0.5 s jobs were that recompute). Both checkpoints
+    # carry only (doc_id, n_tokens[, pos, shard]) — bytes per row,
+    # distributed blocks, scale-safe.
     d = (
         q.filter(F.col("dup_frac") <= _P_MAX_DUP)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("doc_id", "n_tokens")
+        .localCheckpoint(eager=True)
     )
     s = deterministic_shuffle(
         d, id_col="doc_id", seed=_P_SEED, n_shards=_P_SHARDS
-    )
+    ).localCheckpoint(eager=True)
     packed = pack_token_budget(
         s, id_col="pos", token_col="n_tokens", budget=_P_BUDGET
     )
