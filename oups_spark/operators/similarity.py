@@ -409,13 +409,15 @@ def ivf_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    qpairs = F.array(
-        *[
-            F.struct(_sq_dist(F.col("qv"), cent).alias("d"), F.lit(j).alias("j"))
-            for j, cent in enumerate(C)
-        ]
+    cm = F.col("__cents")
+    qpairs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(C) - 1)),
+        lambda j: F.struct(
+            _sq_dist_col(F.col("qv"), F.element_at(cm, j + 1)).alias("d"),
+            j.alias("j"),
+        ),
     )
-    probes = q.select(
+    probes = q.join(F.broadcast(_centroid_relation(q, C, "__cents"))).select(
         "query_id",
         "qv",
         F.explode(
@@ -730,8 +732,21 @@ def pq_cosine_topk(
     B = np.stack(books)  # (m, k_codes, d)
     d = int(B.shape[2])
 
-    # literal codebook tensor: BOOKS[j+1][c+1] = centroid (array<double>)
-    books_lit = lit_tensor3(books)
+    # codebook tensor BOOKS[j+1][c+1] = centroid (array<double>), shipped
+    # as DATA in a one-row broadcast LocalRelation rather than as a plan
+    # literal: the reconstruction expression references the tensor three
+    # times (twice in the d2 fold, once for the chosen centroid), and as
+    # an expression-tree literal each reference is its own ~m*k_codes*d
+    # node subtree — ~6k literal nodes that Catalyst re-walks on every
+    # analyzer/optimizer rule pass (~1.5 s of driver time per run,
+    # profiled). As a column of a broadcast single-row relation each
+    # reference is one AttributeReference; runtime element_at semantics
+    # and every arithmetic step are unchanged.
+    books_df = corpus.sparkSession.createDataFrame(
+        [([[[float(x) for x in row] for row in book] for book in books],)],
+        schema="__books array<array<array<double>>>",
+    )
+    books_lit = F.col("__books")
 
     def _recon(cv):
         # per subspace j: argmin_c of the dim-order d2 fold (ties ->
@@ -769,10 +784,15 @@ def pq_cosine_topk(
             )
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("recon", _recon(F.col("cv")))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .join(F.broadcast(books_df))
+        .withColumn("recon", _recon(F.col("cv")))
+        .drop("__books")
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -884,10 +904,32 @@ def _d2_dim_fold(X, C):
 def _sq_dist(vec: Column, cent: list[float]) -> Column:
     """Squared L2 distance to a literal centroid — pure JVM fold,
     whole-stage-codegen friendly."""
+    return _sq_dist_col(vec, lit_vec(cent))
+
+
+def _sq_dist_col(vec: Column, cent: Column) -> Column:
+    """Squared L2 distance between two array<double> columns, folded
+    in dim order (the engine-portable summation order every oracle
+    replays)."""
     return F.aggregate(
-        F.zip_with(vec, lit_vec(cent), lambda a, b: (a - b) * (a - b)),
+        F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _centroid_relation(df: DataFrame, centroids, col: str) -> DataFrame:
+    """The k x dim centroid matrix as a ONE-ROW LocalRelation (column
+    ``col``: array<array<double>>) to broadcast-attach, instead of a
+    plan-literal expression tree: k*dim literal nodes are re-walked by
+    every Catalyst rule pass (hundreds of ms of driver time per
+    analyzed plan for a 16x64 matrix, worse when the assign expression
+    is rebuilt each Lloyd iteration), while a data relation costs one
+    AttributeReference. Runtime arithmetic is unchanged — the same
+    folds run over the same doubles via element_at."""
+    return df.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        schema=f"{col} array<array<double>>",
     )
 
 
@@ -898,21 +940,23 @@ def kmeans_assign(
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
 ) -> DataFrame:
-    """Nearest-centroid assignment against a literal centroid matrix
+    """Nearest-centroid assignment against a broadcast centroid matrix
     (argmin of squared L2, ties to the lowest cluster id) — map-side,
     zero shuffle; the k x dim distance arithmetic stays inside
     whole-stage codegen."""
     v = F.col(vec_col).cast("array<double>")
-    pairs = F.array(
-        *[
-            F.struct(
-                _sq_dist(v, c).alias("d"), F.lit(j).alias("j")
-            )
-            for j, c in enumerate(centroids)
-        ]
+    cm = F.col("__cents")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda j: F.struct(
+            _sq_dist_col(v, F.element_at(cm, j + 1)).alias("d"),
+            j.alias("j"),
+        ),
     )
-    return df.withColumn(
-        cluster_col, F.array_min(pairs)["j"].cast("int")
+    return (
+        df.join(F.broadcast(_centroid_relation(df, centroids, "__cents")))
+        .withColumn(cluster_col, F.array_min(pairs)["j"].cast("int"))
+        .drop("__cents")
     )
 
 

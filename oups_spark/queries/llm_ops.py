@@ -594,7 +594,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    # one parquet file -> one scan partition; spread the per-row
+    # cell-assignment fold (n_cells * dim ops) across the cores
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return ivf_cosine_topk(corpus, queries, k=5).orderBy("query_id", "rank")
 
 
 @register(
@@ -1073,7 +1076,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    # the fixture table is one parquet file -> one scan partition; the
+    # per-row encode fold (m*k_codes*d ops) must not run single-task
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    return pq_cosine_topk(corpus, queries, k=5).orderBy("query_id", "rank")
 
 
 _SPLIT_ID = 400  # existing corpus: doc_id < 400; new batch: >= 400
