@@ -682,7 +682,15 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from oups_spark.operators.text import tokens
 
-    docs = load(spark, sf_dir, "documents")
+    # one-row-group fixture file -> one scan task; the tokenize+md5
+    # register pass feeds two consumers (register build + estimate
+    # probe) and measured 1.5s single-task — spread it (A/B: -0.6s
+    # wall; the per-task expression-setup CPU this adds amortizes at
+    # real scale, where scans arrive multi-partition and this
+    # repartition is a no-op cost-wise)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     regs = countmin_register_table(toks, "tok")
     est = countmin_estimate(regs, toks, "tok")
