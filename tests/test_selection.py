@@ -162,6 +162,34 @@ def test_remove_duplicate_spans_sequential_twin(spark):
     assert got[3] == (0, 0, "")
 
 
+def test_remove_duplicate_spans_no_filter_below_repartition(spark):
+    """Plan-shape tripwire: the tokenize/segment pipeline must run
+    AFTER the repartition. A non-outer explode lets Catalyst infer
+    `size(__segs) > 0` and sink the full segment expression below the
+    exchange into the (single-task) scan stage; the outer-explode +
+    isNotNull(g) form keeps the scan filter-free."""
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.selection import remove_duplicate_spans
+
+    df = (
+        spark.createDataFrame([(0, "a b c"), (1, "")], "id long, text string")
+        .repartition(4)
+    )
+    plan = remove_duplicate_spans(df, id_col="id", width=2)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    import re
+
+    # every Filter in the optimized plan must sit ABOVE the generate
+    # output (null checks on g / the ids) — never the inferred
+    # non-empty-array test, whose condition carries the segment
+    # expression (a `size(...)` call, alias-substituted or not)
+    for cond in re.findall(r"Filter (.+)", plan):
+        assert "__segs" not in cond and "size(" not in cond, (
+            f"segment filter sank below repartition: {cond[:200]}"
+        )
+
+
 def test_temperature_sample_rates_and_determinism(spark):
     import hashlib
 
