@@ -76,12 +76,18 @@ def minhash_signatures(
     every column — a k-fold recompute.) Docs with fewer than n tokens
     have no shingles and drop out, matching the SQL twin.
     """
+    # explode_outer + isNotNull instead of plain explode: Catalyst
+    # infers `size(arr) > 0` from a non-outer Generate and inlines the
+    # whole tokenize/shingle/md5 pipeline into a scan-side filter (an
+    # extra 2x evaluation per row); the same-row-set filter on the
+    # GENERATED column cannot sink. Elements are md5 of non-null
+    # strings, so hv is null exactly on the outer rows being dropped.
     hashed = df.select(
         F.col(id_col),
-        F.explode(F.transform(shingles(tokens(F.col(text_col)), n), md5_int)).alias(
-            "hv"
-        ),
-    )
+        F.explode_outer(
+            F.transform(shingles(tokens(F.col(text_col)), n), md5_int)
+        ).alias("hv"),
+    ).filter(F.col("hv").isNotNull())
     aggs = [
         F.min((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_params())
@@ -179,6 +185,10 @@ def ngram_jaccard_pairs(
     keeps the single-pass exact plan, whose semantics equal the SQL
     oracle.
     """
+    # explode_outer + isNotNull instead of plain explode: see
+    # minhash_signatures — keeps Catalyst's inferred size() filter
+    # (which inlines the full shingle pipeline) out of the scan stage.
+    # Hashed shingles are md5-derived, never null per element.
     sh = df.select(
         F.col(block_col),
         F.col(id_col),
@@ -187,8 +197,8 @@ def ngram_jaccard_pairs(
         F.col(block_col),
         F.col(id_col),
         F.size("sh").alias("n_sh"),
-        F.explode("sh").alias("hv"),
-    )
+        F.explode_outer("sh").alias("hv"),
+    ).filter(F.col("hv").isNotNull())
     if df_cap is not None:
         rare = (
             sh.groupBy(block_col, "hv")
@@ -428,17 +438,22 @@ def decontamination_overlap(
     Documents with fewer than ``n`` tokens have no shingles and drop
     out (callers wanting them back can left-join the result).
     """
+    # explode_outer + isNotNull on both sides: see minhash_signature —
+    # keeps the inferred size() filter (and with it the whole
+    # tokenize/shingle pipeline) out of the scan stage. Shingle
+    # strings are concat_ws output, never null.
     bg = (
         bench.select(
-            F.explode(shingles(tokens(F.col(text_col)), n)).alias("g")
+            F.explode_outer(shingles(tokens(F.col(text_col)), n)).alias("g")
         )
+        .filter(F.col("g").isNotNull())
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     tg = train.select(
         F.col(id_col),
-        F.explode(shingles(tokens(F.col(text_col)), n)).alias("g"),
-    )
+        F.explode_outer(shingles(tokens(F.col(text_col)), n)).alias("g"),
+    ).filter(F.col("g").isNotNull())
     return (
         tg.join(F.broadcast(bg), on="g", how="left")
         .groupBy(id_col)
