@@ -76,12 +76,16 @@ def minhash_signatures(
     every column — a k-fold recompute.) Docs with fewer than n tokens
     have no shingles and drop out, matching the SQL twin.
     """
-    # explode_outer + isNotNull instead of plain explode: Catalyst
-    # infers `size(arr) > 0` from a non-outer Generate and inlines the
-    # whole tokenize/shingle/md5 pipeline into a scan-side filter (an
-    # extra 2x evaluation per row); the same-row-set filter on the
-    # GENERATED column cannot sink. Elements are md5 of non-null
-    # strings, so hv is null exactly on the outer rows being dropped.
+    # explode_outer + isNotNull instead of plain explode, matching the
+    # repo-wide convention for explodes of expensive computed arrays:
+    # when the array rides a projected ATTRIBUTE, Catalyst's
+    # InferFiltersFromGenerate + project collapse inline the whole
+    # tokenize/shingle/md5 pipeline into a scan-side `size(arr) > 0`
+    # filter (an extra 2x evaluation per row). The direct-expression
+    # form here dodges today's inference cost guard, but the outer
+    # form is immune to that rule interplay outright and is
+    # row-identical: elements are md5 of non-null strings, so hv is
+    # null exactly on the outer rows being dropped.
     hashed = df.select(
         F.col(id_col),
         F.explode_outer(
@@ -438,10 +442,10 @@ def decontamination_overlap(
     Documents with fewer than ``n`` tokens have no shingles and drop
     out (callers wanting them back can left-join the result).
     """
-    # explode_outer + isNotNull on both sides: see minhash_signature —
-    # keeps the inferred size() filter (and with it the whole
-    # tokenize/shingle pipeline) out of the scan stage. Shingle
-    # strings are concat_ws output, never null.
+    # explode_outer + isNotNull on both sides: repo-wide convention
+    # for explodes of expensive computed arrays (see
+    # minhash_signatures for the InferFiltersFromGenerate rationale).
+    # Shingle strings are concat_ws output, never null.
     bg = (
         bench.select(
             F.explode_outer(shingles(tokens(F.col(text_col)), n)).alias("g")
