@@ -46,87 +46,24 @@ def register(name: str, oracle: str | None = None):
 # other registered query follows in import order (rows 51+ are still
 # exposed, just not driver-checked this round).
 #
-# Round-14 window. Registry = 150 + this round's registrations; 50
-# queries are r11-green (the oldest evidence anywhere — round 13's
-# tripwire scheduled exactly that list). With >150 registered queries
-# a 50-slot window can no longer keep every query within 2 rounds
-# (ceil(N/50) rounds is the attainable cycle), so the schedule is now
-# strictly "stalest first":
-#   1. the round-14 registrations (never checked — the standing rule:
-#      new queries take slots in their landing round);
-#   2. as many of the 50 r11-green queries as fit (46 with 4 new
-#      registrations). The 4 deferred are pure-SQL TPC-H aggregations
-#      (top_customers, order_priority_counts, shipping_priority,
-#      promo_revenue_monthly) whose code paths are frozen and
-#      pytest-covered; they head round 15's window;
-#   3. the rest oldest-evidence-first (deferred r11s, r12-greens,
-#      then r13-greens).
+# Round-15 window: the scheduled rotation — round 14's 50 slots all
+# earned fresh evidence (CORRECTNESS_r14: 50/50), so they slide to the
+# back and the 50 stalest-evidence queries take the window: the 4
+# deferred r11-greens round 14's schedule promised this round
+# (top_customers, order_priority_counts, shipping_priority,
+# promo_revenue_monthly) followed by 46 r12-greens. No new queries
+# this round (optimization round), so no never-checked names.
 # tests/test_window_schedule.py COMPUTES this from the
 # CORRECTNESS_r*.json history: the window must be exactly the 50
 # stalest-evidence queries (never-checked stalest of all).
 _WINDOW_PRIORITY = [
-    # (1) round-14 registrations (never checked) — each name is added
-    # here IN THE SAME COMMIT as its @register call (listing an
-    # unregistered name trips test_window_priority_is_exact...). As
-    # each lands, one deferred TPC-H row slides out of the window.
-    "store_deltalog_roundtrip",
-    "streaming_native_autocompact",
-    "streaming_native_snapshots_right",
-    "cdc_schema_drift",
-    # (2) the r11-stale queries (round 13's scheduled head), minus the
-    # 4 deferred TPC-H rows
-    "streaming_native_weekly",
-    "streaming_native_snapshots_ffill",
-    "streaming_native_monthly",
-    "streaming_native_quarterly",
-    "store_delete_where",
-    "store_update_where",
-    "label_centroids",
-    "lm_quality_score",
-    "ccnet_quality_buckets",
-    "quality_classifier_scores",
-    "hll_distinct_tokens",
-    "gopher_quality_rules",
-    "domain_url_stats",
-    "corpus_curation",
-    "token_pack_assignment",
-    "stratified_sample_mix",
-    "ann_pq_topk",
-    "incremental_neardup_ingest",
-    "neardup_keep_best",
-    "leakage_safe_splits",
-    "neardup_pagerank",
-    "lsh_recall_eval",
-    "crossencoder_rerank_topk",
-    "bm25_topk",
-    "deterministic_shuffle",
-    "source_quota_topk",
-    "segment_bins_4h_right",
-    "segment_bins_month_right",
-    "segment_bins_quarter_right",
-    "segment_bins_4h_0930_offset",
-    "snapshot_1y_1ms",
-    "snapshot_irregular_edges",
-    "duplicate_span_removal",
-    "temperature_source_mix",
-    "packed_training_sequences",
-    "weighted_sample_wor",
-    "weighted_sample_by_source",
-    "zorder_box_scan",
-    "streaming_native_sessions",
-    "streaming_stateful_ffill",
-    "streaming_sliding_hourly",
-    "pricing_summary",
-    "revenue_by_nation",
-    "regional_supplier_volume",
-    "bucketed_colocated_join",
-    "salted_join_order_customer",
-    # (3) the 4 deferred r11-greens — head of round 15's window
+    # (1) the 4 deferred r11-greens — promised the round-15 head by
+    # round 14's schedule
     "top_customers",
     "order_priority_counts",
     "shipping_priority",
     "promo_revenue_monthly",
-    # ... then r12-greens
+    # (2) r12-greens (46 fill the window; the rest follow)
     "store_merge_into",
     "streaming_native_volume_bars",
     "store_catalog_objectstore",
@@ -173,11 +110,12 @@ _WINDOW_PRIORITY = [
     "cdc_upsert_stream",
     "cdc_incremental_agg",
     "session_windows",
+    # ---- window boundary: rows below are 51+ this round ----
     "cdc_incremental_minmax",
     "asof_click_before_purchase",
     "asof_nearest_tolerance",
     "range_join_first_week",
-    # ... then r13-greens (freshest evidence)
+    # ... r13-greens
     "cdc_merge_stream",
     "streaming_native_snapshots_calendar",
     "zorder_compact_scan",
@@ -228,6 +166,57 @@ _WINDOW_PRIORITY = [
     "intersections_bucket_align",
     "rollup_pricing",
     "twap_hourly",
+    # ... r14-greens (freshest evidence — round 14's window)
+    "store_deltalog_roundtrip",
+    "streaming_native_autocompact",
+    "streaming_native_snapshots_right",
+    "cdc_schema_drift",
+    "streaming_native_weekly",
+    "streaming_native_snapshots_ffill",
+    "streaming_native_monthly",
+    "streaming_native_quarterly",
+    "store_delete_where",
+    "store_update_where",
+    "label_centroids",
+    "lm_quality_score",
+    "ccnet_quality_buckets",
+    "quality_classifier_scores",
+    "hll_distinct_tokens",
+    "gopher_quality_rules",
+    "domain_url_stats",
+    "corpus_curation",
+    "token_pack_assignment",
+    "stratified_sample_mix",
+    "ann_pq_topk",
+    "incremental_neardup_ingest",
+    "neardup_keep_best",
+    "leakage_safe_splits",
+    "neardup_pagerank",
+    "lsh_recall_eval",
+    "crossencoder_rerank_topk",
+    "bm25_topk",
+    "deterministic_shuffle",
+    "source_quota_topk",
+    "segment_bins_4h_right",
+    "segment_bins_month_right",
+    "segment_bins_quarter_right",
+    "segment_bins_4h_0930_offset",
+    "snapshot_1y_1ms",
+    "snapshot_irregular_edges",
+    "duplicate_span_removal",
+    "temperature_source_mix",
+    "packed_training_sequences",
+    "weighted_sample_wor",
+    "weighted_sample_by_source",
+    "zorder_box_scan",
+    "streaming_native_sessions",
+    "streaming_stateful_ffill",
+    "streaming_sliding_hourly",
+    "pricing_summary",
+    "revenue_by_nation",
+    "regional_supplier_volume",
+    "bucketed_colocated_join",
+    "salted_join_order_customer",
 ]
 
 
