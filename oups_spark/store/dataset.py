@@ -329,6 +329,17 @@ class OrderedDataset:
         ``parquet_adapter.py:45-85``) with the name mapping in the
         manifest, and ``read`` rebuilds the structs.
         """
+        # A pyarrow.Table batch (driver-built flushes, e.g. AggStream's
+        # stitched bin frames): the table IS the collected batch, so
+        # the probe job that would otherwise collect it is skipped —
+        # the common small flush then runs with ZERO Spark jobs. The
+        # Spark DataFrame twin is still constructed (driver-side local
+        # relation, no job) for schema checks and as the distributed
+        # fallback when the batch or its overlap outgrows the caps.
+        batch_tbl = None
+        if df is not None and not isinstance(df, DataFrame):
+            batch_tbl = df
+            df = self.spark.createDataFrame(batch_tbl)
         attempt = 0
         while True:
             # conform INSIDE the retry loop: a conflict reloads the
@@ -364,6 +375,7 @@ class OrderedDataset:
                     evolve_schema=evolve_schema,
                     use_driver_merge=use_driver_merge,
                     bloom_cols=eff_bloom,
+                    batch_tbl=batch_tbl if cdf is df else None,
                 )
             except ManifestConflictError:
                 if attempt >= conflict_retries:
@@ -431,8 +443,13 @@ class OrderedDataset:
         evolve_schema: bool = False,
         use_driver_merge: bool | None = None,
         bloom_cols: list[str] | None = None,
+        batch_tbl=None,
     ) -> None:
         """Ordered merge write (see module docstring for the plan).
+
+        ``batch_tbl``: optional pyarrow.Table that IS the batch's
+        collected data (``df`` is its local-relation twin) — the
+        bounds/collect probe jobs are skipped entirely.
 
         ``key_value_metadata``: dict merged into the manifest kv;
         a ``None`` value removes the key (reference semantics,
@@ -524,10 +541,14 @@ class OrderedDataset:
                 for t in ("binary", "array", "map", "struct")
             )
         ):
-            try:
-                probe_tbl = df.limit(_DRIVER_MERGE_MAX_ROWS + 1).toArrow()
-            except Exception:  # noqa: BLE001 — maxResultSize etc.
-                probe_tbl = None
+            if batch_tbl is not None:
+                # the batch is already on the driver: no probe job
+                probe_tbl = batch_tbl
+            else:
+                try:
+                    probe_tbl = df.limit(_DRIVER_MERGE_MAX_ROWS + 1).toArrow()
+                except Exception:  # noqa: BLE001 — maxResultSize etc.
+                    probe_tbl = None
             if (
                 probe_tbl is not None
                 and probe_tbl.num_rows > _DRIVER_MERGE_MAX_ROWS
@@ -565,6 +586,21 @@ class OrderedDataset:
             )
         elif known_stats is not None:
             df_min, df_max, n_new = known_stats
+        elif batch_tbl is not None and not validate_monotonic:
+            # oversized driver-built batch: exact stats straight from
+            # the table — no Spark stats job on the local relation
+            import pyarrow.compute as pc
+
+            n_new = batch_tbl.num_rows
+            if n_new == 0:
+                self._update_kv_only(ordered_on, key_value_metadata)
+                return
+            col = batch_tbl.column(ordered_on)
+            df_min = _norm_tz(pc.min(col).as_py())
+            df_max = _norm_tz(pc.max(col).as_py())
+            str_bytes = sum(
+                batch_tbl.column(c).nbytes for c in str_cols
+            )
         else:
             stats = new.agg(
                 F.min(ordered_on).alias("mn"),
@@ -3428,6 +3464,55 @@ def _off_target_flags(entries: list[FileEntry], target) -> list[bool]:
     return [
         pmin != pmax or touched[pmin] > 1 for pmin, pmax in spans
     ]
+
+
+def pandas_to_spark_arrow(pdf, session_tz: str):
+    """Driver-side twin of ``spark.createDataFrame(pdf).toArrow()``:
+    the Arrow table Spark would produce for this pandas frame, built
+    with NO JVM round trip. Returns ``None`` whenever any dtype falls
+    outside the audited mapping below — the caller then takes the
+    classic ``createDataFrame`` path, so a ``None`` is never wrong,
+    only slower. Equivalence to the round trip is pinned in
+    tests/test_arrow_write.py.
+
+    Only valid under a UTC session time zone: Spark interprets naive
+    pandas timestamps as SESSION-zone wall clock, while Arrow's
+    naive→tz cast assumes UTC — the two agree exactly when the
+    session zone is UTC (which ``ensure_session_confs`` guarantees
+    for every query session)."""
+    import pyarrow as pa
+
+    if session_tz not in ("UTC", "Etc/UTC"):
+        return None
+    try:
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        return None
+    fields = []
+    for f in tbl.schema:
+        t = f.type
+        if pa.types.is_timestamp(t):
+            if t.tz not in (None, "UTC", "Etc/UTC"):
+                return None
+            t = pa.timestamp("us", tz="UTC")
+        elif pa.types.is_large_string(t):
+            t = pa.string()
+        elif not (
+            (pa.types.is_integer(t) and not pa.types.is_unsigned_integer(t))
+            or pa.types.is_floating(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_string(t)
+            or pa.types.is_date32(t)
+        ):
+            return None
+        # createDataFrame(pandas) always records nullable fields
+        fields.append(pa.field(f.name, t, nullable=True))
+    try:
+        # safe cast: sub-microsecond timestamps or overflow raise and
+        # fall back rather than silently diverging from Spark
+        return tbl.cast(pa.schema(fields))
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None
 
 
 def _merge_kv(kv: dict, update: dict | None) -> None:

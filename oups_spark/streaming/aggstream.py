@@ -382,14 +382,26 @@ class AggStream:
             )
         chunk_max = bounds["mx"]
 
+        rem_fut = None
         if discard_last:
             # hold back trailing rows sharing the max ordered_on —
             # a possibly-incomplete group (reference rationale,
-            # aggstream.py:1429-1448); they re-enter next chunk.
-            self.seed_remainder = chunk.filter(o == F.lit(chunk_max)).toPandas()
+            # aggstream.py:1429-1448); they re-enter next chunk. The
+            # pull is submitted as a CONCURRENT action (guide §2.6):
+            # it reads the same persisted chunk as the per-key agg
+            # jobs below and nothing depends on its result until the
+            # next chunk, so it overlaps them instead of serializing
+            # one more job floor ahead of them.
+            rem_df = chunk.filter(o == F.lit(chunk_max))
             chunk = chunk.filter(o < F.lit(chunk_max))
             if bounds["mn"] == chunk_max:
+                self.seed_remainder = rem_df.toPandas()
                 return  # whole chunk held back
+            from concurrent.futures import ThreadPoolExecutor
+
+            _rem_pool = ThreadPoolExecutor(max_workers=1)
+            rem_fut = _rem_pool.submit(rem_df.toPandas)
+            _rem_pool.shutdown(wait=False)
             # Watermark: any value w with processed_max <= w < chunk_max
             # is equivalent to the exact processed max — no row exists in
             # (processed_max, chunk_max), every future row is >= chunk_max,
@@ -416,15 +428,61 @@ class AggStream:
         # fan-out, aggstream.py:1486-1499) — the discard_last filter
         # above is a narrow view over the persisted base, so the N
         # filter+agg jobs still read the cache, not the source
-        self._agg_chunk_all_keys(
-            chunk,
-            processed_max,
-            trim_start=trim_start,
-            global_restart=restart if trim_start else None,
-        )
+        try:
+            self._agg_chunk_all_keys(
+                chunk,
+                processed_max,
+                trim_start=trim_start,
+                global_restart=restart if trim_start else None,
+            )
+        finally:
+            # resolve the concurrent remainder pull even when a key's
+            # agg failed mid-chunk: the completed prefix + restart
+            # state flush (SeedPreException contract) must not leave a
+            # dangling Spark action on the unpersisted chunk
+            if rem_fut is not None:
+                self.seed_remainder = rem_fut.result()
 
     def _agg_chunk_all_keys(
         self, chunk: DataFrame, processed_max, *, trim_start=True, global_restart=None
+    ) -> None:
+        """Per-key filter+agg fan-out over the cached chunk.
+
+        Structured as three phases so the independent per-key Spark
+        ACTIONS overlap (guide §2.6 — the scheduler happily runs them
+        together; they were only sequential because this loop called
+        ``toPandas`` one key at a time, paying one scheduler floor per
+        key per chunk):
+
+        1. per key, BUILD the aggregation plan(s) and a ``finish``
+           closure holding exactly the state updates the old
+           sequential body did;
+        2. execute every collected plan concurrently;
+        3. apply the ``finish`` closures in key order (state updates
+           stay deterministic and single-threaded).
+        """
+        actions: list[tuple] = []  # (dataframes, finish(results))
+        self._plan_chunk_all_keys(
+            chunk, processed_max, actions,
+            trim_start=trim_start, global_restart=global_restart,
+        )
+        if not actions:
+            return
+        plans = [df for dfs, _fin in actions for df in dfs]
+        if len(plans) == 1:
+            results = [plans[0].toPandas()]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(plans))) as pool:
+                results = list(pool.map(lambda d: d.toPandas(), plans))
+        i = 0
+        for dfs, fin in actions:
+            fin(*results[i : i + len(dfs)])
+            i += len(dfs)
+
+    def _plan_chunk_all_keys(
+        self, chunk, processed_max, actions, *, trim_start, global_restart
     ) -> None:
         o = F.col(self.ordered_on)
         for name, cfg in self.keys.items():
@@ -462,7 +520,7 @@ class AggStream:
                 order_key = F.struct(self.ordered_on, *(cfg.tiebreak or []))
                 from oups_spark.operators.segment import _agg_exprs
 
-                agged = (
+                plan = (
                     binned.groupBy(cfg.bin_col)
                     .agg(
                         F.min(self.ordered_on).alias("bin_label"),
@@ -470,11 +528,16 @@ class AggStream:
                         *_agg_exprs(cfg.agg, order_key),
                     )
                     .orderBy(cfg.bin_col)
-                ).toPandas()
-                st.rows_so_far += int(agged["__n"].sum())
-                agged = agged.drop(columns="__n")
-                st.bin_buffer.append(agged)
-                st.restart_index = self._advance(st.restart_index, processed_max)
+                )
+
+                def fin_rows(agged, st=st):
+                    st.rows_so_far += int(agged["__n"].sum())
+                    st.bin_buffer.append(agged.drop(columns="__n"))
+                    st.restart_index = self._advance(
+                        st.restart_index, processed_max
+                    )
+
+                actions.append(([plan], fin_rows))
                 continue
             if isinstance(
                 cfg.bin_by, (list, tuple, np.ndarray, pd.Series, pd.Index)
@@ -493,30 +556,38 @@ class AggStream:
                 else:
                     edge_spec = list(cfg.bin_by)
                     ends = edge_spec
-                agged = segment_agg(
+                plan = segment_agg(
                     filtered,
                     self.ordered_on,
                     cfg.agg,
                     bin_by=edge_spec,
                     tiebreak=cfg.tiebreak,
                     bin_col=cfg.bin_col,
-                ).toPandas()
-                # segment_agg_edges materializes EVERY chunk as a row
-                # (nulls for empty) — but re-emitting a completed bin
-                # as all-null would overwrite its flushed value via
-                # the keep-last merge. Keep (a) bins this chunk put
-                # data in, and (b) empty bins that became FINAL now
-                # (end <= watermark, not final before): each empty bin
-                # materializes exactly once; trailing bins past the
-                # stream's watermark stay unwritten until they close.
-                has_data = agged[list(cfg.agg)].notna().any(axis=1)
-                ends_s = pd.Series(ends)
-                final_now = ends_s <= processed_max
-                if st.restart_index is not None:
-                    final_now &= ends_s > st.restart_index
-                agged = agged[(has_data | final_now).to_numpy()]
-                st.bin_buffer.append(agged)
-                st.restart_index = self._advance(st.restart_index, processed_max)
+                )
+
+                def fin_edges(agged, st=st, cfg=cfg, ends=ends):
+                    # segment_agg_edges materializes EVERY chunk as a
+                    # row (nulls for empty) — but re-emitting a
+                    # completed bin as all-null would overwrite its
+                    # flushed value via the keep-last merge. Keep (a)
+                    # bins this chunk put data in, and (b) empty bins
+                    # that became FINAL now (end <= watermark, not
+                    # final before): each empty bin materializes
+                    # exactly once; trailing bins past the stream's
+                    # watermark stay unwritten until they close.
+                    has_data = agged[list(cfg.agg)].notna().any(axis=1)
+                    ends_s = pd.Series(ends)
+                    final_now = ends_s <= processed_max
+                    if st.restart_index is not None:
+                        final_now &= ends_s > st.restart_index
+                    st.bin_buffer.append(
+                        agged[(has_data | final_now).to_numpy()]
+                    )
+                    st.restart_index = self._advance(
+                        st.restart_index, processed_max
+                    )
+
+                actions.append(([plan], fin_edges))
                 continue
             if not isinstance(cfg.bin_by, str):
                 # custom BinBy object (reference bin_by callable,
@@ -539,52 +610,70 @@ class AggStream:
                     tiebreak=cfg.tiebreak, bin_col=cfg.bin_col,
                     initial_state=initial,
                 )
-                agged = (
+                plan = (
                     binned.groupBy(cfg.bin_col)
                     .agg(
                         F.min(self.ordered_on).alias("bin_label"),
                         *_agg_exprs(cfg.agg, order_key),
                     )
                     .orderBy(cfg.bin_col)
-                ).toPandas()
-                st.binner_state = new_state
-                st.bin_buffer.append(agged)
-                st.restart_index = self._advance(st.restart_index, processed_max)
+                )
+
+                def fin_custom(agged, st=st, new_state=new_state):
+                    st.binner_state = new_state
+                    st.bin_buffer.append(agged)
+                    st.restart_index = self._advance(
+                        st.restart_index, processed_max
+                    )
+
+                actions.append(([plan], fin_custom))
                 continue
-            agged = segment_agg(
-                filtered,
-                self.ordered_on,
-                cfg.agg,
-                bin_by=cfg.bin_by,
-                tiebreak=cfg.tiebreak,
-                bin_col=cfg.bin_col,
-                origin=cfg.origin,
-                offset=cfg.offset,
-            ).toPandas()
-            st.bin_buffer.append(agged)
-            if cfg.snap_by is not None:
-                snaps = snapshot_agg(
+            plans = [
+                segment_agg(
                     filtered,
                     self.ordered_on,
                     cfg.agg,
                     bin_by=cfg.bin_by,
-                    snap_by=cfg.snap_by,
                     tiebreak=cfg.tiebreak,
+                    bin_col=cfg.bin_col,
                     origin=cfg.origin,
                     offset=cfg.offset,
-                    bin_col=cfg.bin_col,
-                    snap_col=cfg.snap_col,
-                ).toPandas()
-                # A snapshot instant s <= previous restart index is
-                # FINAL: under closed-left/right alike, rows arriving
-                # later (ts > restart) are never visible at s. This
-                # chunk's regenerated quiet instants before its own
-                # data would otherwise overwrite those correct values
-                # with the bin-total accumulator.
-                if st.restart_index is not None:
-                    snaps = snaps[snaps[cfg.snap_col] > st.restart_index]
-                st.snap_buffer.append(snaps)
-            st.restart_index = self._advance(st.restart_index, processed_max)
+                )
+            ]
+            if cfg.snap_by is not None:
+                plans.append(
+                    snapshot_agg(
+                        filtered,
+                        self.ordered_on,
+                        cfg.agg,
+                        bin_by=cfg.bin_by,
+                        snap_by=cfg.snap_by,
+                        tiebreak=cfg.tiebreak,
+                        origin=cfg.origin,
+                        offset=cfg.offset,
+                        bin_col=cfg.bin_col,
+                        snap_col=cfg.snap_col,
+                    )
+                )
+
+            def fin_time(agged, snaps=None, st=st, cfg=cfg):
+                st.bin_buffer.append(agged)
+                if snaps is not None:
+                    # A snapshot instant s <= previous restart index
+                    # is FINAL: under closed-left/right alike, rows
+                    # arriving later (ts > restart) are never visible
+                    # at s. This chunk's regenerated quiet instants
+                    # before its own data would otherwise overwrite
+                    # those correct values with the bin-total
+                    # accumulator.
+                    if st.restart_index is not None:
+                        snaps = snaps[snaps[cfg.snap_col] > st.restart_index]
+                    st.snap_buffer.append(snaps)
+                st.restart_index = self._advance(
+                    st.restart_index, processed_max
+                )
+
+            actions.append((plans, fin_time))
 
     @staticmethod
     def _advance(current, new):
@@ -594,6 +683,24 @@ class AggStream:
         return new if current is None or new > current else current
 
     # ------------------------------------------------------------------
+    def _flush_frame(self, pdf: pd.DataFrame):
+        """The flush payload for the store write: the stitched frames
+        are already driver-local pandas, so convert them straight to
+        the Arrow table Spark's own pandas→JVM→Arrow round trip would
+        produce (``pandas_to_spark_arrow``) and hand THAT to
+        ``write`` — the store's probe then runs with zero Spark jobs
+        per flush (guide §1.2: the old shape paid one collect job per
+        sink per flush just to round-trip driver-built rows through
+        the JVM). Frames with dtypes outside the audited mapping
+        (e.g. a ``post`` hook emitting exotic columns) fall back to
+        the classic ``createDataFrame`` path — identical semantics,
+        one job."""
+        from oups_spark.store.dataset import pandas_to_spark_arrow
+
+        tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+        tbl = pandas_to_spark_arrow(pdf, tz)
+        return tbl if tbl is not None else self.spark.createDataFrame(pdf)
+
     def _flush(self) -> None:
         for name, cfg in self.keys.items():
             st = self.state[name]
@@ -650,33 +757,22 @@ class AggStream:
             if snap_out is not None and len(snap_out) and cfg.snap_path:
                 sds = OrderedDataset(self.spark, cfg.snap_path)
                 sds.write(
-                    df=self.spark.createDataFrame(snap_out),
+                    df=self._flush_frame(snap_out),
                     ordered_on=cfg.snap_col,
                     duplicates_on=[cfg.bin_col],
                     row_group_target_size=cfg.row_group_target_size,
                     key_value_metadata={_META_KEY: {"restart_index": st.restart_index}},
                     validate_monotonic=False,
-                    known_stats=(
-                        snap_out[cfg.snap_col].min(),
-                        snap_out[cfg.snap_col].max(),
-                        len(snap_out),
-                    ),
                 )
             if bin_out is not None and len(bin_out):
                 ds = OrderedDataset(self.spark, cfg.path)
                 ds.write(
-                    df=self.spark.createDataFrame(bin_out),
+                    df=self._flush_frame(bin_out),
                     ordered_on=cfg.bin_col,
                     duplicates_on=[],  # dedup on bin label (ordered_on)
                     row_group_target_size=cfg.row_group_target_size,
                     key_value_metadata={_META_KEY: meta},
                     validate_monotonic=False,  # sorted by construction
-                    # driver-built frame: bounds are already known
-                    known_stats=(
-                        bin_out[cfg.bin_col].min(),
-                        bin_out[cfg.bin_col].max(),
-                        len(bin_out),
-                    ),
                 )
             st.bin_acc = combined.iloc[[-1]]
             st.bin_buffer = []
