@@ -106,9 +106,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.text import text_profile_df
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     return text_profile_df(docs, "doc_id", families=("stats",)).select(
         "doc_id",
@@ -153,9 +152,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.text import text_profile_df
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "lang", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     prof = text_profile_df(docs, "doc_id", keep_cols=("lang",))
     return prof.select(
@@ -199,9 +197,7 @@ _JACCARD_SQL_BODY = f"""
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard >= 0.5, blocked by
     language — an equality join, never a cross product."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", block_col="lang", threshold=0.5
     ).orderBy("id_a", "id_b")
@@ -236,8 +232,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the map-heavy signature computation (at production scale the
     # file count provides this parallelism naturally)
     docs = (
-        load(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load(spark, sf_dir, "documents", spread=True)
         .filter(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 3)
     )
     return minhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
@@ -273,9 +268,7 @@ def _band_condition() -> str:
 def minhash_lsh_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH pipeline: signatures -> 4x4 band equality
     join (sub-quadratic candidates) -> true-Jaccard verification."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_neardup_pairs(
         docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
     ).orderBy("id_a", "id_b")
@@ -324,9 +317,7 @@ def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure with a recursive CTE."""
     from oups_spark.operators.components import neardup_clusters
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     pairs = minhash_lsh_neardup_pairs(
         docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
     )
@@ -342,9 +333,7 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token set)."""
     from oups_spark.operators.text import simhash_signatures
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     return simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -594,9 +583,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    # one parquet file -> one scan partition; spread the per-row
-    # cell-assignment fold (n_cells * dim ops) across the cores
-    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    # spread the per-row cell-assignment fold (n_cells * dim ops)
+    # across the cores when the scan cannot parallelize itself (the
+    # spread gate skips the exchange for multi-row-group inputs)
+    corpus = load(spark, sf_dir, "embeddings", spread=True)
     return ivf_cosine_topk(corpus, queries, k=5).orderBy("query_id", "rank")
 
 
@@ -749,9 +739,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.text import text_profile_df
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "lang", "source", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -921,9 +910,7 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-identical to the all-pairs oracle."""
     from oups_spark.operators.dedup import simhash_neardup_pairs
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     return simhash_neardup_pairs(
         docs, "doc_id", "text", max_hamming=3, bands=4
     ).orderBy("id_a", "id_b")
@@ -977,9 +964,7 @@ def simhash_neardup_pairs_64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs oracle."""
     from oups_spark.operators.dedup import simhash_neardup_pairs
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     return simhash_neardup_pairs(
         docs, "doc_id", "text", max_hamming=3, bands=4, bits=64
     ).orderBy("id_a", "id_b")
@@ -1076,9 +1061,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    # the fixture table is one parquet file -> one scan partition; the
-    # per-row encode fold (m*k_codes*d ops) must not run single-task
-    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    # the per-row encode fold (m*k_codes*d ops) must not run
+    # single-task on a one-row-group scan; the spread gate skips the
+    # exchange for multi-row-group inputs
+    corpus = load(spark, sf_dir, "embeddings", spread=True)
     return pq_cosine_topk(corpus, queries, k=5).orderBy("query_id", "rank")
 
 
@@ -1135,9 +1121,7 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.queries.store_ops import _fresh
     from oups_spark.store.dataset import OrderedDataset
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     old = docs.filter(F.col("doc_id") < _SPLIT_ID)
     new = docs.filter(F.col("doc_id") >= _SPLIT_ID)
 
@@ -1207,9 +1191,7 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on the cluster id."""
     from oups_spark.operators.components import neardup_clusters
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     pairs = minhash_lsh_neardup_pairs(
         docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
     )
@@ -1264,9 +1246,7 @@ def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     only when a document's cluster merges)."""
     from oups_spark.operators.components import leakage_safe_splits
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     pairs = minhash_lsh_neardup_pairs(
         docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
     )
@@ -1424,9 +1404,7 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver state: one scalar (the node count)."""
     from oups_spark.operators.components import pagerank
 
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     pairs = minhash_lsh_neardup_pairs(
         docs, "doc_id", "text", threshold=0.5, bands=4, rows_per_band=4
     ).select("id_a", "id_b")
@@ -1478,9 +1456,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded pipeline, one broadcast-scale join between two pair
     tables. Recall only — precision is 1.0 by construction since
     LSH candidates are verified on true Jaccard."""
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     truth = ngram_jaccard_pairs(
         docs, "doc_id", "text", block_col="lang", threshold=0.5
     ).withColumnRenamed("jaccard", "j")

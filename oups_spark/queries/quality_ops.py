@@ -75,9 +75,8 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnest+groupBy formulation would shuffle every token at scale;
     the Spark plan never leaves the scan stage."""
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     return repetition_stats_df(docs, "doc_id").orderBy("doc_id")
 
@@ -275,9 +274,8 @@ def duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.text import window_fingerprints
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     wf = window_fingerprints(docs, "doc_id", "text", width=32, stride=16)
     return (
@@ -434,9 +432,8 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.text import bigram_nll_df
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     return bigram_nll_df(docs, "doc_id").orderBy("doc_id")
 
@@ -469,9 +466,8 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.text import bigram_nll_df
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     nll = bigram_nll_df(docs, "doc_id")
     pin = lambda c: F.round(c * 1e6) / 1e6  # noqa: E731
@@ -595,9 +591,8 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.retrieval import hashed_feature_vectors
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text", "lang")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     labeled = hashed_feature_vectors(
         docs.withColumn("label", (F.col("lang") == "en").cast("int")),
@@ -688,9 +683,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wall; the per-task expression-setup CPU this adds amortizes at
     # real scale, where scans arrive multi-partition and this
     # repartition is a no-op cost-wise)
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     regs = countmin_register_table(toks, "tok")
     est = countmin_estimate(regs, toks, "tok")

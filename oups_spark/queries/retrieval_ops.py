@@ -54,9 +54,8 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences. Map-side posexplode fan-out; no shuffle, text never
     near the driver."""
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     return doc_chunks(
         docs, id_col="doc_id", width=_CHUNK_W, stride=_CHUNK_S
@@ -94,9 +93,8 @@ def crossencoder_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query oracle-checkable. Stage-2 cost is O(candidates), never
     O(corpus)."""
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     return rerank_topk(
         docs,
@@ -123,9 +121,8 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, the corpus stats (N, avgdl, df) are ONE broadcast row,
     the cut is a TakeOrderedAndProject — one corpus scan total."""
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     return bm25_topk(
         docs, id_col="doc_id", terms=_BM25_TERMS, k=_BM25_K
@@ -157,9 +154,8 @@ def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window) -> round-robin shard. Identical
     permutation in any engine and any rerun."""
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     return deterministic_shuffle(
         docs, id_col="doc_id", seed=_SEED, n_shards=_N_SHARDS
@@ -242,9 +238,8 @@ def text_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.retrieval import hashed_feature_vectors
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     feats = hashed_feature_vectors(docs, id_col="doc_id", dim=_FDIM)
     ints = F.transform(
@@ -360,9 +355,8 @@ def corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.text import once_per_row, tokens
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     # one fused tokenize pass feeds length, dup-fraction and
     # fingerprint (Generate barrier, see once_per_row)
@@ -454,9 +448,8 @@ def topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.similarity import kmeans_lloyd
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     feats = hashed_feature_vectors(
         docs, id_col="doc_id", dim=_FDIM, round_to=None

@@ -173,9 +173,8 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold tuned to the synthetic table's cosine range (max ~0.51
     — real embedding spaces would sit at ~0.95+)."""
     emb = (
-        load(spark, sf_dir, "embeddings")
+        load(spark, sf_dir, "embeddings", spread=True)
         .select("vec_id", "embedding")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     return semdedup_prune(
         emb,
@@ -226,9 +225,8 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.selection import remove_duplicate_spans
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     return remove_duplicate_spans(
         docs, id_col="doc_id", width=_SPAN_W
@@ -325,9 +323,8 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oups_spark.operators.pack import pack_sequences
 
     docs = (
-        load(spark, sf_dir, "documents")
+        load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "lang", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     seq = pack_sequences(
         docs,

