@@ -501,18 +501,17 @@ def incremental_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_group_target_size=100_000,
     )
     # batch B: odd doc ids — merge B's registers with the persisted
-    # table (union + max per register), rewrite via keep-last dedup
-    merged = (
-        ds.read()
-        .unionByName(regs_of(docs.filter(F.col("doc_id") % 2 == 1)))
-        .groupBy("source", "j")
-        .agg(F.max("M").alias("M"))
-    )
-    ds.write(
-        df=merged.orderBy("source", "j"),
+    # table (elementwise max per register), rewrite via keep-last
+    # dedup. The fold is driver-side: one job aggregates batch B's
+    # O(sketch) registers, the persisted table reads back without a
+    # job, and the merged table flushes through the zero-job Arrow
+    # write (distributed union+groupBy fallback over the caps).
+    from oups_spark.operators.sketch import fold_register_write
+
+    fold_register_write(
+        spark, ds, regs_of(docs.filter(F.col("doc_id") % 2 == 1)),
+        keys=["source", "j"], value_col="M", merge="max",
         ordered_on="source",
-        duplicates_on=["source", "j"],
-        row_group_target_size=100_000,
     )
     return hll_estimate(ds.read(), ["source"], p=8).orderBy("source")
 

@@ -1299,23 +1299,17 @@ def streaming_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = {"lo": 0.0, "hi": 1000.0, "n_bins": 256}
 
     def merge_batch(batch_df, _batch_id):
+        from oups_spark.operators.sketch import fold_register_write
+
         counts = fixed_grid_counts(
             batch_df, "value", ["event_type"], **grid
         )
-        ds = OrderedDataset(spark, path)
-        if ds.exists:
-            counts = (
-                ds.read()
-                .unionByName(counts)
-                .groupBy("event_type", "b")
-                .agg(F.sum("c").alias("c"))
-            )
-        ds.write(
-            df=counts.orderBy("event_type", "b"),
+        # one job collects the batch's O(grid) counts; the sum-merge
+        # into the persisted table runs driver-side (zero-job flush)
+        fold_register_write(
+            spark, OrderedDataset(spark, path), counts,
+            keys=["event_type", "b"], value_col="c", merge="sum",
             ordered_on="event_type",
-            duplicates_on=["event_type", "b"],
-            row_group_target_size=100_000,
-            validate_monotonic=False,
         )
 
     q = (
@@ -1372,24 +1366,17 @@ def streaming_countmin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "cm_registers")
 
     def merge_batch(batch_df, _batch_id):
+        from oups_spark.operators.sketch import fold_register_write
+
         regs = countmin_register_table(
             batch_df.select(F.explode(tokens(F.col("text"))).alias("tok")),
             "tok",
         )
-        ds = OrderedDataset(spark, path)
-        if ds.exists:
-            regs = (
-                ds.read()
-                .unionByName(regs)
-                .groupBy("i", "b")
-                .agg(F.sum("c").alias("c"))
-            )
-        ds.write(
-            df=regs.orderBy("i", "b"),
-            ordered_on="i",
-            duplicates_on=["i", "b"],
-            row_group_target_size=100_000,
-            validate_monotonic=False,
+        # one job collects the batch's O(sketch) registers; the fold
+        # into the persisted table runs driver-side (zero-job flush)
+        fold_register_write(
+            spark, OrderedDataset(spark, path), regs,
+            keys=["i", "b"], value_col="c", merge="sum", ordered_on="i",
         )
 
     q = (
@@ -1440,6 +1427,8 @@ def streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "hll_registers")
 
     def merge_batch(batch_df, _batch_id):
+        from oups_spark.operators.sketch import fold_register_write
+
         regs = hll_register_table(
             batch_df.select(
                 "source", F.explode(tokens(F.col("text"))).alias("tok")
@@ -1448,24 +1437,12 @@ def streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["source"],
             p=8,
         )
-        ds = OrderedDataset(spark, path)
-        if ds.exists:
-            regs = (
-                ds.read()
-                .unionByName(regs)
-                .groupBy("source", "j")
-                .agg(F.max("M").alias("M"))
-            )
-        # order is guaranteed by the orderBy in the same plan and
-        # (source, j) keys are unique post-groupBy, so the writer's
-        # monotonic re-check (a Python-worker pass per micro-batch)
-        # is skipped — the JVM-side stats agg supplies the bounds
-        ds.write(
-            df=regs.orderBy("source", "j"),
+        # one job collects the batch's O(sketch) registers; the
+        # max-merge into the persisted table runs driver-side
+        fold_register_write(
+            spark, OrderedDataset(spark, path), regs,
+            keys=["source", "j"], value_col="M", merge="max",
             ordered_on="source",
-            duplicates_on=["source", "j"],
-            row_group_target_size=100_000,
-            validate_monotonic=False,
         )
 
     q = (

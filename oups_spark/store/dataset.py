@@ -175,6 +175,71 @@ class OrderedDataset:
         return None
 
     # ------------------------------------------------------------- read
+    def read_arrow(
+        self,
+        *,
+        max_rows: int | None = None,
+        max_bytes: int | None = None,
+    ):
+        """The live rows as ONE pyarrow Table in manifest order —
+        driver-side parquet reads, no Spark job. For driver-sized
+        state tables (sketch registers, small incremental folds) this
+        replaces a full scan+shuffle plan per maintenance step.
+
+        Conservative: returns ``None`` (caller falls back to the
+        distributed ``read()``) when the dataset is over the
+        row/byte caps, stores flattened cmidx columns, or carries
+        files whose schemas cannot be unified under the manifest
+        schema — a ``None`` is never wrong, only slower."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not self.exists:
+            return None
+        man = self._manifest
+        if man.cmidx:
+            return None
+        row_cap = max_rows if max_rows is not None else _DRIVER_MERGE_MAX_ROWS
+        byte_cap = max_bytes if max_bytes is not None else _DRIVER_MERGE_MAX_BYTES
+        if sum(e.n_rows for e in man.files) > row_cap:
+            return None
+        if self._old_files_bytes(man.files) > byte_cap:
+            return None
+        want_names = None
+        if man.schema_json:
+            want_names = {
+                f["name"]
+                for f in __import__("json").loads(man.schema_json)["fields"]
+            }
+        schema = None
+        tables = []
+        total = 0
+        for e in man.files:
+            try:
+                t = pq.read_table(os.path.join(self.path, e.name))
+                if schema is None:
+                    if want_names is not None and set(t.schema.names) != want_names:
+                        # evolved dataset: read() would project missing
+                        # columns as NULL — leave that to the Spark path
+                        return None
+                    schema = t.schema
+                else:
+                    t = t.select(schema.names).cast(schema)
+            except (
+                OSError,
+                KeyError,
+                pa.ArrowInvalid,
+                pa.ArrowNotImplementedError,
+            ):
+                return None  # schema drift / missing file: fall back
+            total += t.nbytes
+            if total > 2 * byte_cap:
+                return None  # decoded far larger than on-disk estimate
+            tables.append(t)
+        if not tables:
+            return None
+        return pa.concat_tables(tables)
+
     def read(
         self,
         start=None,

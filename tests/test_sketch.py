@@ -358,3 +358,67 @@ def test_fixed_grid_counts_merge_equals_one_shot(spark):
         for r in fixed_grid_quantiles(oneshot, [0.5, 0.99], ["g"], **grid).collect()
     }
     assert qm == qo and len(qm) == 6
+
+
+def test_fold_register_write_equals_distributed(spark, tmp_path):
+    """The driver-side register fold (round 15) must leave the SAME
+    register table behind as the distributed union+groupBy plan it
+    replaces — both merge orders, sum and max."""
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.sketch import (
+        fold_register_write,
+        hll_register_table,
+    )
+    from oups_spark.store.dataset import OrderedDataset
+
+    rows = [(f"s{i % 3}", f"tok{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "source string, tok string")
+    a = df.filter(F.col("tok").substr(4, 10).cast("int") % 2 == 0)
+    b = df.filter(F.col("tok").substr(4, 10).cast("int") % 2 == 1)
+
+    def run(path, driver_fold: bool):
+        ds = OrderedDataset(spark, path)
+        for batch in (a, b):
+            regs = hll_register_table(batch, "tok", ["source"], p=6)
+            if driver_fold:
+                fold_register_write(
+                    spark, ds, regs,
+                    keys=["source", "j"], value_col="M", merge="max",
+                    ordered_on="source",
+                )
+            else:
+                merged = regs
+                if ds.exists:
+                    merged = (
+                        ds.read()
+                        .unionByName(regs)
+                        .groupBy("source", "j")
+                        .agg(F.max("M").alias("M"))
+                    )
+                ds.write(
+                    df=merged.orderBy("source", "j"),
+                    ordered_on="source",
+                    duplicates_on=["source", "j"],
+                    row_group_target_size=100_000,
+                    validate_monotonic=False,
+                )
+        return ds
+
+    ds_fold = run(str(tmp_path / "fold"), True)
+    ds_dist = run(str(tmp_path / "dist"), False)
+    got = [tuple(r) for r in ds_fold.read(ordered=True).collect()]
+    want = [tuple(r) for r in ds_dist.read(ordered=True).collect()]
+    assert sorted(got) == sorted(want)
+    # same dtypes on disk
+    import os
+
+    import pyarrow.parquet as pq
+
+    sa = pq.read_schema(
+        os.path.join(ds_fold.path, ds_fold._manifest.files[0].name)
+    )
+    sb = pq.read_schema(
+        os.path.join(ds_dist.path, ds_dist._manifest.files[0].name)
+    )
+    assert sa == sb
