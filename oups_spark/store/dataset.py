@@ -1791,42 +1791,71 @@ class OrderedDataset:
             ]
             if not old:
                 return 0
-        reader = self.spark.read
-        if man.schema_json:
-            reader = reader.schema(
-                StructType.fromJson(__import__("json").loads(man.schema_json))
+        # DRIVER FAST PATH (round 15): a driver-sized rewrite scope —
+        # the frequent shape for incremental OPTIMIZE over recent
+        # appends, and the whole table at bench SF — re-clusters with
+        # numpy/pyarrow: exact equi-depth buckets, the same Morton
+        # spread, one take() and N small file writes, ZERO Spark jobs
+        # for what was a sketch job + range-sample job + a write job
+        # with one task per output file. The curve is a LAYOUT: rows
+        # are preserved bit-for-bit (same reader, same writer as the
+        # driver compact path), only their file assignment differs,
+        # so readers see identical data either way. Row/byte-gated
+        # with the distributed rewrite below as the 100 TB path.
+        new_entries = None
+        driver_cap = int(
+            os.environ.get(
+                "OUPS_ZORDER_DRIVER_MAX_ROWS", str(_DRIVER_MERGE_MAX_ROWS)
             )
-        df = reader.parquet(*[os.path.join(self.path, e.name) for e in old])
-        # the rewrite input is consumed THREE times (percentile
-        # sketch, range-partitioner sample, write) — persist it when
-        # it fits a bounded budget so the file set is scanned once
-        # (guide §5: reuse justifies the cache; MEMORY_AND_DISK spills
-        # rather than OOMs). Oversized scopes stay uncached — at
-        # 100 TB an incremental OPTIMIZE bounds `old` via `scope=`.
-        cache_cap = int(
-            os.environ.get("OUPS_COMPACT_CACHE_MAX_BYTES", str(4 << 30))
         )
-        cached = None
-        if self._old_files_bytes(old) <= cache_cap:
-            from pyspark import StorageLevel
+        if (
+            sum(e.n_rows for e in old) <= driver_cap
+            and self._old_files_bytes(old) <= _DRIVER_MERGE_MAX_BYTES
+        ):
+            new_entries = self._zorder_rewrite_driver(
+                old, ordered_on, target, zorder_by
+            )
+        if new_entries is None:
+            reader = self.spark.read
+            if man.schema_json:
+                reader = reader.schema(
+                    StructType.fromJson(
+                        __import__("json").loads(man.schema_json)
+                    )
+                )
+            df = reader.parquet(
+                *[os.path.join(self.path, e.name) for e in old]
+            )
+            # the rewrite input is consumed THREE times (percentile
+            # sketch, range-partitioner sample, write) — persist it when
+            # it fits a bounded budget so the file set is scanned once
+            # (guide §5: reuse justifies the cache; MEMORY_AND_DISK spills
+            # rather than OOMs). Oversized scopes stay uncached — at
+            # 100 TB an incremental OPTIMIZE bounds `old` via `scope=`.
+            cache_cap = int(
+                os.environ.get("OUPS_COMPACT_CACHE_MAX_BYTES", str(4 << 30))
+            )
+            cached = None
+            if self._old_files_bytes(old) <= cache_cap:
+                from pyspark import StorageLevel
 
-            cached = df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            z = zorder_column(df, zorder_by)
-            merged = _with_file_rank(
-                self.spark,
-                df.withColumn(_POS, F.monotonically_increasing_id())
-                .withColumn(_SRC, F.lit(0))
-                .withColumn(_ZCOL, z),
-                old,
-            )
-            total = sum(e.n_rows for e in old)
-            new_entries = self._write_files(
-                merged, ordered_on, target, total, cluster_col=_ZCOL
-            )
-        finally:
-            if cached is not None:
-                cached.unpersist()
+                cached = df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                z = zorder_column(df, zorder_by)
+                merged = _with_file_rank(
+                    self.spark,
+                    df.withColumn(_POS, F.monotonically_increasing_id())
+                    .withColumn(_SRC, F.lit(0))
+                    .withColumn(_ZCOL, z),
+                    old,
+                )
+                total = sum(e.n_rows for e in old)
+                new_entries = self._write_files(
+                    merged, ordered_on, target, total, cluster_col=_ZCOL
+                )
+            finally:
+                if cached is not None:
+                    cached.unpersist()
         # sticky bloom_cols re-index the replacements (one bounded
         # pass over the new files) — re-clustering must not silently
         # degrade equality skipping
@@ -1874,6 +1903,102 @@ class OrderedDataset:
             raise
         self._remove_files(expired)
         return len(old)
+
+    def _zorder_rewrite_driver(
+        self, old: list[FileEntry], ordered_on: str, target: int,
+        zorder_by: list[str],
+    ) -> list[FileEntry] | None:
+        """Driver-side twin of the distributed z-order rewrite: read
+        the in-scope files with pyarrow, bucket each clustered column
+        on exact equi-depth quantiles (the approx-percentile sketch's
+        only job is balancing the curve; with the rows in hand the
+        exact quantiles are strictly better), Morton-spread and OR the
+        bucket indices (the same ``_spread`` mapping the JVM
+        expression uses), then sort by (z nulls-first, ordered_on,
+        position) — the distributed path's
+        ``repartitionByRange(__z) + sortWithinPartitions(__z,
+        ordered_on, ...)`` total order — and stage size-balanced
+        files through the same ``_stage_arrow_chunks``/footer-stats
+        tail as the driver compact path. Returns None on any schema
+        surprise (caller runs the distributed rewrite)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from oups_spark.store.zorder import _ZBITS
+
+        hard_cap = 2 * _DRIVER_MERGE_MAX_BYTES
+        tables = []
+        total = 0
+        schema = None
+        try:
+            for e in old:
+                t = pq.read_table(os.path.join(self.path, e.name))
+                if schema is None:
+                    schema = t.schema
+                else:
+                    t = t.select(schema.names).cast(schema)
+                total += t.nbytes
+                if total > hard_cap:
+                    return None
+                tables.append(t)
+            tbl = pa.concat_tables(tables)
+        except (KeyError, OSError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None
+        n_rows = tbl.num_rows
+        if n_rows == 0:
+            return None
+
+        n_buckets = 2 ** _ZBITS
+        pcts = [i / (n_buckets - 1) for i in range(1, n_buckets - 1)]
+        n_cols = len(zorder_by)
+        z = np.zeros(n_rows, dtype=np.int64)
+        z_null = np.zeros(n_rows, dtype=bool)
+        for j, c in enumerate(zorder_by):
+            try:
+                col = pc.cast(tbl.column(c), pa.float64())
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                return None
+            v = col.to_numpy(zero_copy_only=False)  # nulls -> nan
+            isnan = np.isnan(v)
+            vals = v[~isnan]
+            bounds = (
+                np.unique(np.quantile(vals, pcts))
+                if len(vals)
+                else np.array([0.0])
+            )
+            # bucket index = #bounds <= v, as the CASE tree counts it
+            idx = np.searchsorted(bounds, np.nan_to_num(v), side="right")
+            # spread bit i of column j to position i*n + j — the same
+            # mapping zorder._spread precomputes into the JVM CASE
+            # tree's leaf literals
+            spread = np.zeros(n_rows, dtype=np.int64)
+            for i in range(_ZBITS):
+                spread |= ((idx >> i) & 1) << (i * n_cols + j)
+            z |= spread
+            z_null |= isnan
+        # total order: z ascending with nulls FIRST (Spark's
+        # asc_nulls_first), then ordered_on, then original position
+        sort_tbl = pa.table(
+            {
+                "__z": pa.array(
+                    np.where(z_null, None, z), type=pa.int64()
+                ),
+                "__o": tbl.column(ordered_on),
+                "__p": pa.array(np.arange(n_rows, dtype=np.int64)),
+            }
+        )
+        order = pc.sort_indices(
+            sort_tbl,
+            sort_keys=[
+                ("__z", "ascending"),
+                ("__o", "ascending"),
+                ("__p", "ascending"),
+            ],
+            null_placement="at_start",
+        )
+        return self._stage_arrow_chunks(tbl.take(order), ordered_on, target)
 
     # ------------------------------------------------------------- DML
     def delete_where(

@@ -2078,3 +2078,58 @@ def test_compact_zorder_post_commit_failure_keeps_rewrite(
         ds2.read().toPandas().sort_values("ts", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got[["ts", "uid", "v"]], pdf)
+
+
+def test_compact_zorder_driver_equals_distributed(spark, scratch, monkeypatch):
+    """Round 15: the driver-side z-order rewrite must preserve the
+    row multiset exactly and prune a (uid, v) box at least as well as
+    the distributed rewrite (exact equi-depth quantiles vs the approx
+    sketch). The distributed path stays covered by forcing the driver
+    cap to 0."""
+    import os
+
+    import pandas as pd
+
+    from oups_spark.functions.filters import dnf_file_can_match
+
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+            "uid": [(i * 7919) % 400 for i in range(n)],
+            "v": [float((i * 104729) % 900) / 10 for i in range(n)],
+        }
+    )
+    box = [
+        ("uid", ">=", 50), ("uid", "<=", 120),
+        ("v", ">=", 15.0), ("v", "<=", 40.0),
+    ]
+
+    def run(path, force_distributed: bool):
+        if force_distributed:
+            monkeypatch.setenv("OUPS_ZORDER_DRIVER_MAX_ROWS", "0")
+        else:
+            monkeypatch.delenv("OUPS_ZORDER_DRIVER_MAX_ROWS", raising=False)
+        ds = OrderedDataset(spark, os.path.join(scratch, path))
+        ds.write(df=spark.createDataFrame(pdf), ordered_on="ts",
+                 row_group_target_size=200)
+        ds.compact(zorder_by=["uid", "v"], row_group_target_size=200)
+        pruned = sum(
+            dnf_file_can_match(e.cols, [box], blooms=e.blooms)
+            for e in ds.manifest.files
+        )
+        rows = ds.read().toPandas().sort_values("ts", ignore_index=True)
+        return pruned, len(ds.manifest.files), rows
+
+    m_drv, n_drv, rows_drv = run("zd_driver", False)
+    m_dist, n_dist, rows_dist = run("zd_dist", True)
+    pd.testing.assert_frame_equal(rows_drv, rows_dist)  # layout-only
+    pd.testing.assert_frame_equal(rows_drv, pdf)
+    # driver path writes exactly the balanced ceil(n/target) files;
+    # the distributed range partitioner may split a couple more
+    assert n_drv == 15
+    assert abs(n_dist - n_drv) <= 3
+    # both layouts prune; exact quantiles must not cluster worse
+    # (compare FRACTIONS — the file counts differ slightly)
+    assert m_dist < n_dist
+    assert m_drv / n_drv <= m_dist / n_dist + 0.15
