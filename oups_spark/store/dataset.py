@@ -1010,10 +1010,16 @@ class OrderedDataset:
 
     # ----------------------------------------------------------- helpers
     def _update_kv_only(self, ordered_on, key_value_metadata) -> None:
-        if not key_value_metadata and self._manifest is not None:
-            # nothing to change on an existing dataset: skip the
-            # redundant manifest rewrite (an empty micro-batch would
-            # otherwise pay a full commit per batch)
+        if not key_value_metadata:
+            if self._manifest is not None:
+                # nothing to change on an existing dataset: skip the
+                # redundant manifest rewrite (an empty micro-batch
+                # would otherwise pay a full commit per batch)
+                return
+            # nothing to create either: an empty batch with no kv must
+            # not leave a schema-less dataset behind (the probe path
+            # has always guarded this; the stats/monotonic paths now
+            # match, so sinks need no isEmpty pre-probe)
             return
         man = self._manifest or Manifest(ordered_on=ordered_on or "")
         _merge_kv(man.kv, key_value_metadata)

@@ -525,14 +525,17 @@ def cdc_merge_sink(
     processed when ``available_now``."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            cdc_merge_batch_into(
-                batch_df, ds,
-                key=key, order_cols=order_cols, delete_col=delete_col,
-                row_group_target_size=row_group_target_size,
-                conflict_retries=conflict_retries,
-                evolve_schema=evolve_schema,
-            )
+        # no isEmpty pre-probe (one job per batch): merge_into's own
+        # source probe short-circuits an empty batch to a no-op, and
+        # an empty FIRST batch no longer creates a schema-less
+        # dataset (the write path's kv-only guard covers all paths)
+        cdc_merge_batch_into(
+            batch_df, ds,
+            key=key, order_cols=order_cols, delete_col=delete_col,
+            row_group_target_size=row_group_target_size,
+            conflict_retries=conflict_retries,
+            evolve_schema=evolve_schema,
+        )
 
     writer = changelog.writeStream.outputMode("append").foreachBatch(sink)
     if available_now:

@@ -197,3 +197,37 @@ class TestCdcSchemaDrift:
             for r in read_current_ds(ds, delete_col="is_delete").collect()
         }
         assert cur[2] == ("b2", None) and cur[1] == ("a2", "eu")
+
+
+def test_empty_batches_are_noops_without_isempty_probe(spark, tmp_path):
+    """Round 15: the sink no longer pays an isEmpty job per batch —
+    an empty FIRST batch must not leave a schema-less dataset behind,
+    and an empty later batch must not change the committed state."""
+    import pyspark.sql.functions as F
+
+    from oups_spark.store.dataset import OrderedDataset
+    from oups_spark.streaming.cdc import cdc_merge_batch_into
+
+    path = str(tmp_path / "cdc_empty")
+    ds = OrderedDataset(spark, path)
+    schema = "k long, ts timestamp, v double, is_delete boolean"
+    empty = spark.createDataFrame([], schema)
+    cdc_merge_batch_into(
+        empty, ds, key="k", order_cols=["ts"], delete_col="is_delete"
+    )
+    assert not ds.exists  # no schema-less manifest created
+
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0, False)],
+        "k long, ts string, v double, is_delete boolean",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cdc_merge_batch_into(
+        rows, ds, key="k", order_cols=["ts"], delete_col="is_delete"
+    )
+    assert ds.exists and ds.read().count() == 1
+    gen = ds.manifest.generation
+    cdc_merge_batch_into(
+        empty, ds, key="k", order_cols=["ts"], delete_col="is_delete"
+    )
+    assert ds.manifest.generation == gen  # no commit for an empty batch
+    assert ds.read().count() == 1
