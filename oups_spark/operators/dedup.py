@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 
 from oups_spark.operators.text import (
     bow_fingerprint,
+    explode_nonnull,
     md5_int,
     md5_int60,
     shingles,
@@ -76,22 +77,15 @@ def minhash_signatures(
     every column — a k-fold recompute.) Docs with fewer than n tokens
     have no shingles and drop out, matching the SQL twin.
     """
-    # explode_outer + isNotNull instead of plain explode, matching the
-    # repo-wide convention for explodes of expensive computed arrays:
-    # when the array rides a projected ATTRIBUTE, Catalyst's
-    # InferFiltersFromGenerate + project collapse inline the whole
-    # tokenize/shingle/md5 pipeline into a scan-side `size(arr) > 0`
-    # filter (an extra 2x evaluation per row). The direct-expression
-    # form here dodges today's inference cost guard, but the outer
-    # form is immune to that rule interplay outright and is
-    # row-identical: elements are md5 of non-null strings, so hv is
-    # null exactly on the outer rows being dropped.
-    hashed = df.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.transform(shingles(tokens(F.col(text_col)), n), md5_int)
-        ).alias("hv"),
-    ).filter(F.col("hv").isNotNull())
+    # explode_nonnull: immune to InferFiltersFromGenerate inlining the
+    # tokenize/shingle/md5 pipeline into the scan (rationale on the
+    # helper); elements are md5 of non-null strings, never null.
+    hashed = explode_nonnull(
+        df,
+        F.transform(shingles(tokens(F.col(text_col)), n), md5_int),
+        "hv",
+        keep=[F.col(id_col)],
+    )
     aggs = [
         F.min((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_params())
@@ -189,20 +183,19 @@ def ngram_jaccard_pairs(
     keeps the single-pass exact plan, whose semantics equal the SQL
     oracle.
     """
-    # explode_outer + isNotNull instead of plain explode: see
-    # minhash_signatures — keeps Catalyst's inferred size() filter
-    # (which inlines the full shingle pipeline) out of the scan stage.
-    # Hashed shingles are md5-derived, never null per element.
-    sh = df.select(
-        F.col(block_col),
-        F.col(id_col),
-        hashed_shingles(F.col(text_col), n).alias("sh"),
-    ).select(
-        F.col(block_col),
-        F.col(id_col),
-        F.size("sh").alias("n_sh"),
-        F.explode_outer("sh").alias("hv"),
-    ).filter(F.col("hv").isNotNull())
+    # explode_nonnull: keeps the inferred size() filter (which inlines
+    # the full shingle pipeline) out of the scan stage — rationale on
+    # the helper. Hashed shingles are md5-derived, never null.
+    sh = explode_nonnull(
+        df.select(
+            F.col(block_col),
+            F.col(id_col),
+            hashed_shingles(F.col(text_col), n).alias("sh"),
+        ),
+        "sh",
+        "hv",
+        keep=[F.col(block_col), F.col(id_col), F.size("sh").alias("n_sh")],
+    )
     if df_cap is not None:
         rare = (
             sh.groupBy(block_col, "hv")

@@ -280,19 +280,16 @@ def remove_duplicate_spans(
     # token-less docs: sequence(0, -1) DESCENDS in Spark ([0, -1]),
     # so null the array out instead — explode drops it, and the final
     # left join restores the doc with zero counts.
-    # explode_outer + isNotNull(g) instead of plain explode: Catalyst
-    # infers `size(__segs) > 0 AND isnotnull(__segs)` from a non-outer
-    # Generate and pushes it below any repartition into the scan,
-    # re-evaluating the whole tokenize/segment pipeline on the
-    # (often single-task) pre-shuffle side. The filter on the
-    # GENERATED column is the same row set but cannot sink below the
-    # Generate, so the expensive expression runs only after the
-    # exchange, at full parallelism.
+    # explode_nonnull: keeps the inferred size(__segs) filter (which
+    # would re-evaluate the whole tokenize/segment pipeline below the
+    # repartition, on the single-task pre-shuffle side) out of the
+    # scan — rationale on the helper; plan shape pinned by
+    # test_remove_duplicate_spans_no_filter_below_repartition.
+    from oups_spark.operators.text import explode_nonnull
+
     seg_structs = F.when(n_seg > 0, seg_structs)
     base = df.select(F.col(id_col), seg_structs.alias("__segs"))
-    segs = base.select(
-        id_col, F.explode_outer("__segs").alias("g")
-    ).filter(F.col("g").isNotNull()).select(
+    segs = explode_nonnull(base, "__segs", "g", keep=[id_col]).select(
         id_col,
         F.col("g.i").alias("i"),
         F.col("g.s").alias("s"),

@@ -68,6 +68,36 @@ def shingles(tok: Column, n: int = 3) -> Column:
     return F.array_distinct(F.filter(grams, lambda x: x.isNotNull()))
 
 
+def explode_nonnull(df: DataFrame, arr, alias: str, *, keep=()) -> DataFrame:
+    """Explode an EXPENSIVE computed array without waking Catalyst's
+    ``InferFiltersFromGenerate``.
+
+    A plain (non-outer) explode of a projected ATTRIBUTE lets the
+    optimizer infer ``size(arr) > 0 AND isnotnull(arr)`` and push it
+    below any exchange into the scan stage, where project collapse
+    inlines the array's whole computing pipeline (tokenize / shingle /
+    md5 / segment) into the filter — an extra 2× evaluation per row,
+    often on the single-task pre-shuffle side (round-14 §16-17 finding;
+    duplicate_span_removal went 3.3 s → 1.0 s on this alone).
+    ``explode_outer`` admits no such inference, and the ``isNotNull``
+    filter on the GENERATED column keeps the row set identical —
+    an outer explode emits exactly one null element for the null /
+    empty arrays a plain explode drops — provided array ELEMENTS are
+    never null, which every call site's builder guarantees
+    (tests/test_llm_ops.py pins it for shingles / hashed_shingles).
+
+    Use for attribute explodes of expensive arrays. For INLINE
+    expression explodes the inference never fires and plain explode
+    is marginally faster (decontamination_overlap, round-15 A/B).
+
+    ``keep``: columns/names projected alongside the exploded value.
+    """
+    cols = [c if isinstance(c, Column) else F.col(c) for c in keep]
+    return df.select(
+        *cols, F.explode_outer(arr).alias(alias)
+    ).filter(F.col(alias).isNotNull())
+
+
 def md5_int(col: Column) -> Column:
     """Deterministic 32-bit integer hash shared with DuckDB:
     ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)``."""

@@ -762,21 +762,18 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         shingles(tokens(F.col("text")), 3).alias("sh"),
     )
-    # explode_outer + isNotNull on both branches: a non-outer explode
-    # lets Catalyst infer size(sh) > 0 and inline the whole shingle
-    # pipeline into a scan-side filter (extra 2x evaluation per row).
-    # Shingles are concat_ws output — never null per element.
-    bench = (
-        t.filter(F.col("source") == "src0")
-        .select(F.explode_outer("sh").alias("g"))
-        .filter(F.col("g").isNotNull())
-        .distinct()
-    )
+    # explode_nonnull on both branches: keeps the inferred size(sh)
+    # filter (which inlines the whole shingle pipeline, 2x eval/row)
+    # out of the scan — rationale on the helper. Shingles are
+    # concat_ws output, never null per element.
+    from oups_spark.operators.text import explode_nonnull
+
+    bench = explode_nonnull(
+        t.filter(F.col("source") == "src0"), "sh", "g"
+    ).distinct()
     words = bloom_word_table(bench, "g")
-    tg = (
-        t.filter(F.col("source") != "src0")
-        .select("doc_id", F.explode_outer("sh").alias("g"))
-        .filter(F.col("g").isNotNull())
+    tg = explode_nonnull(
+        t.filter(F.col("source") != "src0"), "sh", "g", keep=["doc_id"]
     )
     probed = bloom_probe(words, tg, "g", ["doc_id"])
     return (

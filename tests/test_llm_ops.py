@@ -872,3 +872,33 @@ def test_segment_words_dedupes_duplicate_merge_pairs(spark):
     got_j = segment_words(words, ok, engine="jvm").collect()[0]["syms"]
     got_p = segment_words(words, ok, engine="python").collect()[0]["syms"]
     assert got_j == got_p == ["abc", "d", "</w>"]
+
+
+def test_shingle_and_hash_arrays_have_no_null_elements(spark):
+    """ADVICE r14: the explode_nonnull convention (explode_outer +
+    isNotNull == plain explode) rests on the invariant that the
+    shingle / hashed-shingle builders never emit a NULL array
+    ELEMENT — only null/empty arrays (dropped by both forms). Pin it
+    on edge inputs: empty text, whitespace, fewer tokens than n,
+    repeated tokens, unicode."""
+    import pyspark.sql.functions as F
+
+    from oups_spark.operators.dedup import hashed_shingles
+    from oups_spark.operators.text import shingles, tokens
+
+    rows = [
+        ("",), ("   ",), ("one",), ("one two",), ("one two three",),
+        ("a a a a a",), ("ζ ξ λ μ ν",), ("x\ty\nz w v u",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    checked = df.select(
+        shingles(tokens(F.col("text")), 3).alias("sh"),
+        hashed_shingles(F.col("text"), 3).alias("hsh"),
+    ).select(
+        F.size(F.filter("sh", lambda e: e.isNull())).alias("n_null_sh"),
+        F.size(F.filter("hsh", lambda e: e.isNull())).alias("n_null_hsh"),
+    )
+    for r in checked.collect():
+        # size() is -1 for a NULL array (fine: both explode forms
+        # drop it); a POSITIVE count means a null element leaked
+        assert r["n_null_sh"] <= 0 and r["n_null_hsh"] <= 0
